@@ -1,0 +1,68 @@
+"""BM25 vs a pure-Python reference implementation on a toy corpus
+(SURVEY §5 test plan)."""
+
+import math
+import re
+
+import pytest
+
+from vechord_spark.operators.bm25 import Bm25Index, bm25_topk
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a quick brown dog outpaces a quick fox"),
+    (3, "lazy afternoons are for sleeping dogs"),
+    (4, "the fox is quick and the fox is clever"),
+    (5, "completely unrelated text about spark engines"),
+]
+
+
+def py_bm25(corpus, query, k1=1.2, b=0.75):
+    tok = lambda t: [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+    docs = {i: tok(t) for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs.values()) / n
+    qterms = list(dict.fromkeys(tok(query)))
+    scores = {}
+    for i, terms in docs.items():
+        s = 0.0
+        for q in qterms:
+            tf = terms.count(q)
+            if tf == 0:
+                continue
+            df = sum(1 for d in docs.values() if q in d)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(terms) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    return scores
+
+
+@pytest.fixture()
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id int, text string")
+
+
+def test_bm25_scores_match_python(corpus_df):
+    idx = Bm25Index(corpus_df, "doc_id", "text")
+    got = {r.doc_id: r.score for r in idx.topk("quick fox", k=10).collect()}
+    expected = py_bm25(CORPUS, "quick fox")
+    assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_bm25_ranking(corpus_df):
+    hits = bm25_topk(corpus_df, "doc_id", "text", "quick fox", k=3).collect()
+    expected = py_bm25(CORPUS, "quick fox")
+    want = sorted(expected, key=lambda i: (-expected[i], i))[:3]
+    assert [r.doc_id for r in sorted(hits, key=lambda r: r.rank)] == want
+
+
+def test_bm25_no_match_returns_empty(corpus_df):
+    assert bm25_topk(corpus_df, "doc_id", "text", "zzz qqq", k=5).count() == 0
+
+
+def test_bm25_query_term_dedup(corpus_df):
+    idx = Bm25Index(corpus_df, "doc_id", "text")
+    once = {r.doc_id: r.score for r in idx.topk("fox", k=10).collect()}
+    twice = {r.doc_id: r.score for r in idx.topk("fox fox", k=10).collect()}
+    assert once == twice

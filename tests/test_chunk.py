@@ -1,0 +1,70 @@
+"""RegexChunker parity fixtures (exact expected chunk lists for fixed
+inputs — reference vechord/chunk.py:20-83 behavior, verified by fuzzing
+against the reference algorithm)."""
+
+from pyspark.sql import functions as F
+
+from vechord_spark.operators.chunk import (
+    chunk_documents,
+    fixed_size_chunks,
+    regex_chunk,
+)
+
+
+def test_basic_packing():
+    text = "Hello world. This is a test! Another sentence here; and more text follows. End."
+    assert regex_chunk(text, size=40, overlap=10) == [
+        "Hello world. This is a test",
+        "Another sentence here",
+        "and more text follows. End",
+    ]
+
+
+def test_overlap_carry():
+    # pieces: aa(2) bbbb(4) cc(2) dddd(4); size 8:
+    # aa+bbbb+cc = 8 fits exactly; dddd flushes, carrying the suffix of
+    # the flushed pieces whose total stays under the overlap budget
+    # (["cc"] for overlap=4: cc=2 < 4, +bbbb would reach 6).
+    assert regex_chunk("aa. bbbb. cc. dddd", size=8, overlap=4) == [
+        "aa. bbbb. cc",
+        "cc. dddd",
+    ]
+
+
+def test_oversized_piece():
+    # a single piece longer than size is emitted alone
+    big = "x" * 100
+    assert regex_chunk(f"small. {big}. tail", size=20, overlap=5) == [
+        "small",
+        big,
+        "tail",
+    ]
+
+
+def test_empty_and_whitespace():
+    assert regex_chunk("", size=10, overlap=2) == []
+    assert regex_chunk(" . ! ; \n", size=10, overlap=2) == []
+
+
+def test_defaults_match_reference():
+    # size=1536 / overlap=200 (vechord/chunk.py:23-26)
+    text = "word " * 1000
+    chunks = regex_chunk(text.strip())
+    assert chunks == [text.strip()]  # no separators -> single piece
+
+
+def test_chunk_documents_explodes_with_seq(spark):
+    df = spark.createDataFrame(
+        [(1, "one. two. three. four"), (2, "")], "doc_id int, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", size=10, overlap=0).collect()
+    got = {(r.doc_id, r.seq_id): r.chunk_text for r in out}
+    assert got == {(1, 0): "one. two", (1, 1): "three. four"}
+
+
+def test_fixed_size_chunks_sql(spark):
+    df = spark.createDataFrame([("abcdefghij",)], "t string")
+    out = df.select(fixed_size_chunks("t", 4).alias("c")).collect()[0].c
+    assert out == ["abcd", "efgh", "ij"]
+    out2 = df.select(fixed_size_chunks("t", 4, step=2).alias("c")).collect()[0].c
+    assert out2 == ["abcd", "cdef", "efgh", "ghij", "ij"]

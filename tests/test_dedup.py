@@ -1,0 +1,79 @@
+"""Dedup suite behavior tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vechord_spark.operators.dedup import (
+    drop_exact_duplicates,
+    embedding_top_pairs,
+    exact_duplicates,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+    simhash,
+    simhash_near_pairs,
+)
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The quick  brown fox, jumps over the lazy dog!"),  # same normalized
+    (3, "the quick brown fox jumps over the lazy cat"),  # near-dup
+    (4, "completely different content about spark sql engines"),
+]
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(ROWS, "doc_id int, text string")
+
+
+def test_exact_duplicates(df):
+    groups = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [1, 2]
+    kept = drop_exact_duplicates(df, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+
+
+def test_minhash_finds_near_dups(df):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs  # identical normalized text always collides
+    assert (1, 3) in pairs  # near-dup shares most shingles
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_values(df):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard(df, "doc_id", "text").collect()
+    }
+    assert got[(1, 3)] > 0.6  # near-dup
+    assert got.get((1, 4), 0.0) < 0.1
+    # threshold filter
+    hi = ngram_jaccard(df, "doc_id", "text", threshold=0.5).collect()
+    assert all(r.jaccard >= 0.5 for r in hi)
+
+
+def test_ngram_jaccard_with_candidates(df, spark):
+    cand = spark.createDataFrame([(1, 3)], "doc_a int, doc_b int")
+    got = ngram_jaccard(df, "doc_id", "text", candidates=cand).collect()
+    assert len(got) == 1 and (got[0].doc_a, got[0].doc_b) == (1, 3)
+
+
+def test_simhash_near_pairs(df):
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert len(sigs) == 4
+    assert sigs[1] == sigs[2]  # tokens identical after normalization
+    pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=10).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} >= {(1, 2)}
+
+
+def test_embedding_top_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    top = embedding_top_pairs(df, "vec_id", "v", top_n=1).collect()
+    assert (top[0].id_a, top[0].id_b) == (1, 2)

@@ -1,0 +1,65 @@
+"""IVF index build + probe-pruned search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vechord_spark.operators.ivf import assign_centroids, build_ivf, default_probes
+from vechord_spark.operators.knn import knn
+
+
+def test_default_probes_matches_reference():
+    assert default_probes(32) == 2
+    assert default_probes(16) == 1
+    assert default_probes(100) == 7
+
+
+@pytest.fixture(scope="module")
+def ivf(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return df, build_ivf(df, "embedding", lists=8, seed=42)
+
+
+def test_assignment_covers_all_rows(ivf):
+    df, index = ivf
+    assigned = index.assigned
+    assert assigned.filter(F.col("centroid_id").isNull()).count() == 0
+    n_cells = assigned.select("centroid_id").distinct().count()
+    assert 1 < n_cells <= 8
+
+
+def test_assignment_is_argmin(ivf):
+    df, index = ivf
+    rows = index.assigned.select("vec_id", "embedding", "centroid_id").limit(50).collect()
+    for r in rows:
+        d = np.linalg.norm(index.centroids - np.asarray(r.embedding, dtype=np.float64), axis=1)
+        assert int(np.argmin(d)) == r.centroid_id
+
+
+def test_probe_search_recall(ivf):
+    """Full-probe IVF == exact; few-probe IVF recalls most of top-10."""
+    df, index = ivf
+    q = [0.3] * 64
+    exact = [r.vec_id for r in knn(df, "embedding", q, k=10, select=["vec_id"], tie_break="vec_id").collect()]
+    full = [
+        r.vec_id
+        for r in index.search(q, k=10, probes=8, select=["vec_id"], tie_break="vec_id").collect()
+    ]
+    assert full == exact
+    approx = {
+        r.vec_id
+        for r in index.search(q, k=10, probes=2, select=["vec_id"], tie_break="vec_id").collect()
+    }
+    assert len(approx & set(exact)) >= 5  # decent recall with 2/8 probes
+
+
+def test_clustered_layout_prunes(ivf, tmp_path, spark):
+    df, index = ivf
+    path = str(tmp_path / "ivf_table")
+    index.write_clustered(path)
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("centroid_id").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter on the layout column, not a data filter
+    assert "centroid_id" in plan
+    assert pruned.count() == index.assigned.filter(F.col("centroid_id").isin([0, 1])).count()

@@ -1,0 +1,82 @@
+"""k-NN vs numpy oracle (SURVEY §5 test plan)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vechord_spark.operators.knn import knn, knn_join
+from vechord_spark.operators.maxsim import maxsim_score, maxsim_topk
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = df.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return df, ids, mat
+
+
+QUERY = [((i * 37) % 13 - 6) / 7.0 for i in range(64)]
+
+
+def _numpy_topk(ids, mat, q, k, metric):
+    q = np.asarray(q)
+    if metric == "l2":
+        d = np.linalg.norm(mat - q, axis=1)
+    elif metric == "cos":
+        d = 1 - (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    else:
+        d = -(mat @ q)
+    order = np.lexsort((ids, d))
+    return list(ids[order[:k]])
+
+
+@pytest.mark.parametrize("metric", ["l2", "cos", "dot"])
+def test_knn_matches_numpy(emb_np, metric):
+    df, ids, mat = emb_np
+    got = knn(df, "embedding", QUERY, k=10, distance=metric, select=["vec_id"], tie_break="vec_id")
+    assert [r.vec_id for r in got.collect()] == _numpy_topk(ids, mat, QUERY, 10, metric)
+
+
+def test_knn_join_per_query_topk(emb_np, spark):
+    df, ids, mat = emb_np
+    queries = df.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn_join(queries, df, "qvec", "embedding", "qid", "vec_id", k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    # each query's own vector is its nearest neighbour (distance 0)
+    own = {r.qid: r.vec_id for r in rows if r.rank == 1}
+    assert all(q == v for q, v in own.items())
+
+
+def test_maxsim_matches_numpy(emb_np, spark):
+    df, ids, mat = emb_np
+    grouped = df.groupBy("label").agg(F.collect_list("embedding").alias("vecs"))
+    qs = [QUERY, [0.5] * 64]
+    got = maxsim_topk(grouped, "vecs", qs, k=3, select=["label"], tie_break="label").collect()
+
+    # numpy oracle
+    rows = df.select("label", "embedding").collect()
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r.label].append(r.embedding)
+    qm = np.asarray(qs, dtype=np.float64)
+    scores = {
+        lbl: float((qm @ np.asarray(vecs, dtype=np.float64).T).max(axis=1).sum())
+        for lbl, vecs in groups.items()
+    }
+    expected = sorted(scores, key=lambda l: (-scores[l], l))[:3]
+    assert [r.label for r in got] == expected
+
+
+def test_knn_plan_is_take_ordered(emb_np):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heap + merge), not a global sort — the property that scales."""
+    df, _, _ = emb_np
+    plan = knn(df, "embedding", QUERY, k=10).limit(10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

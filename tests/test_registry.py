@@ -1,0 +1,121 @@
+"""Registry CRUD/search behavior (mirrors reference tests/test_table.py)."""
+
+import pytest
+
+from vechord_spark.errors import UniqueViolation
+from vechord_spark.registry import VechordRegistry
+from vechord_spark.spec import AnyOf, Column, Keyword, TableSpec, Vector
+
+
+@pytest.fixture()
+def reg(spark, tmp_path):
+    r = VechordRegistry("test", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "document",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("title", "string"),
+                Column("text", "string"),
+            ],
+        )
+    )
+    r.register(
+        TableSpec(
+            "chunk",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("doc_id", "int", foreign_key=("document", "uid")),
+                Column("text", Keyword()),
+                Column("vec", Vector(4)),
+            ],
+        )
+    )
+    return r
+
+
+DOCS = [
+    {"uid": 1, "title": "alpha", "text": "the quick brown fox"},
+    {"uid": 2, "title": "beta", "text": "lazy dogs sleep"},
+    {"uid": 3, "title": "alpha", "text": None},
+]
+
+CHUNKS = [
+    {"uid": 10, "doc_id": 1, "text": "quick brown fox jumps", "vec": [1.0, 0.0, 0.0, 0.0]},
+    {"uid": 11, "doc_id": 1, "text": "the fox is quick", "vec": [0.9, 0.1, 0.0, 0.0]},
+    {"uid": 12, "doc_id": 2, "text": "dogs sleep lazily all day", "vec": [0.0, 1.0, 0.0, 0.0]},
+]
+
+
+def test_insert_select_roundtrip(reg):
+    assert reg.insert_rows("document", DOCS) == 3
+    rows = reg.select_by("document").collect()
+    assert len(rows) == 3
+
+
+def test_predicates(reg):
+    reg.insert_rows("document", DOCS)
+    # equality (reference test_table.py:91-124)
+    assert reg.select_by("document", {"title": "alpha"}).count() == 2
+    # IS NULL
+    got = reg.select_by("document", {"text": None}).collect()
+    assert [r.uid for r in got] == [3]
+    # AnyOf -> IN list
+    assert reg.select_by("document", {"uid": AnyOf([1, 3])}).count() == 2
+    # conjunction
+    assert reg.select_by("document", {"title": "alpha", "text": None}).count() == 1
+
+
+def test_projection_and_limit(reg):
+    reg.insert_rows("document", DOCS)
+    df = reg.select_by("document", fields=["uid", "title"], limit=2)
+    assert df.columns == ["uid", "title"]
+    assert df.count() == 2
+
+
+def test_delete_with_cascade(reg):
+    reg.insert_rows("document", DOCS)
+    reg.insert_rows("chunk", CHUNKS)
+    removed = reg.remove_by("document", {"uid": 1})
+    assert removed == 1
+    # FK cascade removed doc 1's chunks (reference test_table.py:181-201)
+    remaining = reg.select_by("chunk").collect()
+    assert sorted(r.uid for r in remaining) == [12]
+
+
+def test_unique_violation(reg, spark):
+    reg.register(
+        TableSpec(
+            "uniq",
+            [Column("uid", "int", primary_key=True), Column("sid", "string", unique=True)],
+        )
+    )
+    reg.insert_rows("uniq", [{"uid": 1, "sid": "a"}])
+    with pytest.raises(UniqueViolation):
+        reg.insert_rows("uniq", [{"uid": 2, "sid": "a"}])
+    with pytest.raises(UniqueViolation):
+        reg.insert_rows("uniq", [{"uid": 3, "sid": "x"}, {"uid": 4, "sid": "x"}])
+    # distinct values still insert fine
+    reg.insert_rows("uniq", [{"uid": 5, "sid": "b"}])
+    assert reg.select_by("uniq").count() == 2
+
+
+def test_search_by_vector_default_fields(reg):
+    reg.insert_rows("chunk", CHUNKS)
+    hits = reg.search_by_vector("chunk", [1.0, 0.0, 0.0, 0.0], topk=2)
+    rows = hits.collect()
+    # vector/keyword columns excluded by default (non_vec_columns)
+    assert set(hits.columns) == {"uid", "doc_id", "distance"}
+    assert [r.uid for r in rows] == [10, 11]
+
+
+def test_search_by_keyword(reg):
+    reg.insert_rows("chunk", CHUNKS)
+    hits = reg.search_by_keyword("chunk", "quick fox", topk=2).collect()
+    assert {r.uid for r in hits} == {10, 11}
+
+
+def test_drop(reg):
+    reg.insert_rows("document", DOCS)
+    reg.drop("document")
+    assert "document" not in reg.tables

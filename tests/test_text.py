@@ -1,0 +1,63 @@
+"""Text analysis expression tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vechord_spark.functions.text import (
+    char_ngrams,
+    fingerprint,
+    language_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokenize,
+)
+
+
+def one(spark, expr, text):
+    return spark.createDataFrame([(text,)], "t string").select(expr.alias("v")).collect()[0].v
+
+
+def test_tokenize(spark):
+    assert one(spark, tokenize("t"), "Hello, World! 12x") == ["hello", "world", "12x"]
+    assert one(spark, tokenize("t"), "...") == []
+
+
+def test_token_count(spark):
+    assert one(spark, token_count("t"), "a b  c") == 3
+    assert one(spark, token_count("t"), "") == 0
+
+
+def test_char_ngrams(spark):
+    assert one(spark, char_ngrams("t", 3), "abcd") == ["abc", "bcd"]
+    assert one(spark, char_ngrams("t", 5), "ab") == ["ab"]  # short text -> whole
+
+
+def test_punct_ratio(spark):
+    assert one(spark, punct_ratio("t"), "ab!!") == pytest.approx(0.5)
+    assert one(spark, punct_ratio("t"), "") == 0.0
+
+
+def test_stopword_ratio(spark):
+    assert one(spark, stopword_ratio("t"), "the fox and the dog") == pytest.approx(0.6)
+
+
+def test_language_id(spark):
+    assert one(spark, language_id("t"), "the cat is on the mat and it sleeps") == "en"
+    assert one(spark, language_id("t"), "der hund ist nicht hier und die katze") == "de"
+    assert one(spark, language_id("t"), "el perro es grande y la casa que vemos") == "es"
+    assert one(spark, language_id("t"), "xyzzy plugh") == "unknown"
+
+
+def test_fingerprint_normalizes(spark):
+    a = one(spark, fingerprint("t"), "The quick  brown fox!")
+    b = one(spark, fingerprint("t"), "the QUICK brown... fox")
+    c = one(spark, fingerprint("t"), "a different text")
+    assert a == b != c
+
+
+def test_quality_score_bounds(spark):
+    hi = one(spark, quality_score("t"), " ".join(["sensible", "words"] * 40))
+    lo = one(spark, quality_score("t"), "!!! ??? ### $$$")
+    assert 0.0 <= lo < hi <= 1.0

@@ -1,0 +1,53 @@
+"""vechord_spark — a PySpark-native analytics/retrieval engine.
+
+Re-expresses the capabilities of tensorchord/vechord (a PostgreSQL+VectorChord
+RAG framework) as an idiomatic Spark DataFrame engine:
+
+- declarative typed table schemas (``spec``),
+- a namespace/table registry over Parquet (``registry``),
+- top-k search operators: vector k-NN, multi-vector MaxSim, BM25
+  (``operators.knn``, ``operators.maxsim``, ``operators.bm25``),
+- rank fusion / dedup / rerank (``operators.fusion``),
+- chunkers, tokenizers, text analysis (``operators.chunk``, ``functions.text``),
+- near-duplicate detection at scale (``operators.dedup``),
+- IVF index build for ANN at scale (``operators.ivf``),
+- graph (entity/relation) ops (``operators.graph``),
+- retrieval evaluation metrics (``operators.evaluate``),
+- pipeline runtime with staged atomic publish (``plans.pipeline``).
+
+Everything is DataFrame-first: operators are pure DataFrame -> DataFrame
+functions so Catalyst can push filters, prune columns, and pick join
+strategies; Python UDFs appear only where a Python library is unavoidable.
+"""
+
+from vechord_spark.session import get_spark
+from vechord_spark.spec import (
+    AnyOf,
+    Column,
+    Keyword,
+    KeywordIndex,
+    MultiVector,
+    MultiVectorIndex,
+    TableSpec,
+    UniqueIndex,
+    Vector,
+    VectorIndex,
+)
+from vechord_spark.registry import VechordRegistry
+
+__all__ = [
+    "AnyOf",
+    "Column",
+    "Keyword",
+    "KeywordIndex",
+    "MultiVector",
+    "MultiVectorIndex",
+    "TableSpec",
+    "UniqueIndex",
+    "Vector",
+    "VectorIndex",
+    "VechordRegistry",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,150 @@
+"""Text analysis expressions: tokenization, quality, language-ID,
+fingerprints.
+
+The reference tokenizes inside Postgres (``tokenize(text, model)``,
+vechord/client.py:230-238) with bert/wiki tokenizers. Those models are
+not available here; the engine pins a deterministic, documented
+"simple" tokenizer (lowercase, split on non-alphanumeric) that is
+expressible identically in Spark SQL and in the DuckDB oracle — BM25
+parity is validated at ranking level, per SURVEY §7.3.
+
+All of these are pure Column expressions (JVM-side, codegen-friendly);
+none require Python UDFs, so they run at full scan speed on a cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column, functions as F
+
+ColumnOrName = Union[Column, str]
+
+TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
+
+# small multilingual stopword sets for the n-gram/stopword language
+# heuristic. Deterministic and mirrored in oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that",
+]
+
+
+def _as_col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize(text: ColumnOrName) -> Column:
+    """Lowercase + split on non-alphanumeric, empty tokens dropped.
+
+    DuckDB-oracle equivalent:
+    ``list_filter(string_split_regex(lower(x), '[^a-z0-9]+'), t -> t <> '')``
+    """
+    toks = F.split(F.lower(_as_col(text)), TOKEN_SPLIT_REGEX)
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(text: ColumnOrName) -> Column:
+    """Whitespace/punct token count."""
+    return F.size(tokenize(text))
+
+
+def char_ngrams(text: ColumnOrName, n: int = 5) -> Column:
+    """Character n-gram (shingle) array over the lowercased text.
+
+    Built with ``sequence`` + ``transform`` + ``substring`` — no UDF; the
+    shingle set feeds MinHash / Jaccard dedup (operators/dedup.py).
+    """
+    t = F.lower(_as_col(text))
+    length = F.length(t)
+    starts = F.sequence(
+        F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1))
+    )
+    return F.when(length >= n, F.transform(starts, lambda i: F.substring(t, i, n))).otherwise(
+        F.array(t)
+    )
+
+
+def punct_ratio(text: ColumnOrName) -> Column:
+    """Fraction of characters that are not alphanumeric or whitespace."""
+    t = _as_col(text)
+    total = F.length(t)
+    clean = F.length(F.regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    return F.when(total > 0, (total - clean).cast("double") / total).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: ColumnOrName) -> Column:
+    """Fraction of tokens that are English stopwords (quality signal)."""
+    toks = tokenize(text)
+    stops = F.filter(toks, lambda t: t.isin(STOPWORDS_EN))
+    return F.when(F.size(toks) > 0, F.size(stops).cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_token_length(text: ColumnOrName) -> Column:
+    toks = tokenize(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: ColumnOrName) -> Column:
+    """Heuristic document-quality score in [0, 1].
+
+    Combines length, punctuation, and token-shape signals the way
+    large-corpus filtering pipelines (C4/Gopher-style rules) do. Fully
+    SQL-expressible so the score is pushdown-friendly and oracle-checkable.
+    """
+    t = _as_col(text)
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(t) * 4.0, F.lit(0.0))
+    mean_len = mean_token_length(t)
+    shape_score = F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return F.round((len_score * 0.5 + punct_pen * 0.3 + shape_score * 0.2), 6)
+
+
+def language_id(text: ColumnOrName) -> Column:
+    """Stopword-marker language heuristic -> {en, de, es, fr, unknown}.
+
+    Scores each language by the number of its marker words present in
+    the token set; ties break by language code order. Deterministic and
+    expressible in the DuckDB oracle with the same marker lists.
+    """
+    toks = tokenize(text)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        scores.append((lang, hits))
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("unknown")
+    # build reverse so earlier languages win ties via last-wins chaining
+    for lang, hits in reversed(scores):
+        result = F.when((best_score > 0) & (hits == best_score), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def fingerprint(text: ColumnOrName) -> Column:
+    """Document fingerprint: md5 of the whitespace/punct-normalized,
+    lowercased text. Identical rows (modulo formatting) collide —
+    the exact-dedup key. md5 is bit-identical in Spark and DuckDB."""
+    normalized = F.concat_ws(" ", tokenize(text))
+    return F.md5(normalized)

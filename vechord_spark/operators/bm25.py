@@ -1,0 +1,168 @@
+"""BM25 keyword search as DataFrame programs.
+
+Reference: keyword top-k runs inside Postgres via the vchord-bm25
+extension (``ORDER BY kw <&> to_bm25query(...) LIMIT k``,
+vechord/client.py:356-380). The extension's internals (tokenizer, k1, b)
+are not part of the reference repo, so this engine pins its own
+documented constants — k1=1.2, b=0.75, Robertson/Sparck-Jones IDF with
++1 smoothing (Lucene's formulation) — and validates ranking-level
+behavior (SURVEY §7.3).
+
+Architecture (all built-in ops, no UDFs):
+
+    postings(term, doc_id, tf)   <- explode(tokenize(text)) + groupBy
+    doclen(doc_id, dl)           <- size(tokenize(text))
+    docfreq(term, df)            <- postings groupBy term
+    stats(N, avgdl)              <- global agg (broadcast)
+    score = idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+At scale the postings build is one shuffle on (doc_id, term); queries
+then broadcast-join the (tiny) query-term set against the postings and
+aggregate per doc — a map-side-combinable sum. ``Bm25Index`` caches the
+built postings for repeated queries; ``bm25_topk`` is the one-shot path.
+
+Determinism: scores are rounded to 6 decimals before ranking and ties
+break on doc_id, so rankings are stable and identical to a DuckDB
+oracle computing the same formula.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vechord_spark.functions.text import tokenize
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _query_terms(spark, query: str) -> list[str]:
+    """Unique query terms via the same tokenizer as the corpus.
+    Python-side split of one short string — not a data-path operation."""
+    import re
+
+    toks = [t for t in re.split("[^a-z0-9]+", query.lower()) if t]
+    seen: dict[str, None] = {}
+    for t in toks:
+        seen.setdefault(t)
+    return list(seen)
+
+
+class Bm25Index:
+    """Prebuilt BM25 postings + statistics over one corpus.
+
+    Build once, query many times; ``persist()`` the postings when the
+    index is reused (index-build is the expensive shuffle).
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        doc_id: str,
+        text_col: str,
+        k1: float = DEFAULT_K1,
+        b: float = DEFAULT_B,
+    ) -> None:
+        self.doc_id = doc_id
+        self.k1 = k1
+        self.b = b
+        tokens = df.select(
+            F.col(doc_id).alias("doc_id"), tokenize(text_col).alias("terms")
+        )
+        self.doclen = tokens.select(
+            "doc_id", F.size("terms").alias("dl")
+        )
+        self.postings = (
+            tokens.select("doc_id", F.explode("terms").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        self.docfreq = self.postings.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        self.stats = self.doclen.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+
+    def persist(self) -> "Bm25Index":
+        self.postings.persist()
+        self.doclen.persist()
+        self.docfreq.persist()
+        return self
+
+    def score(self, terms: Sequence[str]) -> DataFrame:
+        """Per-document BM25 score for the given unique query terms.
+
+        Returns ``(doc_id, score)``; score rounded to 6 decimals for
+        rank stability. Unique terms contribute once each (query term
+        frequency is ignored, the common IR default).
+        """
+        spark = self.postings.sparkSession
+        qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+        k1, b = self.k1, self.b
+        matched = self.postings.join(F.broadcast(qterms), "term")
+        scored = (
+            matched.join(F.broadcast(self.docfreq), "term")
+            .join(self.doclen, "doc_id")
+            .crossJoin(F.broadcast(self.stats))
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                ),
+            )
+            .withColumn(
+                "term_score",
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.round(F.sum("term_score"), 6).alias("score")
+        )
+
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k ``(doc_id, score, rank)`` for a raw query string.
+        Default topk=10 (vechord/registry.py:272)."""
+        terms = _query_terms(self.postings.sparkSession, query)
+        scores = self.score(terms)
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            scores.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+
+def bm25_topk(
+    df: DataFrame,
+    doc_id: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    select: Sequence[str] | None = None,
+) -> DataFrame:
+    """One-shot BM25 top-k over ``df`` (builds the index plan inline).
+
+    Result: requested payload columns + ``score`` + ``rank``.
+    """
+    index = Bm25Index(df, doc_id, text_col, k1=k1, b=b)
+    hits = index.topk(query, k=k)
+    if select:
+        hits = hits.withColumnRenamed("doc_id", "__hit_id")
+        payload = df.select(*{*select, doc_id})
+        hits = hits.join(
+            payload, hits["__hit_id"] == payload[doc_id], "inner"
+        ).select(*select, "score", "rank")
+    return hits

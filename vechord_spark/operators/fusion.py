@@ -1,0 +1,105 @@
+"""Rank fusion, order-preserving dedup, reorder — post-retrieval ops.
+
+Reference:
+- Reciprocal Rank Fusion: score(doc) = sum over lists of 1/(k + rank),
+  k=60, sorted descending (vechord/rerank.py:95-113).
+- Order-preserving dedup: first occurrence wins
+  (vechord/pipeline.py:490-493, vechord/model/web.py:87-93).
+- Reorder by external indices (vechord/model/web.py:95-96).
+- Hybrid search: vector ∪ keyword -> dedup -> RRF/rerank
+  (vechord/examples/hybrid.py:48-57).
+
+All pure DataFrame ops: rank via row_number windows, fusion via
+union + groupBy sum — map-side combinable, no driver loops.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+RRF_K = 60  # reference default, vechord/rerank.py:98
+
+
+def ranked(df: DataFrame, order_col: str, id_col: str, ascending: bool = True) -> DataFrame:
+    """Attach a dense 1-based ``rank`` by ``order_col`` (ties broken by
+    id for determinism)."""
+    direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.orderBy(direction, F.col(id_col).asc())
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def rrf(
+    ranked_lists: Sequence[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of N ranked lists.
+
+    Each input must carry ``id_col`` and a 1-based ``rank_col``.
+    Returns ``(id_col, rrf_score)`` with score rounded to 6 decimals
+    for cross-engine rank stability, descending = best.
+    """
+    slim = [d.select(F.col(id_col), F.col(rank_col).alias("rank")) for d in ranked_lists]
+    unioned = slim[0]
+    for d in slim[1:]:
+        unioned = unioned.unionByName(d)
+    return (
+        unioned.withColumn("contrib", F.lit(1.0) / (F.lit(k) + F.col("rank")))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("rrf_score"))
+    )
+
+
+def rrf_topk(
+    ranked_lists: Sequence[DataFrame],
+    id_col: str,
+    topk: int | None = None,
+    k: int = RRF_K,
+) -> DataFrame:
+    """RRF + final ranking: ``(id_col, rrf_score, rank)``."""
+    fused = rrf(ranked_lists, id_col, k=k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("rank") <= topk)
+    return out
+
+
+def dedup_first(df: DataFrame, id_col: str, seq_col: str) -> DataFrame:
+    """Order-preserving dedup: keep the first occurrence of each id by
+    ``seq_col`` (reference deduplicate_uid, vechord/pipeline.py:490-493)."""
+    w = Window.partitionBy(id_col).orderBy(F.col(seq_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def reorder_by(df: DataFrame, id_col: str, order: Sequence) -> DataFrame:
+    """Permute rows to an externally supplied id order (reranker output,
+    reference vechord/model/web.py:95-96). Broadcast the tiny order map."""
+    spark = df.sparkSession
+    order_df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(order)], f"{id_col} string, __new_rank int"
+    ).withColumn(id_col, F.col(id_col).cast(df.schema[id_col].dataType))
+    return (
+        df.join(F.broadcast(order_df), id_col, "inner")
+        .orderBy("__new_rank")
+        .drop("__new_rank")
+    )
+
+
+def hybrid_rrf(
+    vector_hits: DataFrame,
+    keyword_hits: DataFrame,
+    id_col: str,
+    topk: int = 10,
+    k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid search fusion: vector list ∪ keyword list -> RRF top-k
+    (reference vechord/examples/hybrid.py:48-57). Inputs carry ``rank``."""
+    return rrf_topk([vector_hits, keyword_hits], id_col, topk=topk, k=k)

@@ -1,0 +1,349 @@
+"""Namespace/table registry over Parquet storage.
+
+The reference's ``VechordRegistry`` (vechord/registry.py) binds declared
+Table classes to physical PostgreSQL tables named
+``{namespace}_{classname}`` and exposes insert/select/remove/search. This
+registry binds :class:`~vechord_spark.spec.TableSpec` objects to Parquet
+directories ``{base_path}/{namespace}_{table}`` and exposes the same
+surface as DataFrame programs.
+
+Design notes for scale:
+
+- ``select`` builds a declarative plan (filter + project + limit) so
+  Catalyst pushes predicates and prunes columns down to the parquet scan.
+- ``delete`` is a filtered rewrite (Parquet has no in-place delete); at
+  cluster scale the same API maps to Delta ``DELETE WHERE``.
+- FK cascade (reference vechord/spec.py:135-180, ON DELETE CASCADE) is an
+  explicit left-anti join of each child table against surviving parent
+  keys — a broadcast join when the parent key set is small.
+- UNIQUE (reference vechord/client.py:146-156) is an ingest-time
+  anti-join check + duplicate drop, not a storage constraint.
+"""
+
+from __future__ import annotations
+
+import shutil
+from functools import reduce
+from pathlib import Path
+from typing import Any, Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vechord_spark.errors import SchemaError, TableNotFound, UniqueViolation
+from vechord_spark.spec import AnyOf, TableSpec
+
+
+def build_predicate(df: DataFrame, conditions: Mapping[str, Any]):
+    """Compile a query-by-example mapping into a Column predicate.
+
+    Mirrors the reference predicate builder (vechord/client.py:184-196):
+    ``None`` -> IS NULL, ``AnyOf`` -> IN-list, everything else ->
+    equality; multiple conditions conjoin with AND. The reference's
+    query surface has no OR / range / LIKE; richer predicates are
+    available through plain ``df.filter``.
+    """
+    preds = []
+    for key, value in conditions.items():
+        if value is None:
+            preds.append(F.col(key).isNull())
+        elif isinstance(value, AnyOf):
+            preds.append(F.col(key).isin(list(value.values)))
+        else:
+            preds.append(F.col(key) == F.lit(value))
+    if not preds:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, preds)
+
+
+class VechordRegistry:
+    """Bind table specs to Parquet paths under one namespace.
+
+    Reference: ``VechordRegistry(namespace, url)``
+    (vechord/registry.py:64-101); namespace switching for multi-tenancy
+    (vechord/client.py:40-51) is just constructing another registry.
+    """
+
+    def __init__(self, namespace: str, base_path: str, spark: SparkSession) -> None:
+        self.namespace = namespace
+        self.base_path = Path(base_path)
+        self.spark = spark
+        self.tables: dict[str, TableSpec] = {}
+
+    # ------------------------------------------------------------------ DDL
+    def table_path(self, name: str) -> str:
+        return str(self.base_path / f"{self.namespace}_{name}")
+
+    def register(self, spec: TableSpec) -> None:
+        """Declare a table (reference create_table_if_not_exists,
+        vechord/client.py:112-128). Storage is created lazily on first
+        append; an empty registered table reads as an empty DataFrame."""
+        self.tables[spec.name] = spec
+
+    def _spec(self, name: str) -> TableSpec:
+        if name not in self.tables:
+            raise TableNotFound(f"{name} not registered in namespace {self.namespace}")
+        return self.tables[name]
+
+    def drop(self, name: str) -> None:
+        """DROP TABLE (reference vechord/client.py:382-388)."""
+        spec = self._spec(name)
+        path = Path(self.table_path(name))
+        if path.exists():
+            shutil.rmtree(path)
+        del self.tables[spec.name]
+
+    def clear_storage(self, drop_table: bool = True) -> None:
+        """Drop every registered table (vechord/registry.py:444-454)."""
+        for name in list(self.tables):
+            if drop_table:
+                self.drop(name)
+
+    # ----------------------------------------------------------------- read
+    def load(self, name: str) -> DataFrame:
+        spec = self._spec(name)
+        path = Path(self.table_path(name))
+        if not path.exists():
+            return self.spark.createDataFrame([], spec.struct_type())
+        return self.spark.read.schema(spec.struct_type()).parquet(str(path))
+
+    # ---------------------------------------------------------------- write
+    def append(self, name: str, df: DataFrame, check_unique: bool = True) -> int:
+        """Append a DataFrame batch (the Spark unit of ingest — the
+        reference's binary COPY, vechord/client.py:253-266).
+
+        Unique-indexed columns are verified with an anti-join against the
+        existing table and a within-batch ``dropDuplicates`` pre-check;
+        a collision raises :class:`UniqueViolation` like the reference
+        (tests/test_table.py:142-151).
+        """
+        spec = self._spec(name)
+        missing = [c for c in spec.field_names if c not in df.columns]
+        if missing:
+            raise SchemaError(f"append to {name} missing columns {missing}")
+        df = df.select(
+            *[F.col(c.name).cast(c.spark_type) for c in spec.columns]
+        )
+        uniques = spec.unique_columns() if check_unique else []
+        if uniques:
+            existing = self.load(name)
+            for col in uniques:
+                batch_dups = (
+                    df.groupBy(col).count().filter(F.col("count") > 1).limit(1).count()
+                )
+                if batch_dups:
+                    raise UniqueViolation(f"duplicate {col} within batch for {name}")
+                clash = (
+                    df.select(col)
+                    .join(existing.select(col), on=col, how="left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if clash:
+                    raise UniqueViolation(f"duplicate {col} appending to {name}")
+        n = df.count()
+        df.write.mode("append").parquet(self.table_path(name))
+        return n
+
+    def insert_rows(self, name: str, rows: Iterable[Mapping[str, Any]]) -> int:
+        """Insert Python rows (reference single-row insert,
+        vechord/client.py:240-251 — batched here, per-row inserts do not
+        exist at Spark scale)."""
+        from vechord_spark.spec import MultiVector, Vector
+
+        spec = self._spec(name)
+
+        def _coerce(col, v):
+            # hand-written rows naturally mix int/float literals; Spark's
+            # strict verifier rejects `0` in a float array, so coerce
+            # engine vector types (and float scalars) up front.
+            if v is None:
+                return None
+            if isinstance(col.engine_type, Vector):
+                return [float(x) for x in v]
+            if isinstance(col.engine_type, MultiVector):
+                return [[float(x) for x in inner] for inner in v]
+            if col.spark_type.typeName() in ("double", "float"):
+                return float(v)
+            return v
+
+        full = [
+            {c.name: _coerce(c, r.get(c.name)) for c in spec.columns} for r in rows
+        ]
+        df = self.spark.createDataFrame(full, spec.struct_type())
+        return self.append(name, df)
+
+    # --------------------------------------------------------------- select
+    def select_by(
+        self,
+        name: str,
+        conditions: Mapping[str, Any] | None = None,
+        fields: Sequence[str] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Projection + conjunctive predicate + LIMIT
+        (reference select, vechord/client.py:198-228 /
+        vechord/registry.py:155-188). Declarative: filter and projection
+        reach the parquet scan as PushedFilters/ReadSchema."""
+        spec = self._spec(name)
+        df = self.load(name)
+        if conditions:
+            df = df.filter(build_predicate(df, conditions))
+        if fields is not None:
+            for f_ in fields:
+                spec.column(f_)  # validate
+            df = df.select(*fields)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    # --------------------------------------------------------------- delete
+    def remove_by(
+        self,
+        name: str,
+        conditions: Mapping[str, Any] | None = None,
+        cascade: bool = True,
+    ) -> int:
+        """DELETE WHERE via filtered rewrite (reference
+        vechord/client.py:268-283), plus explicit ON DELETE CASCADE into
+        registered children (reference relies on Postgres FKs,
+        vechord/spec.py:173; here it is an anti-join per child table)."""
+        spec = self._spec(name)
+        df = self.load(name)
+        pred = build_predicate(df, conditions or {})
+        removed = df.filter(pred).count()
+        if removed == 0:
+            return 0
+        survivors = df.filter(~pred)
+        self._rewrite(name, survivors)
+        if cascade:
+            self._cascade_from(spec)
+        return removed
+
+    def _rewrite(self, name: str, df: DataFrame) -> None:
+        spec = self._spec(name)
+        # align column order (joins can reorder) and materialize before
+        # clobbering the source files
+        rows = df.select(*spec.field_names).collect()
+        new_df = self.spark.createDataFrame(rows, spec.struct_type())
+        path = Path(self.table_path(name))
+        if path.exists():
+            shutil.rmtree(path)
+        new_df.write.mode("overwrite").parquet(str(path))
+
+    def _cascade_from(self, parent: TableSpec) -> None:
+        for child in self.tables.values():
+            for local_col, p_table, p_col in child.foreign_keys():
+                if p_table != parent.name:
+                    continue
+                child_df = self.load(child.name)
+                parent_keys = self.load(parent.name).select(
+                    F.col(p_col).alias(local_col)
+                )
+                surviving = child_df.join(
+                    F.broadcast(parent_keys), on=local_col, how="left_semi"
+                )
+                orphans = child_df.count() - surviving.count()
+                if orphans > 0:
+                    self._rewrite(child.name, surviving)
+                    self._cascade_from(child)
+
+    # --------------------------------------------------------------- search
+    def search_by_vector(
+        self,
+        name: str,
+        vector: Sequence[float],
+        topk: int = 10,
+        return_fields: Sequence[str] | None = None,
+        distance: str | None = None,
+    ) -> DataFrame:
+        """Vector k-NN over the table's vector column (reference
+        vechord/registry.py:190-225). Default topk=10 matches
+        vechord/registry.py:194."""
+        from vechord_spark.operators.knn import knn
+
+        from vechord_spark.errors import DimensionMismatch
+
+        spec = self._spec(name)
+        vec_col = spec.vector_column
+        if vec_col is None:
+            raise SchemaError(f"table {name} has no vector column")
+        if len(vector) != vec_col.engine_type.dim:
+            raise DimensionMismatch(
+                f"query vector has {len(vector)} dims, "
+                f"{name}.{vec_col.name} is Vector({vec_col.engine_type.dim})"
+            )
+        dist = distance or (vec_col.index.distance if vec_col.index else "l2")
+        fields = list(return_fields) if return_fields else spec.non_vec_columns()
+        pk = spec.primary_key
+        return knn(
+            self.load(name),
+            vec_col.name,
+            list(vector),
+            k=topk,
+            distance=dist,
+            select=fields,
+            tie_break=pk.name if pk else None,
+        )
+
+    def search_by_multivec(
+        self,
+        name: str,
+        vectors: Sequence[Sequence[float]],
+        topk: int = 10,
+        return_fields: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """MaxSim top-k (reference vechord/registry.py:227-267)."""
+        from vechord_spark.operators.maxsim import maxsim_topk
+
+        from vechord_spark.errors import DimensionMismatch
+
+        spec = self._spec(name)
+        mv_col = spec.multivec_column
+        if mv_col is None:
+            raise SchemaError(f"table {name} has no multivector column")
+        for v in vectors:
+            if len(v) != mv_col.engine_type.dim:
+                raise DimensionMismatch(
+                    f"query vector has {len(v)} dims, "
+                    f"{name}.{mv_col.name} is MultiVector({mv_col.engine_type.dim})"
+                )
+        fields = list(return_fields) if return_fields else spec.non_vec_columns()
+        pk = spec.primary_key
+        return maxsim_topk(
+            self.load(name),
+            mv_col.name,
+            [list(v) for v in vectors],
+            k=topk,
+            select=fields,
+            tie_break=pk.name if pk else None,
+        )
+
+    def search_by_keyword(
+        self,
+        name: str,
+        query: str,
+        topk: int = 10,
+        return_fields: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """BM25 keyword top-k (reference vechord/registry.py:269-302)."""
+        from vechord_spark.operators.bm25 import bm25_topk
+
+        spec = self._spec(name)
+        kw_col = spec.keyword_column
+        if kw_col is None:
+            raise SchemaError(f"table {name} has no keyword column")
+        fields = list(return_fields) if return_fields else spec.non_vec_columns()
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError(f"table {name} needs a primary key for BM25")
+        idx = kw_col.index
+        return bm25_topk(
+            self.load(name),
+            doc_id=pk.name,
+            text_col=kw_col.name,
+            query=query,
+            k=topk,
+            k1=idx.k1,
+            b=idx.b,
+            select=fields,
+        )
