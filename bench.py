@@ -1,0 +1,84 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + materialize counts) on
+a warmed session; the flagship set covers every operator family so a
+regression anywhere shows up here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family (suite.py has the full list)
+BENCH_QUERIES = [
+    "filter_project",
+    "topk_orders",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_first_order",
+    "knn_cosine",
+    "knn_l2",
+    "maxsim_by_label",
+    "bm25_topk",
+    "hybrid_rrf",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    "text_stats",
+    "lang_id",
+    "chunk_fixed_windows",
+    "graph_entity_merge",
+    "events_daily_summary",
+    "events_json_extract",
+    "eval_recall_knn",
+]
+
+
+def main() -> None:
+    import vechord_spark as vs
+    from vechord_spark.suite import QUERIES
+
+    spark = vs.get_spark("vechord-bench")
+    # warm up the JVM/codegen path so timings measure the queries
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

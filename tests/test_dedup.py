@@ -35,7 +35,12 @@ def test_exact_duplicates(df):
 
 
 def test_minhash_finds_near_dups(df):
-    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(df, "doc_id", "text").collect()}
+    # band_size=2 = high-recall banding (near-dups at jaccard ~0.7 are
+    # probabilistic under the default selective band_size=4)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(df, "doc_id", "text", band_size=2).collect()
+    }
     assert (1, 2) in pairs  # identical normalized text always collides
     assert (1, 3) in pairs  # near-dup shares most shingles
     assert (1, 4) not in pairs and (3, 4) not in pairs

@@ -66,6 +66,11 @@ def _norm(a: Column) -> Column:
     )
 
 
+def vector_norm(a: ColumnOrName) -> Column:
+    """Euclidean norm of a float-array column (double arithmetic)."""
+    return _norm(_as_col(a))
+
+
 def cosine_similarity(
     a: ColumnOrName, b: Union[ColumnOrName, Sequence[float]]
 ) -> Column:

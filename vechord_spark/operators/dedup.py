@@ -31,7 +31,6 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 from vechord_spark.functions.text import char_ngrams, fingerprint
-from vechord_spark.functions.vector import cosine_similarity
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -69,18 +68,39 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(
-    text_col, num_hashes: int = 16, ngram: int = 5
-):
-    """Array of ``num_hashes`` min-hash values over the text's character
-    shingles. Hash i of shingle s = md5('{i}:' || s); the min is taken
-    lexicographically over hex strings — a valid MinHash family and
-    bit-identical across engines."""
+# MinHash permutation family: one md5 per shingle -> 28-bit base hash h,
+# then hash_i(s) = (A_i * h + B_i) mod MINHASH_P. One digest per shingle
+# (not one per shingle per permutation) keeps the signature build a cheap
+# single scan; the affine family is exact integer math in both engines.
+MINHASH_P = 2_147_483_647
+
+
+def _mh_a(i: int) -> int:
+    return 1_000_003 + 10_007 * i
+
+
+def _mh_b(i: int) -> int:
+    return 12_345 + 101 * i
+
+
+def _shingle_base_hashes(text_col, ngram: int):
+    """Distinct shingles -> array of 28-bit integer base hashes
+    (first 7 hex chars of md5, identical in Spark and DuckDB)."""
     shingles = F.array_distinct(char_ngrams(text_col, ngram))
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+    )
+
+
+def minhash_signature(text_col, num_hashes: int = 16, ngram: int = 5):
+    """Array of ``num_hashes`` min-hash values over the text's character
+    shingles (see the affine family above)."""
+    base = _shingle_base_hashes(text_col, ngram)
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+                F.transform(base, lambda h: (h * _mh_a(i) + _mh_b(i)) % MINHASH_P)
             )
             for i in range(num_hashes)
         ]
@@ -92,21 +112,41 @@ def minhash_bands(
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
-    band_size: int = 2,
+    band_size: int = 4,
     ngram: int = 5,
 ) -> DataFrame:
     """``(doc_id, band, sig)`` — one row per LSH band; docs sharing a
-    (band, sig) bucket are candidate near-duplicates."""
-    sig = minhash_signature(text_col, num_hashes, ngram)
+    (band, sig) bucket are candidate near-duplicates.
+
+    The base-hash array is materialized once per row (one projection)
+    and all permutation minima read it — one md5 per shingle total.
+    """
     n_bands = num_hashes // band_size
-    withsig = df.select(F.col(id_col).alias("doc_id"), sig.alias("__mh"))
+    withbase = df.select(
+        F.col(id_col).alias("doc_id"),
+        _shingle_base_hashes(text_col, ngram).alias("__base"),
+    )
+    def _perm_min(i: int):
+        # NOTE: a two-arg lambda would make pyspark pass the ARRAY INDEX
+        # as the second argument — the closure must be single-param.
+        return F.array_min(
+            F.transform(
+                F.col("__base"), lambda h: (h * _mh_a(i) + _mh_b(i)) % MINHASH_P
+            )
+        )
+
+    withsig = withbase.select(
+        "doc_id",
+        F.array(*[_perm_min(i) for i in range(num_hashes)]).alias("__mh"),
+    )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[F.col("__mh")[b * band_size + r] for r in range(band_size)]
+                        "|",
+                        *[F.col("__mh")[b * band_size + r] for r in range(band_size)],
                     )
                 ).alias("sig"),
             )
@@ -123,7 +163,7 @@ def minhash_candidate_pairs(
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
-    band_size: int = 2,
+    band_size: int = 4,
     ngram: int = 5,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(doc_a, doc_b)`` (doc_a < doc_b) from
@@ -306,13 +346,27 @@ def embedding_top_pairs(
     operators/ivf.py) so only bucket-local pairs are scored.
     Returns (id_a, id_b, cos_sim) with similarity rounded to 6 decimals.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    from vechord_spark.functions.vector import dot_product, vector_norm
+
+    # precompute each row's norm ONCE (not per pair): cuts per-pair work
+    # to a single dot product — 3x less array traversal at O(n²) pairs.
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        vector_norm(vec_col).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        vector_norm(vec_col).alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine_similarity("__va", F.col("__vb")), 6).alias("cos_sim"),
+        F.round(
+            dot_product("__va", F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+        ).alias("cos_sim"),
     )
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
     return (
@@ -334,8 +388,18 @@ def embedding_near_duplicates(
     ``bucketer`` = optional (id, bucket) assignment (e.g. IVF centroid
     ids) restricting comparisons to same-bucket pairs — the scale path.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    from vechord_spark.functions.vector import dot_product, vector_norm
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        vector_norm(vec_col).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        vector_norm(vec_col).alias("__nb"),
+    )
     if bucketer is not None:
         ba = bucketer.select(F.col(id_col).alias("id_a"), F.col("bucket"))
         bb = bucketer.select(F.col(id_col).alias("id_b"), F.col("bucket"))
@@ -348,7 +412,10 @@ def embedding_near_duplicates(
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity("__va", F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                dot_product("__va", F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()

@@ -1,0 +1,836 @@
+"""The engine's query suite: every operator exposed as a
+(spark_query, duckdb_oracle_sql) pair over the driver's testdata.
+
+Each entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``
+exercising one operator family from SURVEY.md §2 (plus the scale
+extensions); ``ORACLES`` holds the ANSI/DuckDB SQL computing the same
+result on the same parquet files. Column names AND values must match
+exactly — the driver hash-compares sorted rows.
+
+Cross-engine determinism rules used throughout:
+
+- money/double aggregates go through DECIMAL(38,6) (exact, order-
+  independent) and come back as DOUBLE;
+- float *scores* are rounded to 6 decimals before ranking, and rankings
+  carry explicit (score, id) tie-breaks;
+- every hash is md5 (bit-identical in both engines);
+- LIMIT always follows a fully-specified ORDER BY.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vechord_spark.functions import text as TX
+from vechord_spark.functions.vector import cosine_distance, l2_distance, negative_dot
+from vechord_spark.operators import dedup as DD
+from vechord_spark.operators.bm25 import Bm25Index
+from vechord_spark.operators.chunk import fixed_size_chunks
+from vechord_spark.operators.fusion import rrf_topk
+from vechord_spark.operators.knn import knn_join
+from vechord_spark.operators.maxsim import maxsim_score
+from vechord_spark.sources.testdata import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# deterministic 64-dim query vector (seed 42, rounded to 4 decimals so the
+# literal is identical in Python and SQL)
+QVEC = [0.5479, -0.1222, 0.7172, 0.3947, -0.8116, 0.9512, 0.5223, 0.5721,
+        -0.7438, -0.0992, -0.2584, 0.8535, 0.2877, 0.6455, -0.1132, -0.5455,
+        0.1092, -0.8724, 0.6553, 0.2633, 0.5162, -0.2909, 0.9414, 0.7862,
+        0.5568, -0.6107, -0.0666, -0.9124, -0.6914, 0.3661, 0.4895, 0.935,
+        -0.3483, -0.2591, -0.0609, -0.6211, -0.7402, -0.0486, -0.5462, 0.3396,
+        -0.1257, 0.6654, 0.4005, -0.3753, 0.6645, 0.6095, -0.225, -0.4233,
+        0.365, -0.7205, -0.6002, -0.9853, 0.5738, 0.3297, 0.4103, 0.5615,
+        -0.0822, 0.1375, -0.7204, -0.7709, 0.3368, -0.0578, 0.1305, 0.53]
+QVEC2 = [-v for v in QVEC]  # second maxsim query vector
+
+_QV_SQL = "[" + ", ".join(str(v) for v in QVEC) + "]"
+_QV2_SQL = "[" + ", ".join(str(v) for v in QVEC2) + "]"
+
+# SQL fragment: the engine tokenizer (functions/text.py tokenize)
+_TOK = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+
+BM25_QUERY = "fast query join table"
+_BM25_TERMS = ["fast", "query", "join", "table"]
+
+
+# ===========================================================================
+# relational layer (SURVEY §2.2: P1-P6 projections/filters/predicates)
+# ===========================================================================
+
+
+@_q(
+    "filter_project",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_nationkey IN (1, 2, 3)
+    """,
+)
+def filter_project(spark, sf_dir):
+    """P1/P2/P4/P5: projection + equality + IN-list + conjunction —
+    reference select_by (vechord/client.py:198-228). The filter and the
+    3-column projection both reach the parquet scan (PushedFilters /
+    ReadSchema)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & F.col("c_nationkey").isin(1, 2, 3))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@_q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """P6 LIMIT + deterministic top-k: compiles to TakeOrderedAndProject
+    (per-partition heap, no global sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+        )
+    )
+
+
+@_q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: map-side-combinable aggregation after a pushed
+    date filter. Exact DECIMAL accumulation -> DOUBLE output keeps the
+    result independent of partitioning/summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"), 2).alias("sum_base_price"),
+            # 18,6 x 18,6 -> 37,12 stays exact in a 38-digit decimal in
+            # BOTH engines; 38,6 would force engine-specific scale clipping
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def join_revenue_by_nation(spark, sf_dir):
+    """Multi-join aggregate. customer/nation/region are dimension
+    tables — broadcast them so the orders fact never shuffles for the
+    join (one shuffle total, for the final groupBy)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "window_first_order",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def window_first_order(spark, sf_dir):
+    """R2 order-preserving dedup shape (first occurrence per key wins,
+    reference vechord/pipeline.py:490-493) as a window program."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+    )
+
+
+# ===========================================================================
+# top-k search operators (SURVEY §2.3: K1/K2/K3/K5)
+# ===========================================================================
+
+
+def _knn_oracle(dist_sql: str) -> str:
+    return f"""
+    WITH scored AS (
+      SELECT vec_id, {dist_sql} AS distance
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY distance, vec_id) AS INT) AS rank
+    FROM scored
+    ORDER BY rank
+    LIMIT 10
+    """
+
+
+@_q(
+    "knn_cosine",
+    _knn_oracle(
+        f"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QV_SQL})"
+    ),
+)
+def knn_cosine(spark, sf_dir):
+    """K1 vector top-k, cosine distance (pgvector ``<=>``): codegen'd
+    zip_with/aggregate score + TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", cosine_distance("embedding", QVEC).alias("distance")
+    )
+    w = Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "rank")
+    )
+
+
+@_q(
+    "knn_l2",
+    _knn_oracle(f"list_distance(CAST(embedding AS DOUBLE[]), {_QV_SQL})"),
+)
+def knn_l2(spark, sf_dir):
+    """K1 vector top-k, L2 distance (pgvector ``<->``)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select("vec_id", l2_distance("embedding", QVEC).alias("distance"))
+    w = Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "rank")
+    )
+
+
+@_q(
+    "knn_dot",
+    _knn_oracle(f"-list_dot_product(CAST(embedding AS DOUBLE[]), {_QV_SQL})"),
+)
+def knn_dot(spark, sf_dir):
+    """K1 vector top-k, negative inner product (pgvector ``<#>``)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select("vec_id", negative_dot("embedding", QVEC).alias("distance"))
+    w = Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "rank")
+    )
+
+
+@_q(
+    "maxsim_by_label",
+    f"""
+    WITH q AS (
+      SELECT * FROM (VALUES (0, CAST({_QV_SQL} AS DOUBLE[])),
+                            (1, CAST({_QV2_SQL} AS DOUBLE[]))) AS t(qi, qv)
+    ),
+    best AS (
+      SELECT e.label, q.qi, max(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)) AS m
+      FROM embeddings e CROSS JOIN q
+      GROUP BY e.label, q.qi
+    ),
+    score AS (SELECT label, -sum(m) AS d FROM best GROUP BY label)
+    SELECT label, CAST(row_number() OVER (ORDER BY d, label) AS INT) AS rank
+    FROM score ORDER BY rank LIMIT 5
+    """,
+)
+def maxsim_by_label(spark, sf_dir):
+    """K2 multi-vector MaxSim: embeddings grouped per label form the
+    document multivectors; MaxSim(Q, D) = sum_q max_d dot(q, d), ranked
+    ascending on the negated score (distance convention)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    grouped = emb.groupBy("label").agg(F.collect_list("embedding").alias("vecs"))
+    scored = grouped.select(
+        "label", (-maxsim_score("vecs", [QVEC, QVEC2])).alias("d")
+    )
+    w = Window.orderBy(F.col("d").asc(), F.col("label").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("label", "rank")
+    )
+
+
+_BM25_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK.format(col='text')} AS terms FROM documents
+    ),
+    doclen AS (SELECT doc_id, len(terms) AS dl FROM toks),
+    posts AS (SELECT doc_id, unnest(terms) AS term FROM toks),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM posts GROUP BY term, doc_id),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+    qterms AS (SELECT unnest({_BM25_TERMS!r}) AS term),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qterms USING (term)
+      JOIN dfq USING (term)
+      JOIN doclen USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored
+    ORDER BY rank
+    LIMIT 10
+    """
+
+
+@_q("bm25_topk", _BM25_ORACLE)
+def bm25_topk_documents(spark, sf_dir):
+    """K3 BM25 keyword top-k over the documents table (postings +
+    stats DataFrames, Robertson idf, k1=1.2 b=0.75)."""
+    docs = _t(spark, sf_dir, "documents")
+    return Bm25Index(docs, "doc_id", "text").topk(BM25_QUERY, k=10)
+
+
+@_q(
+    "hybrid_rrf",
+    f"""
+    WITH vec_ranked AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QV_SQL}), vec_id
+             ) AS INT) AS rank
+      FROM embeddings
+      QUALIFY rank <= 10
+    ),
+    kw_ranked AS (SELECT doc_id, rank FROM ({_BM25_ORACLE})),
+    unioned AS (
+      SELECT doc_id, rank FROM vec_ranked
+      UNION ALL
+      SELECT doc_id, rank FROM kw_ranked
+    ),
+    fused AS (
+      SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+      FROM unioned GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+    FROM fused
+    ORDER BY rank
+    LIMIT 10
+    """,
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """R1/R5 hybrid search: vector top-10 ∪ BM25 top-10 -> Reciprocal
+    Rank Fusion (k=60, reference vechord/rerank.py:95-113). The
+    embeddings and documents tables share the id space, standing in for
+    one chunk table's vector and keyword columns."""
+    vec = knn_cosine(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    kw = bm25_topk_documents(spark, sf_dir).select("doc_id", "rank")
+    return rrf_topk([vec, kw], "doc_id", topk=10)
+
+
+# ===========================================================================
+# dedup suite (driver-mandated scale extensions)
+# ===========================================================================
+
+_SHINGLES = (
+    "CASE WHEN length(lower(text)) >= 5 THEN "
+    "list_transform(generate_series(1, greatest(length(lower(text)) - 4, 1)),"
+    " i -> substr(lower(text), i, 5)) "
+    "ELSE [lower(text)] END"
+)
+
+
+def _minhash_sql(num_hashes: int = 16, band_size: int = 4) -> str:
+    from vechord_spark.operators.dedup import MINHASH_P, _mh_a, _mh_b
+
+    mh = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {_mh_a(i)} + {_mh_b(i)}) % {MINHASH_P})) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    bands = ", ".join(
+        "({b}, md5({cat}))".format(
+            b=b,
+            cat=" || '|' || ".join(
+                f"CAST(mh{b * band_size + r} AS VARCHAR)" for r in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {mh} FROM base),
+    bands AS (
+      SELECT doc_id, b.* FROM sig, LATERAL (VALUES {bands}) AS b(band, s)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@_q("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs: 16 md5 min-hashes over
+    5-char shingles, 8 bands of 2 -> bucket self-join (never O(n²))."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_candidate_pairs(docs, "doc_id", "text")
+
+
+@_q(
+    "dedup_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
+    ),
+    posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM posts a JOIN posts b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+    SELECT doc_a, doc_b,
+           round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.35
+    """,
+)
+def dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity (pairs >= 0.35) over shingle
+    postings — the verification companion to MinHash."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard(docs, "doc_id", "text", threshold=0.35)
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(DD.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(DD.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK.format(col='text')}) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+    ),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, ({bits}) AS simhash FROM votes
+    """
+
+
+@_q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash fingerprint per document (bit votes over md5
+    token hashes) — near-dup = small Hamming distance."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash(docs, "doc_id", "text")
+
+
+@_q(
+    "dedup_embedding_pairs",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, id_a, id_b) AS INT) AS rank
+    FROM pairs
+    ORDER BY rank
+    LIMIT 20
+    """,
+)
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: the 20 most-similar embedding pairs
+    (brute-force at verification scale; IVF/LSH-bucketed at cluster
+    scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_top_pairs(emb, "vec_id", "embedding", top_n=20)
+
+
+@_q(
+    "dedup_exact_fingerprint",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(array_to_string({_TOK.format(col='text')}, ' '))) AS BIGINT) AS n_distinct
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def dedup_exact_fingerprint(spark, sf_dir):
+    """Exact-dup detection via normalized-text md5 fingerprints,
+    summarized per language (distinct fingerprints vs docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.fingerprint("text").alias("fp"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+    )
+
+
+# ===========================================================================
+# text analysis (training-data pipeline ops)
+# ===========================================================================
+
+
+@_q(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOK.format(col='text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS mean_token_len
+    FROM t
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-document quality signals: token count, char count, punct
+    ratio, mean token length — all pure SQL expressions (one scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.mean_token_length("text"), 6).alias("mean_token_len"),
+    )
+
+
+def _langid_sql() -> str:
+    hits = []
+    for lang in sorted(TX.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang])
+        hits.append(
+            f"len(list_filter(toks, t -> list_contains([{markers}], t))) AS h_{lang}"
+        )
+    langs = sorted(TX.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK.format(col='text')} AS toks FROM documents
+    ),
+    scored AS (SELECT doc_id, {', '.join(hits)} FROM t),
+    withbest AS (SELECT *, {best} AS best FROM scored)
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'unknown' {case} ELSE 'unknown' END AS lang_pred
+    FROM withbest
+    """
+
+
+@_q("lang_id", _langid_sql())
+def lang_id(spark, sf_dir):
+    """Stopword-marker language identification heuristic per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.language_id("text").alias("lang_pred"))
+
+
+@_q(
+    "token_count_by_source",
+    f"""
+    SELECT source,
+           CAST(sum(len({_TOK.format(col='text')})) AS BIGINT) AS total_tokens,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_count_by_source(spark, sf_dir):
+    """Corpus token accounting per source — the budgeting query every
+    training-data pipeline runs first."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.token_count("text")).alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+@_q(
+    "chunk_fixed_windows",
+    """
+    SELECT doc_id,
+           CAST((s - 1) // 96 AS INT) AS seq_id,
+           substr(text, CAST(s AS INT), 128) AS chunk_text
+    FROM documents,
+         LATERAL unnest(generate_series(1, CAST(greatest(length(text), 1) AS BIGINT), 96)) AS u(s)
+    """,
+)
+def chunk_fixed_windows(spark, sf_dir):
+    """D6-family chunking, zero-UDF variant: 128-char windows with
+    32-char overlap (step 96) as a pure SQL expression; posexplode
+    yields stable seq ids."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(fixed_size_chunks("text", 128, step=96)).alias(
+            "seq_id", "chunk_text"
+        ),
+    )
+
+
+# ===========================================================================
+# graph ops (SURVEY §2.5 G1 merge shape)
+# ===========================================================================
+
+
+@_q(
+    "graph_entity_merge",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOK.format(col='text')})) AS text
+      FROM documents
+    )
+    SELECT text,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(min(doc_id) AS BIGINT) AS first_chunk,
+           CAST(max(doc_id) AS BIGINT) AS last_chunk
+    FROM toks
+    GROUP BY text
+    """,
+)
+def graph_entity_merge(spark, sf_dir):
+    """G1 entity upsert-merge shape (vechord/pipeline.py:345-373):
+    mentions grouped by entity text with chunk-id aggregation. Tokens
+    of the documents table stand in for extracted entity mentions."""
+    docs = _t(spark, sf_dir, "documents")
+    mentions = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokenize("text"))).alias("text")
+    )
+    return mentions.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.min("doc_id").alias("first_chunk"),
+        F.max("doc_id").alias("last_chunk"),
+    )
+
+
+# ===========================================================================
+# events: windowed aggregation + JSON extraction
+# ===========================================================================
+
+
+@_q(
+    "events_daily_summary",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_summary(spark, sf_dir):
+    """Tumbling-window (daily) event rollup — the batch face of the
+    streaming ingestion path (streaming/ingest.py runs the same agg
+    with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias("total_value"),
+    )
+
+
+@_q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_high,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """JSONB-equivalent path (reference stores Jsonb columns,
+    vechord/spec.py:306): extract props.k, filter, aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ===========================================================================
+# evaluation metrics over a knn run (D16)
+# ===========================================================================
+
+
+@_q(
+    "eval_recall_knn",
+    f"""
+    WITH queries AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id, e.label,
+             list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS d
+      FROM embeddings e CROSS JOIN queries q
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, label,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS rank
+      FROM scored
+    ),
+    hits AS (
+      SELECT r.query_id,
+             sum(CASE WHEN r.label = q.qlabel THEN 1 ELSE 0 END) AS n_hits
+      FROM ranked r JOIN queries q USING (query_id)
+      WHERE r.rank <= 10
+      GROUP BY r.query_id
+    ),
+    totals AS (
+      SELECT q.query_id, count(*) AS n_truth
+      FROM embeddings e JOIN queries q ON e.label = q.qlabel
+      GROUP BY q.query_id
+    )
+    SELECT query_id, round(n_hits / CAST(n_truth AS DOUBLE), 6) AS recall
+    FROM hits JOIN totals USING (query_id)
+    """,
+)
+def eval_recall_knn(spark, sf_dir):
+    """D16 evaluation stack: batch k-NN (knn_join) for 5 query vectors,
+    truth = same-label embeddings, per-query recall@10 as a DataFrame
+    aggregation."""
+    from vechord_spark.operators.evaluate import recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    retrieved = knn_join(
+        queries, emb, "qv", "embedding", "query_id", "vec_id", k=10, distance="l2"
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    truth = (
+        emb.select(F.col("vec_id").alias("doc_id"), "label")
+        .join(queries.select("query_id", "qlabel"), F.col("label") == F.col("qlabel"))
+        .select("query_id", "doc_id")
+    )
+    return recall_at_k(retrieved, truth, k=10)
