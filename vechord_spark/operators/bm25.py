@@ -134,12 +134,14 @@ class Bm25Index:
     ) -> DataFrame:
         """Top-k ``(doc_id, score, rank)`` for a raw query string.
         Default topk=10 (vechord/registry.py:272)."""
+        from vechord_spark.operators.topk import ranked_topk
+
         terms = _query_terms(self.postings.sparkSession, query)
         scores = self.score(terms)
-        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        return (
-            scores.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        # TakeOrderedAndProject + rank over the k survivors — never a
+        # global single-partition window over all scored docs
+        return ranked_topk(
+            scores, [F.col("score").desc(), F.col("doc_id").asc()], k
         )
 
 

@@ -368,12 +368,13 @@ def embedding_top_pairs(
             dot_product("__va", F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
         ).alias("cos_sim"),
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
-        .select("id_a", "id_b", "cos_sim", "rank")
-    )
+    from vechord_spark.operators.topk import ranked_topk
+
+    return ranked_topk(
+        scored,
+        [F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()],
+        top_n,
+    ).select("id_a", "id_b", "cos_sim", "rank")
 
 
 def embedding_near_duplicates(

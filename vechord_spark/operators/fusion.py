@@ -59,13 +59,19 @@ def rrf_topk(
     topk: int | None = None,
     k: int = RRF_K,
 ) -> DataFrame:
-    """RRF + final ranking: ``(id_col, rrf_score, rank)``."""
+    """RRF + final ranking: ``(id_col, rrf_score, rank)``.
+
+    With ``topk`` set, the cut uses TakeOrderedAndProject (scale-safe);
+    without it the full fused list is ranked (fine — inputs are already
+    top-k lists, so the union is small by construction)."""
+    from vechord_spark.operators.topk import ranked_topk
+
     fused = rrf(ranked_lists, id_col, k=k)
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
-    out = fused.withColumn("rank", F.row_number().over(w))
+    order = [F.col("rrf_score").desc(), F.col(id_col).asc()]
     if topk is not None:
-        out = out.filter(F.col("rank") <= topk)
-    return out
+        return ranked_topk(fused, order, topk)
+    w = Window.orderBy(*order)
+    return fused.withColumn("rank", F.row_number().over(w))
 
 
 def dedup_first(df: DataFrame, id_col: str, seq_col: str) -> DataFrame:

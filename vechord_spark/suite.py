@@ -247,18 +247,15 @@ def _knn_oracle(dist_sql: str) -> str:
 def knn_cosine(spark, sf_dir):
     """K1 vector top-k, cosine distance (pgvector ``<=>``): codegen'd
     zip_with/aggregate score + TakeOrderedAndProject."""
-    from pyspark.sql import Window
+    from vechord_spark.operators.topk import ranked_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     scored = emb.select(
         "vec_id", cosine_distance("embedding", QVEC).alias("distance")
     )
-    w = Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", "rank")
-    )
+    return ranked_topk(
+        scored, [F.col("distance").asc(), F.col("vec_id").asc()], 10
+    ).select("vec_id", "rank")
 
 
 @_q(
@@ -267,16 +264,13 @@ def knn_cosine(spark, sf_dir):
 )
 def knn_l2(spark, sf_dir):
     """K1 vector top-k, L2 distance (pgvector ``<->``)."""
-    from pyspark.sql import Window
+    from vechord_spark.operators.topk import ranked_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     scored = emb.select("vec_id", l2_distance("embedding", QVEC).alias("distance"))
-    w = Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", "rank")
-    )
+    return ranked_topk(
+        scored, [F.col("distance").asc(), F.col("vec_id").asc()], 10
+    ).select("vec_id", "rank")
 
 
 @_q(
@@ -285,16 +279,13 @@ def knn_l2(spark, sf_dir):
 )
 def knn_dot(spark, sf_dir):
     """K1 vector top-k, negative inner product (pgvector ``<#>``)."""
-    from pyspark.sql import Window
+    from vechord_spark.operators.topk import ranked_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     scored = emb.select("vec_id", negative_dot("embedding", QVEC).alias("distance"))
-    w = Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", "rank")
-    )
+    return ranked_topk(
+        scored, [F.col("distance").asc(), F.col("vec_id").asc()], 10
+    ).select("vec_id", "rank")
 
 
 @_q(
@@ -318,19 +309,16 @@ def maxsim_by_label(spark, sf_dir):
     """K2 multi-vector MaxSim: embeddings grouped per label form the
     document multivectors; MaxSim(Q, D) = sum_q max_d dot(q, d), ranked
     ascending on the negated score (distance convention)."""
-    from pyspark.sql import Window
+    from vechord_spark.operators.topk import ranked_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     grouped = emb.groupBy("label").agg(F.collect_list("embedding").alias("vecs"))
     scored = grouped.select(
         "label", (-maxsim_score("vecs", [QVEC, QVEC2])).alias("d")
     )
-    w = Window.orderBy(F.col("d").asc(), F.col("label").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("label", "rank")
-    )
+    return ranked_topk(
+        scored, [F.col("d").asc(), F.col("label").asc()], 5
+    ).select("label", "rank")
 
 
 _BM25_ORACLE = f"""
