@@ -41,7 +41,14 @@ BENCH_QUERIES = [
     "graph_entity_merge",
     "events_daily_summary",
     "events_json_extract",
+    "events_sessionize",
     "eval_recall_knn",
+    "text_quality",
+    "doc_fingerprint",
+    "dedup_simhash_pairs",
+    "knn_batch",
+    "chunk_regex",
+    "ivf_knn",
 ]
 
 
