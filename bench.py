@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "knn_batch",
     "chunk_regex",
     "ivf_knn",
+    "rollup_order_stats",
+    "rerank_reorder",
 ]
 
 

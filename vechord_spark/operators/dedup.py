@@ -168,8 +168,12 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs ``(doc_a, doc_b)`` (doc_a < doc_b) from
     LSH banding. The self-join keys on (band, sig) buckets — cost is
-    bucket-local, never O(n²) over the corpus."""
-    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, ngram)
+    bucket-local, never O(n²) over the corpus.
+
+    The band table is persisted before the self-join: without it Spark
+    computes the (md5-heavy) signature subtree once per join side. At
+    cluster scale, write the signatures to a table instead."""
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, ngram).persist()
     a = bands.select(F.col("band"), F.col("sig"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band"), F.col("sig"), F.col("doc_id").alias("doc_b"))
     return (
@@ -346,27 +350,31 @@ def embedding_top_pairs(
     operators/ivf.py) so only bucket-local pairs are scored.
     Returns (id_a, id_b, cos_sim) with similarity rounded to 6 decimals.
     """
-    from vechord_spark.functions.vector import dot_product, vector_norm
+    from vechord_spark.functions.vector import vector_norm
 
-    # precompute each row's norm ONCE (not per pair): cuts per-pair work
-    # to a single dot product — 3x less array traversal at O(n²) pairs.
+    # precompute per-row norm AND the double-cast array ONCE (not per
+    # pair): per-pair work drops to a single zip_with product sum.
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     a = df.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
+        dbl.alias("__va"),
         vector_norm(vec_col).alias("__na"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
+        dbl.alias("__vb"),
         vector_norm(vec_col).alias("__nb"),
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = pairs.select(
         "id_a",
         "id_b",
-        F.round(
-            dot_product("__va", F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
-        ).alias("cos_sim"),
+        F.round(dot / (F.col("__na") * F.col("__nb")), 6).alias("cos_sim"),
     )
     from vechord_spark.operators.topk import ranked_topk
 

@@ -1014,3 +1014,75 @@ def ivf_knn(spark, sf_dir):
     return index.search(
         QVEC, k=10, probes=4, distance="cos", select=["vec_id"], tie_break="vec_id"
     ).select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@_q(
+    "rollup_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark, sf_dir):
+    """Hierarchical aggregation (ROLLUP): per (status, priority), per
+    status, and grand total in one pass — free Catalyst capability the
+    reference lacks entirely (SURVEY §2.7)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@_q(
+    "rerank_reorder",
+    f"""
+    WITH hits AS ({_BM25_ORACLE}),
+    rescored AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('{BM25_QUERY}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rr
+      FROM hits
+    )
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY rr, doc_id) AS INT) AS new_rank
+    FROM rescored
+    """,
+)
+def rerank_reorder(spark, sf_dir):
+    """R3/R4 rerank plumbing: take the BM25 top-10, rescore each hit
+    with an external scorer (deterministic md5 stand-in for a
+    cross-encoder — real rerankers are rate-limited mapInPandas stages,
+    see providers.py), and reorder by the new score."""
+    from pyspark.sql import Window
+
+    hits = bm25_topk_documents(spark, sf_dir).select("doc_id")
+    rescored = hits.withColumn(
+        "rr",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{BM25_QUERY}:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    w = Window.orderBy(F.col("rr").asc(), F.col("doc_id").asc())
+    return rescored.withColumn("new_rank", F.row_number().over(w)).select(
+        "doc_id", "new_rank"
+    )
