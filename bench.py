@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "ivf_knn",
     "rollup_order_stats",
     "rerank_reorder",
+    "eval_ndcg_knn",
+    "graph_relation_merge",
+    "graph_search_2hop",
+    "multimodal_meta",
+    "delete_cascade",
 ]
 
 

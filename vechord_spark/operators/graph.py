@@ -77,6 +77,8 @@ def graph_search(
     topk_entities: int = 10,
     topk: int = 10,
     chunk_id: str = "uid",
+    rel_tie: str = "source",
+    ent_tie: str = "uid",
 ) -> DataFrame:
     """2-hop graph expansion search (reference graph_search,
     vechord/pipeline.py:444-487):
@@ -99,6 +101,7 @@ def graph_search(
         k=topk_relations,
         distance="cos",
         select=["source", "target"],
+        tie_break=rel_tie,
     )
     endpoint_ids = (
         top_rel.select(F.explode(F.array("source", "target")).alias("uid")).distinct()
@@ -111,6 +114,7 @@ def graph_search(
         k=topk_entities,
         distance="cos",
         select=["uid", "chunk_uuids"],
+        tie_break=ent_tie,
     )
     chunk_ids = (
         top_ent.select(

@@ -1086,3 +1086,324 @@ def rerank_reorder(spark, sf_dir):
     return rescored.withColumn("new_rank", F.row_number().over(w)).select(
         "doc_id", "new_rank"
     )
+
+
+# ===========================================================================
+# evaluation metrics, full stack (D16: NDCG / MRR / AP over the same run)
+# ===========================================================================
+
+# shared oracle CTE: the 5-query L2 knn run with binary relevance labels
+_EVAL_BASE = """
+    WITH queries AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id, e.label,
+             list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS d
+      FROM embeddings e CROSS JOIN queries q
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, label,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS rank
+      FROM scored
+    ),
+    labeled AS (
+      SELECT r.query_id, r.doc_id, r.rank,
+             CASE WHEN r.label = q.qlabel THEN 1 ELSE 0 END AS rel
+      FROM ranked r JOIN queries q USING (query_id)
+      WHERE r.rank <= 10
+    ),
+    totals AS (
+      SELECT q.query_id, count(*) AS n_truth
+      FROM embeddings e JOIN queries q ON e.label = q.qlabel
+      GROUP BY q.query_id
+    )
+"""
+
+
+def _knn_eval_run(spark, sf_dir):
+    """The shared (retrieved, truth) pair behind every D16 metric query:
+    batch L2 knn for 5 query vectors, truth = same-label rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    retrieved = knn_join(
+        queries, emb, "qv", "embedding", "query_id", "vec_id", k=10, distance="l2"
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    truth = (
+        emb.select(F.col("vec_id").alias("doc_id"), "label")
+        .join(queries.select("query_id", "qlabel"), F.col("label") == F.col("qlabel"))
+        .select("query_id", "doc_id")
+    )
+    return retrieved, truth
+
+
+@_q(
+    "eval_ndcg_knn",
+    _EVAL_BASE
+    + """,
+    dcg AS (
+      SELECT query_id, sum(1.0 / log2(rank + 1)) AS dcg
+      FROM labeled WHERE rel = 1 GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id,
+             list_sum(list_transform(generate_series(1, least(n_truth, 10)),
+                                     i -> 1.0 / log2(i + 1))) AS idcg
+      FROM totals
+    )
+    SELECT q.query_id,
+           round(coalesce(d.dcg, 0.0) / coalesce(i.idcg, 1.0), 6) AS ndcg
+    FROM queries q
+    LEFT JOIN dcg d USING (query_id)
+    LEFT JOIN ideal i USING (query_id)
+    """,
+)
+def eval_ndcg_knn(spark, sf_dir):
+    """D16 binary-relevance NDCG@10 per query (reference pytrec_eval
+    usage, vechord/evaluate.py:21-66) as pure DataFrame aggregation."""
+    from vechord_spark.operators.evaluate import ndcg_at_k
+
+    retrieved, truth = _knn_eval_run(spark, sf_dir)
+    return ndcg_at_k(retrieved, truth, k=10)
+
+
+@_q(
+    "eval_mrr_knn",
+    _EVAL_BASE
+    + """
+    SELECT q.query_id,
+           round(coalesce(1.0 / min(CASE WHEN l.rel = 1 THEN l.rank END), 0.0), 6) AS rr
+    FROM queries q LEFT JOIN labeled l USING (query_id)
+    GROUP BY q.query_id
+    """,
+)
+def eval_mrr_knn(spark, sf_dir):
+    """D16 reciprocal rank of the first relevant hit
+    (vechord/evaluate.py:81-86)."""
+    from vechord_spark.operators.evaluate import mrr
+
+    retrieved, truth = _knn_eval_run(spark, sf_dir)
+    return mrr(retrieved, truth)
+
+
+@_q(
+    "eval_ap_knn",
+    _EVAL_BASE
+    + """,
+    cum AS (
+      SELECT query_id, rank, rel,
+             sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum_rel
+      FROM labeled
+    )
+    SELECT c.query_id,
+           round(sum(c.cum_rel / CAST(c.rank AS DOUBLE)) / max(t.n_truth), 6) AS ap
+    FROM cum c JOIN totals t USING (query_id)
+    WHERE c.rel = 1
+    GROUP BY c.query_id
+    """,
+)
+def eval_ap_knn(spark, sf_dir):
+    """D16 average precision (vechord/evaluate.py:68-79): mean over
+    relevant positions of precision@i, normalized by |truth|."""
+    from vechord_spark.operators.evaluate import average_precision
+
+    retrieved, truth = _knn_eval_run(spark, sf_dir)
+    return average_precision(retrieved, truth)
+
+
+# ===========================================================================
+# graph: relation merge (G2) + 2-hop graph search (G3)
+# ===========================================================================
+
+
+@_q(
+    "graph_relation_merge",
+    f"""
+    WITH toks AS (
+      SELECT {_TOK.format(col='text')} AS ts, lang || ':' || source AS descr
+      FROM documents
+    ),
+    m AS (
+      SELECT least(ts[1], ts[-1]) AS source,
+             greatest(ts[1], ts[-1]) AS target,
+             descr
+      FROM toks
+    )
+    SELECT source, target,
+           string_agg(descr, chr(10) ORDER BY descr) AS description
+    FROM m GROUP BY source, target
+    """,
+)
+def graph_relation_merge(spark, sf_dir):
+    """G2 relation upsert-merge (vechord/pipeline.py:375-392): key is
+    the *unordered* endpoint pair (array_sort), descriptions newline-
+    concatenated in deterministic order. Relation mentions derived from
+    each document's (first token, last token) pair."""
+    from vechord_spark.operators.graph import merge_relations
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize("text")
+    mentions = docs.select(
+        F.element_at(toks, 1).alias("source"),
+        F.element_at(toks, -1).alias("target"),
+        F.concat_ws(":", "lang", "source").alias("description"),
+    )
+    return merge_relations(mentions)
+
+
+@_q(
+    "graph_search_2hop",
+    f"""
+    WITH rel AS (
+      SELECT vec_id AS source,
+             (vec_id + 1) % (SELECT count(*) FROM embeddings) AS target,
+             1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QV_SQL}) AS d
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    toprel AS (SELECT source, target FROM rel ORDER BY d, source LIMIT 10),
+    ends AS (
+      SELECT DISTINCT uid FROM (
+        SELECT source AS uid FROM toprel UNION ALL SELECT target AS uid FROM toprel
+      )
+    ),
+    ent AS (
+      SELECT e.vec_id AS uid,
+             1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), {_QV_SQL}) AS d,
+             [e.vec_id % (SELECT count(*) FROM documents),
+              (e.vec_id * 7 + 3) % (SELECT count(*) FROM documents)] AS chunk_uuids
+      FROM embeddings e JOIN ends ON e.vec_id = ends.uid
+    ),
+    topent AS (SELECT uid, d, chunk_uuids FROM ent ORDER BY d, uid LIMIT 10),
+    exploded AS (
+      SELECT chunk_uuids[1] AS cid, d, 0 AS seq FROM topent
+      UNION ALL
+      SELECT chunk_uuids[2] AS cid, d, 1 AS seq FROM topent
+    ),
+    firstseen AS (
+      SELECT cid, d, seq,
+             row_number() OVER (PARTITION BY cid ORDER BY d, seq) AS rn
+      FROM exploded
+    ),
+    picked AS (SELECT cid, d, seq FROM firstseen WHERE rn = 1 ORDER BY d, seq LIMIT 10)
+    SELECT doc.doc_id, doc.n_chars
+    FROM documents doc JOIN picked ON doc.doc_id = picked.cid
+    """,
+)
+def graph_search_2hop(spark, sf_dir):
+    """G3 2-hop graph expansion (vechord/pipeline.py:444-487): relation
+    k-NN -> endpoint entities -> entity k-NN -> chunk expansion with
+    first-seen dedup. Synthetic graph: embeddings rows are entities;
+    even rows also act as relations (source=vec_id, target=next id);
+    entity chunk lists map into the documents table."""
+    from vechord_spark.operators.graph import graph_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    n_emb = emb.count()
+    n_doc = docs.count()
+    entities = emb.select(
+        F.col("vec_id").alias("uid"),
+        F.col("embedding").alias("vec"),
+        F.array(
+            F.col("vec_id") % n_doc, (F.col("vec_id") * 7 + 3) % n_doc
+        ).alias("chunk_uuids"),
+    )
+    relations = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("source"),
+        ((F.col("vec_id") + 1) % n_emb).alias("target"),
+        F.col("embedding").alias("vec"),
+    )
+    hits = graph_search(relations, entities, docs, QVEC, chunk_id="doc_id")
+    return hits.select("doc_id", "n_chars")
+
+
+# ===========================================================================
+# multimodal metadata + delete-cascade plan
+# ===========================================================================
+
+
+@_q(
+    "multimodal_meta",
+    """
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+           'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal column plumbing (sources/multimodal.py): media as an
+    opaque binary column plus typed metadata computed engine-side (byte
+    length, content digest). Payloads synthesized from text — codec
+    decode itself is stubbed (no image libs in container), the binary
+    column path is real."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("data").cast("bigint").alias("n_bytes"),
+        F.md5("data").alias("digest"),
+    )
+
+
+@_q(
+    "delete_cascade",
+    """
+    WITH surviving_cust AS (
+      SELECT c_custkey FROM customer
+      WHERE NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 0)
+    ),
+    surviving_orders AS (
+      SELECT o_orderkey FROM orders
+      JOIN surviving_cust ON o_custkey = c_custkey
+    ),
+    surviving_li AS (
+      SELECT l_orderkey FROM lineitem
+      JOIN surviving_orders ON l_orderkey = o_orderkey
+    )
+    SELECT 'customer' AS tbl, CAST((SELECT count(*) FROM surviving_cust) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders', (SELECT count(*) FROM surviving_orders)
+    UNION ALL
+    SELECT 'lineitem', (SELECT count(*) FROM surviving_li)
+    """,
+)
+def delete_cascade(spark, sf_dir):
+    """P8 delete-by-predicate + P9 ON DELETE CASCADE as the Spark plan
+    the registry executes (reference FK cascade, vechord/spec.py:173):
+    survivors = NOT(pred); child survivors = left-semi join against the
+    surviving parent keys, two FK hops deep. Returns survivor counts
+    per table."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") < 0)
+    sc = cust.filter(~pred)
+    so = orders.join(
+        sc.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    sl = li.join(
+        so.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+
+    def _count(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("tbl"), "n_rows"
+        )
+
+    return (
+        _count(sc, "customer")
+        .unionByName(_count(so, "orders"))
+        .unionByName(_count(sl, "lineitem"))
+    )
