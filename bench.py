@@ -20,8 +20,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# headline set: one per operator family (suite.py has the full list)
+# headline set: one per operator family (suite.py has the full list).
+# Ordered JVM-only first, Python-worker (pandas UDF / applyInPandas /
+# MLlib) queries last: resident Python workers measurably degrade the
+# heavy whole-stage-codegen queries in local mode, and this grouping
+# also amortizes the one-time worker pool startup inside the block
+# that needs it.
 BENCH_QUERIES = [
+    # -- pure JVM / codegen --
     "filter_project",
     "topk_orders",
     "agg_pricing_summary",
@@ -34,7 +40,6 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_pairs",
     "text_stats",
     "lang_id",
     "chunk_fixed_windows",
@@ -47,8 +52,6 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "dedup_simhash_pairs",
     "knn_batch",
-    "chunk_regex",
-    "ivf_knn",
     "rollup_order_stats",
     "rerank_reorder",
     "eval_ndcg_knn",
@@ -56,6 +59,10 @@ BENCH_QUERIES = [
     "graph_search_2hop",
     "multimodal_meta",
     "delete_cascade",
+    # -- Python-worker path --
+    "chunk_regex",
+    "dedup_embedding_pairs",
+    "ivf_knn",
 ]
 
 

@@ -342,39 +342,89 @@ def embedding_top_pairs(
     id_col: str,
     vec_col: str,
     top_n: int = 20,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """The ``top_n`` most-similar distinct pairs by cosine similarity.
 
-    Brute-force pair scoring — the verification-scale baseline. At
-    cluster scale, block first (IVF centroid or hyperplane-LSH bucket,
-    operators/ivf.py) so only bucket-local pairs are scored.
+    Blocked all-pairs scoring: rows are hashed into ``n_blocks`` blocks
+    and replicated to every block-pair group they participate in
+    (``n_blocks`` copies per row — O(n·P) replication, never O(n²) rows
+    carrying vector payloads through a join). Each group scores its
+    cross product with one vectorized numpy ``einsum`` (sequential
+    summation order — bit-identical to the zip_with/aggregate fold and
+    the DuckDB oracle) and keeps only a local candidate top; the global
+    top-``top_n`` merges the locals. At cluster scale, raise
+    ``n_blocks`` ~ sqrt(pairs/target_block_size) or block semantically
+    first (IVF centroid, operators/ivf.py).
     Returns (id_a, id_b, cos_sim) with similarity rounded to 6 decimals.
     """
-    from vechord_spark.functions.vector import vector_norm
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    # precompute per-row norm AND the double-cast array ONCE (not per
-    # pair): per-pair work drops to a single zip_with product sum.
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        dbl.alias("__va"),
-        vector_norm(vec_col).alias("__na"),
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        dbl.alias("__vb"),
-        vector_norm(vec_col).alias("__nb"),
+    k_local = top_n + 64  # slack so raw-sim local cuts can't starve
+    # the rounded-value global ordering at the boundary
+
+    def _score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = key
+        if i == j:
+            a = b = pdf
+        else:
+            a = pdf[pdf["__blk"] == i]
+            b = pdf[pdf["__blk"] == j]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ma = np.array(a["__v"].tolist(), dtype=np.float64)
+        mb = np.array(b["__v"].tolist(), dtype=np.float64)
+        # einsum (non-optimized) accumulates over k in order -> matches
+        # the sequential double fold of the SQL expression exactly
+        dots = np.einsum("ik,jk->ij", ma, mb)
+        na = np.sqrt(np.einsum("ik,ik->i", ma, ma))
+        nb = np.sqrt(np.einsum("ik,ik->i", mb, mb))
+        sims = dots / (na[:, None] * nb[None, :])
+        ida = a[id_col].to_numpy()
+        idb = b[id_col].to_numpy()
+        if i == j:
+            mask = ida[:, None] < idb[None, :]
+            pa = np.broadcast_to(ida[:, None], sims.shape)[mask]
+            pb = np.broadcast_to(idb[None, :], sims.shape)[mask]
+            vals = sims[mask]
+        else:
+            pa0 = np.broadcast_to(ida[:, None], sims.shape).ravel()
+            pb0 = np.broadcast_to(idb[None, :], sims.shape).ravel()
+            pa = np.minimum(pa0, pb0)
+            pb = np.maximum(pa0, pb0)
+            vals = sims.ravel()
+        if len(vals) > k_local:
+            keep = np.argpartition(-vals, k_local)[:k_local]
+            pa, pb, vals = pa[keep], pb[keep], vals[keep]
+        return pd.DataFrame({"id_a": pa, "id_b": pb, "cos_sim": vals})
+
+    spark = df.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "__bi int, __bj int",
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("__va", "__vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    tagged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
     )
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        F.round(dot / (F.col("__na") * F.col("__nb")), 6).alias("cos_sim"),
+    replicated = tagged.join(
+        F.broadcast(block_pairs),
+        (F.col("__blk") == F.col("__bi")) | (F.col("__blk") == F.col("__bj")),
+    )
+    local = replicated.groupBy("__bi", "__bj").applyInPandas(_score, out_schema)
+    scored = local.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
     from vechord_spark.operators.topk import ranked_topk
 

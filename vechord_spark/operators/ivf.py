@@ -27,6 +27,7 @@ import math
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -99,16 +100,22 @@ def build_ivf(
     lists: int,
     sample_fraction: float | None = None,
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 8,
 ) -> IvfIndex:
     """Fit ``lists`` KMeans centroids and assign every row.
 
     Uses MLlib KMeans over a (sampled) vector column; assignment is a
-    broadcast of the centroid matrix + an argmin distance expression —
-    one scan, no shuffle. Deterministic via fixed seed.
+    broadcast of the centroid matrix + a vectorized argmin pass — one
+    scan, no shuffle. Deterministic via fixed seed.
+
+    IVF centroids don't need converged clustering — a few Lloyd
+    iterations after k-means|| init is plenty (the probe search can't
+    observe residual convergence). At cluster scale pass
+    ``sample_fraction`` so the fit sees a bounded sample; assignment
+    still covers every row.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     train = df.select(F.col(vec_col).alias("__vec"))
     if sample_fraction and sample_fraction < 1.0:
@@ -119,22 +126,29 @@ def build_ivf(
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
 
     # assignment via broadcast argmin — avoids a second MLlib transform
-    # pass and keeps the plan a single projection.
+    # pass; Arrow-batched matmul handles lists in the thousands where a
+    # per-centroid SQL expression tree would blow up codegen.
     assigned = assign_centroids(df, vec_col, centroids)
     return IvfIndex(centroids, assigned, vec_col)
 
 
 def assign_centroids(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
-    """Attach ``centroid_id`` = argmin_c L2(vec, centroid_c) as a pure
-    SQL expression over the broadcast centroid literals."""
-    n = centroids.shape[0]
-    dists = F.array(
-        *[
-            vector_distance("l2", vec_col, [float(x) for x in centroids[c]])
-            for c in range(n)
-        ]
-    )
-    return df.withColumn(
-        "centroid_id",
-        F.array_position(dists, F.array_min(dists)).cast("int") - 1,
-    )
+    """Attach ``centroid_id`` = argmin_c L2(vec, centroid_c).
+
+    The centroid matrix rides into executors inside the UDF closure
+    (broadcast); per batch the argmin is one matmul:
+    ||x-c||^2 = |x|^2 - 2 x.c + |c|^2 (|x|^2 constant per row -> drop).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids.astype(np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        scores = x @ c.T * -2.0 + c_sq[None, :]
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return df.withColumn("centroid_id", _assign(F.col(vec_col)))
