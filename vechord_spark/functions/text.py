@@ -72,6 +72,27 @@ def char_ngrams(text: ColumnOrName, n: int = 5) -> Column:
     )
 
 
+def word_ngrams(text: ColumnOrName, n: int = 3) -> Column:
+    """Word n-gram (shingle) array — the document-dedup standard.
+
+    O(shingle) per element (array slice + join), unlike character
+    shingles whose per-index ``substring`` over a long UTF8 string is
+    O(doc) each (quadratic per document — measurably the bottleneck at
+    1M+ shingles). Texts shorter than ``n`` tokens yield one shingle of
+    the whole text.
+
+    DuckDB-oracle equivalent: ``list_transform(generate_series(1,
+    len(toks) - n + 1), i -> array_to_string(list_slice(toks, i,
+    i + n - 1), ' '))``.
+    """
+    toks = tokenize(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
 def punct_ratio(text: ColumnOrName) -> Column:
     """Fraction of characters that are not alphanumeric or whitespace."""
     t = _as_col(text)

@@ -5,7 +5,7 @@ vechord/client.py:146-156); these are the driver-mandated scale
 extensions (SURVEY §7.2 step 8). Five families:
 
 - exact:      md5 fingerprint of normalized text -> groupBy
-- MinHash+LSH: char-shingles -> k min-hashes -> banded signatures ->
+- MinHash+LSH: word shingles -> k min-hashes -> banded signatures ->
                bucket self-join (candidate pairs without O(n²))
 - SimHash:    64-bit-ish bit-vote fingerprint; near-dup = small
                Hamming distance
@@ -30,7 +30,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from vechord_spark.functions.text import char_ngrams, fingerprint
+from vechord_spark.functions.text import char_ngrams, fingerprint, word_ngrams
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -84,17 +84,17 @@ def _mh_b(i: int) -> int:
 
 
 def _shingle_base_hashes(text_col, ngram: int):
-    """Distinct shingles -> array of 28-bit integer base hashes
+    """Distinct word shingles -> array of 28-bit integer base hashes
     (first 7 hex chars of md5, identical in Spark and DuckDB)."""
-    shingles = F.array_distinct(char_ngrams(text_col, ngram))
+    shingles = F.array_distinct(word_ngrams(text_col, ngram))
     return F.transform(
         shingles,
         lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
     )
 
 
-def minhash_signature(text_col, num_hashes: int = 16, ngram: int = 5):
-    """Array of ``num_hashes`` min-hash values over the text's character
+def minhash_signature(text_col, num_hashes: int = 16, ngram: int = 3):
+    """Array of ``num_hashes`` min-hash values over the text's word
     shingles (see the affine family above)."""
     base = _shingle_base_hashes(text_col, ngram)
     return F.array(
@@ -113,7 +113,7 @@ def minhash_bands(
     text_col: str,
     num_hashes: int = 16,
     band_size: int = 4,
-    ngram: int = 5,
+    ngram: int = 3,
 ) -> DataFrame:
     """``(doc_id, band, sig)`` — one row per LSH band; docs sharing a
     (band, sig) bucket are candidate near-duplicates.
@@ -164,7 +164,7 @@ def minhash_candidate_pairs(
     text_col: str,
     num_hashes: int = 16,
     band_size: int = 4,
-    ngram: int = 5,
+    ngram: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(doc_a, doc_b)`` (doc_a < doc_b) from
     LSH banding. The self-join keys on (band, sig) buckets — cost is

@@ -405,11 +405,13 @@ def hybrid_rrf_search(spark, sf_dir):
 # dedup suite (driver-mandated scale extensions)
 # ===========================================================================
 
+# word 3-gram shingles over the engine tokenizer (see word_ngrams —
+# character shingles cost O(doc) per substring extraction)
 _SHINGLES = (
-    "CASE WHEN length(lower(text)) >= 5 THEN "
-    "list_transform(generate_series(1, greatest(length(lower(text)) - 4, 1)),"
-    " i -> substr(lower(text), i, 5)) "
-    "ELSE [lower(text)] END"
+    f"CASE WHEN len({_TOK.format(col='text')}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_TOK.format(col='text')}) - 2),"
+    f" i -> array_to_string(list_slice({_TOK.format(col='text')}, i, i + 2), ' ')) "
+    f"ELSE [array_to_string({_TOK.format(col='text')}, ' ')] END"
 )
 
 
@@ -452,7 +454,8 @@ def _minhash_sql(num_hashes: int = 16, band_size: int = 4) -> str:
 @_q("dedup_minhash_lsh", _minhash_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs: 16 md5 min-hashes over
-    5-char shingles, 8 bands of 2 -> bucket self-join (never O(n²))."""
+    word 3-gram shingles, 4 bands of 4 -> bucket self-join (never
+    O(n²))."""
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_candidate_pairs(docs, "doc_id", "text")
 
