@@ -1,0 +1,67 @@
+"""Config-driven DynamicPipeline (D15): validation + ingest + search."""
+
+import pytest
+
+from vechord_spark.errors import SchemaError
+from vechord_spark.plans.dynamic import DynamicPipeline
+from vechord_spark.registry import VechordRegistry
+
+STEPS = [
+    {"kind": "chunker", "provider": "regex", "args": {"size": 64, "overlap": 8}},
+    {"kind": "embedder", "provider": "hash", "args": {"dim": 16}},
+    {"kind": "keyword", "provider": "bm25"},
+]
+
+
+@pytest.fixture()
+def registry(spark, tmp_path):
+    return VechordRegistry("dyn", str(tmp_path), spark)
+
+
+def test_from_steps_validation(registry):
+    with pytest.raises(SchemaError, match="unknown step kind"):
+        DynamicPipeline.from_steps(registry, [{"kind": "nope", "provider": "x"}])
+    with pytest.raises(SchemaError, match="unknown provider"):
+        DynamicPipeline.from_steps(
+            registry, [{"kind": "embedder", "provider": "nope"}]
+        )
+    with pytest.raises(SchemaError, match="missing required steps"):
+        DynamicPipeline.from_steps(
+            registry, [{"kind": "embedder", "provider": "hash"}]
+        )
+    with pytest.raises(SchemaError, match="duplicate step kind"):
+        DynamicPipeline.from_steps(
+            registry,
+            [
+                {"kind": "embedder", "provider": "hash"},
+                {"kind": "embedder", "provider": "hash"},
+            ],
+        )
+
+
+def test_index_then_search(registry, docs):
+    pipe = DynamicPipeline.from_steps(registry, STEPS)
+    counts = pipe.run_index(docs.limit(20))
+    assert counts["document"] == 20
+    assert counts["chunk"] >= 20  # size=64 splits every testdata doc
+
+    hits = pipe.run_search("data spark query", topk=5).collect()
+    assert len(hits) == 5
+    assert [r.rank for r in hits] == [1, 2, 3, 4, 5]
+    # deterministic across runs (hash embedder + fixed tokenizer)
+    again = pipe.run_search("data spark query", topk=5).collect()
+    assert [r.uid for r in again] == [r.uid for r in hits]
+
+
+def test_vector_only_search(registry, docs):
+    pipe = DynamicPipeline.from_steps(
+        registry,
+        [
+            {"kind": "chunker", "provider": "regex", "args": {"size": 128}},
+            {"kind": "embedder", "provider": "hash", "args": {"dim": 8}},
+        ],
+    )
+    pipe.run_index(docs.limit(10))
+    hits = pipe.run_search("anything", topk=3).collect()
+    assert len(hits) == 3
+    assert all(hasattr(r, "distance") for r in hits)

@@ -1,0 +1,217 @@
+"""Config-driven pipeline (D15): build ingest + search jobs from a
+JSON-able step list.
+
+Reference: ``DynamicPipeline`` (vechord/pipeline.py:163-487) resolves
+``ResourceRequest{kind, provider, args}`` steps through a
+``PROVIDER_MAP`` registry (vechord/pipeline.py:112-134), validates the
+combination (``__post_init__`` vechord/pipeline.py:174-184), then
+dispatches ``run_index`` (OCR -> chunk -> embed -> insert,
+vechord/pipeline.py:249-343) or ``run_search`` (vector ∪ keyword ->
+dedup -> rerank, vechord/pipeline.py:394-442).
+
+Spark rendition: the same config resolves to DataFrame stage builders;
+``run_index`` is one staged-write pipeline (plans/pipeline.py gives the
+all-or-nothing publish), ``run_search`` is a composed top-k DataFrame.
+The chunk table is declared *at run time* with the provider's embedding
+dimension — the reference does the same with msgspec.defstruct
+(vechord/pipeline.py:259-266).
+
+Only local providers are runnable in this environment (hash embedder,
+regex chunker, simple extractor); external ones resolve to the clearly
+marked stubs in providers.py and fail at call time, not config time —
+matching the reference, whose provider objects are constructed eagerly
+but only hit the network per call.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from vechord_spark.errors import SchemaError
+from vechord_spark.functions.embed import HashEmbedder
+from vechord_spark.operators.chunk import DEFAULT_OVERLAP, DEFAULT_SIZE
+from vechord_spark.registry import VechordRegistry
+from vechord_spark.spec import Column, Keyword, TableSpec, Vector
+
+
+@dataclass(frozen=True)
+class ResourceRequest:
+    """One pipeline step: {kind, provider, args} (reference
+    vechord/model/web.py ResourceRequest)."""
+
+    kind: str
+    provider: str
+    args: Mapping[str, Any] = field(default_factory=dict)
+
+
+def _gemini_embedder(**args):
+    from vechord_spark.providers import GeminiEmbedder
+
+    return GeminiEmbedder(**args)
+
+
+def _cohere_reranker(**args):
+    from vechord_spark.providers import CohereReranker
+
+    return CohereReranker(**args)
+
+
+# kind -> provider name -> factory (reference PROVIDER_MAP,
+# vechord/pipeline.py:112-134)
+PROVIDER_MAP: dict[str, dict[str, Any]] = {
+    "chunker": {
+        "regex": lambda **args: dict(
+            size=args.get("size", DEFAULT_SIZE),
+            overlap=args.get("overlap", DEFAULT_OVERLAP),
+        ),
+    },
+    "embedder": {
+        "hash": lambda **args: HashEmbedder(dim=args.get("dim", 64)),
+        "gemini": _gemini_embedder,
+    },
+    "keyword": {
+        "bm25": lambda **args: dict(args),
+    },
+    "reranker": {
+        "cohere": _cohere_reranker,
+    },
+}
+
+_REQUIRED = ("chunker", "embedder")
+
+
+class DynamicPipeline:
+    """Validated, config-built ingest/search pipeline over a registry."""
+
+    def __init__(
+        self,
+        registry: VechordRegistry,
+        chunker: Mapping[str, Any],
+        embedder,
+        keyword: Mapping[str, Any] | None = None,
+        reranker=None,
+    ) -> None:
+        self.registry = registry
+        self.chunker = chunker
+        self.embedder = embedder
+        self.keyword = keyword
+        self.reranker = reranker
+        self._declare_tables()
+
+    # -- config resolution -------------------------------------------------
+    @classmethod
+    def from_steps(
+        cls, registry: VechordRegistry, steps: Sequence[Mapping[str, Any]]
+    ) -> "DynamicPipeline":
+        """Resolve a JSON step list through PROVIDER_MAP with the
+        reference's validation behavior (unknown kind/provider and
+        missing required steps are config-time errors,
+        vechord/pipeline.py:174-206)."""
+        resolved: dict[str, Any] = {}
+        for raw in steps:
+            req = ResourceRequest(
+                kind=raw["kind"], provider=raw["provider"], args=raw.get("args", {})
+            )
+            kinds = PROVIDER_MAP.get(req.kind)
+            if kinds is None:
+                raise SchemaError(f"unknown step kind {req.kind!r}")
+            factory = kinds.get(req.provider)
+            if factory is None:
+                raise SchemaError(
+                    f"unknown provider {req.provider!r} for kind {req.kind!r}"
+                )
+            if req.kind in resolved:
+                raise SchemaError(f"duplicate step kind {req.kind!r}")
+            resolved[req.kind] = factory(**req.args)
+        missing = [k for k in _REQUIRED if k not in resolved]
+        if missing:
+            raise SchemaError(f"missing required steps: {missing}")
+        return cls(
+            registry,
+            chunker=resolved["chunker"],
+            embedder=resolved["embedder"],
+            keyword=resolved.get("keyword"),
+            reranker=resolved.get("reranker"),
+        )
+
+    # -- schema ------------------------------------------------------------
+    def _declare_tables(self) -> None:
+        """Declare document + chunk tables; the chunk table's vector
+        dimension comes from the embedder (runtime schema, reference
+        vechord/pipeline.py:259-266)."""
+        cols = [
+            Column("uid", "string", primary_key=True),
+            Column("doc_id", "long", foreign_key=("document", "doc_id")),
+            Column("seq_id", "int"),
+            Column("text", "string"),
+            Column("vec", Vector(self.embedder.dim)),
+        ]
+        if self.keyword is not None:
+            cols.append(Column("kw", Keyword()))
+        self.registry.register(
+            TableSpec("document", [Column("doc_id", "long", primary_key=True),
+                                  Column("text", "string")])
+        )
+        self.registry.register(TableSpec("chunk", cols))
+
+    # -- jobs --------------------------------------------------------------
+    def run_index(self, docs: DataFrame, doc_id: str = "doc_id",
+                  text_col: str = "text") -> dict[str, int]:
+        """Ingest: docs -> chunk -> embed -> staged write -> atomic
+        publish of BOTH tables (all-or-nothing, reference one-txn
+        semantics vechord/pipeline.py:331-342)."""
+        from vechord_spark.operators.chunk import chunk_documents
+        from vechord_spark.plans.pipeline import PipelineRun
+
+        run = PipelineRun(self.registry)
+        try:
+            staged_docs = run.stage(
+                "document",
+                docs.select(F.col(doc_id).alias("doc_id"),
+                            F.col(text_col).alias("text")),
+            )
+            chunks = chunk_documents(
+                staged_docs, "doc_id", "text",
+                size=self.chunker["size"], overlap=self.chunker["overlap"],
+            )
+            embedded = chunks.select(
+                F.concat_ws("-", F.col("doc_id"), F.col("seq_id")).alias("uid"),
+                "doc_id",
+                "seq_id",
+                F.col("chunk_text").alias("text"),
+                self.embedder.embed_documents(F.col("chunk_text")).alias("vec"),
+            )
+            if self.keyword is not None:
+                embedded = embedded.withColumn("kw", F.col("text"))
+            staged_chunks = run.stage("chunk", embedded)
+            counts = {"document": staged_docs.count(),
+                      "chunk": staged_chunks.count()}
+        except Exception:
+            run.abort()
+            raise
+        run.commit()
+        return counts
+
+    def run_search(self, query: str, topk: int = 10) -> DataFrame:
+        """Search: embed query -> vector k-NN (∪ BM25 when a keyword
+        step is configured) -> RRF fuse -> top-k (reference run_search,
+        vechord/pipeline.py:394-442)."""
+        vec = self.registry.search_by_vector(
+            "chunk", self.embedder.embed_query(query), topk=topk
+        )
+        if self.keyword is None:
+            return vec
+        from vechord_spark.operators.fusion import rrf_topk
+        from vechord_spark.operators.topk import ranked_topk
+
+        kw = self.registry.search_by_keyword("chunk", query, topk=topk)
+        ranked_vec = ranked_topk(
+            vec, [F.col("distance").asc(), F.col("uid").asc()], topk
+        ).select("uid", "rank")
+        ranked_kw = kw.select("uid", "rank") if "rank" in kw.columns else ranked_topk(
+            kw, [F.col("score").desc(), F.col("uid").asc()], topk
+        ).select("uid", "rank")
+        return rrf_topk([ranked_vec, ranked_kw], "uid", topk=topk)

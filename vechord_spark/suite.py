@@ -1410,3 +1410,54 @@ def delete_cascade(spark, sf_dir):
         .unionByName(_count(so, "orders"))
         .unionByName(_count(sl, "lineitem"))
     )
+
+
+# ===========================================================================
+# ground-truth generation (D17)
+# ===========================================================================
+
+
+@_q(
+    "groundtruth_generate",
+    _EVAL_BASE
+    + """,
+    cand AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 10),
+    sc AS (
+      SELECT c.query_id, c.doc_id,
+             CAST(CAST(('0x' || substr(md5('q' || CAST(c.query_id AS VARCHAR)
+                        || chr(31) || d.text), 1, 7)) AS BIGINT) % 4 AS INT) AS score
+      FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    kept AS (
+      SELECT query_id, list_sort(list(doc_id)) AS truth
+      FROM sc WHERE score >= 2 GROUP BY query_id
+    )
+    SELECT q.query_id,
+           coalesce(array_to_string(k.truth, ','), '') AS truth
+    FROM (SELECT DISTINCT query_id FROM sc) q
+    LEFT JOIN kept k USING (query_id)
+    """,
+)
+def groundtruth_generate(spark, sf_dir):
+    """D17 ground-truth generation (vechord/groundtruth.py:28-88):
+    batch retrieval for 5 queries, deterministic UMBRELA-stub scoring
+    of each (query, doc) pair, truth = docs scoring >= 2, persisted as
+    one list per query."""
+    from vechord_spark.operators.groundtruth import (
+        generate_ground_truth,
+        umbrela_stub_scores,
+    )
+
+    retrieved, _ = _knn_eval_run(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = retrieved.join(docs, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("query_text"),
+        F.col("text").alias("doc_text"),
+    )
+    scored = umbrela_stub_scores(pairs).select("query_id", "doc_id", "score")
+    truth = generate_ground_truth(scored)
+    return truth.select(
+        "query_id", F.array_join("truth", ",").alias("truth")
+    )
