@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "graph_search_2hop",
     "multimodal_meta",
     "delete_cascade",
+    "sparse_knn",
+    "groundtruth_generate",
     # -- Python-worker path --
     "chunk_regex",
     "dedup_embedding_pairs",

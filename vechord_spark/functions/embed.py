@@ -83,3 +83,72 @@ class HashEmbedder:
             )
 
         return _embed(text)
+
+
+# ---------------------------------------------------------------------------
+# sparse embeddings (D10 — reference SparseEmbedding, the Splade++ shape)
+# ---------------------------------------------------------------------------
+
+# Splade++ vocabulary size (reference vechord/embedding.py:413-441,
+# model/internal.py:43-46 SparseEmbedding{dim, indices, values})
+SPARSE_DIM = 30522
+
+
+def _term_index(tok, dim: int):
+    """Deterministic term -> dimension index: first 7 md5 hex chars mod
+    ``dim`` (cross-engine parity like every other engine hash)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("bigint") % dim
+    ).cast("int")
+
+
+def sparse_embedding(text, dim: int = SPARSE_DIM):
+    """Text column -> ``struct(indices array<int>, values array<float>)``.
+
+    A real Splade++ model scores vocabulary terms with a transformer;
+    this engine-native stand-in hashes tokens to dimensions and weights
+    them ln(1+tf) — the classic sparse lexical weighting — entirely in
+    whole-stage codegen. The stored shape matches the reference's
+    SparseEmbedding struct (never persisted there; first-class column
+    here).
+    """
+    from pyspark.sql import functions as F
+
+    from vechord_spark.functions.text import tokenize
+
+    toks = tokenize(text)
+    uniq = F.array_sort(F.array_distinct(toks))
+    entries = F.transform(
+        uniq,
+        lambda t: F.struct(
+            _term_index(t, dim).alias("idx"),
+            F.log(F.lit(1.0) + F.size(F.filter(toks, lambda x: x == t)))
+            .cast("float")
+            .alias("val"),
+        ),
+    )
+    # sort by dimension index so the representation is canonical
+    entries = F.array_sort(entries)
+    return F.struct(
+        F.transform(entries, lambda e: e["idx"]).alias("indices"),
+        F.transform(entries, lambda e: e["val"]).alias("values"),
+    )
+
+
+def sparse_query_vector(query: str, dim: int = SPARSE_DIM) -> dict[int, float]:
+    """Driver-side sparse embedding of one query string (same hash +
+    ln(1+tf) weighting as the column form)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    toks = [t for t in re.split("[^a-z0-9]+", query.lower()) if t]
+    tf = Counter(toks)
+    out: dict[int, float] = {}
+    for t, n in tf.items():
+        idx = int(hashlib.md5(t.encode()).hexdigest()[:7], 16) % dim
+        out[idx] = out.get(idx, 0.0) + math.log1p(n)
+    return out

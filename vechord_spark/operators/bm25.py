@@ -155,12 +155,53 @@ def bm25_topk(
     b: float = DEFAULT_B,
     select: Sequence[str] | None = None,
 ) -> DataFrame:
-    """One-shot BM25 top-k over ``df`` (builds the index plan inline).
+    """One-shot BM25 top-k over ``df``.
+
+    Unlike the prebuilt ``Bm25Index`` (full postings, reusable across
+    queries), the one-shot plan prunes tokens to the query terms BEFORE
+    the postings shuffle: tf/df aggregates over non-query terms can't
+    affect the result, so 99%+ of the (term, doc_id) pair volume never
+    reaches an exchange. df(term) and the scoring formula are identical.
 
     Result: requested payload columns + ``score`` + ``rank``.
     """
-    index = Bm25Index(df, doc_id, text_col, k1=k1, b=b)
-    hits = index.topk(query, k=k)
+    from vechord_spark.operators.topk import ranked_topk
+
+    terms = _query_terms(df.sparkSession, query)
+    if not terms:
+        # no valid query terms -> empty result with the right shape
+        empty = df.sparkSession.createDataFrame(
+            [], "doc_id long, score double, rank int"
+        )
+        return empty
+
+    tokens = df.select(F.col(doc_id).alias("doc_id"), tokenize(text_col).alias("terms"))
+    doclen = tokens.select("doc_id", F.size("terms").alias("dl"))
+    stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    matched = tokens.select(
+        "doc_id",
+        F.explode(F.filter("terms", lambda t: t.isin(*terms))).alias("term"),
+    )
+    postings_q = matched.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq_q = postings_q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        postings_q.join(F.broadcast(docfreq_q), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    hits = ranked_topk(scored, [F.col("score").desc(), F.col("doc_id").asc()], k)
     if select:
         hits = hits.withColumnRenamed("doc_id", "__hit_id")
         payload = df.select(*{*select, doc_id})

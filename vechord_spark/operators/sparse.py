@@ -1,0 +1,63 @@
+"""Sparse-vector retrieval (D10) — inverted-index dot product.
+
+The reference produces Splade++ sparse embeddings
+(vechord/embedding.py:413-441) into a ``SparseEmbedding{dim, indices,
+values}`` struct (vechord/model/internal.py:43-46) but never stores or
+searches them — no sparse column type exists there (SURVEY §1.2). This
+engine makes them first-class: storage as a struct column
+(functions/embed.sparse_embedding) and search as the classic inverted
+postings plan:
+
+    token -> dim index (md5 mod dim) -> per-(doc, term) ln(1+tf)
+          -> sum per (doc, index)      [collision semantics: SUM]
+          -> prune to the query's indices BEFORE any shuffle
+          -> join broadcast(query weights) -> per-doc dot -> top-k
+
+The prune-first shape is what survives 100 TB: only postings for the
+query's ~handful of dimensions ever reach an exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vechord_spark.functions.embed import SPARSE_DIM, _term_index, sparse_query_vector
+from vechord_spark.functions.text import tokenize
+
+
+def sparse_topk(
+    df: DataFrame,
+    doc_id: str,
+    text_col: str,
+    query: str,
+    dim: int = SPARSE_DIM,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k ``(doc_id, score, rank)`` by sparse dot product."""
+    from vechord_spark.operators.topk import ranked_topk
+
+    spark = df.sparkSession
+    qv = sparse_query_vector(query, dim)
+    if not qv:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    qdf = spark.createDataFrame(
+        [(i, w) for i, w in qv.items()], "idx int, qw double"
+    )
+    tokens = df.select(
+        F.col(doc_id).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
+    ).withColumn("idx", _term_index(F.col("tok"), dim))
+    # prune to query dimensions before the tf aggregation shuffles
+    pruned = tokens.filter(F.col("idx").isin([int(i) for i in qv]))
+    doc_vals = (
+        pruned.groupBy("doc_id", "tok", "idx")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("v", F.log(F.lit(1.0) + F.col("tf")))
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("v").alias("v"))
+    )
+    scored = (
+        doc_vals.join(F.broadcast(qdf), "idx")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("v") * F.col("qw")), 6).alias("score"))
+    )
+    return ranked_topk(scored, [F.col("score").desc(), F.col("doc_id").asc()], k)

@@ -1461,3 +1461,48 @@ def groundtruth_generate(spark, sf_dir):
     return truth.select(
         "query_id", F.array_join("truth", ",").alias("truth")
     )
+
+
+# ===========================================================================
+# sparse retrieval (D10): inverted-index dot product over hashed terms
+# ===========================================================================
+
+
+def _sparse_sql() -> str:
+    from vechord_spark.functions.embed import SPARSE_DIM, sparse_query_vector
+
+    qv = sparse_query_vector(BM25_QUERY, SPARSE_DIM)
+    values = ", ".join(f"({i}, {w!r})" for i, w in sorted(qv.items()))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK.format(col='text')}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    posts AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) % {SPARSE_DIM} AS INT) AS idx,
+             ln(1.0 + tf) AS v
+      FROM tf
+    ),
+    agg AS (SELECT doc_id, idx, sum(v) AS v FROM posts GROUP BY doc_id, idx),
+    q AS (SELECT * FROM (VALUES {values}) AS t(idx, qw)),
+    s AS (
+      SELECT a.doc_id, round(sum(a.v * q.qw), 6) AS score
+      FROM agg a JOIN q ON a.idx = q.idx GROUP BY a.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM s ORDER BY rank LIMIT 10
+    """
+
+
+@_q("sparse_knn", _sparse_sql())
+def sparse_knn(spark, sf_dir):
+    """D10 sparse retrieval: Splade++-shaped hashed-term sparse vectors
+    (reference SparseEmbedding, vechord/embedding.py:413-441 — produced
+    but never searchable there), scored via the inverted-postings dot
+    product with query-dimension pruning before any shuffle."""
+    from vechord_spark.operators.sparse import sparse_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return sparse_topk(docs, "doc_id", "text", BM25_QUERY)
