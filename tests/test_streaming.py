@@ -47,3 +47,41 @@ def test_streaming_windowed_counts(spark, events, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select sum(n_events) s from evt_counts").collect()[0].s
     assert got == 200
+
+
+def test_stream_dedup_first_stateful(spark, tmp_path):
+    """Custom stateful op (applyInPandasWithState): duplicate content
+    across two micro-batches is emitted exactly once."""
+    from vechord_spark.streaming.ingest import stream_dedup_first
+
+    src = str(tmp_path / "dedup_src")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "unique content one")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "The  quick brown FOX!"), (4, "unique content two")],
+        "doc_id long, text string",
+    )
+    b1.write.parquet(src + "/b1")
+    b2.write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_dedup_first(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_out order by doc_id").collect()
+    ids = [r.doc_id for r in rows]
+    # doc 3 normalizes to doc 1's fingerprint -> dropped
+    assert 1 in ids and 2 in ids and 4 in ids
+    assert 3 not in ids
+    assert len(ids) == 3

@@ -157,3 +157,39 @@ class GeminiAugmenter:
 
     def augment_chunk(self, doc: str, chunk: str) -> str:
         raise NotImplementedError("Gemini API is not reachable in this environment")
+
+
+@dataclass
+class SpacyChunker:
+    """STUB — sentence segmentation via spaCy (reference
+    vechord/chunk.py:86-102). The runnable chunkers are
+    operators/chunk.regex_chunk (exact port of the reference default)
+    and fixed_size_chunks."""
+
+    model: str = "en_core_web_sm"
+
+    def segment(self, text: str) -> list[str]:
+        raise NotImplementedError("spaCy is not installed in this environment")
+
+
+@dataclass
+class GeminiChunker:
+    """STUB — LLM semantic chunking with RegexChunker pre-split above
+    65,536 chars (reference vechord/chunk.py:118-166)."""
+
+    model: str = "gemini-2.5-flash"
+
+    def segment(self, text: str) -> list[str]:
+        raise NotImplementedError("Gemini API is not reachable in this environment")
+
+
+@dataclass
+class SpacyRelationMatcher:
+    """STUB — rule-based ENT_VERB_ENT relation extraction (reference
+    vechord/graph.py:29-141). Graph operators (operators/graph.py)
+    consume any (source, target, description) frame."""
+
+    model: str = "en_core_web_sm"
+
+    def extract_relations(self, text: str):
+        raise NotImplementedError("spaCy is not installed in this environment")

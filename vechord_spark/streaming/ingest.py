@@ -78,3 +78,59 @@ def run_stream_to_table(stream_df: DataFrame, path: str, checkpoint: str):
         .outputMode("append")
         .start()
     )
+
+
+def stream_dedup_first(
+    docs: DataFrame,
+    text_col: str = "text",
+    state_ttl_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Streaming first-seen dedup — a CUSTOM STATEFUL operator via
+    ``applyInPandasWithState``.
+
+    Groups by content fingerprint (md5 of normalized text, the exact
+    dedup key from operators/dedup.py); per-key state marks "already
+    emitted", so re-arrivals of the same content in later micro-batches
+    are dropped. State carries a processing-time TTL so the state store
+    is bounded — the knob that keeps this viable on an unbounded
+    corpus. Within one micro-batch the representative is the smallest
+    row by the remaining columns (deterministic).
+
+    Batch equivalent: drop_exact_duplicates (operators/dedup.py).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from vechord_spark.functions.text import fingerprint
+
+    keyed = docs.withColumn("__fp", fingerprint(text_col))
+    out_schema = docs.schema
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def _first_only(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        fresh = not state.exists
+        if fresh:
+            state.update((True,))
+        state.setTimeoutDuration(state_ttl_ms)
+        emitted = False
+        for pdf in pdfs:
+            if not fresh or emitted or pdf.empty:
+                continue
+            first = pdf[out_cols].sort_values(out_cols).head(1)
+            emitted = True
+            yield first
+        if fresh and not emitted:
+            yield pd.DataFrame(columns=out_cols)
+
+    return keyed.groupBy("__fp").applyInPandasWithState(
+        _first_only,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
