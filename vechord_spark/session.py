@@ -26,6 +26,16 @@ def get_spark(
     partitions track the available parallelism rather than the legacy
     200.
     """
+    # executor Python workers must be able to import this package no
+    # matter the caller's cwd (UDF closures reference module symbols);
+    # on a real cluster the equivalent is --py-files / a wheel.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
         master = f"local[{cpus}]"

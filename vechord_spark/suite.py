@@ -1506,3 +1506,46 @@ def sparse_knn(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return sparse_topk(docs, "doc_id", "text", BM25_QUERY)
+
+
+# ===========================================================================
+# multi-vector MaxSim top-k over synthesized multivector docs (K2)
+# ===========================================================================
+
+
+@_q(
+    "maxsim_topk_docs",
+    f"""
+    WITH mv AS (
+      SELECT CAST(floor(vec_id / 5) AS BIGINT) AS mv_id,
+             list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vecs
+      FROM embeddings GROUP BY 1
+    ),
+    scored AS (
+      SELECT mv_id,
+             -(list_max(list_transform(vecs, d -> list_dot_product(d, {_QV_SQL}))) +
+               list_max(list_transform(vecs, d -> list_dot_product(d, {_QV2_SQL})))) AS d
+      FROM mv
+    )
+    SELECT mv_id, round(d, 6) AS distance
+    FROM scored ORDER BY d, mv_id LIMIT 10
+    """,
+)
+def maxsim_topk_docs(spark, sf_dir):
+    """K2 MaxSim TOP-K (the reference ``@#`` operator shape,
+    vechord/registry.py:227-267): documents are multivector rows (five
+    64-d vectors each, synthesized by grouping the embeddings table);
+    2-vector query; negated-sum-of-maxes distance, ascending."""
+    from vechord_spark.operators.maxsim import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mv = emb.groupBy(
+        F.floor(F.col("vec_id") / 5).cast("long").alias("mv_id")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+            lambda s: s["embedding"],
+        ).alias("vecs")
+    )
+    hits = maxsim_topk(mv, "vecs", [QVEC, QVEC2], k=10, select=["mv_id"], tie_break="mv_id")
+    return hits.select("mv_id", F.round("maxsim_distance", 6).alias("distance"))
