@@ -63,3 +63,38 @@ def test_clustered_layout_prunes(ivf, tmp_path, spark):
     # partition filter on the layout column, not a data filter
     assert "centroid_id" in plan
     assert pruned.count() == index.assigned.filter(F.col("centroid_id").isin([0, 1])).count()
+
+
+def test_refined_search_matches_exact_with_big_budget(ivf):
+    """refine >= probed rows -> identical to single-phase search."""
+    df, index = ivf
+    q = [0.3] * 64
+    plain = [
+        r.vec_id
+        for r in index.search(q, k=10, probes=8, select=["vec_id"], tie_break="vec_id").collect()
+    ]
+    refined = [
+        r.vec_id
+        for r in index.search_refined(
+            q, k=10, probes=8, refine=10_000, select=["vec_id"], tie_break="vec_id"
+        ).collect()
+    ]
+    assert refined == plain
+
+
+def test_refined_search_small_budget_recall(ivf):
+    """A tight refine budget still recalls most of the exact top-10
+    (dot estimate is a good proxy at int8 precision)."""
+    df, index = ivf
+    q = [0.3] * 64
+    exact = {
+        r.vec_id
+        for r in index.search(q, k=10, probes=8, distance="dot", select=["vec_id"], tie_break="vec_id").collect()
+    }
+    refined = {
+        r.vec_id
+        for r in index.search_refined(
+            q, k=10, probes=8, refine=30, distance="dot", select=["vec_id"], tie_break="vec_id"
+        ).collect()
+    }
+    assert len(refined & exact) >= 8

@@ -39,6 +39,25 @@ def default_probes(lists: int) -> int:
     return max(1, math.ceil(lists / 16))
 
 
+def with_int8_quantization(df: DataFrame, vec_col: str) -> DataFrame:
+    """Attach per-row symmetric int8 quantization: ``__q`` (array of
+    ints in [-127, 127]) + ``__qs`` (the scale). Dequantized value =
+    q * scale. The estimate pass reads 1 byte/component instead of 4 —
+    the RaBitQ-style bandwidth win (reference's vchordrq quantized scan,
+    vechord/spec.py:437-444) — and stays a pure SQL expression."""
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+        ),
+        F.lit(1e-30),
+    ) / F.lit(127.0)
+    return df.withColumn("__qs", scale).withColumn(
+        "__q",
+        F.transform(v, lambda x: F.round(x.cast("double") / F.col("__qs")).cast("int")),
+    )
+
+
 class IvfIndex:
     """KMeans-IVF layout over one table's vector column."""
 
@@ -84,6 +103,61 @@ class IvfIndex:
         if tie_break:
             order.append(F.col(tie_break).asc())
         out = scored.orderBy(*order).limit(k)
+        if select is not None:
+            out = out.select(*select, "distance")
+        return out
+
+    def search_refined(
+        self,
+        query: Sequence[float],
+        k: int = 10,
+        probes: int | None = None,
+        refine: int = 1000,
+        distance: str = "cos",
+        select: Sequence[str] | None = None,
+        tie_break: str | None = None,
+    ) -> DataFrame:
+        """Two-phase probe search: int8-quantized ESTIMATE pass picks
+        ``refine`` candidates, exact distances rerank them to top-k —
+        the RaBitQ estimate->rerank recipe; ``refine`` is the engine's
+        rendition of the ``maxsim_refine``/full-precision budget GUC
+        (reference default 1000, vechord/registry.py:233).
+
+        With ``refine`` >= the probed row count this equals ``search``.
+        """
+        if probes is None:
+            probes = default_probes(self.lists)
+        probe_ids = self.nearest_centroids(query, probes)
+        pruned = with_int8_quantization(
+            self.assigned.filter(F.col("centroid_id").isin(probe_ids)), self.vec_col
+        )
+        # estimate: dot on dequantized int8 (negated -> ascending);
+        # for l2/cos ordering the (negative) dot estimate is a proxy -
+        # the exact pass fixes ranks inside the refine budget
+        q = list(query)
+        est = -(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.array(*[F.lit(float(x)) for x in q]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.col("__qs")
+        )
+        order = [F.col("__est").asc()]
+        if tie_break:
+            order.append(F.col(tie_break).asc())
+        candidates = pruned.withColumn("__est", est).orderBy(*order).limit(refine)
+        scored = candidates.withColumn(
+            "distance", vector_distance(distance, self.vec_col, q)
+        ).drop("__q", "__qs", "__est")
+        final_order = [F.col("distance").asc()]
+        if tie_break:
+            final_order.append(F.col(tie_break).asc())
+        out = scored.orderBy(*final_order).limit(k)
         if select is not None:
             out = out.select(*select, "distance")
         return out
