@@ -119,3 +119,20 @@ def test_drop(reg):
     reg.insert_rows("document", DOCS)
     reg.drop("document")
     assert "document" not in reg.tables
+
+
+def test_namespace_isolation(spark, tmp_path):
+    """Two namespaces over one base path never see each other's rows —
+    the reference's set_namespace multi-tenancy (vechord/client.py:40-51)."""
+    spec = TableSpec("t", [Column("uid", "int", primary_key=True),
+                           Column("v", "string")])
+    a = VechordRegistry("tenant_a", str(tmp_path), spark)
+    b = VechordRegistry("tenant_b", str(tmp_path), spark)
+    a.register(spec)
+    b.register(spec)
+    a.insert_rows("t", [{"uid": 1, "v": "from-a"}])
+    b.insert_rows("t", [{"uid": 1, "v": "from-b"}])
+    assert [r.v for r in a.load("t").collect()] == ["from-a"]
+    assert [r.v for r in b.load("t").collect()] == ["from-b"]
+    a.clear_storage()
+    assert [r.v for r in b.load("t").collect()] == ["from-b"]

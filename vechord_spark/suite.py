@@ -1549,3 +1549,19 @@ def maxsim_topk_docs(spark, sf_dir):
     )
     hits = maxsim_topk(mv, "vecs", [QVEC, QVEC2], k=10, select=["mv_id"], tie_break="mv_id")
     return hits.select("mv_id", F.round("maxsim_distance", 6).alias("distance"))
+
+
+@_q("ivf_knn_refined")  # rows-only: approximate two-phase search
+def ivf_knn_refined(spark, sf_dir):
+    """K1 at scale, phase 2: int8-quantized estimate pass + exact
+    rerank within the ``refine`` budget (the reference's
+    maxsim_refine/full-precision-budget GUC, default 1000,
+    vechord/registry.py:233; RaBitQ estimate->rerank shape)."""
+    from vechord_spark.operators.ivf import build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = build_ivf(emb, "embedding", lists=16, seed=42)
+    return index.search_refined(
+        QVEC, k=10, probes=4, refine=200, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    ).select("vec_id", F.round("distance", 6).alias("distance"))
