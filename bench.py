@@ -61,10 +61,12 @@ BENCH_QUERIES = [
     "delete_cascade",
     "sparse_knn",
     "groundtruth_generate",
+    "maxsim_topk_docs",
     # -- Python-worker path --
     "chunk_regex",
     "dedup_embedding_pairs",
     "ivf_knn",
+    "ivf_knn_refined",
 ]
 
 

@@ -30,7 +30,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from vechord_spark.functions.text import char_ngrams, fingerprint, word_ngrams
+from vechord_spark.functions.text import fingerprint, word_ngrams
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -193,11 +193,12 @@ def ngram_jaccard(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    ngram: int = 5,
+    ngram: int = 3,
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard similarity over character-shingle sets.
+    """Exact Jaccard similarity over word-shingle sets (same shingling
+    as MinHash, so it verifies MinHash candidates apples-to-apples).
 
     ``candidates`` (doc_a, doc_b) restricts the pair space (feed it
     minhash_candidate_pairs at scale); without it, pairs are generated
@@ -207,7 +208,7 @@ def ngram_jaccard(
     """
     sets = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(char_ngrams(text_col, ngram)).alias("sh"),
+        F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
     )
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"), "sh")
     posts = sets.select("doc_id", F.explode("sh").alias("shingle"))
