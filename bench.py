@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "sparse_knn",
     "groundtruth_generate",
     "maxsim_topk_docs",
+    "lsh_knn",
     # -- Python-worker path --
     "chunk_regex",
     "dedup_embedding_pairs",

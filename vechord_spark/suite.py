@@ -1565,3 +1565,19 @@ def ivf_knn_refined(spark, sf_dir):
         QVEC, k=10, probes=4, refine=200, distance="cos",
         select=["vec_id"], tie_break="vec_id",
     ).select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@_q("lsh_knn")  # rows-only: bucket-pruned search is approximate by design
+def lsh_knn(spark, sf_dir):
+    """K1 at scale, LSH variant: hyperplane (sign-random-projection)
+    buckets + multi-probe pruning before exact scoring — the
+    LSH-bucketed companion to the IVF path (partition pruning when the
+    table is laid out by bucket)."""
+    from vechord_spark.operators.lsh import HyperplaneLsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh = HyperplaneLsh(dim=64, n_planes=8)
+    return lsh.search(
+        emb, "embedding", QVEC, k=10, multi_probe=1,
+        select=["vec_id"], tie_break="vec_id",
+    ).select("vec_id", F.round("distance", 6).alias("distance"))
