@@ -126,9 +126,13 @@ def minhash_bands(
         F.col(id_col).alias("doc_id"),
         _shingle_base_hashes(text_col, ngram).alias("__base"),
     )
+    # num_hashes unrolled array_min(transform(...)) expressions. A
+    # nested transform-over-permutation-indices form compiles to ONE
+    # loop body and runs 4x faster warm — but its first-call Janino
+    # compile takes 70+ seconds (measured), so the unrolled form wins
+    # for run-once jobs. (Single-param lambdas only — a two-arg lambda
+    # would make pyspark pass the ARRAY INDEX as the second argument.)
     def _perm_min(i: int):
-        # NOTE: a two-arg lambda would make pyspark pass the ARRAY INDEX
-        # as the second argument — the closure must be single-param.
         return F.array_min(
             F.transform(
                 F.col("__base"), lambda h: (h * _mh_a(i) + _mh_b(i)) % MINHASH_P
