@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the pure kernel functions —
+stronger than the reference's randomized-but-structural assertions
+(SURVEY §5.4); no SparkSession needed."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vechord_spark.functions.embed import _hash_vector, sparse_query_vector
+from vechord_spark.operators.chunk import regex_chunk
+from vechord_spark.operators.dedup import MINHASH_P, _mh_a, _mh_b
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=2000
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts, st.integers(16, 256), st.integers(0, 64))
+def test_regex_chunk_invariants(text, size, overlap):
+    chunks = regex_chunk(text, size=size, overlap=overlap)
+    # deterministic
+    assert chunks == regex_chunk(text, size=size, overlap=overlap)
+    # no empty chunks; every non-separator character sequence of the
+    # input is preserved somewhere (weak coverage: total stripped
+    # content length is preserved up to overlap duplication)
+    assert all(c for c in chunks)
+    # a chunk only exceeds `size` when a single indivisible piece does:
+    # then it must contain no separator-split piece shorter than size
+    for c in chunks:
+        if len(c) > size + overlap:
+            # oversized chunk must be dominated by one long piece
+            assert max(len(p) for p in c.split(" ")) > size - overlap
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_chunks_preserve_content_order(text):
+    """Concatenated chunks contain the separator-stripped pieces in
+    order (overlap repeats allowed)."""
+    chunks = regex_chunk(text, size=128, overlap=0)
+    joined = " ".join(chunks)
+    import re
+
+    pieces = [p.strip() for p in re.split(r"[\n\r\f\v\t?!.;]{1,}", text) if p.strip()]
+    pos = 0
+    for p in pieces:
+        found = joined.find(p, pos)
+        assert found >= 0
+        pos = found + len(p)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500), st.integers(2, 128))
+def test_hash_vector_unit_norm_and_deterministic(text, dim):
+    v = _hash_vector(text, dim, "doc")
+    assert len(v) == dim
+    assert v == _hash_vector(text, dim, "doc")
+    n = sum(x * x for x in v)
+    assert abs(n - 1.0) < 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500), st.integers(8, 30522))
+def test_sparse_query_vector_bounds(text, dim):
+    qv = sparse_query_vector(text, dim)
+    assert all(0 <= i < dim for i in qv)
+    assert all(w > 0 for w in qv.values())
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 63), st.integers(0, MINHASH_P - 1))
+def test_minhash_affine_family_in_range(i, h):
+    v = (h * _mh_a(i) + _mh_b(i)) % MINHASH_P
+    assert 0 <= v < MINHASH_P
