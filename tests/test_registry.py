@@ -136,3 +136,45 @@ def test_namespace_isolation(spark, tmp_path):
     assert [r.v for r in b.load("t").collect()] == ["from-b"]
     a.clear_storage()
     assert [r.v for r in b.load("t").collect()] == ["from-b"]
+
+
+def test_persisted_ivf_index_search(spark, tmp_path):
+    """build_vector_index persists a centroid-clustered copy; probe
+    search prunes partitions and full probes == brute force."""
+    import pyspark.sql.functions as F
+
+    reg = VechordRegistry("ivf", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    import random
+
+    random.seed(7)
+    rows = [
+        {"uid": i, "vec": [random.uniform(-1, 1) for _ in range(8)]}
+        for i in range(200)
+    ]
+    reg.insert_rows("emb", rows)
+    n_lists = reg.build_vector_index("emb", lists=4)
+    assert n_lists == 4
+
+    q = [0.25] * 8
+    exact = [r.uid for r in reg.search_by_vector("emb", q, topk=5).collect()]
+    full = [r.uid for r in reg.search_by_vector("emb", q, topk=5, probes=4).collect()]
+    assert full == exact
+
+    pruned_df = reg.search_by_vector("emb", q, topk=5, probes=1)
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan  # probe filter reaches the scan
+    assert len(pruned_df.collect()) == 5
+
+    from vechord_spark.errors import SchemaError as SE
+    import pytest as _pytest
+
+    reg2 = VechordRegistry("ivf2", str(tmp_path), spark)
+    reg2.register(reg.tables["emb"])
+    with _pytest.raises(SE, match="no IVF index"):
+        reg2.search_by_vector("emb", q, probes=1)

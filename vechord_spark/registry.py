@@ -248,6 +248,68 @@ class VechordRegistry:
                     self._cascade_from(child)
 
     # --------------------------------------------------------------- search
+    # ---------------------------------------------------------------- index
+    def _index_path(self, name: str) -> Path:
+        return self.base_path / f"{self.namespace}_{name}.ivf"
+
+    def build_vector_index(
+        self, name: str, lists: int | None = None, max_iter: int = 8
+    ) -> int:
+        """Build + persist the IVF index for the table's vector column —
+        the engine's ``CREATE INDEX`` (reference vchordrq index DDL,
+        vechord/client.py:157-171): KMeans centroids, then the table
+        rewritten ``partitionBy(centroid_id)`` so probe filters become
+        Catalyst PARTITION PRUNING at query time.
+
+        ``lists`` falls back to the declared ``VectorIndex.lists``, then
+        to ~sqrt(n). Batch semantics: rebuild after bulk appends (the
+        reference's Postgres index updates transactionally; a batch
+        engine re-clusters). Returns the number of lists built.
+        """
+        import numpy as np
+
+        from vechord_spark.operators.ivf import build_ivf
+
+        spec = self._spec(name)
+        vec_col = spec.vector_column
+        if vec_col is None:
+            raise SchemaError(f"table {name} has no vector column")
+        df = self.load(name)
+        n = df.count()
+        if n == 0:
+            raise SchemaError(f"cannot index empty table {name}")
+        declared = vec_col.index.lists if vec_col.index else None
+        n_lists = lists or declared or max(2, int(round(n**0.5)))
+        index = build_ivf(df, vec_col.name, n_lists, max_iter=max_iter)
+        ipath = self._index_path(name)
+        if ipath.exists():
+            shutil.rmtree(ipath)
+        index.write_clustered(str(ipath / "data"))
+        cents = self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+            "centroid_id int, vec array<double>",
+        )
+        cents.write.parquet(str(ipath / "centroids"))
+        return n_lists
+
+    def _load_vector_index(self, name: str):
+        from vechord_spark.operators.ivf import IvfIndex
+
+        import numpy as np
+
+        ipath = self._index_path(name)
+        if not (ipath / "data").exists():
+            return None
+        spec = self._spec(name)
+        rows = (
+            self.spark.read.parquet(str(ipath / "centroids"))
+            .orderBy("centroid_id")
+            .collect()
+        )
+        centroids = np.array([r.vec for r in rows])
+        assigned = self.spark.read.parquet(str(ipath / "data"))
+        return IvfIndex(centroids, assigned, spec.vector_column.name)
+
     def search_by_vector(
         self,
         name: str,
@@ -255,10 +317,18 @@ class VechordRegistry:
         topk: int = 10,
         return_fields: Sequence[str] | None = None,
         distance: str | None = None,
+        probes: int | None = None,
     ) -> DataFrame:
         """Vector k-NN over the table's vector column (reference
         vechord/registry.py:190-225). Default topk=10 matches
-        vechord/registry.py:194."""
+        vechord/registry.py:194.
+
+        With ``probes`` set, searches the persisted IVF layout
+        (build_vector_index) — the probe filter prunes whole partitions
+        of the clustered copy, the vchordrq ``probes`` GUC analog
+        (vechord/client.py:285-292). Without it, exact brute-force scan
+        (the deterministic correctness path).
+        """
         from vechord_spark.operators.knn import knn
 
         from vechord_spark.errors import DimensionMismatch
@@ -275,6 +345,20 @@ class VechordRegistry:
         dist = distance or (vec_col.index.distance if vec_col.index else "l2")
         fields = list(return_fields) if return_fields else spec.non_vec_columns()
         pk = spec.primary_key
+        if probes is not None:
+            index = self._load_vector_index(name)
+            if index is None:
+                raise SchemaError(
+                    f"no IVF index for {name}; call build_vector_index first"
+                )
+            return index.search(
+                list(vector),
+                k=topk,
+                probes=probes,
+                distance=dist,
+                select=fields,
+                tie_break=pk.name if pk else None,
+            )
         return knn(
             self.load(name),
             vec_col.name,
