@@ -178,3 +178,33 @@ def test_persisted_ivf_index_search(spark, tmp_path):
     reg2.register(reg.tables["emb"])
     with _pytest.raises(SE, match="no IVF index"):
         reg2.search_by_vector("emb", q, probes=1)
+
+
+def test_persisted_bm25_index_search(spark, tmp_path):
+    """build_keyword_index persists postings; indexed search matches the
+    one-shot plan exactly."""
+    reg = VechordRegistry("kw", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("body", Keyword())],
+        )
+    )
+    reg.insert_rows(
+        "doc",
+        [
+            {"uid": 1, "body": "spark query engine for fast analytics"},
+            {"uid": 2, "body": "fast spark joins and fast scans"},
+            {"uid": 3, "body": "unrelated cooking recipes"},
+        ],
+    )
+    n_postings = reg.build_keyword_index("doc")
+    assert n_postings > 0
+    plain = sorted(
+        [(r.rank, r.uid, r.score) for r in reg.search_by_keyword("doc", "fast spark", use_index=False).collect()]
+    )
+    indexed = sorted(
+        [(r.rank, r.uid, r.score) for r in reg.search_by_keyword("doc", "fast spark").collect()]
+    )
+    assert indexed == plain
+    assert indexed[0][1] == 2  # two 'fast' + one 'spark' wins

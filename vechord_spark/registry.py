@@ -402,14 +402,65 @@ class VechordRegistry:
             tie_break=pk.name if pk else None,
         )
 
+    def build_keyword_index(self, name: str) -> int:
+        """Build + persist the BM25 postings/statistics tables — the
+        engine's rendition of the reference's bm25 index DDL
+        (vechord/client.py:158-171). Postings shuffle once at build
+        time; queries then broadcast-join their terms against the
+        stored postings. Returns the number of postings rows.
+
+        Batch semantics: rebuild after bulk appends.
+        """
+        from vechord_spark.operators.bm25 import Bm25Index
+
+        spec = self._spec(name)
+        kw_col = spec.keyword_column
+        if kw_col is None:
+            raise SchemaError(f"table {name} has no keyword column")
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError(f"table {name} needs a primary key for BM25")
+        index = Bm25Index(self.load(name), pk.name, kw_col.name)
+        ipath = self.base_path / f"{self.namespace}_{name}.bm25"
+        if ipath.exists():
+            shutil.rmtree(ipath)
+        index.postings.write.parquet(str(ipath / "postings"))
+        index.doclen.write.parquet(str(ipath / "doclen"))
+        index.docfreq.write.parquet(str(ipath / "docfreq"))
+        index.stats.write.parquet(str(ipath / "stats"))
+        return self.spark.read.parquet(str(ipath / "postings")).count()
+
+    def _load_keyword_index(self, name: str):
+        from vechord_spark.operators.bm25 import Bm25Index
+
+        ipath = self.base_path / f"{self.namespace}_{name}.bm25"
+        if not (ipath / "postings").exists():
+            return None
+        spec = self._spec(name)
+        kw_idx = spec.keyword_column.index
+        idx = Bm25Index.__new__(Bm25Index)
+        idx.doc_id = spec.primary_key.name
+        idx.k1 = kw_idx.k1
+        idx.b = kw_idx.b
+        idx.postings = self.spark.read.parquet(str(ipath / "postings"))
+        idx.doclen = self.spark.read.parquet(str(ipath / "doclen"))
+        idx.docfreq = self.spark.read.parquet(str(ipath / "docfreq"))
+        idx.stats = self.spark.read.parquet(str(ipath / "stats"))
+        return idx
+
     def search_by_keyword(
         self,
         name: str,
         query: str,
         topk: int = 10,
         return_fields: Sequence[str] | None = None,
+        use_index: bool = True,
     ) -> DataFrame:
-        """BM25 keyword top-k (reference vechord/registry.py:269-302)."""
+        """BM25 keyword top-k (reference vechord/registry.py:269-302).
+
+        Uses the persisted postings index (build_keyword_index) when one
+        exists — queries then never re-tokenize the corpus; otherwise
+        the one-shot query-term-pruned plan."""
         from vechord_spark.operators.bm25 import bm25_topk
 
         spec = self._spec(name)
@@ -420,6 +471,16 @@ class VechordRegistry:
         pk = spec.primary_key
         if pk is None:
             raise SchemaError(f"table {name} needs a primary key for BM25")
+        if use_index:
+            index = self._load_keyword_index(name)
+            if index is not None:
+                hits = index.topk(query, k=topk)
+                payload = self.load(name).select(*{*fields, pk.name})
+                return (
+                    hits.withColumnRenamed("doc_id", "__hit_id")
+                    .join(payload, F.col("__hit_id") == F.col(pk.name), "inner")
+                    .select(*fields, "score", "rank")
+                )
         idx = kw_col.index
         return bm25_topk(
             self.load(name),
