@@ -2,7 +2,7 @@
 stronger than the reference's randomized-but-structural assertions
 (SURVEY §5.4); no SparkSession needed."""
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from vechord_spark.functions.embed import _hash_vector, sparse_query_vector
@@ -17,6 +17,7 @@ texts = st.text(
 @settings(max_examples=200, deadline=None)
 @given(texts, st.integers(16, 256), st.integers(0, 64))
 def test_regex_chunk_invariants(text, size, overlap):
+    assume(overlap < size)  # the reference's regime (1536 / 200)
     chunks = regex_chunk(text, size=size, overlap=overlap)
     # deterministic
     assert chunks == regex_chunk(text, size=size, overlap=overlap)
@@ -24,12 +25,15 @@ def test_regex_chunk_invariants(text, size, overlap):
     # input is preserved somewhere (weak coverage: total stripped
     # content length is preserved up to overlap duplication)
     assert all(c for c in chunks)
-    # a chunk only exceeds `size` when a single indivisible piece does:
-    # then it must contain no separator-split piece shorter than size
+    # size budget is on PIECE characters (concat separators excluded,
+    # matching the reference): re-split each chunk; the piece-length sum
+    # fits the budget unless the chunk is one indivisible oversized piece
+    import re
+
+    sep = re.compile(r"[\n\r\f\v\t?!.;]{1,}")
     for c in chunks:
-        if len(c) > size + overlap:
-            # oversized chunk must be dominated by one long piece
-            assert max(len(p) for p in c.split(" ")) > size - overlap
+        pieces = [p.strip() for p in sep.split(c) if p.strip()]
+        assert sum(len(p) for p in pieces) <= size or len(pieces) == 1
 
 
 @settings(max_examples=200, deadline=None)
