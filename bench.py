@@ -76,8 +76,12 @@ def main() -> None:
     from vechord_spark.suite import QUERIES
 
     spark = vs.get_spark("vechord-bench")
-    # warm up the JVM/codegen path so timings measure the queries
+    # warm up the JVM codegen + parquet reader paths so timings measure
+    # the queries (NOT the Python worker pool — resident Python workers
+    # measurably degrade the whole-stage-codegen queries in local mode,
+    # which is why the Python-path queries run last instead)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     timings: dict[str, float] = {}
     total = 0.0
