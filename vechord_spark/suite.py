@@ -51,6 +51,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def _cached_count(df: DataFrame, sf_dir: str, name: str) -> int:
+    """Table row count used as a plan literal — memoized per (sf, table)
+    so repeated query builds don't re-run count jobs."""
+    key = (sf_dir, name)
+    if key not in _COUNTS:
+        _COUNTS[key] = df.count()
+    return _COUNTS[key]
+
+
 # deterministic 64-dim query vector (seed 42, rounded to 4 decimals so the
 # literal is identical in Python and SQL)
 QVEC = [0.5479, -0.1222, 0.7172, 0.3947, -0.8116, 0.9512, 0.5223, 0.5721,
@@ -1307,8 +1319,8 @@ def graph_search_2hop(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
-    n_emb = emb.count()
-    n_doc = docs.count()
+    n_emb = _cached_count(emb, sf_dir, "embeddings")
+    n_doc = _cached_count(docs, sf_dir, "documents")
     entities = emb.select(
         F.col("vec_id").alias("uid"),
         F.col("embedding").alias("vec"),
