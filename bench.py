@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "rollup_order_stats",
     "rerank_reorder",
     "eval_ndcg_knn",
+    "eval_precision_knn",
     "graph_relation_merge",
     "graph_search_2hop",
     "multimodal_meta",

@@ -1593,3 +1593,22 @@ def lsh_knn(spark, sf_dir):
         emb, "embedding", QVEC, k=10, multi_probe=1,
         select=["vec_id"], tie_break="vec_id",
     ).select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@_q(
+    "eval_precision_knn",
+    _EVAL_BASE
+    + """
+    SELECT q.query_id,
+           round(sum(CASE WHEN l.rel = 1 THEN 1 ELSE 0 END) / 10.0, 6) AS precision
+    FROM queries q LEFT JOIN labeled l USING (query_id)
+    GROUP BY q.query_id
+    """,
+)
+def eval_precision_knn(spark, sf_dir):
+    """D16 precision@10 per query (reference UMBRELA metrics,
+    vechord/evaluate.py:159-231 precision@k)."""
+    from vechord_spark.operators.evaluate import precision_at_k
+
+    retrieved, truth = _knn_eval_run(spark, sf_dir)
+    return precision_at_k(retrieved, truth, k=10)
