@@ -110,3 +110,50 @@ def maxsim_pandas_scorer(query_vectors: Sequence[Sequence[float]]):
         return pd.Series(out)
 
     return _score
+
+
+def maxsim_topk_refined(
+    df: DataFrame,
+    doc_col: str,
+    query_vectors: Sequence[Sequence[float]],
+    k: int = 10,
+    refine: int = 1000,
+    select: Sequence[str] | None = None,
+    tie_break: str | None = None,
+    score_alias: str = "maxsim_distance",
+) -> DataFrame:
+    """Two-phase MaxSim: the ``maxsim_refine`` budget analog (reference
+    GUC, default 1000 — vechord/registry.py:233, client.py:337-343).
+
+    Phase 1 scores each row against its doc-vector MEAN — one dot per
+    query vector instead of |D| — and keeps the best ``refine`` rows;
+    phase 2 computes exact MaxSim on the survivors. With ``refine`` >=
+    the row count this equals ``maxsim_topk``.
+    """
+    from vechord_spark.functions.vector import dot_product
+
+    doc = F.col(doc_col)
+    dim_template = F.element_at(doc, 1)
+    zero = F.transform(dim_template, lambda x: F.lit(0.0))
+    summed = F.aggregate(
+        doc, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double"))
+    )
+    mean = F.transform(summed, lambda s: s / F.size(doc))
+    est = None
+    for q in query_vectors:
+        term = dot_product(mean, list(q))
+        est = term if est is None else est + term
+    candidates = df.withColumn("__mean_est", -est)
+    order = [F.col("__mean_est").asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    survivors = candidates.orderBy(*order).limit(refine).drop("__mean_est")
+    return maxsim_topk(
+        survivors,
+        doc_col,
+        query_vectors,
+        k=k,
+        select=select,
+        tie_break=tie_break,
+        score_alias=score_alias,
+    )
