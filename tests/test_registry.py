@@ -208,3 +208,32 @@ def test_persisted_bm25_index_search(spark, tmp_path):
     )
     assert indexed == plain
     assert indexed[0][1] == 2  # two 'fast' + one 'spark' wins
+
+
+def test_search_by_multivec_with_refine(spark, tmp_path):
+    from vechord_spark.spec import MultiVector
+
+    reg = VechordRegistry("mv", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "late",
+            [Column("uid", "int", primary_key=True), Column("mv", MultiVector(4))],
+        )
+    )
+    import random
+
+    random.seed(3)
+    reg.insert_rows(
+        "late",
+        [
+            {"uid": i, "mv": [[random.uniform(-1, 1) for _ in range(4)] for _ in range(3)]}
+            for i in range(50)
+        ],
+    )
+    q = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    exact = [r.uid for r in reg.search_by_multivec("late", q, topk=5).collect()]
+    refined = [
+        r.uid for r in reg.search_by_multivec("late", q, topk=5, maxsim_refine=1000).collect()
+    ]
+    assert refined == exact
+    assert len(exact) == 5

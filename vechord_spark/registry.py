@@ -375,9 +375,14 @@ class VechordRegistry:
         vectors: Sequence[Sequence[float]],
         topk: int = 10,
         return_fields: Sequence[str] | None = None,
+        maxsim_refine: int | None = None,
     ) -> DataFrame:
-        """MaxSim top-k (reference vechord/registry.py:227-267)."""
-        from vechord_spark.operators.maxsim import maxsim_topk
+        """MaxSim top-k (reference vechord/registry.py:227-267).
+
+        ``maxsim_refine`` enables the two-phase path: mean-vector
+        estimate narrows to ``refine`` candidates, exact MaxSim reranks
+        (reference GUC default 1000, vechord/registry.py:233)."""
+        from vechord_spark.operators.maxsim import maxsim_topk, maxsim_topk_refined
 
         from vechord_spark.errors import DimensionMismatch
 
@@ -393,6 +398,16 @@ class VechordRegistry:
                 )
         fields = list(return_fields) if return_fields else spec.non_vec_columns()
         pk = spec.primary_key
+        if maxsim_refine is not None:
+            return maxsim_topk_refined(
+                self.load(name),
+                mv_col.name,
+                [list(v) for v in vectors],
+                k=topk,
+                refine=maxsim_refine,
+                select=fields,
+                tie_break=pk.name if pk else None,
+            )
         return maxsim_topk(
             self.load(name),
             mv_col.name,
