@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "rerank_reorder",
     "eval_ndcg_knn",
     "eval_precision_knn",
+    "augment_context",
     "graph_relation_merge",
     "graph_search_2hop",
     "multimodal_meta",

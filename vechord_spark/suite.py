@@ -1612,3 +1612,51 @@ def eval_precision_knn(spark, sf_dir):
 
     retrieved, truth = _knn_eval_run(spark, sf_dir)
     return precision_at_k(retrieved, truth, k=10)
+
+
+# ===========================================================================
+# contextual augmentation (D11)
+# ===========================================================================
+
+
+@_q(
+    "augment_context",
+    r"""
+    WITH ch AS (
+      SELECT doc_id,
+             CAST((s - 1) // 96 AS INT) AS seq_id,
+             substr(text, CAST(s AS INT), 128) AS chunk_text
+      FROM documents,
+           LATERAL unnest(generate_series(1, CAST(greatest(length(text), 1) AS BIGINT), 96)) AS u(s)
+    ),
+    heads AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split_regex(text, '\s+'), 1, 8), ' ') AS head
+      FROM documents
+    )
+    SELECT c.doc_id, c.seq_id,
+           md5(h.head || chr(10) || chr(10) || c.chunk_text) AS ctx_hash
+    FROM ch c JOIN heads h ON c.doc_id = h.doc_id
+    """,
+)
+def augment_context(spark, sf_dir):
+    """D11 contextual augmentation (Anthropic contextual-retrieval
+    recipe, reference vechord/augment.py:30-93): every chunk prefixed
+    with its document's head via a BROADCAST join of doc heads — chunks
+    never shuffle. Output is the md5 of the augmented text (compact,
+    hash-comparable)."""
+    from vechord_spark.operators.augment import augment_chunks_with_head
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(fixed_size_chunks("text", 128, step=96)).alias(
+            "seq_id", "chunk_text"
+        ),
+    )
+    aug = augment_chunks_with_head(
+        chunks, docs, chunk_text="chunk_text", head_tokens=8
+    )
+    return aug.select(
+        "doc_id", "seq_id", F.md5("text_ctx").alias("ctx_hash")
+    )
