@@ -35,9 +35,30 @@ from vechord_spark.spec import (
 )
 from vechord_spark.registry import VechordRegistry
 
+
+def __getattr__(name):
+    # heavier public entry points resolved lazily so `import
+    # vechord_spark` stays cheap on executors
+    if name == "HashEmbedder":
+        from vechord_spark.functions.embed import HashEmbedder
+
+        return HashEmbedder
+    if name == "DynamicPipeline":
+        from vechord_spark.plans.dynamic import DynamicPipeline
+
+        return DynamicPipeline
+    if name == "VechordPipeline":
+        from vechord_spark.plans.pipeline import VechordPipeline
+
+        return VechordPipeline
+    raise AttributeError(f"module 'vechord_spark' has no attribute {name!r}")
+
+
 __all__ = [
     "AnyOf",
     "Column",
+    "DynamicPipeline",
+    "HashEmbedder",
     "Keyword",
     "KeywordIndex",
     "MultiVector",
@@ -46,6 +67,7 @@ __all__ = [
     "UniqueIndex",
     "Vector",
     "VectorIndex",
+    "VechordPipeline",
     "VechordRegistry",
     "get_spark",
 ]
