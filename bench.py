@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "knn_batch",
     "rollup_order_stats",
+    "cube_ship_stats",
     "rerank_reorder",
     "eval_ndcg_knn",
     "eval_precision_knn",

@@ -1660,3 +1660,36 @@ def augment_context(spark, sf_dir):
     return aug.select(
         "doc_id", "seq_id", F.md5("text_ctx").alias("ctx_hash")
     )
+
+
+@_q(
+    "cube_ship_stats",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_ship_stats(spark, sf_dir):
+    """CUBE aggregation: every (returnflag, linestatus) margin in one
+    pass — with ROLLUP (rollup_order_stats) this completes the
+    grouping-sets family Catalyst gives for free (SURVEY §2.7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "total_qty",
+        )
+    )
