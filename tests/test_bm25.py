@@ -66,3 +66,22 @@ def test_bm25_query_term_dedup(corpus_df):
     once = {r.doc_id: r.score for r in idx.topk("fox", k=10).collect()}
     twice = {r.doc_id: r.score for r in idx.topk("fox fox", k=10).collect()}
     assert once == twice
+
+
+def test_bm25_empty_query_schema_stable(spark):
+    """Empty-term queries return the same schema as non-empty ones:
+    requested payload columns + actual doc-id type (ADVICE r1)."""
+    from vechord_spark.operators.bm25 import bm25_topk
+
+    df = spark.createDataFrame(
+        [("u1", "alpha beta", 7), ("u2", "gamma", 8)],
+        "uid string, body string, extra int",
+    )
+    full = bm25_topk(df, "uid", "body", "alpha", k=5, select=["uid", "extra"])
+    empty = bm25_topk(df, "uid", "body", "!!!", k=5, select=["uid", "extra"])
+    assert empty.schema == full.schema
+    assert empty.count() == 0
+    # no-select path: doc_id keeps the table's actual id type (string)
+    full2 = bm25_topk(df, "uid", "body", "alpha", k=5)
+    empty2 = bm25_topk(df, "uid", "body", "!!!", k=5)
+    assert empty2.schema == full2.schema

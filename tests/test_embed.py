@@ -43,3 +43,24 @@ def test_multivector_shape(spark):
     rows = df.select(e.embed_multivector(F.col("text")).alias("mv")).collect()
     assert len(rows[0].mv) == 3 and all(len(v) == 8 for v in rows[0].mv)
     assert len(rows[1].mv) == 1  # empty text -> one fallback vector
+
+
+def test_sparse_embedding_sums_colliding_indices(spark):
+    """Tokens hashing to the same dimension must SUM their weights in
+    the stored struct — identical to the search path's per-(doc, idx)
+    SUM (ADVICE r1). Verified with a tiny dim to force collisions."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vechord_spark.functions.embed import sparse_embedding
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta alpha",)], "body string"
+    ).select(sparse_embedding(F.col("body"), dim=2).alias("sv"))
+    row = df.first().sv
+    # indices strictly increasing -> one entry per dimension
+    assert list(row.indices) == sorted(set(row.indices))
+    # total mass equals sum over tokens of ln(1+tf)
+    expect = math.log1p(2) + 3 * math.log1p(1)  # alpha x2, 3 singles
+    assert sum(row.values) == pytest.approx(expect, abs=1e-5)

@@ -19,9 +19,11 @@ def test_rrf_hand_computed(spark):
     b = spark.createDataFrame([("y", 1), ("z", 2)], "uid string, rank int")
     got = {r.uid: r.rrf_score for r in rrf_topk([a, b], "uid").collect()}
     k = RRF_K
-    assert got["y"] == pytest.approx(round(1 / (k + 2) + 1 / (k + 1), 6))
-    assert got["x"] == pytest.approx(round(1 / (k + 1), 6))
-    assert got["z"] == pytest.approx(round(1 / (k + 2), 6))
+    # reference scores the 0-based position (vechord/rerank.py:101-109):
+    # rank 1 contributes 1/k, rank 2 contributes 1/(k+1)
+    assert got["y"] == pytest.approx(round(1 / (k + 1) + 1 / k, 6))
+    assert got["x"] == pytest.approx(round(1 / k, 6))
+    assert got["z"] == pytest.approx(round(1 / (k + 1), 6))
     # y fused first (appears in both lists)
     top = rrf_topk([a, b], "uid", topk=1).collect()
     assert top[0].uid == "y" and top[0].rank == 1

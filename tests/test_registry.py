@@ -237,3 +237,72 @@ def test_search_by_multivec_with_refine(spark, tmp_path):
     ]
     assert refined == exact
     assert len(exact) == 5
+
+
+def test_delete_rewrite_never_collects(reg, monkeypatch):
+    """The delete/cascade rewrite must stay executor-side: survivors go
+    to a staging dir and swap in via renames, never through the driver
+    (a 100 TB table cannot round-trip driver memory)."""
+    from pyspark.sql import DataFrame
+
+    reg.insert_rows("document", DOCS)
+    reg.insert_rows("chunk", CHUNKS)
+
+    def _no_collect(self, *a, **k):
+        raise AssertionError("driver-side collect() in delete path")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    removed = reg.remove_by("document", {"uid": 1})
+    monkeypatch.undo()
+    assert removed == 1
+    assert sorted(r.uid for r in reg.select_by("chunk").collect()) == [12]
+    assert sorted(r.uid for r in reg.select_by("document").collect()) == [2, 3]
+
+
+def test_primary_key_enforces_unique(reg):
+    """PRIMARY KEY implies UNIQUE (reference: Postgres PK constraint)."""
+    reg.insert_rows("document", DOCS)
+    with pytest.raises(UniqueViolation):
+        reg.insert_rows("document", [{"uid": 1, "title": "dup", "text": "x"}])
+    with pytest.raises(UniqueViolation):
+        reg.insert_rows(
+            "document",
+            [
+                {"uid": 7, "title": "a", "text": "x"},
+                {"uid": 7, "title": "b", "text": "y"},
+            ],
+        )
+
+
+def test_auto_increment_assigns_unique_increasing_ids(spark, tmp_path):
+    """Serial PK generation (reference PrimaryKeyAutoIncrease,
+    vechord/spec.py:213-255): omitted ids are generated executor-side,
+    unique, and increase across appends (gaps allowed, like a Postgres
+    sequence)."""
+    reg = VechordRegistry("serial", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "log",
+            [
+                Column("uid", "int", primary_key=True, auto_increment=True),
+                Column("msg", "string"),
+            ],
+        )
+    )
+    reg.insert_rows("log", [{"msg": "a"}, {"msg": "b"}, {"msg": "c"}])
+    first = [r.uid for r in reg.load("log").collect()]
+    assert len(set(first)) == 3
+    reg.insert_rows("log", [{"msg": "d"}])
+    ids = [r.uid for r in reg.load("log").collect()]
+    assert len(set(ids)) == 4
+    assert min(set(ids) - set(first)) > max(first)
+    # explicit ids still honored
+    reg.insert_rows("log", [{"uid": 10_000, "msg": "e"}])
+    assert 10_000 in {r.uid for r in reg.load("log").collect()}
+
+
+def test_auto_increment_requires_int():
+    from vechord_spark.errors import SchemaError
+
+    with pytest.raises(SchemaError, match="integer"):
+        Column("uid", "string", auto_increment=True)

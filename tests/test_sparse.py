@@ -53,3 +53,15 @@ def test_sparse_topk_ranks_matching_docs(spark):
 def test_sparse_topk_empty_query(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     assert sparse_topk(df, "doc_id", "text", "!!!").count() == 0
+
+
+def test_sparse_empty_query_schema_stable(spark):
+    from vechord_spark.operators.sparse import sparse_topk
+
+    df = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "gamma")], "uid string, body string"
+    )
+    full = sparse_topk(df, "uid", "body", "alpha", k=5)
+    empty = sparse_topk(df, "uid", "body", "???", k=5)
+    assert empty.schema == full.schema
+    assert empty.count() == 0

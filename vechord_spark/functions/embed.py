@@ -131,6 +131,28 @@ def sparse_embedding(text, dim: int = SPARSE_DIM):
     )
     # sort by dimension index so the representation is canonical
     entries = F.array_sort(entries)
+    # canonical form: one entry per dimension — tokens hashing to the
+    # same index SUM their weights, matching the search path's
+    # per-(doc, idx) SUM semantics (operators/sparse.py). Colliding
+    # entries are adjacent after the sort; the merge branch (O(u²) in
+    # unique tokens) only evaluates for rows that actually collide.
+    idxs = F.transform(entries, lambda e: e["idx"])
+    has_dup = F.size(idxs) != F.size(F.array_distinct(idxs))
+    merged_idxs = F.array_distinct(idxs)
+    merged = F.transform(
+        merged_idxs,
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.aggregate(
+                F.filter(entries, lambda e: e["idx"] == i),
+                F.lit(0.0),
+                lambda acc, e: acc + e["val"],
+            )
+            .cast("float")
+            .alias("val"),
+        ),
+    )
+    entries = F.when(has_dup, merged).otherwise(entries)
     return F.struct(
         F.transform(entries, lambda e: e["idx"]).alias("indices"),
         F.transform(entries, lambda e: e["val"]).alias("values"),

@@ -169,11 +169,16 @@ def bm25_topk(
 
     terms = _query_terms(df.sparkSession, query)
     if not terms:
-        # no valid query terms -> empty result with the right shape
-        empty = df.sparkSession.createDataFrame(
-            [], "doc_id long, score double, rank int"
+        # no valid query terms -> empty result, schema-stable with the
+        # non-empty path (requested payload columns + actual id type)
+        base = df.select(*select) if select else df.select(F.col(doc_id).alias("doc_id"))
+        return (
+            base.limit(0)
+            # NULL-typed score: matches the nullable SUM aggregate of
+            # the non-empty path so schemas compare equal
+            .withColumn("score", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(0))
         )
-        return empty
 
     tokens = df.select(F.col(doc_id).alias("doc_id"), tokenize(text_col).alias("terms"))
     doclen = tokens.select("doc_id", F.size("terms").alias("dl"))

@@ -41,13 +41,18 @@ def rrf(
     Each input must carry ``id_col`` and a 1-based ``rank_col``.
     Returns ``(id_col, rrf_score)`` with score rounded to 6 decimals
     for cross-engine rank stability, descending = best.
+
+    The reference scores with the 0-based position
+    (``get_score(i)`` over ``enumerate``, vechord/rerank.py:101-109),
+    so the top hit contributes 1/k; ranks here are 1-based, hence
+    the ``rank - 1``.
     """
     slim = [d.select(F.col(id_col), F.col(rank_col).alias("rank")) for d in ranked_lists]
     unioned = slim[0]
     for d in slim[1:]:
         unioned = unioned.unionByName(d)
     return (
-        unioned.withColumn("contrib", F.lit(1.0) / (F.lit(k) + F.col("rank")))
+        unioned.withColumn("contrib", F.lit(1.0) / (F.lit(k) + F.col("rank") - 1))
         .groupBy(id_col)
         .agg(F.round(F.sum("contrib"), 6).alias("rrf_score"))
     )

@@ -39,7 +39,13 @@ def sparse_topk(
     spark = df.sparkSession
     qv = sparse_query_vector(query, dim)
     if not qv:
-        return spark.createDataFrame([], "doc_id long, score double, rank int")
+        # schema-stable empty result: actual id type, same score/rank cols
+        return (
+            df.select(F.col(doc_id).alias("doc_id"))
+            .limit(0)
+            .withColumn("score", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(0))
+        )
     qdf = spark.createDataFrame(
         [(i, w) for i, w in qv.items()], "idx int, qw double"
     )

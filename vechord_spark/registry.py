@@ -28,6 +28,7 @@ from pathlib import Path
 from typing import Any, Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from vechord_spark.errors import SchemaError, TableNotFound, UniqueViolation
 from vechord_spark.spec import AnyOf, TableSpec
@@ -117,6 +118,22 @@ class VechordRegistry:
         (tests/test_table.py:142-151).
         """
         spec = self._spec(name)
+        ai = spec.auto_increment_column
+        if ai is not None and ai.name not in df.columns:
+            # sequence semantics (reference: Postgres BIGSERIAL,
+            # vechord/spec.py:213-255): generated ids are unique and
+            # increase across appends, with gaps allowed — start past
+            # the current max and offset by monotonically_increasing_id
+            # so assignment is executor-side with no shuffle.
+            start = (
+                self.load(name).agg(F.max(ai.name)).first()[0] or 0
+            ) + 1
+            df = df.withColumn(
+                ai.name,
+                (F.lit(start) + F.monotonically_increasing_id()).cast(
+                    ai.spark_type
+                ),
+            )
         missing = [c for c in spec.field_names if c not in df.columns]
         if missing:
             raise SchemaError(f"append to {name} missing columns {missing}")
@@ -166,10 +183,15 @@ class VechordRegistry:
                 return float(v)
             return v
 
-        full = [
-            {c.name: _coerce(c, r.get(c.name)) for c in spec.columns} for r in rows
-        ]
-        df = self.spark.createDataFrame(full, spec.struct_type())
+        rows = list(rows)
+        cols = list(spec.columns)
+        ai = spec.auto_increment_column
+        if ai is not None and all(r.get(ai.name) is None for r in rows):
+            # leave the serial column out; append() generates it
+            cols = [c for c in cols if c.name != ai.name]
+        full = [{c.name: _coerce(c, r.get(c.name)) for c in cols} for r in rows]
+        schema = T.StructType([c.to_field() for c in cols])
+        df = self.spark.createDataFrame(full, schema)
         return self.append(name, df)
 
     # --------------------------------------------------------------- select
@@ -220,15 +242,31 @@ class VechordRegistry:
         return removed
 
     def _rewrite(self, name: str, df: DataFrame) -> None:
+        """Replace ``name``'s storage with ``df`` distributedly.
+
+        Survivors are written executor-side to a run-scoped staging
+        directory (the live files ``df`` reads from stay intact during
+        the write), then published with two directory renames — no row
+        ever passes through the driver, so the rewrite scales with the
+        cluster, not driver memory. A crash before the final rename
+        leaves the old table untouched; leftover ``.staging`` /
+        ``.trash`` dirs are run-id scoped and safe to sweep.
+        """
+        import uuid
+
         spec = self._spec(name)
-        # align column order (joins can reorder) and materialize before
-        # clobbering the source files
-        rows = df.select(*spec.field_names).collect()
-        new_df = self.spark.createDataFrame(rows, spec.struct_type())
-        path = Path(self.table_path(name))
-        if path.exists():
-            shutil.rmtree(path)
-        new_df.write.mode("overwrite").parquet(str(path))
+        run_id = uuid.uuid4().hex
+        staging = self.base_path / ".staging" / f"rewrite-{run_id}" / name
+        df.select(*spec.field_names).write.mode("overwrite").parquet(str(staging))
+        live = Path(self.table_path(name))
+        trash = self.base_path / ".trash" / f"rewrite-{run_id}" / name
+        if live.exists():
+            trash.parent.mkdir(parents=True, exist_ok=True)
+            live.rename(trash)
+        staging.rename(live)
+        for scratch in (staging.parent, trash.parent):
+            if scratch.exists():
+                shutil.rmtree(scratch)
 
     def _cascade_from(self, parent: TableSpec) -> None:
         for child in self.tables.values():
@@ -239,11 +277,17 @@ class VechordRegistry:
                 parent_keys = self.load(parent.name).select(
                     F.col(p_col).alias(local_col)
                 )
-                surviving = child_df.join(
-                    F.broadcast(parent_keys), on=local_col, how="left_semi"
+                # one early-exit anti-join probe; no broadcast hint so
+                # AQE picks broadcast only when the parent side is small
+                orphans = (
+                    child_df.join(parent_keys, on=local_col, how="left_anti")
+                    .limit(1)
+                    .count()
                 )
-                orphans = child_df.count() - surviving.count()
-                if orphans > 0:
+                if orphans:
+                    surviving = child_df.join(
+                        parent_keys, on=local_col, how="left_semi"
+                    )
                     self._rewrite(child.name, surviving)
                     self._cascade_from(child)
 

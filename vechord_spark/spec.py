@@ -211,7 +211,19 @@ class Column:
     def __post_init__(self) -> None:
         self.spark_type, self.engine_type = _resolve_type(self.dtype)
         if self.primary_key:
+            # PRIMARY KEY implies NOT NULL + UNIQUE, as in the
+            # reference's Postgres DDL (vechord/spec.py:519-648) —
+            # append() enforces it with the same anti-join check as
+            # declared UNIQUE columns.
             self.nullable = False
+            self.unique = True
+        if self.auto_increment and self.spark_type.typeName() not in (
+            "long",
+            "integer",
+        ):
+            raise SchemaError(
+                f"auto_increment column {self.name!r} must be integer-typed"
+            )
         if isinstance(self.index, UniqueIndex):
             self.unique = True
         # default-index discovery, mirroring vechord/spec.py:534-572:
@@ -268,6 +280,13 @@ class TableSpec:
     def primary_key(self) -> Column | None:
         for c in self.columns:
             if c.primary_key:
+                return c
+        return None
+
+    @property
+    def auto_increment_column(self) -> Column | None:
+        for c in self.columns:
+            if c.auto_increment:
                 return c
         return None
 

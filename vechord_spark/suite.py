@@ -391,7 +391,7 @@ def bm25_topk_documents(spark, sf_dir):
       SELECT doc_id, rank FROM kw_ranked
     ),
     fused AS (
-      SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+      SELECT doc_id, round(sum(1.0 / (59 + rank)), 6) AS rrf_score
       FROM unioned GROUP BY doc_id
     )
     SELECT doc_id, rrf_score,
