@@ -3,6 +3,7 @@
 import math
 
 import pyspark.sql.functions as F
+import pytest
 
 from vechord_spark.functions.embed import HashEmbedder, _hash_vector
 
