@@ -204,16 +204,46 @@ def ngram_jaccard(
     """Exact Jaccard similarity over word-shingle sets (same shingling
     as MinHash, so it verifies MinHash candidates apples-to-apples).
 
-    ``candidates`` (doc_a, doc_b) restricts the pair space (feed it
-    minhash_candidate_pairs at scale); without it, pairs are generated
-    from the shingle postings (docs sharing >= 1 shingle), which is safe
-    for verification scale only. Returns ``(doc_a, doc_b, jaccard)``
-    rounded to 6 decimals.
+    ``candidates`` (doc_a, doc_b) restricts the pair space BEFORE any
+    intersection work (feed it minhash_candidate_pairs at scale): the
+    candidate pairs join each side's distinct-shingle array and the
+    intersection is a per-row ``array_intersect`` — total cost
+    O(|candidates| * shingles), never O(n²) over the corpus. Without
+    ``candidates``, pairs are generated from the shingle postings (docs
+    sharing >= 1 shingle), quadratic on hot shingles — verification
+    scale only. Returns ``(doc_a, doc_b, jaccard)`` rounded to 6
+    decimals. With ``threshold == 0`` the two paths differ on
+    zero-overlap candidate pairs (the postings path cannot emit them);
+    any positive threshold makes them identical.
     """
     sets = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
     )
+    if candidates is not None:
+        sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("__sha"))
+        sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("__shb"))
+        out = (
+            candidates.select("doc_a", "doc_b")
+            .distinct()
+            .join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("n_inter", F.size(F.array_intersect("__sha", "__shb")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (
+                        F.size("__sha") + F.size("__shb") - F.col("n_inter")
+                    ).cast("double"),
+                    6,
+                ),
+            )
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        if threshold > 0:
+            out = out.filter(F.col("jaccard") >= threshold)
+        return out
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"), "sh")
     posts = sets.select("doc_id", F.explode("sh").alias("shingle"))
     pa = posts.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
@@ -224,8 +254,6 @@ def ngram_jaccard(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     out = (

@@ -475,30 +475,32 @@ def dedup_minhash_lsh(spark, sf_dir):
 @_q(
     "dedup_jaccard",
     f"""
-    WITH sh AS (
+    WITH cands AS ({_minhash_sql()}),
+    sh AS (
       SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
     ),
-    posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM posts a JOIN posts b ON a.shingle = b.shingle
-      WHERE a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+             len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM cands
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+    )
     SELECT doc_a, doc_b,
-           round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+           round(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard
     FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.35
+    WHERE round(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) >= 0.35
     """,
 )
 def dedup_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard similarity (pairs >= 0.35) over shingle
-    postings — the verification companion to MinHash."""
+    """Exact n-gram Jaccard (pairs >= 0.35) verified ONLY over
+    MinHash+LSH candidate pairs — the scale wiring: the pair space is
+    the banded bucket join, and the Jaccard itself is a per-candidate
+    array_intersect, never a postings self-join."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard(docs, "doc_id", "text", threshold=0.35)
+    cands = DD.minhash_candidate_pairs(docs, "doc_id", "text")
+    return DD.ngram_jaccard(docs, "doc_id", "text", threshold=0.35, candidates=cands)
 
 
 def _simhash_sql() -> str:
@@ -552,6 +554,32 @@ def dedup_embedding_pairs(spark, sf_dir):
     scale)."""
     emb = _t(spark, sf_dir, "embeddings")
     return DD.embedding_top_pairs(emb, "vec_id", "embedding", top_n=20)
+
+
+@_q(
+    "dedup_embedding_bucketed",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+    """,
+)
+def dedup_embedding_bucketed(spark, sf_dir):
+    """Bucketed embedding near-dup — the 100 TB path: comparisons are
+    restricted to same-bucket pairs (here the cluster ``label`` column,
+    standing in for an IVF centroid assignment, operators/ivf.py), so
+    the join is bucket-local, never all-pairs. Exact cosine is computed
+    only inside buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketer = emb.select("vec_id", F.col("label").alias("bucket"))
+    return DD.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
+    )
 
 
 @_q(
