@@ -35,13 +35,18 @@ BENCH_QUERIES = [
     "window_first_order",
     "knn_cosine",
     "knn_l2",
+    "knn_dot",
     "maxsim_by_label",
     "bm25_topk",
     "hybrid_rrf",
     "dedup_minhash_lsh",
+    "dedup_jaccard",
     "dedup_simhash",
+    "dedup_exact_fingerprint",
+    "dedup_embedding_bucketed",
     "text_stats",
     "lang_id",
+    "token_count_by_source",
     "chunk_fixed_windows",
     "graph_entity_merge",
     "events_daily_summary",
@@ -56,6 +61,8 @@ BENCH_QUERIES = [
     "cube_ship_stats",
     "rerank_reorder",
     "eval_ndcg_knn",
+    "eval_mrr_knn",
+    "eval_ap_knn",
     "eval_precision_knn",
     "augment_context",
     "graph_relation_merge",

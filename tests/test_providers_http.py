@@ -1,0 +1,244 @@
+"""Provider HTTP clients against canned responses (no network).
+
+Each test verifies the exact public wire shape (URL, auth header,
+request payload) and the response parsing — the testable halves of
+D9/R4/D17 (reference vechord/provider.py:37-254, rerank.py:28-92,
+evaluate.py:159-231)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import numpy as np
+import pytest
+
+from vechord_spark.providers_http import (
+    ApiKeyMissing,
+    CohereRerankClient,
+    GeminiEmbeddingClient,
+    GeminiGenerateClient,
+    HttpCallError,
+    JinaEmbeddingClient,
+    JinaRerankClient,
+    OpenAIEmbeddingClient,
+    UmbrelaJudge,
+    UMBRELA_SCORE_SCHEMA,
+    VoyageEmbeddingClient,
+    parse_indexed_embeddings,
+    parse_rerank_indices,
+)
+
+
+class FakeTransport:
+    """Canned-response transport: records every call, replays a queue."""
+
+    def __init__(self, *responses):
+        self.queue = list(responses)
+        self.calls = []
+
+    def post(self, url, headers, body):
+        self.calls.append((url, headers, json.loads(body)))
+        status, payload = self.queue.pop(0)
+        return status, json.dumps(payload).encode()
+
+
+def b64_f32(vals):
+    return base64.b64encode(np.asarray(vals, dtype=np.float32).tobytes()).decode()
+
+
+# ---------------------------------------------------------------------------
+# Gemini
+# ---------------------------------------------------------------------------
+
+
+def test_gemini_embed_doc_query_asymmetry_and_shape():
+    t = FakeTransport(
+        (200, {"embedding": {"values": [1.0, 2.0]}}),
+        (200, {"embedding": {"values": [3.0, 4.0]}}),
+    )
+    c = GeminiEmbeddingClient(model="gemini-embedding-001", dim=2, api_key="k", transport=t)
+    assert c.embed_document("hello") == [1.0, 2.0]
+    assert c.embed_query("hello") == [3.0, 4.0]
+    url, headers, body = t.calls[0]
+    assert url.endswith("models/gemini-embedding-001:embedContent")
+    assert headers["x-goog-api-key"] == "k"
+    assert body == {"content": {"parts": [{"text": "hello"}]}, "taskType": "RETRIEVAL_DOCUMENT"}
+    assert t.calls[1][2]["taskType"] == "RETRIEVAL_QUERY"
+
+
+def test_gemini_generate_structured():
+    t = FakeTransport(
+        (200, {"candidates": [{"content": {"parts": [{"text": '{"score": 2}'}]}}]})
+    )
+    c = GeminiGenerateClient(api_key="k", transport=t)
+    out = c.generate("judge this", response_schema=UMBRELA_SCORE_SCHEMA)
+    assert out == '{"score": 2}'
+    _, _, body = t.calls[0]
+    assert body["generationConfig"]["response_mime_type"] == "application/json"
+    assert body["generationConfig"]["response_json_schema"] == UMBRELA_SCORE_SCHEMA
+
+
+def test_gemini_http_error_raises():
+    t = FakeTransport((403, {"error": "denied"}))
+    c = GeminiEmbeddingClient(api_key="k", transport=t)
+    with pytest.raises(HttpCallError):
+        c.embed_document("x")
+
+
+def test_api_key_missing(monkeypatch):
+    monkeypatch.delenv("GEMINI_API_KEY", raising=False)
+    with pytest.raises(ApiKeyMissing):
+        GeminiEmbeddingClient()
+
+
+# ---------------------------------------------------------------------------
+# Jina
+# ---------------------------------------------------------------------------
+
+
+def test_jina_embed_batch_base64_roundtrip():
+    t = FakeTransport(
+        (
+            200,
+            {
+                "data": [
+                    {"index": 1, "embedding": b64_f32([0.5, -0.5])},
+                    {"index": 0, "embedding": b64_f32([1.5, 2.5])},
+                ]
+            },
+        )
+    )
+    c = JinaEmbeddingClient(dim=2, api_key="jk", transport=t)
+    out = c.embed_documents(["a", "b"])
+    # out-of-order response must be re-sorted by index
+    assert out == [[1.5, 2.5], [0.5, -0.5]]
+    url, headers, body = t.calls[0]
+    assert url == "https://api.jina.ai/v1/embeddings"
+    assert headers["Authorization"] == "Bearer jk"
+    assert body["task"] == "retrieval.passage"
+    assert body["input"] == [{"text": "a"}, {"text": "b"}]
+    assert body["embedding_type"] == "base64"
+
+
+def test_jina_query_task():
+    t = FakeTransport((200, {"data": [{"index": 0, "embedding": [9.0]}]}))
+    c = JinaEmbeddingClient(dim=1, api_key="jk", transport=t)
+    assert c.embed_query("q") == [9.0]
+    assert t.calls[0][2]["task"] == "retrieval.query"
+
+
+def test_jina_rerank_indices():
+    t = FakeTransport(
+        (
+            200,
+            {
+                "results": [
+                    {"index": 2, "relevance_score": 0.9},
+                    {"index": 0, "relevance_score": 0.5},
+                    {"index": 1, "relevance_score": 0.1},
+                ]
+            },
+        )
+    )
+    c = JinaRerankClient(api_key="jk", transport=t)
+    assert c.rerank("q", ["d0", "d1", "d2"]) == [2, 0, 1]
+    _, _, body = t.calls[0]
+    assert body["top_n"] == 3 and body["query"] == "q"
+
+
+def test_jina_rerank_empty_raises():
+    c = JinaRerankClient(api_key="jk", transport=FakeTransport())
+    with pytest.raises(ValueError):
+        c.rerank("", ["d"])
+
+
+# ---------------------------------------------------------------------------
+# Voyage / OpenAI
+# ---------------------------------------------------------------------------
+
+
+def test_voyage_embed_payload_and_parse():
+    t = FakeTransport((200, {"data": [{"index": 0, "embedding": b64_f32([1.0, 0.0])}]}))
+    c = VoyageEmbeddingClient(dim=2, api_key="vk", transport=t)
+    assert c.embed_documents(["x"]) == [[1.0, 0.0]]
+    url, headers, body = t.calls[0]
+    assert url == "https://api.voyageai.com/v1/embeddings"
+    assert body["input_type"] == "document"
+    assert body["output_dimension"] == 2
+    t2 = FakeTransport((200, {"data": [{"index": 0, "embedding": [2.0]}]}))
+    c2 = VoyageEmbeddingClient(dim=1, api_key="vk", transport=t2)
+    c2.embed_query("q")
+    assert t2.calls[0][2]["input_type"] == "query"
+
+
+def test_openai_embed():
+    t = FakeTransport(
+        (200, {"data": [{"index": 0, "embedding": [0.1, 0.2]}, {"index": 1, "embedding": [0.3, 0.4]}]})
+    )
+    c = OpenAIEmbeddingClient(model="text-embedding-3-small", dim=2, api_key="ok", transport=t)
+    assert c.embed_documents(["a", "b"]) == [[0.1, 0.2], [0.3, 0.4]]
+    url, headers, body = t.calls[0]
+    assert url == "https://api.openai.com/v1/embeddings"
+    assert headers["Authorization"] == "Bearer ok"
+    assert body == {
+        "model": "text-embedding-3-small",
+        "input": ["a", "b"],
+        "encoding_format": "float",
+        "dimensions": 2,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Cohere
+# ---------------------------------------------------------------------------
+
+
+def test_cohere_rerank():
+    t = FakeTransport(
+        (200, {"results": [{"index": 1, "relevance_score": 0.8}, {"index": 0, "relevance_score": 0.2}]})
+    )
+    c = CohereRerankClient(api_key="ck", transport=t)
+    assert c.rerank("q", ["d0", "d1"]) == [1, 0]
+    url, _, body = t.calls[0]
+    assert url == "https://api.cohere.com/v2/rerank"
+    assert body == {"model": "rerank-v3.5", "query": "q", "documents": ["d0", "d1"]}
+
+
+# ---------------------------------------------------------------------------
+# UMBRELA judge
+# ---------------------------------------------------------------------------
+
+
+def test_umbrela_judge_scores_and_clamps():
+    t = FakeTransport(
+        (200, {"candidates": [{"content": {"parts": [{"text": '{"score": 3}'}]}}]}),
+        (200, {"candidates": [{"content": {"parts": [{"text": '{"score": 7}'}]}}]}),
+    )
+    judge = UmbrelaJudge(GeminiGenerateClient(api_key="k", transport=t))
+    assert judge.estimate("q", "relevant passage") == 3
+    assert judge.estimate("q", "weird passage") == 3  # clamped to scale
+    assert judge.estimate("q", "") == 0  # empty passage short-circuits, no call
+    assert len(t.calls) == 2
+    prompt = t.calls[0][2]["contents"]["parts"][0]["text"]
+    assert "Query: q" in prompt and "relevant passage" in prompt
+
+
+def test_umbrela_undecodable_raises():
+    t = FakeTransport(
+        (200, {"candidates": [{"content": {"parts": [{"text": "not json"}]}}]})
+    )
+    judge = UmbrelaJudge(GeminiGenerateClient(api_key="k", transport=t))
+    with pytest.raises(ValueError):
+        judge.estimate("q", "p")
+
+
+# ---------------------------------------------------------------------------
+# shared parsers
+# ---------------------------------------------------------------------------
+
+
+def test_parse_helpers():
+    assert parse_rerank_indices({"results": []}) == []
+    resp = {"data": [{"index": 0, "embedding": b64_f32([1.25])}]}
+    assert parse_indexed_embeddings(resp) == [[1.25]]

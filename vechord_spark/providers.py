@@ -3,9 +3,11 @@
 The reference wraps every external model call (Gemini/Jina/Voyage/
 OpenAI embedders D9, Cohere/Jina rerankers R4, OCR extractors D4/D5,
 Gemini NER G7, contextual augmenter D11) in per-provider rate-limited
-HTTP transports (vechord/utils.py:9-16, 38-68). None of those services
-are reachable from this environment, so each provider here is a
-clearly-marked STUB — but the Spark-side machinery is real and tested:
+HTTP transports (vechord/utils.py:9-16, 38-68). The wire protocols
+live in providers_http (pure request builders/parsers + stdlib
+transport, fixture-tested offline); this module provides the
+engine-facing provider classes on top, plus the Spark-side batch
+machinery:
 
 - ``RateLimiter``: token-spacing limiter (one call per 1/rps seconds),
   instantiated PER PARTITION inside mapInPandas so the global call rate
@@ -104,92 +106,301 @@ def external_stage(
 
 
 # ---------------------------------------------------------------------------
-# provider stubs (real signatures, unreachable backends)
+# providers: real HTTP clients (providers_http) behind the engine-facing
+# interfaces. Construction requires the provider's API key env var
+# (raises providers_http.ApiKeyMissing otherwise); the wire shapes are
+# fixture-tested offline in tests/test_providers_http.py. The
+# deterministic no-network analogs remain functions/embed.HashEmbedder,
+# operators/fusion.reorder_by and operators/groundtruth.
 # ---------------------------------------------------------------------------
 
 
 @dataclass
 class GeminiEmbedder:
-    """STUB — Gemini dense embedder (reference vechord/embedding.py:120-170).
-    Use functions/embed.HashEmbedder for runnable pipelines."""
+    """Gemini dense embedder (reference vechord/embedding.py:120-170)
+    over the public embedContent endpoint, preserving the doc/query
+    task asymmetry. Column path: providers_http.embedding_stage."""
 
     model: str = "gemini-embedding-001"
     dim: int = 3072
+    transport: object | None = None
 
-    def embed_documents(self, text):
-        raise NotImplementedError("Gemini API is not reachable in this environment")
+    def _client(self):
+        from vechord_spark.providers_http import GeminiEmbeddingClient
 
-    def embed_query(self, text: str):
-        raise NotImplementedError("Gemini API is not reachable in this environment")
+        return GeminiEmbeddingClient(
+            model=self.model, dim=self.dim, transport=self.transport
+        )
+
+    def embed_documents(self, texts: list[str]) -> list[list[float]]:
+        client = self._client()
+        return [client.embed_document(t) for t in texts]
+
+    def embed_query(self, text: str) -> list[float]:
+        return self._client().embed_query(text)
 
 
 @dataclass
 class CohereReranker:
-    """STUB — external reranker (reference vechord/rerank.py:28-63).
-    The runnable rerank path is operators/fusion.reorder_by fed by any
-    (id, score) frame."""
+    """Cohere v2 reranker (reference vechord/rerank.py:28-63): returns
+    the reranked index list. The no-network rerank path is
+    operators/fusion.reorder_by fed by any (id, score) frame."""
 
     model: str = "rerank-v3.5"
+    transport: object | None = None
 
     def rerank(self, query: str, texts: list[str]) -> list[int]:
-        raise NotImplementedError("Cohere API is not reachable in this environment")
+        from vechord_spark.providers_http import CohereRerankClient
+
+        return CohereRerankClient(model=self.model, transport=self.transport).rerank(
+            query, texts
+        )
+
+
+@dataclass
+class JinaReranker:
+    """Jina reranker (reference vechord/rerank.py:66-92)."""
+
+    model: str = "jina-reranker-m0"
+    transport: object | None = None
+
+    def rerank(self, query: str, texts: list[str]) -> list[int]:
+        from vechord_spark.providers_http import JinaRerankClient
+
+        return JinaRerankClient(model=self.model, transport=self.transport).rerank(
+            query, texts
+        )
+
+
+# NER prompt contract (reference vechord/graph.py:143-148): entity =
+# person/location/org/event/category; structured-JSON response.
+NER_PROMPT = (
+    "Given the text document, extract meaningful named entities and the "
+    "possible relations between them. Entity could be person, location, "
+    "org, event or category.\n<document>\n{text}\n</document>\n"
+)
+
+NER_RELATION_SCHEMA = {
+    "type": "array",
+    "items": {
+        "type": "object",
+        "properties": {
+            "source": {
+                "type": "object",
+                "properties": {"text": {"type": "string"}, "label": {"type": "string"}},
+                "required": ["text", "label"],
+            },
+            "target": {
+                "type": "object",
+                "properties": {"text": {"type": "string"}, "label": {"type": "string"}},
+                "required": ["text", "label"],
+            },
+            "description": {"type": "string"},
+        },
+        "required": ["source", "target"],
+    },
+}
 
 
 @dataclass
 class GeminiNER:
-    """STUB — LLM entity/relation extraction (reference
-    vechord/graph.py:155-223). Graph merge/search operators
-    (operators/graph.py) consume any (text, label, description,
-    chunk_uuids) frame."""
+    """LLM entity/relation extraction (reference vechord/graph.py:155-223)
+    via structured-JSON generation. Output feeds the graph merge
+    operators (operators/graph.py) as (text, label, description) rows."""
 
     model: str = "gemini-2.5-flash"
+    transport: object | None = None
 
-    def extract(self, text: str):
-        raise NotImplementedError("Gemini API is not reachable in this environment")
+    def _client(self):
+        from vechord_spark.providers_http import GeminiGenerateClient
+
+        return GeminiGenerateClient(model=self.model, transport=self.transport)
+
+    def extract(self, text: str) -> tuple[list[dict], list[dict]]:
+        """Returns (entities, relations); entities are deduped from the
+        relation endpoints (reference decode_relations,
+        vechord/graph.py:185-198)."""
+        import json as _json
+
+        raw = self._client().generate(
+            NER_PROMPT.format(text=text), response_schema=NER_RELATION_SCHEMA
+        )
+        try:
+            relations = _json.loads(raw)
+            if not isinstance(relations, list):
+                raise TypeError("expected a JSON array of relations")
+            ents: dict[str, dict] = {}
+            for rel in relations:
+                for side in ("source", "target"):
+                    ent = rel[side]
+                    ents[ent["text"]] = ent
+        except (_json.JSONDecodeError, TypeError, KeyError) as err:
+            raise ValueError(f"undecodable NER response: {raw[:200]}") from err
+        return list(ents.values()), relations
+
+
+# Contextual-retrieval prompt (the published Anthropic contextual
+# retrieval recipe, quoted by the reference at vechord/augment.py:59-66)
+AUGMENT_CONTEXT_PROMPT = (
+    "<document>\n{doc}\n</document>\n"
+    "Here is the chunk we want to situate within the whole document \n"
+    "<chunk>\n{chunk}\n</chunk>\n"
+    "Please give a short succinct context to situate this chunk within "
+    "the overall document for the purposes of improving search retrieval "
+    "of the chunk. Answer only with the succinct context and nothing else."
+)
 
 
 @dataclass
 class GeminiAugmenter:
-    """STUB — contextual-retrieval augmentation (reference
-    vechord/augment.py:30-93)."""
+    """Contextual-retrieval augmentation (reference
+    vechord/augment.py:30-93). The no-network in-plan analog is
+    operators/augment.augment_with_doc_head."""
 
     model: str = "gemini-2.5-flash"
+    transport: object | None = None
+
+    def _client(self):
+        from vechord_spark.providers_http import GeminiGenerateClient
+
+        return GeminiGenerateClient(model=self.model, transport=self.transport)
 
     def augment_chunk(self, doc: str, chunk: str) -> str:
-        raise NotImplementedError("Gemini API is not reachable in this environment")
+        return self._client().generate(
+            AUGMENT_CONTEXT_PROMPT.format(doc=doc, chunk=chunk)
+        ).strip()
+
+    def augment_chunks(self, doc: str, chunks: list[str]) -> list[str]:
+        client = self._client()
+        return [
+            client.generate(AUGMENT_CONTEXT_PROMPT.format(doc=doc, chunk=c)).strip()
+            for c in chunks
+        ]
+
+
+def _load_spacy(model: str):
+    try:
+        import spacy
+    except ImportError as err:  # spaCy absent from this environment
+        raise NotImplementedError(
+            "spaCy is not installed; use operators/chunk.regex_chunk or "
+            "the Gemini providers instead"
+        ) from err
+    return spacy.load(model)
 
 
 @dataclass
 class SpacyChunker:
-    """STUB — sentence segmentation via spaCy (reference
-    vechord/chunk.py:86-102). The runnable chunkers are
-    operators/chunk.regex_chunk (exact port of the reference default)
-    and fixed_size_chunks."""
+    """Sentence segmentation via spaCy (reference vechord/chunk.py:86-102),
+    gated behind the import — the library is absent from this sandbox.
+    The always-runnable chunkers are operators/chunk.regex_chunk and
+    fixed_size_chunks."""
 
     model: str = "en_core_web_sm"
 
     def segment(self, text: str) -> list[str]:
-        raise NotImplementedError("spaCy is not installed in this environment")
+        nlp = _load_spacy(self.model)
+        return [sent.text for sent in nlp(text).sents]
+
+
+# LLM semantic-chunking contract (reference vechord/chunk.py:104-115):
+# coherent segments under a token budget, document order preserved,
+# structured list-of-strings response.
+CHUNK_PROMPT = (
+    "You are an expert text chunker. Divide the document into chunks that "
+    "are as semantically coherent as possible, ensuring no chunk exceeds "
+    "the specified token length, and maintain document order.\n"
+    "The return format is a list of chunk strings.\n"
+    "The maximum token length is {size} per chunk.\n"
+    "The document is as follows: <document>\n{document}\n</document>"
+)
+
+CHUNK_LIST_SCHEMA = {"type": "array", "items": {"type": "string"}}
+
+# above this input length the reference pre-splits with its regex
+# chunker before asking the LLM (vechord/chunk.py:130-131,151-166)
+GEMINI_CHUNK_INPUT_LIMIT = 65_536
 
 
 @dataclass
 class GeminiChunker:
-    """STUB — LLM semantic chunking with RegexChunker pre-split above
-    65,536 chars (reference vechord/chunk.py:118-166)."""
+    """LLM semantic chunking with a regex pre-split above 65,536 chars
+    (reference vechord/chunk.py:118-166). The no-network chunkers are
+    operators/chunk.regex_chunk and fixed_size_chunks."""
 
     model: str = "gemini-2.5-flash"
+    size: int = 1536
+    transport: object | None = None
+
+    def _client(self):
+        from vechord_spark.providers_http import GeminiGenerateClient
+
+        return GeminiGenerateClient(model=self.model, transport=self.transport)
+
+    def _ask(self, client, document: str) -> list[str]:
+        import json as _json
+
+        raw = client.generate(
+            CHUNK_PROMPT.format(size=self.size, document=document),
+            response_schema=CHUNK_LIST_SCHEMA,
+        )
+        chunks = _json.loads(raw)
+        if not isinstance(chunks, list):
+            raise ValueError(f"expected a JSON list of chunks, got: {raw[:200]}")
+        return [str(c) for c in chunks]
 
     def segment(self, text: str) -> list[str]:
-        raise NotImplementedError("Gemini API is not reachable in this environment")
+        client = self._client()
+        if len(text) <= GEMINI_CHUNK_INPUT_LIMIT:
+            return self._ask(client, text)
+        from vechord_spark.operators.chunk import regex_chunk
+
+        out: list[str] = []
+        for piece in regex_chunk(text, size=GEMINI_CHUNK_INPUT_LIMIT, overlap=0):
+            out.extend(self._ask(client, piece))
+        return out
 
 
 @dataclass
 class SpacyRelationMatcher:
-    """STUB — rule-based ENT_VERB_ENT relation extraction (reference
-    vechord/graph.py:29-141). Graph operators (operators/graph.py)
-    consume any (source, target, description) frame."""
+    """Rule-based entity/relation extraction via spaCy (the reference
+    matches ENT-VERB-ENT style token patterns, vechord/graph.py:29-141),
+    gated behind the import. Behavioral analog, not a pattern-for-
+    pattern port: entities come from ``doc.ents``; a relation is
+    emitted for each within-sentence entity pair whose connecting span
+    contains a verb, with that span as the description. Graph operators
+    (operators/graph.py) consume the resulting (source, target,
+    description) rows."""
 
     model: str = "en_core_web_sm"
 
-    def extract_relations(self, text: str):
-        raise NotImplementedError("spaCy is not installed in this environment")
+    def extract(self, text: str) -> list[dict]:
+        nlp = _load_spacy(self.model)
+        return [
+            {"text": ent.text, "label": ent.label_, "description": ""}
+            for ent in nlp(text).ents
+        ]
+
+    def extract_relations(self, text: str) -> tuple[list[dict], list[dict]]:
+        nlp = _load_spacy(self.model)
+        doc = nlp(text)
+        ents = [
+            {"text": ent.text, "label": ent.label_, "description": ""}
+            for ent in doc.ents
+        ]
+        relations: list[dict] = []
+        for sent in doc.sents:
+            spans = [e for e in doc.ents if e.start >= sent.start and e.end <= sent.end]
+            for a, b in zip(spans, spans[1:]):
+                between = doc[a.end : b.start]
+                if any(t.pos_ in ("VERB", "AUX") for t in between):
+                    relations.append(
+                        {
+                            "source": {"text": a.text, "label": a.label_},
+                            "target": {"text": b.text, "label": b.label_},
+                            "description": " ".join(
+                                t.text for t in doc[a.start : b.end]
+                            ),
+                        }
+                    )
+        return ents, relations
