@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "dedup_embedding_pairs",
     "ivf_knn",
     "ivf_knn_refined",
+    "ivf_recall",
+    "ivf_recall_refined",
 ]
 
 

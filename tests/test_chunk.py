@@ -68,3 +68,17 @@ def test_fixed_size_chunks_sql(spark):
     assert out == ["abcd", "efgh", "ij"]
     out2 = df.select(fixed_size_chunks("t", 4, step=2).alias("c")).collect()[0].c
     assert out2 == ["abcd", "cdef", "efgh", "ghij", "ij"]
+
+
+def test_suite_oracle_precondition_no_oversized_tokens(docs):
+    # the recursive-CTE oracle for the chunk_regex suite query
+    # (suite._chunk_regex_sql) omits the oversized-piece shed path;
+    # valid only while no whitespace token reaches the chunk size (120)
+    from pyspark.sql import functions as F
+
+    max_tok = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .agg(F.max(F.length("t")))
+        .collect()[0][0]
+    )
+    assert max_tok < 120

@@ -1028,12 +1028,76 @@ def knn_batch(spark, sf_dir):
     ).select("query_id", "vec_id", "rank")
 
 
-@_q("chunk_regex")  # rows-only: the piece-packing chunker has no SQL oracle
+def _chunk_regex_sql(size: int = 120, overlap: int = 20) -> str:
+    """Recursive-CTE oracle replicating the greedy piece-packing of the
+    D6 RegexChunker (operators/chunk.regex_chunk) exactly: the per-doc
+    state machine (carry overlap suffix + fresh pieces + running char
+    budget) advances one token per recursion step, set-based over all
+    docs at once. Valid for corpora where no single token exceeds
+    ``size`` (max token is 8 chars here — asserted in
+    tests/test_chunk.py); the oversized-piece shed path is then dead
+    code and the oracle omits it."""
+    return rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i, length(toks[i]) AS L
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+    ),
+    cums AS (
+      SELECT doc_id, list_prepend(CAST(0 AS BIGINT), list(cum ORDER BY i)) AS cums0,
+             max(i) AS n
+      FROM (SELECT doc_id, i, sum(L) OVER (PARTITION BY doc_id ORDER BY i) AS cum
+            FROM pos)
+      GROUP BY doc_id
+    ),
+    st AS (
+      SELECT t.doc_id, 0 AS i, 1 AS c_start, CAST(NULL AS INT) AS f_start,
+             CAST(0 AS BIGINT) AS running,
+             CAST(NULL AS INT) AS em_start, CAST(NULL AS INT) AS em_end
+      FROM cums t
+      UNION ALL
+      SELECT s.doc_id, s.i + 1,
+             CASE WHEN emit THEN new_c
+                  WHEN s.f_start IS NULL THEN s.i + 1
+                  ELSE s.c_start END,
+             CASE WHEN emit THEN s.i + 1 ELSE coalesce(s.f_start, s.i + 1) END,
+             CASE WHEN emit THEN (c.cums0[s.i + 1] - c.cums0[new_c]) + Li
+                  ELSE s.running + Li END,
+             CASE WHEN emit THEN s.c_start ELSE NULL END,
+             CASE WHEN emit THEN s.i ELSE NULL END
+      FROM st s
+      JOIN cums c ON c.doc_id = s.doc_id,
+      LATERAL (SELECT c.cums0[s.i + 2] - c.cums0[s.i + 1] AS Li) l1,
+      LATERAL (SELECT (s.f_start IS NOT NULL AND s.running + Li > {size}) AS emit) l2,
+      LATERAL (
+        SELECT s.i + 1 - coalesce(len(list_filter(generate_series(s.f_start, s.i),
+                    j -> c.cums0[s.i + 1] - c.cums0[j] < {overlap})), 0) AS new_c
+      ) l3
+      WHERE s.i < c.n
+    ),
+    emitted AS (
+      SELECT doc_id, em_start AS cs, em_end AS ce FROM st WHERE em_start IS NOT NULL
+      UNION ALL
+      SELECT s.doc_id, s.c_start, s.i FROM st s JOIN cums c ON c.doc_id = s.doc_id
+      WHERE s.i = c.n
+    )
+    SELECT e.doc_id,
+           CAST(row_number() OVER (PARTITION BY e.doc_id ORDER BY e.ce) - 1 AS INT) AS seq_id,
+           array_to_string(list_slice(t.toks, e.cs, e.ce), ' ') AS chunk_text
+    FROM emitted e JOIN toks t ON t.doc_id = e.doc_id
+    """
+
+
+@_q("chunk_regex", _chunk_regex_sql())
 def chunk_regex(spark, sf_dir):
     """D6 RegexChunker over the documents table (space separator — the
     synthetic corpus has no sentence punctuation), exploded with stable
-    seq ids. Behavioral parity with the reference chunker is covered by
-    exact-fixture tests (tests/test_chunk.py)."""
+    seq ids. Oracle: a recursive-CTE rendition of the same greedy
+    packing; behavioral parity with the reference chunker is also
+    covered by exact-fixture tests (tests/test_chunk.py)."""
     from vechord_spark.operators.chunk import regex_chunk_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -1607,12 +1671,42 @@ def ivf_knn_refined(spark, sf_dir):
     ).select("vec_id", F.round("distance", 6).alias("distance"))
 
 
-@_q("lsh_knn")  # rows-only: bucket-pruned search is approximate by design
+def _lsh_sql() -> str:
+    """Exact SQL oracle for the hyperplane-LSH search: the seeded plane
+    matrix is deterministic (numpy default_rng(42)), so both the bucket
+    bits and the multi-probe bucket list are reproducible literals; the
+    pruned exact scoring mirrors the cosine knn oracle."""
+    from vechord_spark.operators.lsh import HyperplaneLsh
+
+    lsh = HyperplaneLsh(dim=64, n_planes=8)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{vals}]) >= 0 THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(repr(float(x)) for x in p), bit=1 << i
+        )
+        for i, p in enumerate(lsh.planes)
+    )
+    probes = ", ".join(str(b) for b in lsh.probe_buckets(QVEC, multi_probe=1))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({bits}) AS bucket FROM v),
+    pruned AS (
+      SELECT vec_id, 1.0 - list_cosine_similarity(v, {_QV_SQL}) AS d
+      FROM b WHERE bucket IN ({probes})
+    )
+    SELECT vec_id, round(d, 6) AS distance
+    FROM pruned
+    ORDER BY d, vec_id
+    LIMIT 10
+    """
+
+
+@_q("lsh_knn", _lsh_sql())
 def lsh_knn(spark, sf_dir):
     """K1 at scale, LSH variant: hyperplane (sign-random-projection)
     buckets + multi-probe pruning before exact scoring — the
     LSH-bucketed companion to the IVF path (partition pruning when the
-    table is laid out by bucket)."""
+    table is laid out by bucket). Seed-deterministic -> exact SQL
+    oracle with the plane matrix inlined as literals."""
     from vechord_spark.operators.lsh import HyperplaneLsh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1621,6 +1715,62 @@ def lsh_knn(spark, sf_dir):
         emb, "embedding", QVEC, k=10, multi_probe=1,
         select=["vec_id"], tie_break="vec_id",
     ).select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+_IVF_RECALL_ORACLE = """
+    SELECT CAST(10 AS INT) AS k, CAST(4 AS INT) AS probes,
+           CAST(0.4 AS DOUBLE) AS recall_floor, CAST(1 AS INT) AS recall_ok
+"""
+
+
+def _ivf_recall_frame(spark, sf_dir, refined: bool):
+    """One-row frame asserting in-plan that IVF probe search recall@10
+    vs exact k-NN meets the documented floor. KMeans is not
+    SQL-expressible, so the oracle pins the CLAIM (config + floor +
+    pass bit) while Spark computes the actual recall distributively —
+    the gate fails if the index ever under-recalls the floor.
+    Measured recall at probes=4: 0.5 (sf0.001) / 0.7 (sf0.01);
+    tests/test_ivf.py asserts the tighter per-sf values."""
+    from vechord_spark.operators.ivf import build_ivf
+    from vechord_spark.operators.knn import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = knn(
+        emb, "embedding", QVEC, k=10, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    ).select("vec_id")
+    index = build_ivf(emb, "embedding", lists=16, seed=42)
+    if refined:
+        approx = index.search_refined(
+            QVEC, k=10, probes=4, refine=200, distance="cos",
+            select=["vec_id"], tie_break="vec_id",
+        )
+    else:
+        approx = index.search(
+            QVEC, k=10, probes=4, distance="cos",
+            select=["vec_id"], tie_break="vec_id",
+        )
+    return approx.select("vec_id").join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("probes"),
+        F.lit(0.4).alias("recall_floor"),
+        (F.count(F.lit(1)) / F.lit(10.0) >= F.lit(0.4)).cast("int").alias("recall_ok"),
+    )
+
+
+@_q("ivf_recall", _IVF_RECALL_ORACLE)
+def ivf_recall(spark, sf_dir):
+    """Deterministic scalar gate for the rows-only ivf_knn: recall@10
+    of the probe search vs exact k-NN, computed in one plan."""
+    return _ivf_recall_frame(spark, sf_dir, refined=False)
+
+
+@_q("ivf_recall_refined", _IVF_RECALL_ORACLE)
+def ivf_recall_refined(spark, sf_dir):
+    """Deterministic scalar gate for the rows-only ivf_knn_refined:
+    recall@10 of the int8 estimate -> exact-rerank search vs exact
+    k-NN, in one plan."""
+    return _ivf_recall_frame(spark, sf_dir, refined=True)
 
 
 @_q(
