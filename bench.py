@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "ivf_knn_refined",
     "ivf_recall",
     "ivf_recall_refined",
+    "maxsim_ivf_recall",
 ]
 
 

@@ -206,6 +206,90 @@ def build_ivf(
     return IvfIndex(centroids, assigned, vec_col)
 
 
+class MultiVecIvfIndex:
+    """IVF for MULTIVECTOR columns — the ``MultiVectorIndex`` analog
+    (reference vechord/spec.py:447-464): centroids are fit over each
+    row's mean vector, probe pruning selects candidate rows by the
+    centroids nearest to ANY query vector, and exact MaxSim (optionally
+    int8-free mean-estimate refine, operators/maxsim.py) reranks the
+    survivors. With the table written ``partitionBy(centroid_id)`` the
+    probe filter is partition pruning, exactly like the single-vector
+    index."""
+
+    def __init__(self, inner: IvfIndex, mv_col: str):
+        self.inner = inner  # vec_col = "__mean"; assigned keeps mv_col
+        self.mv_col = mv_col
+
+    @property
+    def lists(self) -> int:
+        return self.inner.lists
+
+    def probe_ids(
+        self, query_vectors: Sequence[Sequence[float]], probes: int
+    ) -> list[int]:
+        """Union of the ``probes`` nearest centroids per query vector —
+        every query vector gets its own probe set because late-
+        interaction queries are multi-faceted by design."""
+        ids: list[int] = []
+        for q in query_vectors:
+            for c in self.inner.nearest_centroids(q, probes):
+                if c not in ids:
+                    ids.append(c)
+        return ids
+
+    def search(
+        self,
+        query_vectors: Sequence[Sequence[float]],
+        k: int = 10,
+        probes: int | None = None,
+        refine: int | None = None,
+        select: Sequence[str] | None = None,
+        tie_break: str | None = None,
+    ) -> DataFrame:
+        from vechord_spark.operators.maxsim import maxsim_topk, maxsim_topk_refined
+
+        if probes is None:
+            probes = default_probes(self.lists)
+        ids = self.probe_ids(query_vectors, probes)
+        pruned = self.inner.assigned.filter(F.col("centroid_id").isin(ids)).drop(
+            "centroid_id", "__mean"
+        )
+        qs = [list(q) for q in query_vectors]
+        if refine is not None:
+            return maxsim_topk_refined(
+                pruned, self.mv_col, qs, k=k, refine=refine,
+                select=select, tie_break=tie_break,
+            )
+        return maxsim_topk(
+            pruned, self.mv_col, qs, k=k, select=select, tie_break=tie_break
+        )
+
+    def write_clustered(self, path: str) -> None:
+        self.inner.write_clustered(path)
+
+
+def build_multivec_ivf(
+    df: DataFrame,
+    mv_col: str,
+    lists: int,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> MultiVecIvfIndex:
+    """Fit IVF centroids over per-row MEAN vectors of a multivector
+    column and assign every row. The mean is a pure SQL expression
+    (operators/maxsim.mean_vector) so the only Python is the KMeans fit
+    + Arrow argmin assignment, same as the single-vector path."""
+    from vechord_spark.operators.maxsim import mean_vector
+
+    withmean = df.withColumn("__mean", mean_vector(mv_col))
+    inner = build_ivf(
+        withmean, "__mean", lists,
+        sample_fraction=sample_fraction, seed=seed, max_iter=max_iter,
+    )
+    return MultiVecIvfIndex(inner, mv_col)
+
+
 def assign_centroids(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
     """Attach ``centroid_id`` = argmin_c L2(vec, centroid_c).
 

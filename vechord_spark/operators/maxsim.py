@@ -112,6 +112,19 @@ def maxsim_pandas_scorer(query_vectors: Sequence[Sequence[float]]):
     return _score
 
 
+def mean_vector(doc_col: str | Column) -> Column:
+    """Per-row mean of a multivector column (array<array<float>>), in
+    DOUBLE — the coarse single-vector summary used by the refine
+    estimate and the multivector IVF index (operators/ivf.py)."""
+    doc = F.col(doc_col) if isinstance(doc_col, str) else doc_col
+    dim_template = F.element_at(doc, 1)
+    zero = F.transform(dim_template, lambda x: F.lit(0.0))
+    summed = F.aggregate(
+        doc, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double"))
+    )
+    return F.transform(summed, lambda s: s / F.size(doc))
+
+
 def maxsim_topk_refined(
     df: DataFrame,
     doc_col: str,
@@ -132,13 +145,7 @@ def maxsim_topk_refined(
     """
     from vechord_spark.functions.vector import dot_product
 
-    doc = F.col(doc_col)
-    dim_template = F.element_at(doc, 1)
-    zero = F.transform(dim_template, lambda x: F.lit(0.0))
-    summed = F.aggregate(
-        doc, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double"))
-    )
-    mean = F.transform(summed, lambda s: s / F.size(doc))
+    mean = mean_vector(doc_col)
     est = None
     for q in query_vectors:
         term = dot_product(mean, list(q))

@@ -336,6 +336,60 @@ class VechordRegistry:
         cents.write.parquet(str(ipath / "centroids"))
         return n_lists
 
+    def _mv_index_path(self, name: str) -> Path:
+        return self.base_path / f"{self.namespace}_{name}.mvivf"
+
+    def build_multivec_index(
+        self, name: str, lists: int | None = None, max_iter: int = 8
+    ) -> int:
+        """Build + persist the multivector IVF index — the
+        ``MultiVectorIndex`` analog (reference vechord/spec.py:447-464):
+        KMeans centroids over per-row MEAN vectors, table rewritten
+        ``partitionBy(centroid_id)`` so MaxSim probe filters become
+        partition pruning (operators/ivf.MultiVecIvfIndex)."""
+        from vechord_spark.operators.ivf import build_multivec_ivf
+
+        spec = self._spec(name)
+        mv_col = spec.multivec_column
+        if mv_col is None:
+            raise SchemaError(f"table {name} has no multivector column")
+        df = self.load(name)
+        n = df.count()
+        if n == 0:
+            raise SchemaError(f"cannot index empty table {name}")
+        n_lists = lists or max(2, int(round(n**0.5)))
+        index = build_multivec_ivf(df, mv_col.name, n_lists, max_iter=max_iter)
+        ipath = self._mv_index_path(name)
+        if ipath.exists():
+            shutil.rmtree(ipath)
+        index.write_clustered(str(ipath / "data"))
+        cents = self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(index.inner.centroids)],
+            "centroid_id int, vec array<double>",
+        )
+        cents.write.parquet(str(ipath / "centroids"))
+        return n_lists
+
+    def _load_multivec_index(self, name: str):
+        import numpy as np
+
+        from vechord_spark.operators.ivf import IvfIndex, MultiVecIvfIndex
+
+        ipath = self._mv_index_path(name)
+        if not (ipath / "data").exists():
+            return None
+        spec = self._spec(name)
+        rows = (
+            self.spark.read.parquet(str(ipath / "centroids"))
+            .orderBy("centroid_id")
+            .collect()
+        )
+        centroids = np.array([r.vec for r in rows])
+        assigned = self.spark.read.parquet(str(ipath / "data"))
+        return MultiVecIvfIndex(
+            IvfIndex(centroids, assigned, "__mean"), spec.multivec_column.name
+        )
+
     def _load_vector_index(self, name: str):
         from vechord_spark.operators.ivf import IvfIndex
 
@@ -420,12 +474,18 @@ class VechordRegistry:
         topk: int = 10,
         return_fields: Sequence[str] | None = None,
         maxsim_refine: int | None = None,
+        probes: int | None = None,
     ) -> DataFrame:
         """MaxSim top-k (reference vechord/registry.py:227-267).
 
         ``maxsim_refine`` enables the two-phase path: mean-vector
         estimate narrows to ``refine`` candidates, exact MaxSim reranks
-        (reference GUC default 1000, vechord/registry.py:233)."""
+        (reference GUC default 1000, vechord/registry.py:233).
+
+        With ``probes`` set, searches the persisted multivector IVF
+        layout (build_multivec_index) — probe filters prune whole
+        partitions of the clustered copy, the MultiVectorIndex analog
+        (reference vechord/spec.py:447-464)."""
         from vechord_spark.operators.maxsim import maxsim_topk, maxsim_topk_refined
 
         from vechord_spark.errors import DimensionMismatch
@@ -442,6 +502,21 @@ class VechordRegistry:
                 )
         fields = list(return_fields) if return_fields else spec.non_vec_columns()
         pk = spec.primary_key
+        if probes is not None:
+            index = self._load_multivec_index(name)
+            if index is None:
+                raise SchemaError(
+                    f"no multivector IVF index for {name}; "
+                    "call build_multivec_index first"
+                )
+            return index.search(
+                [list(v) for v in vectors],
+                k=topk,
+                probes=probes,
+                refine=maxsim_refine,
+                select=fields,
+                tie_break=pk.name if pk else None,
+            )
         if maxsim_refine is not None:
             return maxsim_topk_refined(
                 self.load(name),

@@ -1758,6 +1758,49 @@ def _ivf_recall_frame(spark, sf_dir, refined: bool):
     )
 
 
+@_q(
+    "maxsim_ivf_recall",
+    """
+    SELECT CAST(10 AS INT) AS k, CAST(8 AS INT) AS lists,
+           CAST(4 AS INT) AS probes, CAST(0.5 AS DOUBLE) AS recall_floor,
+           CAST(1 AS INT) AS recall_ok
+    """,
+)
+def maxsim_ivf_recall(spark, sf_dir):
+    """Deterministic scalar gate for the multivector IVF index (the
+    MultiVectorIndex analog, reference vechord/spec.py:447-464):
+    recall@10 of probe-pruned MaxSim vs exact MaxSim over the
+    synthesized multivector table, one plan. Measured recall at
+    lists=8/probes=4: 1.0 at both sf0.001 and sf0.01 (floor 0.5 for
+    slack against KMeans re-seeding)."""
+    from vechord_spark.operators.ivf import build_multivec_ivf
+    from vechord_spark.operators.maxsim import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mv = emb.groupBy(
+        F.floor(F.col("vec_id") / 5).cast("long").alias("mv_id")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+            lambda s: s["embedding"],
+        ).alias("vecs")
+    )
+    exact = maxsim_topk(
+        mv, "vecs", [QVEC, QVEC2], k=10, select=["mv_id"], tie_break="mv_id"
+    ).select("mv_id")
+    index = build_multivec_ivf(mv, "vecs", lists=8, seed=42)
+    approx = index.search(
+        [QVEC, QVEC2], k=10, probes=4, select=["mv_id"], tie_break="mv_id"
+    )
+    return approx.select("mv_id").join(exact, "mv_id").agg(
+        F.lit(10).alias("k"),
+        F.lit(8).alias("lists"),
+        F.lit(4).alias("probes"),
+        F.lit(0.5).alias("recall_floor"),
+        (F.count(F.lit(1)) / F.lit(10.0) >= F.lit(0.5)).cast("int").alias("recall_ok"),
+    )
+
+
 @_q("ivf_recall", _IVF_RECALL_ORACLE)
 def ivf_recall(spark, sf_dir):
     """Deterministic scalar gate for the rows-only ivf_knn: recall@10
