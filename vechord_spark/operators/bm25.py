@@ -69,14 +69,17 @@ class Bm25Index:
         self.k1 = k1
         self.b = b
         tokens = df.select(
-            F.col(doc_id).alias("doc_id"), tokenize(text_col).alias("terms")
-        )
-        self.doclen = tokens.select(
-            "doc_id", F.size("terms").alias("dl")
-        )
+            F.col(doc_id).alias("doc_id"),
+            tokenize(text_col).alias("terms"),
+        ).withColumn("dl", F.size("terms"))
+        self.doclen = tokens.select("doc_id", "dl")
+        # dl is FOLDED INTO the postings at build time (it is functionally
+        # dependent on doc_id, so the groupBy key extension is free):
+        # query-time scoring then needs NO doclen join — the only
+        # non-broadcast relation in a query plan is the postings scan.
         self.postings = (
-            tokens.select("doc_id", F.explode("terms").alias("term"))
-            .groupBy("term", "doc_id")
+            tokens.select("doc_id", "dl", F.explode("terms").alias("term"))
+            .groupBy("term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
         self.docfreq = self.postings.groupBy("term").agg(
@@ -103,9 +106,16 @@ class Bm25Index:
         qterms = spark.createDataFrame([(t,) for t in terms], "term string")
         k1, b = self.k1, self.b
         matched = self.postings.join(F.broadcast(qterms), "term")
+        if "dl" not in self.postings.columns:
+            # compat: postings persisted before dl folding — pay the
+            # doclen join (rebuild_keyword_index to upgrade the layout)
+            matched = matched.join(self.doclen, "doc_id")
+        # docfreq pruned to the query terms BEFORE broadcasting: the
+        # full per-term table grows with the vocabulary, the pruned one
+        # is |query| rows
+        docfreq_q = self.docfreq.join(F.broadcast(qterms), "term")
         scored = (
-            matched.join(F.broadcast(self.docfreq), "term")
-            .join(self.doclen, "doc_id")
+            matched.join(F.broadcast(docfreq_q), "term")
             .crossJoin(F.broadcast(self.stats))
             .withColumn(
                 "idf",
