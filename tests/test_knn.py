@@ -80,3 +80,27 @@ def test_knn_plan_is_take_ordered(emb_np):
     df, _, _ = emb_np
     plan = knn(df, "embedding", QUERY, k=10).limit(10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_join_partial_limit_before_exchange(spark, emb):
+    # scale guard: the rank<=k filter must compile to a PARTIAL
+    # WindowGroupLimit BELOW the shuffle, so each partition forwards at
+    # most k rows per query instead of the full |Q| x |corpus| pairs
+    import pyspark.sql.functions as F
+
+    from vechord_spark.operators.knn import knn_join
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    df = knn_join(q, emb, "qv", "embedding", "query_id", "vec_id", k=5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    lines = plan.splitlines()
+    exchange_at = min(
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning(__qid" in l
+    )
+    assert any(
+        "WindowGroupLimit" in l for l in lines[exchange_at:]
+    ), plan  # partial limit below the exchange (printed deeper in the tree)

@@ -79,9 +79,15 @@ def knn_join(
     Used by evaluation harnesses and embedding-based near-dup search.
     Plan shape: broadcast the (small) query set against the corpus scan,
     score JVM-side, then a per-query window top-k. The corpus never
-    shuffles by itself — only the scored pairs (|Q| × |corpus| rows
-    filtered down by the window) move, and with AQE the rank filter
-    runs as a partial top-k per partition.
+    shuffles by itself, and the scored |Q| x |corpus| pair space never
+    reaches the exchange either: the ``rank <= k`` filter compiles to a
+    PARTIAL ``WindowGroupLimit`` below the exchange (Spark's
+    InferWindowGroupLimit rewrite), so each input partition forwards at
+    most k rows per query — the per-partition top-k pre-reduction,
+    supplied by the optimizer rather than hand-rolled. The plan shape is
+    pinned by tests/test_knn.py::test_knn_join_partial_limit_before_exchange;
+    a manual (partition_id, query) pre-window would instead ADD a
+    full-volume exchange on its own keys.
 
     Returns columns: ``query_id, corpus_id, distance, rank``.
     """
