@@ -64,6 +64,9 @@ class PipelineRun:
         self._staged.append((table, path))
         return self.registry.spark.read.schema(spec.struct_type()).parquet(str(path))
 
+    def _manifest_path(self) -> Path:
+        return Path(self.registry.base_path) / ".staging" / self.run_id / "COMMIT.json"
+
     def commit(self) -> None:
         """Publish every staged output into its live table directory.
 
@@ -73,21 +76,41 @@ class PipelineRun:
         and already-moved files of this run (files are identifiable by
         the run_id prefix) — all-or-nothing like the reference's
         transaction rollback (tests/test_table.py:261-298).
+
+        Crash safety: the full target list is journaled to COMMIT.json
+        BEFORE any file moves and deleted only after the last move, so
+        a process death mid-publish leaves a manifest naming exactly
+        the files that may be half-published;
+        ``recover_incomplete_runs`` rolls such runs back to the pre-run
+        state. A manifest-free crash state needs no recovery.
         """
+        import json
+
+        plan: list[tuple[str, Path, Path]] = []
+        for table, path in self._staged:
+            live = Path(self.registry.table_path(table))
+            for i, part in enumerate(sorted(path.glob("part-*"))):
+                target = live / f"part-{self.run_id}-{i}{''.join(part.suffixes)}"
+                plan.append((table, part, target))
+        manifest = self._manifest_path()
+        manifest.parent.mkdir(parents=True, exist_ok=True)
+        manifest.write_text(
+            json.dumps(
+                {"run_id": self.run_id, "targets": [str(t) for _, _, t in plan]}
+            )
+        )
         moved: list[Path] = []
         try:
-            for table, path in self._staged:
-                live = Path(self.registry.table_path(table))
-                live.mkdir(parents=True, exist_ok=True)
-                for i, part in enumerate(sorted(path.glob("part-*"))):
-                    target = live / f"part-{self.run_id}-{i}{''.join(part.suffixes)}"
-                    shutil.move(str(part), str(target))
-                    moved.append(target)
+            for table, part, target in plan:
+                target.parent.mkdir(parents=True, exist_ok=True)
+                shutil.move(str(part), str(target))
+                moved.append(target)
         except Exception:
             for m in moved:
                 m.unlink(missing_ok=True)
             self.abort()
             raise
+        manifest.unlink(missing_ok=True)
         self._cleanup()
 
     def abort(self) -> None:
@@ -104,6 +127,31 @@ class PipelineRun:
         if root.exists():
             shutil.rmtree(root)
         self._staged.clear()
+
+
+def recover_incomplete_runs(registry: VechordRegistry) -> list[str]:
+    """Roll back pipeline runs that died mid-publish.
+
+    Scans staging for leftover COMMIT.json manifests (a completed
+    commit deletes its manifest as the last step); for each, removes
+    any target part files the dead run managed to publish and sweeps
+    its staging dir — tables return to their pre-run state, matching
+    abort() semantics. Returns the recovered run ids.
+    """
+    import json
+
+    recovered: list[str] = []
+    staging_root = Path(registry.base_path) / ".staging"
+    for manifest in sorted(staging_root.glob("*/COMMIT.json")):
+        try:
+            info = json.loads(manifest.read_text())
+        except (OSError, ValueError):
+            continue
+        for target in info.get("targets", []):
+            Path(target).unlink(missing_ok=True)
+        shutil.rmtree(manifest.parent, ignore_errors=True)
+        recovered.append(info.get("run_id", manifest.parent.name))
+    return recovered
 
 
 class VechordPipeline:

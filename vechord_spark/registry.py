@@ -104,8 +104,48 @@ class VechordRegistry:
         spec = self._spec(name)
         path = Path(self.table_path(name))
         if not path.exists():
+            # a missing live dir is only legitimate for a never-written
+            # table; if a rewrite intent references it, the process died
+            # inside the publish window — recover instead of silently
+            # serving an empty table
+            self._recover_rewrite(name)
+        if not path.exists():
             return self.spark.createDataFrame([], spec.struct_type())
         return self.spark.read.schema(spec.struct_type()).parquet(str(path))
+
+    def _recover_rewrite(self, name: str) -> bool:
+        """Roll a crashed ``_rewrite`` forward or back from its intent
+        journal. Forward when the staged survivors still exist (finish
+        the publish), back when only the trash copy does (restore the
+        old table). Returns True if a recovery happened."""
+        import json
+
+        live = Path(self.table_path(name))
+        for intent_path in sorted(
+            (self.base_path / ".staging").glob("rewrite-*/INTENT.json")
+        ):
+            try:
+                intent = json.loads(intent_path.read_text())
+            except (OSError, ValueError):
+                continue
+            if intent.get("table") != name or live.exists():
+                continue
+            staging = Path(intent["staging"])
+            trash = Path(intent["trash"])
+            if staging.exists():
+                live.parent.mkdir(parents=True, exist_ok=True)
+                staging.rename(live)  # roll forward: survivors win
+            elif trash.exists():
+                live.parent.mkdir(parents=True, exist_ok=True)
+                trash.rename(live)  # roll back: old table restored
+            else:
+                continue
+            intent_path.unlink(missing_ok=True)
+            for scratch in (staging.parent, trash.parent):
+                if scratch.exists():
+                    shutil.rmtree(scratch, ignore_errors=True)
+            return True
+        return False
 
     # ---------------------------------------------------------------- write
     def append(self, name: str, df: DataFrame, check_unique: bool = True) -> int:
@@ -248,10 +288,21 @@ class VechordRegistry:
         directory (the live files ``df`` reads from stay intact during
         the write), then published with two directory renames — no row
         ever passes through the driver, so the rewrite scales with the
-        cluster, not driver memory. A crash before the final rename
-        leaves the old table untouched; leftover ``.staging`` /
-        ``.trash`` dirs are run-id scoped and safe to sweep.
+        cluster, not driver memory.
+
+        Crash safety: the publish window between the two renames is NOT
+        atomic — for its duration the live path is absent. An intent
+        journal (INTENT.json, written before the first rename) makes
+        every crash state recoverable: ``load`` detects the missing
+        live dir, rolls FORWARD from the surviving staging copy or BACK
+        from the trash copy (``_recover_rewrite``), and never silently
+        serves an empty table. A crash before the journal write leaves
+        the old table untouched. On object stores without atomic
+        renames, point ``base_path`` at a posix-rename filesystem or
+        front the table with a manifest catalog; the journal protocol
+        is the same.
         """
+        import json
         import uuid
 
         spec = self._spec(name)
@@ -260,10 +311,22 @@ class VechordRegistry:
         df.select(*spec.field_names).write.mode("overwrite").parquet(str(staging))
         live = Path(self.table_path(name))
         trash = self.base_path / ".trash" / f"rewrite-{run_id}" / name
+        intent_path = staging.parent / "INTENT.json"
+        intent_path.write_text(
+            json.dumps(
+                {
+                    "table": name,
+                    "staging": str(staging),
+                    "live": str(live),
+                    "trash": str(trash),
+                }
+            )
+        )
         if live.exists():
             trash.parent.mkdir(parents=True, exist_ok=True)
             live.rename(trash)
         staging.rename(live)
+        intent_path.unlink(missing_ok=True)
         for scratch in (staging.parent, trash.parent):
             if scratch.exists():
                 shutil.rmtree(scratch)
