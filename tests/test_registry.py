@@ -301,8 +301,39 @@ def test_auto_increment_assigns_unique_increasing_ids(spark, tmp_path):
     assert 10_000 in {r.uid for r in reg.load("log").collect()}
 
 
-def test_auto_increment_requires_int():
+def test_auto_increment_requires_long():
     from vechord_spark.errors import SchemaError
 
-    with pytest.raises(SchemaError, match="integer"):
+    with pytest.raises(SchemaError, match="long"):
         Column("uid", "string", auto_increment=True)
+    # 32-bit columns are rejected too: the generator strides 2^33 per
+    # partition (monotonically_increasing_id), which overflows INT on
+    # any multi-partition batch
+    from pyspark.sql import types as T
+
+    with pytest.raises(SchemaError, match="long"):
+        Column("uid", T.IntegerType(), auto_increment=True)
+
+
+def test_auto_increment_mixed_batch_per_row_generation(spark, tmp_path):
+    # reference sequence-default semantics: a batch mixing explicit and
+    # omitted serial values fills ONLY the omitted ones
+    reg = VechordRegistry("serialmix", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "log",
+            [
+                Column("uid", "long", primary_key=True, auto_increment=True),
+                Column("msg", "string"),
+            ],
+        )
+    )
+    n = reg.insert_rows(
+        "log", [{"uid": 7, "msg": "explicit"}, {"msg": "gen1"}, {"msg": "gen2"}]
+    )
+    assert n == 3
+    rows = {r.msg: r.uid for r in reg.load("log").collect()}
+    assert rows["explicit"] == 7
+    assert len(set(rows.values())) == 3
+    # generated ids seed past the explicit ones
+    assert rows["gen1"] > 7 and rows["gen2"] > 7

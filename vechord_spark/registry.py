@@ -226,13 +226,30 @@ class VechordRegistry:
         rows = list(rows)
         cols = list(spec.columns)
         ai = spec.auto_increment_column
-        if ai is not None and all(r.get(ai.name) is None for r in rows):
-            # leave the serial column out; append() generates it
-            cols = [c for c in cols if c.name != ai.name]
-        full = [{c.name: _coerce(c, r.get(c.name)) for c in cols} for r in rows]
-        schema = T.StructType([c.to_field() for c in cols])
-        df = self.spark.createDataFrame(full, schema)
-        return self.append(name, df)
+
+        def _frame(subset, columns):
+            full = [{c.name: _coerce(c, r.get(c.name)) for c in columns} for r in subset]
+            return self.spark.createDataFrame(
+                full, T.StructType([c.to_field() for c in columns])
+            )
+
+        if ai is not None:
+            # per-row sequence-default semantics (reference: Postgres
+            # fills only the omitted values, vechord/spec.py:213-255):
+            # rows with explicit serial values insert as-is, rows
+            # omitting them get generated ids — a mixed batch splits
+            # into both appends (explicit first, so generation seeds
+            # past them)
+            explicit = [r for r in rows if r.get(ai.name) is not None]
+            implicit = [r for r in rows if r.get(ai.name) is None]
+            n = 0
+            if explicit:
+                n += self.append(name, _frame(explicit, cols))
+            if implicit:
+                no_ai = [c for c in cols if c.name != ai.name]
+                n += self.append(name, _frame(implicit, no_ai))
+            return n
+        return self.append(name, _frame(rows, cols))
 
     # --------------------------------------------------------------- select
     def select_by(

@@ -217,12 +217,15 @@ class Column:
             # declared UNIQUE columns.
             self.nullable = False
             self.unique = True
-        if self.auto_increment and self.spark_type.typeName() not in (
-            "long",
-            "integer",
-        ):
+        if self.auto_increment and self.spark_type.typeName() != "long":
+            # 64-bit only, like the reference's BIGSERIAL
+            # (vechord/spec.py:213-255): generated ids stride 2^33 per
+            # partition (monotonically_increasing_id), which overflows
+            # a 32-bit column on any multi-partition batch
             raise SchemaError(
-                f"auto_increment column {self.name!r} must be integer-typed"
+                f"auto_increment column {self.name!r} must be 'long' "
+                "(BIGSERIAL semantics; 32-bit ids overflow the "
+                "partition stride)"
             )
         if isinstance(self.index, UniqueIndex):
             self.unique = True
