@@ -1,0 +1,70 @@
+"""Loaders + extractors (S1/S2/S8, D1-D3): directory loading with
+digests, extension dispatch, NFKC, and PDF extraction over the
+checked-in fixture."""
+
+from pathlib import Path
+
+import pytest
+
+from vechord_spark.sources.loaders import (
+    extract_html,
+    extract_pdf,
+    extract_text,
+    extract_udf,
+    load_dir,
+    read_jsonl,
+    read_qrels_tsv,
+)
+
+FIXTURE = Path(__file__).parent / "fixtures" / "tiny.pdf"
+
+
+def test_extract_pdf_fixture():
+    text = extract_pdf(FIXTURE.read_bytes())
+    # Tj + TJ segments, octal/paren escapes unescaped
+    assert text == "Hello PDFworld (escaped)"
+
+
+def test_extract_text_dispatch_and_nfkc():
+    assert extract_text(FIXTURE.read_bytes(), "pdf").startswith("Hello PDF")
+    assert extract_text(b"<p>hi<script>x()</script></p>", "html") == "hi"
+    # NFKC folds the ligature
+    assert extract_text("ﬁn".encode(), "txt") == "fin"
+
+
+def test_extract_html_skips_script_style():
+    html = b"<html><style>.a{}</style><body>keep <b>me</b></body></html>"
+    assert extract_html(html) == "keep me"
+
+
+def test_load_dir_and_extract_udf(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("plain text")
+    (tmp_path / "b.html").write_text("<p>markup</p>")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "c.pdf").write_bytes(FIXTURE.read_bytes())
+    (tmp_path / "skip.bin").write_bytes(b"\x00")
+
+    df = load_dir(spark, str(tmp_path))
+    rows = {r.ext: r for r in df.collect()}
+    assert set(rows) == {"txt", "html", "pdf"}  # .bin filtered, subdir walked
+    assert all(len(r.digest) == 64 for r in rows.values())
+
+    out = df.withColumn("text", extract_udf()(df["data"], df["ext"]))
+    texts = {r.ext: r.text for r in out.collect()}
+    assert texts["txt"] == "plain text"
+    assert texts["html"] == "markup"
+    assert texts["pdf"] == "Hello PDFworld (escaped)"
+
+
+def test_jsonl_and_qrels_readers(spark, tmp_path):
+    (tmp_path / "corpus.jsonl").write_text(
+        '{"_id": "d1", "text": "alpha"}\n{"_id": "d2", "text": "beta"}\n'
+    )
+    corpus = read_jsonl(spark, str(tmp_path / "corpus.jsonl"))
+    assert corpus.count() == 2
+    (tmp_path / "qrels.tsv").write_text(
+        "query-id\tcorpus-id\tscore\nq1\td1\t1\nq1\td2\t0\n"
+    )
+    qrels = read_qrels_tsv(spark, str(tmp_path / "qrels.tsv"))
+    got = {(r.query_id, r.doc_id): r.relevance for r in qrels.collect()}
+    assert got == {("q1", "d1"): 1, ("q1", "d2"): 0}

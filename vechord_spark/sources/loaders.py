@@ -6,11 +6,11 @@ mtime). Spark's ``binaryFile`` source does the same distributed: one
 row per file with path/modificationTime/length/content, and the digest
 is a codegen'd ``sha2``.
 
-Extractors (vechord/extract.py): PDF via pypdfium2, HTML via stdlib
-parser, TXT passthrough + NFKC normalization. pypdfium2 is not in this
-container, so PDF extraction is a clearly-marked stub; HTML/TXT are
-real. OCR extractors (Gemini/LlamaParse, extract.py:103-169) are
-external-API stages — stubbed with the same signature.
+Extractors (vechord/extract.py): PDF via pypdfium2 when installed
+(pure-stdlib Flate/Tj fallback otherwise — see extract_pdf), HTML via
+stdlib parser, TXT passthrough + NFKC normalization. OCR extractors
+(Gemini/LlamaParse, extract.py:103-169) are external-API stages —
+their HTTP clients live in providers_http.
 """
 
 from __future__ import annotations
@@ -84,11 +84,81 @@ def extract_html(data: bytes) -> str:
 
 
 def extract_pdf(data: bytes) -> str:
-    """STUB: pypdfium2 (reference vechord/extract.py:71-78) is not
-    available in this environment. The Spark-side plumbing (binary
-    column in, text out via the same dispatch) is real and tested with
-    txt/html."""
-    raise NotImplementedError("PDF extraction requires pypdfium2 (not installed)")
+    """PDF -> text (reference vechord/extract.py:71-78 uses pypdfium2).
+
+    Uses pypdfium2 when installed; otherwise a pure-stdlib fallback
+    that inflates FlateDecode content streams and reads the text-show
+    operators (Tj / ' / TJ) with PDF string unescaping. The fallback
+    covers simple generator output (standard encodings, no CID fonts) —
+    enough for plumbing tests and plain machine-generated PDFs; install
+    pypdfium2 for full-fidelity extraction.
+    """
+    try:
+        import pypdfium2
+    except ImportError:
+        return _extract_pdf_fallback(data)
+    pdf = pypdfium2.PdfDocument(data)
+    try:
+        return "\n".join(page.get_textpage().get_text_bounded() for page in pdf)
+    finally:
+        pdf.close()
+
+
+_PDF_STR = rb"\(((?:\\.|[^\\()])*)\)"
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= len(raw):
+            break
+        e = raw[i : i + 1]
+        simple = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                  b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+        if e in simple:
+            out += simple[e]
+            i += 1
+        elif e.isdigit():  # octal escape, up to 3 digits
+            j = i
+            while j < len(raw) and j - i < 3 and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i:j], 8) & 0xFF)
+            i = j
+        else:  # line continuation or unknown escape: keep the char
+            out += e
+            i += 1
+    return out.decode("latin-1")
+
+
+def _extract_pdf_fallback(data: bytes) -> str:
+    import re
+    import zlib
+
+    pieces: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", data, re.S):
+        content = m.group(1)
+        try:
+            content = zlib.decompress(content)
+        except zlib.error:
+            pass
+        found: list[str] = []
+        # (text) Tj and (text) ' show a string; [(a) -20 (b)] TJ shows
+        # an array of strings with kerning numbers interleaved
+        for sm in re.finditer(_PDF_STR + rb"\s*(?:Tj|')", content):
+            found.append(_pdf_unescape(sm.group(1)))
+        for tm in re.finditer(rb"\[((?:" + _PDF_STR + rb"|[^\]])*)\]\s*TJ", content):
+            for s in re.finditer(_PDF_STR, tm.group(1)):
+                found.append(_pdf_unescape(s.group(1)))
+        if found:
+            pieces.append("".join(found))
+    return "\n".join(pieces)
 
 
 def extract_text(data: bytes, ext: str) -> str:
