@@ -64,13 +64,24 @@ class Bm25Index:
         text_col: str,
         k1: float = DEFAULT_K1,
         b: float = DEFAULT_B,
+        tokenizer=None,
     ) -> None:
+        """``tokenizer``: optional object with ``column(col) -> Column``
+        (array<string>) and ``tokenize(str) -> list[str]`` — e.g.
+        functions/wordpiece.WordPieceTokenizer for bert_base_uncased
+        parity (reference Keyword model, vechord/spec.py:258-295).
+        Default None = the engine's documented simple regex tokenizer.
+        """
         self.doc_id = doc_id
         self.k1 = k1
         self.b = b
+        self.tokenizer = tokenizer
+        terms_col = (
+            tokenizer.column(text_col) if tokenizer else tokenize(text_col)
+        )
         tokens = df.select(
             F.col(doc_id).alias("doc_id"),
-            tokenize(text_col).alias("terms"),
+            terms_col.alias("terms"),
         ).withColumn("dl", F.size("terms"))
         self.doclen = tokens.select("doc_id", "dl")
         # dl is FOLDED INTO the postings at build time (it is functionally
@@ -146,7 +157,13 @@ class Bm25Index:
         Default topk=10 (vechord/registry.py:272)."""
         from vechord_spark.operators.topk import ranked_topk
 
-        terms = _query_terms(self.postings.sparkSession, query)
+        if self.tokenizer is not None:
+            seen: dict[str, None] = {}
+            for t in self.tokenizer.tokenize(query):
+                seen.setdefault(t)
+            terms = list(seen)
+        else:
+            terms = _query_terms(self.postings.sparkSession, query)
         scores = self.score(terms)
         # TakeOrderedAndProject + rank over the k survivors — never a
         # global single-partition window over all scored docs

@@ -216,16 +216,27 @@ def ngram_jaccard(
     zero-overlap candidate pairs (the postings path cannot emit them);
     any positive threshold makes them identical.
     """
-    sets = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
-    )
     if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        # shingle arrays are the expensive projection — compute them
+        # ONLY for docs that appear in a candidate pair (a semi-join
+        # before the projection), not the whole corpus
+        needed = (
+            cand.select(F.col("doc_a").alias(id_col))
+            .union(cand.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        sets = (
+            df.join(needed, id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
+            )
+        )
         sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("__sha"))
         sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("__shb"))
         out = (
-            candidates.select("doc_a", "doc_b")
-            .distinct()
+            cand
             .join(sa, "doc_a")
             .join(sb, "doc_b")
             .withColumn("n_inter", F.size(F.array_intersect("__sha", "__shb")))
@@ -244,6 +255,10 @@ def ngram_jaccard(
         if threshold > 0:
             out = out.filter(F.col("jaccard") >= threshold)
         return out
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
+    )
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"), "sh")
     posts = sets.select("doc_id", F.explode("sh").alias("shingle"))
     pa = posts.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
