@@ -656,6 +656,7 @@ class VechordRegistry:
         idx.doc_id = spec.primary_key.name
         idx.k1 = kw_idx.k1
         idx.b = kw_idx.b
+        idx.tokenizer = None  # persisted layout pins the engine tokenizer
         idx.postings = self.spark.read.parquet(str(ipath / "postings"))
         idx.doclen = self.spark.read.parquet(str(ipath / "doclen"))
         idx.docfreq = self.spark.read.parquet(str(ipath / "docfreq"))
