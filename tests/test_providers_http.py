@@ -242,3 +242,65 @@ def test_parse_helpers():
     assert parse_rerank_indices({"results": []}) == []
     resp = {"data": [{"index": 0, "embedding": b64_f32([1.25])}]}
     assert parse_indexed_embeddings(resp) == [[1.25]]
+
+
+def test_jina_rerank_multimodal_payloads():
+    from vechord_spark.providers_http import (
+        JinaRerankClient,
+        jina_rerank_multimodal_payload,
+    )
+
+    p = jina_rerank_multimodal_payload("q", ["http://img/1", "http://img/2"], "image")
+    assert p["documents"] == [{"image": "http://img/1"}, {"image": "http://img/2"}]
+    p2 = jina_rerank_multimodal_payload("q", ["a"], "text")
+    assert p2["documents"] == [{"text": "a"}]
+    with pytest.raises(ValueError):
+        jina_rerank_multimodal_payload("q", ["a"], "audio")
+    t = FakeTransport(
+        (200, {"results": [{"index": 1, "relevance_score": 0.9}, {"index": 0, "relevance_score": 0.1}]})
+    )
+    c = JinaRerankClient(api_key="jk", transport=t)
+    assert c.rerank_multimodal("q", ["i1", "i2"], "image") == [1, 0]
+    assert t.calls[0][2]["documents"][0] == {"image": "i1"}
+
+
+def test_splade_sparse_client():
+    from vechord_spark.providers_http import SpladeEmbeddingClient
+
+    class T:
+        def __init__(self):
+            self.calls = []
+
+        def post(self, url, headers, body):
+            self.calls.append((url, json.loads(body)))
+            return 200, json.dumps([{"5": 0.5, "11": 1.25}, {"2": 0.75}]).encode()
+
+    t = T()
+    c = SpladeEmbeddingClient(base_url="http://splade:8080/", transport=t)
+    out = c.embed_sparse(["alpha", "beta"])
+    assert out == [{5: 0.5, 11: 1.25}, {2: 0.75}]
+    url, body = t.calls[0]
+    assert url == "http://splade:8080/inference"
+    assert body == ["alpha", "beta"]
+
+
+def test_augmenter_prompt_variants():
+    from vechord_spark.providers import GeminiAugmenter
+
+    class T:
+        def __init__(self):
+            self.prompts = []
+
+        def post(self, url, headers, body):
+            req = json.loads(body)
+            self.prompts.append(req["contents"]["parts"][0]["text"])
+            return 200, json.dumps(
+                {"candidates": [{"content": {"parts": [{"text": " answer "}]}}]}
+            ).encode()
+
+    t = T()
+    aug = GeminiAugmenter(transport=t)
+    assert aug.augment_query("DOC", ["c1", "c2"]) == ["answer", "answer"]
+    assert "ask questions" in t.prompts[0] and "c1" in t.prompts[0]
+    assert aug.summarize_doc("DOC") == "answer"
+    assert "Summarize" in t.prompts[-1] and "<document>DOC</document>" in t.prompts[-1]

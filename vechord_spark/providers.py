@@ -250,6 +250,24 @@ AUGMENT_CONTEXT_PROMPT = (
     "of the chunk. Answer only with the succinct context and nothing else."
 )
 
+# query-generation variant (reference vechord/augment.py:68-82)
+AUGMENT_QUERY_PROMPT = (
+    "<document>\n{doc}\n</document>\n"
+    "Here is the chunk we want to ask questions about \n"
+    "<chunk>\n{chunk}\n</chunk>\n"
+    "Please ask questions about this chunk based on the overall document "
+    "for the purposes of improving search retrieval of the chunk. "
+    "Answer only with the question and nothing else."
+)
+
+# doc summarization (reference vechord/augment.py:84-93)
+SUMMARIZE_PROMPT = (
+    "Summarize the provided document concisely while preserving its key "
+    "ideas, main arguments, and essential details. Ensure clarity and "
+    "coherence, avoiding unnecessary repetition."
+    "\n<document>{doc}</document>\n"
+)
+
 
 @dataclass
 class GeminiAugmenter:
@@ -276,6 +294,19 @@ class GeminiAugmenter:
             client.generate(AUGMENT_CONTEXT_PROMPT.format(doc=doc, chunk=c)).strip()
             for c in chunks
         ]
+
+    def augment_query(self, doc: str, chunks: list[str]) -> list[str]:
+        """Generate a retrieval question per chunk (reference
+        vechord/augment.py:68-82)."""
+        client = self._client()
+        return [
+            client.generate(AUGMENT_QUERY_PROMPT.format(doc=doc, chunk=c)).strip()
+            for c in chunks
+        ]
+
+    def summarize_doc(self, doc: str) -> str:
+        """Concise document summary (reference vechord/augment.py:84-93)."""
+        return self._client().generate(SUMMARIZE_PROMPT.format(doc=doc)).strip()
 
 
 def _load_spacy(model: str):

@@ -208,6 +208,24 @@ def jina_rerank_payload(query: str, documents: list[str], model: str) -> dict:
     }
 
 
+def jina_rerank_multimodal_payload(
+    query: str, documents: list[str], doc_type: str, model: str = "jina-reranker-m0"
+) -> dict:
+    """Multimodal rerank (reference vechord/model/jina.py
+    from_query_multimodal): documents wrap as {"text": ...} or
+    {"image": <url-or-base64>} depending on ``doc_type``."""
+    if doc_type not in ("text", "image"):
+        raise ValueError("doc_type must be 'text' or 'image'")
+    key = "text" if doc_type == "text" else "image"
+    return {
+        "model": model,
+        "query": query,
+        "top_n": len(documents),
+        "documents": [{key: d} for d in documents],
+        "return_documents": False,
+    }
+
+
 VOYAGE_EMBED_URL = "https://api.voyageai.com/v1/embeddings"
 
 
@@ -456,6 +474,49 @@ class JinaRerankClient:
             jina_rerank_payload(query, documents, self.model),
         )
         return parse_rerank_indices(resp)
+
+    def rerank_multimodal(
+        self, query: str, documents: list[str], doc_type: str = "text"
+    ) -> list[int]:
+        """Rerank text or image documents (reference
+        vechord/rerank.py:80-92)."""
+        resp = _post_json(
+            self.transport,
+            "jina rerank",
+            JINA_RERANK_URL,
+            {"Authorization": f"Bearer {self.api_key}"},
+            jina_rerank_multimodal_payload(query, documents, doc_type, self.model),
+        )
+        return parse_rerank_indices(resp)
+
+
+@dataclass
+class SpladeEmbeddingClient:
+    """Splade++ sparse embedder against a SELF-HOSTED inference service
+    (reference vechord/embedding.py:412-441: POST /inference with a
+    JSON list of texts, response = one {index: value} sparse map per
+    text). No API key — the endpoint is the deployment's own."""
+
+    base_url: str = "http://localhost:8080"
+    dim: int = 30522
+    transport: Transport | None = None
+
+    def __post_init__(self) -> None:
+        self.transport = self.transport or UrllibTransport(rps=50.0, timeout_sec=10.0)
+
+    def embed_sparse(self, texts: list[str]) -> list[dict[int, float]]:
+        body = json.dumps(list(texts)).encode()
+        status, raw = self.transport.post(
+            f"{self.base_url.rstrip('/')}/inference",
+            {"Content-Type": "application/json"},
+            body,
+        )
+        if status >= 400:
+            raise HttpCallError("splade inference", status, raw.decode(errors="replace"))
+        out = json.loads(raw)
+        return [
+            {int(k): float(v) for k, v in emb.items()} for emb in out
+        ]
 
 
 @dataclass
