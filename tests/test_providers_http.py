@@ -304,3 +304,25 @@ def test_augmenter_prompt_variants():
     assert "ask questions" in t.prompts[0] and "c1" in t.prompts[0]
     assert aug.summarize_doc("DOC") == "answer"
     assert "Summarize" in t.prompts[-1] and "<document>DOC</document>" in t.prompts[-1]
+
+
+def test_gemini_inline_data_payload_and_ocr_extractor():
+    from vechord_spark.providers import EXTRACT_PDF_PROMPT, GeminiExtractor
+    from vechord_spark.providers_http import gemini_generate_payload
+
+    p = gemini_generate_payload("ocr this", inline_data=b"\x01\x02", mime_type="image/jpeg")
+    parts = p["contents"]["parts"]
+    assert parts[0] == {"text": "ocr this"}
+    assert parts[1]["inline_data"]["mime_type"] == "image/jpeg"
+    assert base64.b64decode(parts[1]["inline_data"]["data"]) == b"\x01\x02"
+
+    t = FakeTransport(
+        (200, {"candidates": [{"content": {"parts": [{"text": " page text "}]}}]}),
+        (200, {"candidates": [{"content": {"parts": [{"text": "img text"}]}}]}),
+    )
+    ex = GeminiExtractor(transport=t)
+    assert ex.extract_pdf(b"%PDF") == "page text"
+    assert ex.extract_image(b"\xff\xd8") == "img text"
+    body = t.calls[0][2]
+    assert body["contents"]["parts"][0]["text"] == EXTRACT_PDF_PROMPT
+    assert body["contents"]["parts"][1]["inline_data"]["mime_type"] == "application/pdf"

@@ -309,6 +309,52 @@ class GeminiAugmenter:
         return self._client().generate(SUMMARIZE_PROMPT.format(doc=doc)).strip()
 
 
+# OCR extraction contracts (reference vechord/extract.py:91-101):
+# return content verbatim, no interpretation; images add a caption.
+EXTRACT_PDF_PROMPT = (
+    "Extract the main content from the PDF document. Ensure to exclude "
+    "any metadata, headers, footers, or any other non-essential "
+    "information. Return the extracted content as it appears in the "
+    "document, without any additional modification, summarization or "
+    "interpretation."
+)
+EXTRACT_IMAGE_PROMPT = (
+    "Extract the visible text from the image, generate a concise "
+    "caption describing the image's content or scene, return the text "
+    "with caption."
+)
+
+
+@dataclass
+class GeminiExtractor:
+    """OCR via Gemini generation with inline document/image data
+    (reference vechord/extract.py:104-134; D4). The no-network PDF path
+    is sources/loaders.extract_pdf."""
+
+    model: str = "gemini-2.5-flash"
+    prompt: str = ""
+    transport: object | None = None
+
+    def _client(self):
+        from vechord_spark.providers_http import GeminiGenerateClient
+
+        return GeminiGenerateClient(model=self.model, transport=self.transport)
+
+    def extract_pdf(self, doc: bytes) -> str:
+        return self._client().generate(
+            self.prompt or EXTRACT_PDF_PROMPT,
+            inline_data=doc,
+            mime_type="application/pdf",
+        ).strip()
+
+    def extract_image(self, img: bytes) -> str:
+        return self._client().generate(
+            self.prompt or EXTRACT_IMAGE_PROMPT,
+            inline_data=img,
+            mime_type="image/jpeg",
+        ).strip()
+
+
 def _load_spacy(model: str):
     try:
         import spacy

@@ -161,8 +161,26 @@ def parse_gemini_embedding(resp: dict) -> list[float]:
     return _decode_embedding(resp["embedding"]["values"])
 
 
-def gemini_generate_payload(prompt: str, response_schema: dict | None = None) -> dict:
-    payload: dict = {"contents": {"parts": [{"text": prompt}]}}
+def gemini_generate_payload(
+    prompt: str,
+    response_schema: dict | None = None,
+    inline_data: bytes | None = None,
+    mime_type: str | None = None,
+) -> dict:
+    """``inline_data`` attaches a document/image part (OCR, multimodal
+    judging — reference GeminiGenerateRequest.from_prompt_with_data);
+    the REST shape carries it base64-encoded under inline_data."""
+    parts: list[dict] = [{"text": prompt}]
+    if inline_data is not None:
+        parts.append(
+            {
+                "inline_data": {
+                    "mime_type": mime_type or "application/pdf",
+                    "data": base64.b64encode(inline_data).decode(),
+                }
+            }
+        )
+    payload: dict = {"contents": {"parts": parts}}
     if response_schema is not None:
         payload["generationConfig"] = {
             "response_mime_type": "application/json",
@@ -332,13 +350,19 @@ class GeminiGenerateClient:
             lambda: UrllibTransport(rps=GEMINI_GENERATE_RPS, timeout_sec=120.0),
         )
 
-    def generate(self, prompt: str, response_schema: dict | None = None) -> str:
+    def generate(
+        self,
+        prompt: str,
+        response_schema: dict | None = None,
+        inline_data: bytes | None = None,
+        mime_type: str | None = None,
+    ) -> str:
         resp = _post_json(
             self.transport,
             "gemini generate",
             f"{GEMINI_BASE}/{self.model}:generateContent",
             {"x-goog-api-key": self.api_key},
-            gemini_generate_payload(prompt, response_schema),
+            gemini_generate_payload(prompt, response_schema, inline_data, mime_type),
         )
         return parse_gemini_text(resp)
 
