@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "events_daily_summary",
     "events_json_extract",
     "events_sessionize",
+    "events_asof_join",
     "eval_recall_knn",
     "text_quality",
     "doc_fingerprint",

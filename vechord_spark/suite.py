@@ -912,6 +912,52 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@_q(
+    "events_asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    signups AS (
+      SELECT event_id AS signup_event_id, ts, user_id FROM events
+      WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+           s.signup_event_id,
+           CAST(CASE WHEN s.signup_event_id IS NULL THEN NULL
+                ELSE date_diff('second', s.ts, p.ts) END AS BIGINT) AS gap_seconds
+    FROM purchases p ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """Point-in-time join: each purchase matched to the user's most
+    recent at-or-before signup — the feature-correctness primitive for
+    training pipelines. Spark has no ASOF JOIN; operators/asof.py
+    renders it as union-tag + carry-forward window (ONE shuffle on the
+    key, linear per partition — never a per-key range explosion).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from vechord_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"), "ts", "user_id"
+    )
+    j = asof_join(purchases, signups, on="ts", by="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.col("asof_signup_event_id").alias("signup_event_id"),
+        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias(
+            "gap_seconds"
+        ),
+    )
+
+
 def _quality_sql() -> str:
     stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
     return f"""
