@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "dedup_minhash_lsh",
     "dedup_jaccard",
+    "dedup_components",
+    "dedup_survivors",
     "dedup_simhash",
     "dedup_exact_fingerprint",
     "dedup_embedding_bucketed",

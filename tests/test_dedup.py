@@ -82,3 +82,36 @@ def test_embedding_top_pairs(spark):
     df = spark.createDataFrame(rows, "vec_id int, v array<float>")
     top = embedding_top_pairs(df, "vec_id", "v", top_n=1).collect()
     assert (top[0].id_a, top[0].id_b) == (1, 2)
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from vechord_spark.operators.dedup import connected_components
+
+    # A-B-C chain + isolated pair D-E; doc F never appears
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from vechord_spark.operators.dedup import connected_components
+
+    # a 12-node path needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_drop_near_duplicates_keeps_survivor(spark):
+    from vechord_spark.operators.dedup import drop_near_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (9, "unique")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept = sorted(r.doc_id for r in drop_near_duplicates(df, "doc_id", pairs).collect())
+    assert kept == [1, 9]  # min-id survivor + untouched singleton

@@ -483,6 +483,100 @@ def embedding_top_pairs(
     ).select("id_a", "id_b", "cos_sim", "rank")
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from a near-dup pair list: connected
+    components by iterative min-label propagation.
+
+    ``pairs`` is (doc_a, doc_b); returns ``(doc_id, cluster_id)`` for
+    every doc appearing in a pair, where ``cluster_id`` is the minimum
+    doc id of the component — the canonical survivor. Each round does
+    one hop of min-label propagation along edges PLUS pointer-doubling
+    path compression (relabel through the label's own label), so
+    convergence takes O(log diameter) rounds, not O(diameter), each
+    round a bounded number of shuffles on (doc_id). Every round ends in
+    ``localCheckpoint(eager=True)`` — without it the logical plan of an
+    iterative join grows with each round and Catalyst analysis time
+    explodes exponentially; checkpointing truncates lineage so round N
+    costs the same as round 1. This is the step between pair generation
+    (MinHash/SimHash/embedding buckets) and survivor selection that
+    production dedup needs: pair lists alone cannot say "keep one per
+    group" when duplicates chain A-B-C. Raises after ``max_iterations``
+    without a fixpoint rather than silently returning partial clusters.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nbr_min"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.col("nbr_min")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # hop: each node takes min(own label, neighbours' labels)
+        nbr = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        hopped = labels.join(nbr, labels["doc_id"] == nbr["u"], "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # compress: labels are doc ids, so follow one pointer — my new
+        # label is my label's label. Halves remaining chain length.
+        thru = hopped.select(
+            F.col("doc_id").alias("via"), F.col("cluster_id").alias("via_label")
+        )
+        updated = (
+            hopped.join(thru, hopped["cluster_id"] == thru["via"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("via_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Keep one representative (the min-id cluster survivor) per
+    near-dup component; rows in no pair pass through untouched."""
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,

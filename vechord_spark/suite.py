@@ -472,9 +472,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_candidate_pairs(docs, "doc_id", "text")
 
 
-@_q(
-    "dedup_jaccard",
-    f"""
+def _jaccard_sql() -> str:
+    return f"""
     WITH cands AS ({_minhash_sql()}),
     sh AS (
       SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
@@ -491,8 +490,10 @@ def dedup_minhash_lsh(spark, sf_dir):
            round(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard
     FROM inter
     WHERE round(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) >= 0.35
-    """,
-)
+    """
+
+
+@_q("dedup_jaccard", _jaccard_sql())
 def dedup_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard (pairs >= 0.35) verified ONLY over
     MinHash+LSH candidate pairs — the scale wiring: the pair space is
@@ -501,6 +502,87 @@ def dedup_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cands = DD.minhash_candidate_pairs(docs, "doc_id", "text")
     return DD.ngram_jaccard(docs, "doc_id", "text", threshold=0.35, candidates=cands)
+
+
+@_q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE jp AS ({_jaccard_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the verified
+    Jaccard pairs (min-label propagation + pointer-doubling path
+    compression, O(log diameter) checkpointed rounds) — the pairs ->
+    clusters -> survivor step production dedup needs when duplicates
+    chain A-B-C. Oracle: recursive-CTE transitive closure (safe at
+    oracle scale only; the Spark path never materializes the
+    closure)."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_candidate_pairs(docs, "doc_id", "text")
+    pairs = DD.ngram_jaccard(
+        docs, "doc_id", "text", threshold=0.35, candidates=cands
+    ).select("doc_a", "doc_b")
+    return DD.connected_components(pairs)
+
+
+@_q(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE jp AS ({_jaccard_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT count(*) AS n_kept,
+           sum(d.doc_id) AS id_sum,
+           min(d.doc_id) AS id_min,
+           max(d.doc_id) AS id_max
+    FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """End-to-end dedup: MinHash candidates -> Jaccard verify ->
+    connected components -> keep one min-id survivor per cluster
+    (drop_near_duplicates), summarized to hash-stable scalars. This is
+    the full training-corpus dedup pass: every stage bucket- or
+    pair-bounded, the final keep an anti-join on losers — no step
+    materializes O(n²) state."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_candidate_pairs(docs, "doc_id", "text")
+    pairs = DD.ngram_jaccard(
+        docs, "doc_id", "text", threshold=0.35, candidates=cands
+    ).select("doc_a", "doc_b")
+    kept = DD.drop_near_duplicates(docs, "doc_id", pairs)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
 
 
 def _simhash_sql() -> str:
