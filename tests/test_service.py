@@ -1,0 +1,155 @@
+"""HTTP service + CLI surface (mirrors reference tests/test_service.py
+semantics: health, table CRUD, dynamic /api/run, OpenAPI spec)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from vechord_spark.registry import VechordRegistry
+from vechord_spark.service import VechordService, create_web_app, serve
+from vechord_spark.spec import Column, TableSpec
+
+
+@pytest.fixture()
+def svc(spark, tmp_path):
+    reg = VechordRegistry("svc", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "document",
+            [
+                Column("uid", "long", primary_key=True),
+                Column("title", "string"),
+                Column("score", "double"),
+            ],
+        )
+    )
+    return create_web_app(reg)
+
+
+def _get(svc, path, params=None):
+    return svc.handle("GET", path, params)
+
+
+def _json(payload: bytes):
+    return json.loads(payload)
+
+
+def test_health(svc):
+    status, ctype, body = _get(svc, "/")
+    assert (status, body) == (200, b"Ok")
+
+
+def test_table_crud_roundtrip(svc):
+    status, _, body = svc.handle(
+        "POST",
+        "/api/table/document",
+        body=json.dumps(
+            [
+                {"uid": 1, "title": "alpha", "score": 0.5},
+                {"uid": 2, "title": "beta", "score": 0.9},
+            ]
+        ).encode(),
+    )
+    assert status == 201 and _json(body) == {"inserted": 2}
+
+    # filtered GET coerces ?uid=2 through the long column dtype
+    status, _, body = _get(svc, "/api/table/document", {"uid": "2"})
+    rows = _json(body)
+    assert status == 200 and [r["title"] for r in rows] == ["beta"]
+
+    status, _, body = svc.handle("DELETE", "/api/table/document", {"title": "alpha"})
+    assert status == 200 and _json(body) == {"removed": 1}
+    _, _, body = _get(svc, "/api/table/document")
+    assert [r["uid"] for r in _json(body)] == [2]
+
+
+def test_table_validation_errors(svc):
+    assert svc.handle("GET", "/api/table/nope")[0] == 404
+    assert _get(svc, "/api/table/document", {"bogus_col": "1"})[0] == 422
+    assert svc.handle("DELETE", "/api/table/document")[0] == 422  # no predicate
+    assert svc.handle("POST", "/api/table/document", body=b"not json")[0] == 422
+
+
+def test_openapi_spec_lists_tables(svc):
+    status, _, body = _get(svc, "/openapi/spec.json")
+    spec = _json(body)
+    assert status == 200
+    assert "/api/table/document" in spec["paths"]
+    assert "/" in spec["paths"]
+
+
+RUN_STEPS = [
+    {"kind": "chunker", "provider": "regex", "args": {"size": 40, "overlap": 10}},
+    {"kind": "embedder", "provider": "hash", "args": {"dim": 16}},
+]
+
+
+def test_run_index_then_search(svc):
+    """POST /api/run: index a doc under a namespace, then search it —
+    the reference's RunResource flow (vechord/service.py:120-137)."""
+    text = "spark is a distributed engine. spark scales out. ducks are birds."
+    status, _, body = svc.handle(
+        "POST",
+        "/api/run",
+        body=json.dumps(
+            {"name": "t1", "data": text,
+             "steps": RUN_STEPS + [{"kind": "index", "provider": "local"}]}
+        ).encode(),
+    )
+    ack = _json(body)
+    assert status == 200 and ack["type"] == "ingest" and ack["chunk"] >= 1
+
+    status, _, body = svc.handle(
+        "POST",
+        "/api/run",
+        body=json.dumps(
+            {"name": "t1", "data": "spark engine",
+             "steps": RUN_STEPS
+             + [{"kind": "search", "provider": "local", "args": {"topk": 3}}]}
+        ).encode(),
+    )
+    res = _json(body)
+    assert status == 200 and res["type"] == "search" and len(res["chunks"]) >= 1
+
+
+def test_run_requires_direction_step(svc):
+    status, _, _ = svc.handle(
+        "POST",
+        "/api/run",
+        body=json.dumps({"name": "t2", "data": "x", "steps": RUN_STEPS}).encode(),
+    )
+    assert status == 422
+
+
+def test_real_http_server_roundtrip(svc):
+    """One end-to-end socket test: stdlib server + urllib client."""
+    server = serve(svc, host="127.0.0.1", port=0)
+    try:
+        port = server.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as resp:
+            assert resp.status == 200 and resp.read() == b"Ok"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/table/document",
+            data=json.dumps({"uid": 7, "title": "gamma", "score": 1.0}).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 201
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/table/document?uid=7"
+        ) as resp:
+            assert [r["title"] for r in json.loads(resp.read())] == ["gamma"]
+    finally:
+        server.shutdown()
+
+
+def test_cli_list_and_query(capsys):
+    from vechord_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "filter_project\toracle" in out
+
+    assert main(["query", "no_such_query"]) == 2

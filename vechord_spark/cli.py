@@ -1,0 +1,104 @@
+"""CLI: run the engine as an HTTP service, or run suite queries /
+benchmarks from the shell.
+
+Reference: ``vechord/cli.py:1-28`` — an ArgumentParser with
+``--db/--host/--port`` that builds a ``VechordRegistry`` and serves
+``create_web_app`` under uvicorn. The Spark analog swaps the Postgres
+URL for a parquet ``--base-path`` + ``--namespace`` (the registry's
+storage root), and uvicorn for the stdlib server in ``service.py``.
+Two extra subcommands (``query``, ``bench``) expose the suite from the
+shell — engine affordances, not reference parity.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from argparse import ArgumentParser
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(
+        prog="vechord_spark",
+        description="Run vechord_spark as a pipeline service or query runner.",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    serve = sub.add_parser("serve", help="serve the HTTP API (reference cli.py)")
+    serve.add_argument(
+        "--base-path", type=str, default="/tmp/vechord_spark",
+        help="Parquet storage root (the Spark analog of the reference's DB URL).",
+    )
+    serve.add_argument("--namespace", type=str, default="cli", help="Registry namespace.")
+    serve.add_argument("--host", type=str, default="localhost", help="Service host.")
+    serve.add_argument("--port", type=int, default=8000, help="Service port.")
+
+    query = sub.add_parser("query", help="run one suite query, print JSON rows")
+    query.add_argument("name", type=str, help="suite query name (see `list`)")
+    query.add_argument("--sf-dir", type=str, default="/root/testdata/sf0.001")
+    query.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list", help="list available suite queries")
+
+    bench = sub.add_parser("bench", help="run bench.py's suite and print the JSON line")
+    bench.add_argument("--sf-dir", type=str, default=None)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "list":
+        from vechord_spark.suite import ORACLES, QUERIES
+
+        for name in QUERIES:
+            kind = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+
+    if args.command == "serve":
+        from vechord_spark.registry import VechordRegistry
+        from vechord_spark.service import create_web_app, serve
+        from vechord_spark.session import get_spark
+
+        spark = get_spark("vechord-serve")
+        registry = VechordRegistry(args.namespace, args.base_path, spark)
+        server = serve(create_web_app(registry), host=args.host, port=args.port)
+        print(f"serving on http://{args.host}:{server.server_address[1]}", flush=True)
+        try:
+            import threading
+
+            threading.Event().wait()  # serve until interrupted
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
+
+    if args.command == "query":
+        from vechord_spark.service import rows_to_json
+        from vechord_spark.session import get_spark
+        from vechord_spark.suite import QUERIES
+
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; try `vechord_spark list`",
+                  file=sys.stderr)
+            return 2
+        spark = get_spark("vechord-query")
+        df = QUERIES[args.name](spark, args.sf_dir)
+        print(json.dumps(rows_to_json(df, args.limit), default=str))
+        return 0
+
+    if args.command == "bench":
+        import os
+        import runpy
+
+        if args.sf_dir:
+            os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+        runpy.run_module("bench", run_name="__main__")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

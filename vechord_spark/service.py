@@ -1,0 +1,360 @@
+"""HTTP service (S6): the reference's web surface over the Spark
+registry, stdlib-only.
+
+Reference: ``create_web_app`` (vechord/service.py:197-229) exposes
+- health check            GET    /
+- table CRUD              GET/POST/DELETE /api/table/{name}
+- dynamic pipeline run    POST   /api/run      (vechord/service.py:120-137)
+- registered pipeline     POST   /api/pipeline (vechord/service.py:103-117)
+- OpenAPI spec + swagger  GET    /openapi/spec.json, /openapi/swagger
+via falcon + msgspec + uvicorn. None of those packages exist in this
+environment, so the Spark rendition keeps the same route surface and
+request/response shapes on ``http.server`` + ``json``: a synchronous
+batch engine has no need for ASGI, and every handler body is a thin
+shim over registry DataFrame calls — the work stays in Spark.
+
+Design notes for testability and scale:
+- ``VechordService.handle(method, path, params, body)`` is a pure
+  function from request to ``(status, content_type, payload)`` —
+  tests drive it without sockets; ``serve()`` wraps it in a
+  ``ThreadingHTTPServer`` for the real thing.
+- Table GETs accept a ``__limit`` param (default 1000) so a browser
+  hitting a 100 TB table gets a bounded ``limit()`` scan, never a full
+  collect to the driver.
+- ``/api/run`` builds a per-``name`` namespaced registry (the
+  reference sets a per-request schema namespace,
+  vechord/pipeline.py:212) so tenants never share table paths.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import decimal
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Mapping
+from urllib.parse import parse_qsl, urlsplit
+
+from pyspark.sql import DataFrame
+
+from vechord_spark.errors import SchemaError
+from vechord_spark.registry import VechordRegistry
+
+MAX_ROWS_DEFAULT = 1000
+
+_SWAGGER_HTML = """<!DOCTYPE html>
+<html><head><title>vechord_spark API</title></head>
+<body><h1>vechord_spark API</h1>
+<p>Spec: <a href="/openapi/spec.json">/openapi/spec.json</a></p>
+<pre id="spec"></pre>
+<script>
+fetch('/openapi/spec.json').then(r => r.json()).then(s => {
+  document.getElementById('spec').textContent = JSON.stringify(s, null, 2);
+});
+</script></body></html>
+"""
+
+
+class ServiceError(Exception):
+    """Request-level failure carrying an HTTP status."""
+
+    def __init__(self, status: int, message: str) -> None:
+        super().__init__(message)
+        self.status = status
+
+
+def _json_value(v: Any) -> Any:
+    """Make one cell JSON-encodable (reference enc_hook,
+    vechord/service.py:25-32: ndarray -> list; here also parquet-born
+    temporal/decimal/bytes types)."""
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, dict):
+        return {k: _json_value(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_value(x) for x in v]
+    return v
+
+
+def rows_to_json(df: DataFrame, limit: int) -> list[dict[str, Any]]:
+    """Bounded collect: the ``limit`` is part of the Spark plan (a
+    CollectLimit over the scan), not a post-collect slice."""
+    return [
+        {k: _json_value(v) for k, v in r.asDict(recursive=True).items()}
+        for r in df.limit(limit).collect()
+    ]
+
+
+def _openapi_spec(registry: VechordRegistry, has_pipeline: bool) -> dict[str, Any]:
+    """OpenAPI 3.0 spec generated from the registered table specs
+    (reference OpenAPIResource, vechord/service.py:139-184)."""
+    paths: dict[str, Any] = {
+        "/": {"get": {"summary": "health check"}},
+        "/api/run": {"post": {"summary": "run a dynamic pipeline from steps"}},
+    }
+    if has_pipeline:
+        paths["/api/pipeline"] = {"post": {"summary": "run the registered pipeline"}}
+    for name, spec in registry.tables.items():
+        props = {c.name: {"type": str(c.dtype)} for c in spec.columns}
+        paths[f"/api/table/{name}"] = {
+            "get": {
+                "summary": "get the table with partial attributes",
+                "parameters": [
+                    {"name": c.name, "in": "query", "required": False}
+                    for c in spec.columns
+                ],
+            },
+            "post": {
+                "summary": "insert a new record to the table",
+                "requestBody": {
+                    "content": {
+                        "application/json": {
+                            "schema": {"type": "object", "properties": props}
+                        }
+                    }
+                },
+            },
+            "delete": {"summary": "delete records matching partial attributes"},
+        }
+    return {
+        "openapi": "3.0.0",
+        "info": {"title": "vechord_spark", "version": "1.0"},
+        "paths": paths,
+    }
+
+
+class VechordService:
+    """Route table: request -> registry/pipeline call -> JSON."""
+
+    def __init__(self, registry: VechordRegistry, pipeline=None) -> None:
+        self.registry = registry
+        self.pipeline = pipeline
+        self._run_registries: dict[str, VechordRegistry] = {}
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------ dispatch
+    def handle(
+        self,
+        method: str,
+        path: str,
+        params: Mapping[str, str] | None = None,
+        body: bytes | None = None,
+    ) -> tuple[int, str, bytes]:
+        params = dict(params or {})
+        try:
+            if path == "/" and method == "GET":
+                return 200, "text/plain", b"Ok"
+            if path == "/openapi/spec.json" and method == "GET":
+                spec = _openapi_spec(self.registry, self.pipeline is not None)
+                return 200, "application/json", json.dumps(spec).encode()
+            if path == "/openapi/swagger" and method == "GET":
+                return 200, "text/html", _SWAGGER_HTML.encode()
+            if path.startswith("/api/table/"):
+                return self._table(method, path.removeprefix("/api/table/"), params, body)
+            if path == "/api/pipeline" and method == "POST":
+                return self._pipeline(body)
+            if path == "/api/run" and method == "POST":
+                return self._run(body)
+            raise ServiceError(404, f"no route for {method} {path}")
+        except ServiceError as err:
+            return err.status, "text/plain", str(err).encode()
+        except (SchemaError, KeyError, ValueError, TypeError) as err:
+            # bad request shapes -> 422 like the reference's msgspec
+            # validation (vechord/service.py:55-61)
+            return 422, "text/plain", f"Validation error: {err}".encode()
+        except Exception as err:  # uncaught -> 500 with safe message
+            return 500, "text/plain", f"{type(err).__name__}: {err}".encode()
+
+    # -------------------------------------------------------------- tables
+    def _table(
+        self, method: str, name: str, params: dict[str, str], body: bytes | None
+    ) -> tuple[int, str, bytes]:
+        if name not in self.registry.tables:
+            raise ServiceError(404, f"unknown table {name!r}")
+        spec = self.registry.tables[name]
+        if method == "GET":
+            limit = int(params.pop("__limit", MAX_ROWS_DEFAULT))
+            conditions = self._coerce_params(spec, params)
+            df = self.registry.select_by(name, conditions or None)
+            return 200, "application/json", json.dumps(rows_to_json(df, limit)).encode()
+        if method == "POST":
+            payload = _decode_json(body)
+            rows = payload if isinstance(payload, list) else [payload]
+            if not all(isinstance(r, dict) for r in rows):
+                raise ServiceError(422, "body must be a JSON object or list of objects")
+            n = self.registry.insert_rows(name, rows)
+            return 201, "application/json", json.dumps({"inserted": n}).encode()
+        if method == "DELETE":
+            conditions = self._coerce_params(spec, params)
+            if not conditions:
+                raise ServiceError(422, "DELETE requires at least one predicate param")
+            removed = self.registry.remove_by(name, conditions)
+            return 200, "application/json", json.dumps({"removed": removed}).encode()
+        raise ServiceError(405, f"{method} not allowed on tables")
+
+    @staticmethod
+    def _coerce_params(spec, params: dict[str, str]) -> dict[str, Any]:
+        """Query-string values are strings; coerce through the column
+        dtype so ``?doc_id=3`` matches a long column (the reference gets
+        this from msgspec.convert, vechord/service.py:47-49)."""
+        out: dict[str, Any] = {}
+        for key, raw in params.items():
+            col = spec.column(key)  # raises SchemaError on unknown -> 422
+            t = str(col.dtype)
+            if t in ("long", "int", "integer", "bigint", "smallint"):
+                out[key] = int(raw)
+            elif t in ("double", "float"):
+                out[key] = float(raw)
+            elif t == "boolean":
+                out[key] = raw.lower() in ("1", "true", "t")
+            else:
+                out[key] = raw
+        return out
+
+    # ------------------------------------------------------------ pipeline
+    def _pipeline(self, body: bytes | None) -> tuple[int, str, bytes]:
+        if self.pipeline is None:
+            raise ServiceError(404, "no pipeline registered")
+        payload = _decode_json(body)
+        if not isinstance(payload, dict):
+            raise ServiceError(422, "Request must be a JSON Dict")
+        return self._dispatch_pipeline(self.pipeline, payload)
+
+    def _dispatch_pipeline(
+        self, pipe, payload: Mapping[str, Any]
+    ) -> tuple[int, str, bytes]:
+        op = payload.get("op", "search" if "query" in payload else "index")
+        if op == "index":
+            docs = payload.get("docs")
+            if not isinstance(docs, list) or not docs:
+                raise ServiceError(422, "index op requires a non-empty 'docs' list")
+            df = self.registry.spark.createDataFrame(
+                [(int(d["doc_id"]), str(d["text"])) for d in docs],
+                "doc_id long, text string",
+            )
+            counts = pipe.run_index(df)
+            return 200, "application/json", json.dumps({"type": "ingest", **counts}).encode()
+        if op == "search":
+            query = payload.get("query")
+            if not isinstance(query, str) or not query:
+                raise ServiceError(422, "search op requires a 'query' string")
+            topk = int(payload.get("topk", 10))
+            df = pipe.run_search(query, topk=topk)
+            return (
+                200,
+                "application/json",
+                json.dumps(
+                    {"type": "search", "chunks": rows_to_json(df, topk), "metrics": {}}
+                ).encode(),
+            )
+        raise ServiceError(422, f"unknown pipeline op {op!r}")
+
+    # ----------------------------------------------------------------- run
+    def _run(self, body: bytes | None) -> tuple[int, str, bytes]:
+        """POST /api/run: build a DynamicPipeline from the request's
+        steps and run it under the request's namespace (reference
+        RunResource, vechord/service.py:120-137 + RunRequest,
+        vechord/model/web.py:29-38). ``index``/``search`` pseudo-steps
+        pick the direction, as the reference's IndexOption/SearchOption
+        kinds do (vechord/pipeline.py:169-170, 208-218)."""
+        from vechord_spark.plans.dynamic import DynamicPipeline
+
+        payload = _decode_json(body)
+        if not isinstance(payload, dict):
+            raise ServiceError(422, "Request must be a JSON Dict")
+        name = payload.get("name")
+        data = payload.get("data")
+        if not isinstance(name, str) or not name:
+            raise ServiceError(422, "'name' (namespace) is required")
+        if not isinstance(data, str):
+            raise ServiceError(422, "'data' must be a string (text payload)")
+        steps = payload.get("steps", [])
+        options = {s["kind"]: s.get("args", {}) for s in steps
+                   if s.get("kind") in ("index", "search")}
+        provider_steps = [s for s in steps if s.get("kind") not in ("index", "search")]
+        if not options:
+            raise ServiceError(422, "steps must include an 'index' or 'search' step")
+        with self._lock:
+            reg = self._run_registries.get(name)
+            if reg is None:
+                reg = VechordRegistry(
+                    name, str(self.registry.base_path), self.registry.spark
+                )
+                self._run_registries[name] = reg
+        pipe = DynamicPipeline.from_steps(reg, provider_steps)
+        if "index" in options:
+            doc_id = abs(hash(data)) % (1 << 62)
+            df = reg.spark.createDataFrame([(doc_id, data)], "doc_id long, text string")
+            counts = pipe.run_index(df)
+            return (
+                200,
+                "application/json",
+                json.dumps(
+                    {"type": "ingest", "name": name, "msg": "indexed", "uid": str(doc_id), **counts}
+                ).encode(),
+            )
+        topk = int(options["search"].get("topk", 10))
+        df = pipe.run_search(data, topk=topk)
+        return (
+            200,
+            "application/json",
+            json.dumps(
+                {"type": "search", "chunks": rows_to_json(df, topk), "metrics": {}}
+            ).encode(),
+        )
+
+
+def _decode_json(body: bytes | None) -> Any:
+    if not body:
+        raise ServiceError(422, "empty request body")
+    try:
+        return json.loads(body)
+    except json.JSONDecodeError as err:
+        raise ServiceError(422, f"invalid JSON: {err}") from err
+
+
+def create_web_app(registry: VechordRegistry, pipeline=None) -> VechordService:
+    """Name-parity constructor (reference vechord/service.py:197)."""
+    return VechordService(registry, pipeline)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: VechordService  # set by serve()
+
+    def _respond(self) -> None:
+        split = urlsplit(self.path)
+        params = dict(parse_qsl(split.query))
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length) if length else None
+        status, ctype, payload = self.service.handle(
+            self.command, split.path.rstrip("/") or "/", params, body
+        )
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    do_GET = do_POST = do_DELETE = _respond
+
+    def log_message(self, *args: Any) -> None:  # quiet test runs
+        pass
+
+
+def serve(
+    service: VechordService, host: str = "localhost", port: int = 8000
+) -> ThreadingHTTPServer:
+    """Start the HTTP server (caller owns shutdown). Threaded accept
+    loop; Spark jobs from concurrent requests run under the session's
+    FAIR/FIFO scheduler as configured."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    server = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
