@@ -210,6 +210,40 @@ def test_persisted_bm25_index_search(spark, tmp_path):
     assert indexed[0][1] == 2  # two 'fast' + one 'spark' wins
 
 
+def test_persisted_bm25_index_keeps_wordpiece_tokenizer(spark, tmp_path):
+    """A custom tokenizer used at build time must survive reload: a
+    fresh registry's query path re-tokenizes queries with the persisted
+    vocab/config, not the engine default."""
+    from vechord_spark.functions.wordpiece import WordPieceTokenizer
+
+    vocab = ["[UNK]", "spark", "que", "##ry", "eng", "##ine", "fast"]
+    tok = WordPieceTokenizer(vocab)
+    reg = VechordRegistry("kwtok", str(tmp_path), spark)
+    spec = TableSpec(
+        "doc", [Column("uid", "int", primary_key=True), Column("body", Keyword())]
+    )
+    reg.register(spec)
+    reg.insert_rows(
+        "doc",
+        [
+            {"uid": 1, "body": "spark query engine"},
+            {"uid": 2, "body": "fast spark"},
+            {"uid": 3, "body": "nothing relevant"},
+        ],
+    )
+    reg.build_keyword_index("doc", tokenizer=tok)
+
+    reg2 = VechordRegistry("kwtok", str(tmp_path), spark)  # fresh session/state
+    reg2.register(spec)
+    loaded = reg2._load_keyword_index("doc")
+    assert loaded.tokenizer is not None
+    assert loaded.tokenizer.tokenize("query") == ["que", "##ry"]
+    # 'query' only matches doc 1 under WordPiece ('que'+'##ry' pieces);
+    # the engine tokenizer would find no posting for 'query' at all
+    hits = reg2.search_by_keyword("doc", "query engine").collect()
+    assert [r.uid for r in hits][0] == 1
+
+
 def test_search_by_multivec_with_refine(spark, tmp_path):
     from vechord_spark.spec import MultiVector
 

@@ -616,15 +616,24 @@ class VechordRegistry:
             tie_break=pk.name if pk else None,
         )
 
-    def build_keyword_index(self, name: str) -> int:
+    def build_keyword_index(self, name: str, tokenizer=None) -> int:
         """Build + persist the BM25 postings/statistics tables — the
         engine's rendition of the reference's bm25 index DDL
         (vechord/client.py:158-171). Postings shuffle once at build
         time; queries then broadcast-join their terms against the
         stored postings. Returns the number of postings rows.
 
+        ``tokenizer``: optional WordPieceTokenizer (or None for the
+        engine tokenizer). The tokenizer CONFIG AND VOCAB are persisted
+        alongside the postings (``meta.json`` + ``vocab.txt``) so a
+        fresh session's query path re-tokenizes queries exactly the way
+        the corpus was tokenized — the reference stores the tokenizer
+        name in the index DDL the same way (vechord/spec.py:258-295).
+
         Batch semantics: rebuild after bulk appends.
         """
+        import json
+
         from vechord_spark.operators.bm25 import Bm25Index
 
         spec = self._spec(name)
@@ -634,7 +643,7 @@ class VechordRegistry:
         pk = spec.primary_key
         if pk is None:
             raise SchemaError(f"table {name} needs a primary key for BM25")
-        index = Bm25Index(self.load(name), pk.name, kw_col.name)
+        index = Bm25Index(self.load(name), pk.name, kw_col.name, tokenizer=tokenizer)
         ipath = self.base_path / f"{self.namespace}_{name}.bm25"
         if ipath.exists():
             shutil.rmtree(ipath)
@@ -642,9 +651,24 @@ class VechordRegistry:
         index.doclen.write.parquet(str(ipath / "doclen"))
         index.docfreq.write.parquet(str(ipath / "docfreq"))
         index.stats.write.parquet(str(ipath / "stats"))
+        if tokenizer is None:
+            meta = {"tokenizer": "simple"}
+        else:
+            (ipath / "vocab.txt").write_text(
+                "\n".join(sorted(tokenizer.vocab)) + "\n"
+            )
+            meta = {
+                "tokenizer": "wordpiece",
+                "unk_token": tokenizer.unk_token,
+                "lowercase": tokenizer.lowercase,
+                "max_input_chars_per_word": tokenizer.max_input_chars_per_word,
+            }
+        (ipath / "meta.json").write_text(json.dumps(meta))
         return self.spark.read.parquet(str(ipath / "postings")).count()
 
     def _load_keyword_index(self, name: str):
+        import json
+
         from vechord_spark.operators.bm25 import Bm25Index
 
         ipath = self.base_path / f"{self.namespace}_{name}.bm25"
@@ -656,7 +680,19 @@ class VechordRegistry:
         idx.doc_id = spec.primary_key.name
         idx.k1 = kw_idx.k1
         idx.b = kw_idx.b
-        idx.tokenizer = None  # persisted layout pins the engine tokenizer
+        idx.tokenizer = None  # engine tokenizer unless meta says otherwise
+        meta_path = ipath / "meta.json"
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            if meta.get("tokenizer") == "wordpiece":
+                from vechord_spark.functions.wordpiece import WordPieceTokenizer
+
+                idx.tokenizer = WordPieceTokenizer.from_vocab_file(
+                    str(ipath / "vocab.txt"),
+                    unk_token=meta["unk_token"],
+                    lowercase=meta["lowercase"],
+                    max_input_chars_per_word=meta["max_input_chars_per_word"],
+                )
         idx.postings = self.spark.read.parquet(str(ipath / "postings"))
         idx.doclen = self.spark.read.parquet(str(ipath / "doclen"))
         idx.docfreq = self.spark.read.parquet(str(ipath / "docfreq"))
