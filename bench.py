@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "dedup_exact_fingerprint",
     "dedup_embedding_bucketed",
     "text_stats",
+    "text_repetition",
+    "sample_documents",
+    "sample_stratified",
     "lang_id",
     "token_count_by_source",
     "chunk_fixed_windows",

@@ -1,0 +1,54 @@
+"""Deterministic hash sampling: stability, nesting, stratified rates."""
+
+import pytest
+
+from vechord_spark.operators.sample import (
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+@pytest.fixture()
+def table(spark):
+    rows = [(i, "src%d" % (i % 3)) for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_sample_is_partitioning_invariant(table):
+    a = _ids(deterministic_sample(table.repartition(1), "doc_id", 0.2, salt="x"))
+    b = _ids(deterministic_sample(table.repartition(7), "doc_id", 0.2, salt="x"))
+    assert a == b and 100 < len(a) < 300  # ~200 expected
+
+
+def test_samples_nest_under_same_salt(table):
+    small = _ids(deterministic_sample(table, "doc_id", 0.1, salt="x"))
+    large = _ids(deterministic_sample(table, "doc_id", 0.5, salt="x"))
+    assert small <= large
+
+
+def test_different_salt_draws_independent_sample(table):
+    a = _ids(deterministic_sample(table, "doc_id", 0.3, salt="x"))
+    b = _ids(deterministic_sample(table, "doc_id", 0.3, salt="y"))
+    assert a != b
+
+
+def test_rate_bounds_validated(table):
+    with pytest.raises(ValueError):
+        deterministic_sample(table, "doc_id", 1.5)
+
+
+def test_stratified_rates_and_default(table):
+    out = stratified_sample(
+        table, "doc_id", "source", {"src0": 1.0, "src1": 0.2}, default_rate=0.0
+    )
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_src["src0"] == 334  # rate 1.0 keeps every src0 row
+    assert 30 < by_src.get("src1", 0) < 110  # ~67 expected
+    assert "src2" not in by_src  # default_rate 0 drops unlisted strata

@@ -61,3 +61,20 @@ def test_quality_score_bounds(spark):
     hi = one(spark, quality_score("t"), " ".join(["sensible", "words"] * 40))
     lo = one(spark, quality_score("t"), "!!! ??? ### $$$")
     assert 0.0 <= lo < hi <= 1.0
+
+
+def test_repetition_stats_known_distribution(spark):
+    from vechord_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "all distinct words here"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert r1.n_tokens == 4 and r1.n_distinct == 2
+    assert r1.top_token_frac == 0.75 and r1.dup_token_frac == 0.5
+    assert r1.top_ngram_frac == round(2 / 3, 6)  # 'a a' twice of 3 bigrams
+    r2 = got[2]
+    assert r2.dup_token_frac == 0.0 and r2.top_ngram_frac == round(1 / 3, 6)
+    assert 3 not in got  # empty text yields no row

@@ -1,0 +1,66 @@
+"""Repetition-based quality signals for training-corpus filtering.
+
+Machine-generated and boilerplate text is dominated by repeated tokens
+and phrases; corpus-quality pipelines (the Gopher/MassiveText rules
+made the pattern standard) filter on "fraction of the doc that is the
+top n-gram" and "fraction of duplicate tokens". These complement the
+per-column heuristics in functions/text.py (punct/stopword ratios),
+which look at characters; these look at the token distribution, which
+needs a per-(doc, token) aggregation, not a Column expression.
+
+Scale shape: explode -> two chained aggregations, both keyed on doc_id
+(the second reuses the first's hash partitioning — one real exchange),
+plus the same for n-grams; everything stays in whole-stage codegen.
+State per doc is O(distinct tokens), never O(text²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vechord_spark.functions.text import tokenize, word_ngrams
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 2
+) -> DataFrame:
+    """Per-document token-distribution stats:
+
+    - ``n_tokens`` / ``n_distinct``
+    - ``top_token_frac``: share of the most frequent token
+    - ``dup_token_frac``: 1 - distinct/total (mass in repeats)
+    - ``top_ngram_frac``: share of the most frequent word ``ngram``
+
+    Documents with zero tokens produce no row (nothing to measure).
+    """
+    uni = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = uni.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias(
+            "dup_token_frac"
+        ),
+    )
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(text_col, ngram)).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"))
+    )
+    return stats.join(grams, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_frac",
+        "dup_token_frac",
+        F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+    )

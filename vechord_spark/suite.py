@@ -1084,6 +1084,114 @@ def text_quality(spark, sf_dir):
     )
 
 
+_BIGRAMS = (
+    f"CASE WHEN len({_TOK.format(col='text')}) >= 2 THEN "
+    f"list_transform(generate_series(1, len({_TOK.format(col='text')}) - 1),"
+    f" i -> array_to_string(list_slice({_TOK.format(col='text')}, i, i + 1), ' ')) "
+    f"ELSE [array_to_string({_TOK.format(col='text')}, ' ')] END"
+)
+
+
+@_q(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK.format(col='text')}) AS tok FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac,
+             round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_token_frac
+      FROM uni GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest({_BIGRAMS}) AS g FROM documents)
+      GROUP BY doc_id, g
+    ),
+    bstats AS (
+      SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac
+      FROM bi GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_distinct, s.top_token_frac,
+           s.dup_token_frac, coalesce(b.top_ngram_frac, 0.0) AS top_ngram_frac
+    FROM stats s LEFT JOIN bstats b ON s.doc_id = b.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: top-token share, duplicate-token
+    mass, top-bigram share — the token-DISTRIBUTION quality filters a
+    training pipeline applies beside the character-level ones
+    (text_quality). Two chained doc_id-keyed aggregations; state per doc
+    is O(distinct tokens)."""
+    from vechord_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", ngram=2)
+
+
+_SAMPLE_RATE = 0.1
+_STRATA_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+_STRATA_DEFAULT = 0.02
+
+
+def _hash_frac_sql(salt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT)"
+    )
+
+
+@_q(
+    "sample_documents",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_hash_frac_sql('s1')} < {int(round(_SAMPLE_RATE * (1 << 32)))}
+    """,
+)
+def sample_documents(spark, sf_dir):
+    """Deterministic hash sampling: membership keyed on md5(salt||id),
+    so the same subset comes back under any partitioning, engine, or
+    incremental append — reproducible training subsets, verified
+    row-for-row by the oracle. Plan: one narrow codegen Filter over the
+    scan, no shuffle."""
+    from vechord_spark.operators.sample import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", _SAMPLE_RATE, salt="s1").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_q(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_hash_frac_sql('mix')} <
+      CASE source
+        {' '.join(f"WHEN '{k}' THEN {int(round(r * (1 << 32)))}" for k, r in _STRATA_RATES.items())}
+        ELSE {int(round(_STRATA_DEFAULT * (1 << 32)))}
+      END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Per-source sampling rates — the training-mix primitive (keep 50%
+    of one source, 2% of the rest). The stratum threshold is a CASE
+    expression inside the same single filter; no join, no shuffle."""
+    from vechord_spark.operators.sample import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "source", _STRATA_RATES,
+        default_rate=_STRATA_DEFAULT, salt="mix",
+    ).select("doc_id", "source")
+
+
 @_q(
     "doc_fingerprint",
     f"""
