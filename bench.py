@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "text_repetition",
     "sample_documents",
     "sample_stratified",
+    "sequence_pack",
+    "pack_utilization",
     "lang_id",
     "token_count_by_source",
     "chunk_fixed_windows",

@@ -1192,6 +1192,76 @@ def sample_stratified(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+_PACK_BUDGET = 2048
+
+_PACK_SQL_BASE = f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOK.format(col='text')}) AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) - n_tokens AS prec
+      FROM t
+    )
+"""
+
+
+@_q(
+    "sequence_pack",
+    _PACK_SQL_BASE
+    + f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(prec / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+           CAST(prec % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM p
+    """,
+)
+def sequence_pack(spark, sf_dir):
+    """Token-budget sequence packing for training batches: documents
+    laid out in doc_id order per source, bin = floor(preceding tokens /
+    budget). One window aggregation keyed on source — shards pack in
+    parallel, no global-order bottleneck, layout deterministic across
+    runs and engines."""
+    from vechord_spark.operators.pack import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", TX.token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(with_tokens, "doc_id", "n_tokens", _PACK_BUDGET, "source")
+
+
+@_q(
+    "pack_utilization",
+    _PACK_SQL_BASE
+    + f"""
+    SELECT source,
+           CAST(floor(prec / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(n_tokens) / {float(_PACK_BUDGET)}, 6) AS fill_frac
+    FROM p
+    GROUP BY source, CAST(floor(prec / {_PACK_BUDGET}) AS BIGINT)
+    """,
+)
+def pack_utilization(spark, sf_dir):
+    """Packing-efficiency report: per-bin doc count, token total, and
+    fill fraction — what a pipeline asserts on (padding waste) before
+    shipping batches to training."""
+    from vechord_spark.operators.pack import bin_utilization, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", TX.token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(with_tokens, "doc_id", "n_tokens", _PACK_BUDGET, "source")
+    return bin_utilization(packed, "n_tokens", _PACK_BUDGET, "source")
+
+
 @_q(
     "doc_fingerprint",
     f"""
