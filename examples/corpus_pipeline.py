@@ -1,0 +1,87 @@
+"""Training-corpus preparation, end to end: quality filter -> near-dup
+removal -> deterministic subsample -> token-budget packing.
+
+This is the 100 TB pipeline shape the engine's dedup/quality/sample/
+pack operators compose into (no reference equivalent — these are the
+engine's training-data extensions). Every stage is a DataFrame
+transform: one Catalyst plan per stage, no driver-side loops.
+
+    python examples/corpus_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from vechord_spark.operators.dedup import (
+    drop_near_duplicates,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+)
+from vechord_spark.operators.pack import bin_utilization, pack_sequences
+from vechord_spark.operators.quality import repetition_stats
+from vechord_spark.operators.sample import stratified_sample
+from vechord_spark.functions.text import token_count
+from vechord_spark.session import get_spark
+from vechord_spark.sources.testdata import load_table
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+PACK_BUDGET = 2048
+
+
+def main() -> None:
+    spark = get_spark("corpus-pipeline", master="local[4]", shuffle_partitions=8)
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate: drop docs dominated by repeated tokens/bigrams
+    rep = repetition_stats(docs, "doc_id", "text")
+    keep_ids = rep.filter(
+        (F.col("top_token_frac") <= 0.2) & (F.col("top_ngram_frac") <= 0.18)
+    ).select("doc_id")
+    docs = docs.join(keep_ids, "doc_id", "left_semi")
+    n1 = docs.count()
+
+    # 2. near-dup removal: MinHash candidates -> Jaccard verify ->
+    #    connected components -> keep min-id survivor per cluster
+    cands = minhash_candidate_pairs(docs, "doc_id", "text")
+    pairs = ngram_jaccard(
+        docs, "doc_id", "text", threshold=0.35, candidates=cands
+    ).select("doc_a", "doc_b")
+    docs = drop_near_duplicates(docs, "doc_id", pairs)
+    n2 = docs.count()
+
+    # 3. reproducible training mix: per-source rates, md5-keyed
+    rates = {"src0": 1.0, "src1": 0.5}
+    docs = stratified_sample(
+        docs, "doc_id", "source", rates, default_rate=0.25, salt="mix-v1"
+    )
+    n3 = docs.count()
+
+    # 4. token-budget packing per source shard
+    packed = pack_sequences(
+        docs.select("doc_id", "source", token_count("text").alias("n_tokens")),
+        "doc_id",
+        "n_tokens",
+        PACK_BUDGET,
+        "source",
+    )
+    util = bin_utilization(packed, "n_tokens", PACK_BUDGET, "source")
+    n_bins, mean_fill = util.agg(
+        F.count(F.lit(1)), F.round(F.avg("fill_frac"), 3)
+    ).first()
+
+    print(
+        f"corpus: {n0} docs -> quality {n1} -> dedup {n2} -> sample {n3} "
+        f"-> {n_bins} bins of {PACK_BUDGET} tokens (mean fill {mean_fill})"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
