@@ -45,3 +45,18 @@ def test_bin_utilization(docs):
 def test_budget_validated(docs):
     with pytest.raises(ValueError):
         pack_sequences(docs, "doc_id", "n", 0, "src")
+
+
+def test_pack_plan_single_partitioned_window(docs):
+    """Scale guard: one Window keyed on the shard column and exactly
+    one Exchange (the window's hash partitioning) — never a global
+    single-partition sort."""
+    plan = (
+        pack_sequences(docs, "doc_id", "n", 100, "src")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") >= 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(src" in plan

@@ -52,3 +52,16 @@ def test_stratified_rates_and_default(table):
     assert by_src["src0"] == 334  # rate 1.0 keeps every src0 row
     assert 30 < by_src.get("src1", 0) < 110  # ~67 expected
     assert "src2" not in by_src  # default_rate 0 drops unlisted strata
+
+
+def test_sample_plan_is_single_filter_no_shuffle(table):
+    """Scale guard: sampling must be one narrow Filter over the scan —
+    no Exchange anywhere in the plan."""
+    plan = (
+        deterministic_sample(table, "doc_id", 0.2, salt="x")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Filter" in plan
