@@ -45,7 +45,9 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "dedup_simhash",
     "dedup_exact_fingerprint",
+    "dedup_incremental",
     "dedup_embedding_bucketed",
+    "embedding_quantize",
     "text_stats",
     "text_repetition",
     "sample_documents",

@@ -104,3 +104,15 @@ def test_knn_join_partial_limit_before_exchange(spark, emb):
     assert any(
         "WindowGroupLimit" in l for l in lines[exchange_at:]
     ), plan  # partial limit below the exchange (printed deeper in the tree)
+
+
+def test_quantize_int8_codes_and_clamp(spark):
+    from vechord_spark.functions.vector import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, -1.0, 0.5, 1.7, -3.0, 0.0039])],
+        "id int, v array<float>",
+    )
+    (codes,) = df.select(quantize_int8("v").alias("q")).first()
+    # floor(x*127 + 0.5) with clamp to [-127, 127]
+    assert codes == [0, 127, -127, 64, 127, -127, 0]

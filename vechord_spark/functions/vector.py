@@ -116,3 +116,25 @@ def vector_distance(
     except KeyError:
         raise ValueError(f"unknown distance {distance!r}") from None
     return fn(a, b)
+
+
+def quantize_int8(vec: ColumnOrName, scale: float = 127.0) -> Column:
+    """Symmetric int8 quantization of a float vector: round-half-up via
+    ``floor(x·scale + 0.5)``, clamped to [-127, 127].
+
+    The 100 TB embedding-storage op: int8 cuts vector shuffle/storage
+    bytes 4× and is the estimate layer of estimate→refine ANN (the
+    quantized-prefilter idea behind the reference index's internals).
+    floor-based rounding (not ``round``) so every engine reproduces the
+    same codes bit-for-bit; DuckDB-oracle equivalent:
+    ``list_transform(v, x -> CAST(greatest(-127, least(127,
+    floor(CAST(x AS DOUBLE) * 127 + 0.5))) AS TINYINT))``.
+    """
+    v = _as_vec(vec)
+    return F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x.cast("double") * scale + F.lit(0.5))),
+        ).cast("tinyint"),
+    )

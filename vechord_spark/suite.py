@@ -1263,6 +1263,66 @@ def pack_utilization(spark, sf_dir):
 
 
 @_q(
+    "dedup_incremental",
+    f"""
+    WITH seen AS (
+      SELECT md5(array_to_string({_TOK.format(col='text')}, ' ')) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN seen s
+      ON md5(array_to_string({_TOK.format(col='d.text')}, ' ')) = s.fp
+    WHERE d.doc_id % 2 = 1 AND s.fp IS NULL
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental-crawl dedup: new batch (odd ids) anti-joined on the
+    SEEN fingerprint set (even ids) — the production shape where each
+    crawl only hashes its own batch and probes the persisted corpus
+    fingerprints; one hash-keyed anti-join, no rescan of old text. At
+    100 TB the seen side is a parquet fingerprint table, and the
+    anti-join shuffles only fingerprints (32 B/doc), never documents."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = TX.fingerprint("text")
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(fp.alias("fp"))
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", fp.alias("fp"))
+    return new.join(seen, "fp", "left_anti").select("doc_id")
+
+
+@_q(
+    "embedding_quantize",
+    """
+    SELECT vec_id,
+           array_to_string(
+             list_transform(embedding, x -> CAST(greatest(-127, least(127,
+               floor(CAST(x AS DOUBLE) * 127 + 0.5))) AS TINYINT)), ',') AS q8,
+           CAST(list_sum(list_transform(embedding, x -> abs(CAST(greatest(-127,
+             least(127, floor(CAST(x AS DOUBLE) * 127 + 0.5))) AS TINYINT))))
+             AS BIGINT) AS q_l1
+    FROM embeddings
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Int8 embedding codes + integer L1 norm: the 4×-smaller storage /
+    shuffle representation an embedding pipeline materializes at scale
+    (and the estimate layer of estimate→refine ANN). floor-based
+    round-half-up so codes are bit-identical across engines; the L1
+    norm is integer arithmetic — zero float-parity risk."""
+    from vechord_spark.functions.vector import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8("embedding")
+    return emb.select(
+        "vec_id",
+        F.array_join(q.cast("array<string>"), ",").alias("q8"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v.cast("long"))
+        ).alias("q_l1"),
+    )
+
+
+@_q(
     "doc_fingerprint",
     f"""
     SELECT doc_id, md5(array_to_string({_TOK.format(col='text')}, ' ')) AS fp
