@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "events_json_extract",
     "events_sessionize",
     "events_asof_join",
+    "events_funnel",
+    "skew_salted_revenue",
     "eval_recall_knn",
     "text_quality",
     "doc_fingerprint",

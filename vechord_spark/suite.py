@@ -1040,6 +1040,97 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+@_q(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> later click -> later purchase), counted
+    per stage: each stage is a user_id-keyed min-aggregation joined to
+    the previous stage's timestamp — three shuffles on user_id total,
+    AQE-broadcast when a stage's survivor set collapses. The standard
+    product-analytics sequencing query, exact (no windowing
+    approximation)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(event_type, prev, t_alias):
+        e = ev.filter(F.col("event_type") == event_type).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev.columns[1]))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t_alias))
+
+    v = stage("view", None, "t0")
+    c = stage("click", v, "t1")
+    p = stage("purchase", c, "t2")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@_q(
+    "skew_salted_revenue",
+    """
+    WITH dim(event_type, weight) AS (
+      VALUES ('view', 0.1), ('click', 0.5), ('purchase', 2.0),
+             ('signup', 1.0), ('error', 0.0)
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6)) *
+                          CAST(d.weight AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def skew_salted_revenue(spark, sf_dir):
+    """Skewed-key join demonstrated at the oracle: events join a tiny
+    dim on event_type — FIVE hot keys, the worst shuffle-join shape —
+    via operators/skew.salted_join (hot keys spread n_salts ways, dim
+    replicated per salt). Result provably equals the plain join. At
+    100 TB the same call handles a power-law key against a per-key
+    broadcast-sized dim without one straggler partition."""
+    from vechord_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("view", 0.1), ("click", 0.5), ("purchase", 2.0),
+         ("signup", 1.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    joined = salted_join(ev, dim, on="event_type", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(
+                F.col("value").cast("decimal(18,6)")
+                * F.col("weight").cast("decimal(18,6)")
+            ),
+            2,
+        ).cast("double").alias("weighted_value"),
+    )
+
+
 def _quality_sql() -> str:
     stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
     return f"""
