@@ -156,6 +156,15 @@ class VechordRegistry:
         existing table and a within-batch ``dropDuplicates`` pre-check;
         a collision raises :class:`UniqueViolation` like the reference
         (tests/test_table.py:142-151).
+
+        Concurrency contract: SINGLE WRITER per table. Auto-increment
+        ids seed from the current ``max(id)`` and unique checks probe
+        the pre-append snapshot, so two concurrent appends to the same
+        table can both pass and collide — same as any
+        read-check-then-write protocol without a lock. Run ingest jobs
+        per-table serialized (the reference gets this from Postgres
+        sequences/unique indexes; a lake deployment would use a table
+        format with optimistic commit, e.g. Delta/Iceberg).
         """
         spec = self._spec(name)
         ai = spec.auto_increment_column
