@@ -115,3 +115,41 @@ def test_drop_near_duplicates_keeps_survivor(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     kept = sorted(r.doc_id for r in drop_near_duplicates(df, "doc_id", pairs).collect())
     assert kept == [1, 9]  # min-id survivor + untouched singleton
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized (seeded) graph vs a pure-Python union-find reference:
+    every node must map to the min id of its component."""
+    import random
+
+    from vechord_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    expect = {}
+    for n in parent:
+        root = find(n)
+        expect.setdefault(root, []).append(n)
+    want = {n: min(members) for members in expect.values() for n in members}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == want
