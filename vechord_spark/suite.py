@@ -1064,26 +1064,19 @@ def events_asof_join(spark, sf_dir):
 )
 def events_funnel(spark, sf_dir):
     """Ordered funnel (view -> later click -> later purchase), counted
-    per stage: each stage is a user_id-keyed min-aggregation joined to
-    the previous stage's timestamp — three shuffles on user_id total,
-    AQE-broadcast when a stage's survivor set collapses. The standard
-    product-analytics sequencing query, exact (no windowing
-    approximation)."""
+    per stage via operators/funnel: ONE user_id exchange (collect each
+    user's (ts, type) events, fold left-to-right with a higher-order
+    aggregate whose accumulator is the stage reached + its timestamp),
+    then a scalar count agg — instead of the textbook three chained
+    min-agg/join shuffles. Greedy earliest-first advance is provably
+    the chained-mins semantics (tested against it in
+    tests/test_funnel.py)."""
+    from vechord_spark.operators.funnel import funnel_counts
+
     ev = _t(spark, sf_dir, "events")
-
-    def stage(event_type, prev, t_alias):
-        e = ev.filter(F.col("event_type") == event_type).select("user_id", "ts")
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev.columns[1]))
-        return e.groupBy("user_id").agg(F.min("ts").alias(t_alias))
-
-    v = stage("view", None, "t0")
-    c = stage("click", v, "t1")
-    p = stage("purchase", c, "t2")
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    ev = ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
 
 
