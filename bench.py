@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "text_stats",
     "text_repetition",
+    "text_redact_pii",
+    "dedup_spans",
     "sample_documents",
     "sample_stratified",
     "sequence_pack",

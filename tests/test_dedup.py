@@ -153,3 +153,39 @@ def test_connected_components_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_duplicate_span_stats_reference(spark):
+    from vechord_spark.operators.dedup import duplicate_span_stats
+
+    texts = {
+        1: "alpha beta gamma delta common run of five tokens here",
+        2: "different head common run of five tokens here tail words",
+        3: "totally unrelated content with no shared span at all",
+        4: "short one",
+    }
+    n = 5
+
+    def spans(t):
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    counts = {}
+    for t in texts.values():
+        for s in spans(t):
+            counts[s] = counts.get(s, 0) + 1
+    want = {}
+    for d, t in texts.items():
+        ss = spans(t)
+        dup = sum(1 for s in ss if counts[s] >= 2)
+        want[d] = (len(ss), dup, round(dup / len(ss), 6))
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_fraction)
+        for r in duplicate_span_stats(df, "doc_id", "text", ngram=n).collect()
+    }
+    assert got == want
+    assert got[1][1] > 0 and got[4] == (1, 0, 0.0)

@@ -78,3 +78,51 @@ def test_repetition_stats_known_distribution(spark):
     r2 = got[2]
     assert r2.dup_token_frac == 0.0 and r2.top_ngram_frac == round(1 / 3, 6)
     assert 3 not in got  # empty text yields no row
+
+
+def test_redact_pii_all_kinds(spark):
+    from vechord_spark.functions.text import pii_counts, redact_pii
+
+    raw = ("mail a.b%x@ex-1.co.uk go https://ex.org/d/9?a=b#f ssn 123-45-6789"
+           " call 555-010-1234 from 10.0.3.217 done")
+    df = spark.createDataFrame([(raw,)], "t string")
+    row = df.select(
+        redact_pii("t").alias("red"), *pii_counts("t")
+    ).collect()[0]
+    assert row.red == ("mail <EMAIL> go <URL> ssn <SSN>"
+                       " call <PHONE> from <IP> done")
+    assert (row.n_email, row.n_url, row.n_ssn, row.n_ip, row.n_phone) == (1, 1, 1, 1, 1)
+
+
+def test_redact_pii_passthrough_and_idempotent(spark):
+    from vechord_spark.functions.text import redact_pii
+
+    clean = "no sensitive content just words and numbers like 42 or 3.14"
+    df = spark.createDataFrame([(clean,)], "t string")
+    once = df.select(redact_pii("t").alias("r")).collect()[0].r
+    assert once == clean
+    redacted = "already scrubbed <EMAIL> and <IP> stay put"
+    twice = (
+        spark.createDataFrame([(redacted,)], "t string")
+        .select(redact_pii("t").alias("r")).collect()[0].r
+    )
+    assert twice == redacted
+
+
+def test_redact_pii_boundaries(spark):
+    from vechord_spark.functions.text import redact_pii
+
+    cases = {
+        # version strings are not IPs (only 3 octets)
+        "pkg v1.2.3 released": "pkg v1.2.3 released",
+        # IP at end of sentence keeps the period
+        "host 192.168.0.1.": "host <IP>.",
+        # ssn shape wins over phone shape
+        "id 999-99-9999 and 999-999-9999": "id <SSN> and <PHONE>",
+    }
+    for raw, want in cases.items():
+        got = (
+            spark.createDataFrame([(raw,)], "t string")
+            .select(redact_pii("t").alias("r")).collect()[0].r
+        )
+        assert got == want, (raw, got, want)

@@ -169,3 +169,44 @@ def fingerprint(text: ColumnOrName) -> Column:
     the exact-dedup key. md5 is bit-identical in Spark and DuckDB."""
     normalized = F.concat_ws(" ", tokenize(text))
     return F.md5(normalized)
+
+
+# PII redaction patterns, applied in order (earlier patterns must not
+# leave fragments later ones would mis-match: SSN's 3-2-4 shape runs
+# before the generic 3-3-4 phone; IPv4 before phone so dotted digit
+# runs are never half-eaten). Every pattern is restricted to the
+# regex subset with identical semantics in Java (Spark) and RE2
+# (DuckDB oracle): classes, bounded repeats, ASCII \b — no
+# lookaround, no backreferences.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[A-Za-z0-9./_%?=&#~-]+", "<URL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: ColumnOrName) -> Column:
+    """Replace emails, URLs, SSNs, IPv4s and phone numbers with typed
+    placeholder tokens — the standard scrub pass before training-data
+    release. Chained ``regexp_replace`` Column expressions: JVM-side,
+    codegen-friendly, no Python in the scan.
+
+    DuckDB-oracle equivalent: the same patterns via
+    ``regexp_replace(x, pat, repl, 'g')`` in ``PII_PATTERNS`` order.
+    """
+    out = _as_col(text)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: ColumnOrName) -> list[Column]:
+    """One ``n_<kind>`` long Column per PII pattern, counting matches
+    in the raw text (detection signal; pairs with :func:`redact_pii`)."""
+    t = _as_col(text)
+    return [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]

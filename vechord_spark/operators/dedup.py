@@ -621,3 +621,51 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document repeated-span contamination: the fraction of a
+    document's distinct word ``ngram``-shingles that also occur in at
+    least ``min_docs`` documents corpus-wide (itself included).
+
+    The training-data signal behind exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): docs
+    whose spans are mostly corpus-duplicated are boilerplate or
+    near-copies even when no single pair crosses a Jaccard threshold.
+
+    Scale shape: explode distinct shingles (one row per (doc, span)),
+    count docs per span with one span-keyed exchange, join the counts
+    back on the same key (exchange reuse / AQE), then one id-keyed
+    aggregation. Never pairwise — cost is linear in total shingle
+    volume, and a universally-hot span contributes one count row, not
+    a pair explosion. Returns ``(id, n_spans, n_dup_spans,
+    dup_fraction)``.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("span"),
+    )
+    # one row per (doc, span) -> count(*) per span == containing docs
+    counts = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    dup = F.col("n_docs").isNotNull()
+    return (
+        spans.join(counts, "span", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup.cast("long")).alias("n_dup_spans"),
+            F.round(
+                F.sum(dup.cast("double")) / F.count(F.lit(1)), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -2364,3 +2364,109 @@ def cube_ship_stats(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+# ===========================================================================
+# PII redaction + repeated-span contamination (round 4)
+# ===========================================================================
+
+
+def _redact_sql() -> str:
+    """Oracle for text_redact_pii: same injected PII, same patterns in
+    the same order via RE2 regexp_replace(..., 'g')."""
+    inner = "raw"
+    for _, pat, repl in TX.PII_PATTERNS:
+        inner = f"regexp_replace({inner}, '{pat}', '{repl}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(raw, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in TX.PII_PATTERNS
+    )
+    return f"""
+    WITH inj AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR) || '?ref=corpus' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           md5({inner}) AS redacted_md5,
+           {counts}
+    FROM inj
+    """
+
+
+@_q("text_redact_pii", _redact_sql())
+def text_redact_pii(spark, sf_dir):
+    """PII scrub before training-data release: emails / URLs / SSNs /
+    IPv4s / phone numbers replaced by typed tokens (functions/text
+    redact_pii) plus per-kind detection counts. The corpus has no
+    organic PII, so each doc deterministically injects a varying
+    subset keyed on doc_id and the oracle hash proves Java-regex and
+    RE2 redaction byte-identical. Pure chained regexp Columns — one
+    scan, no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    raw = F.concat(
+        F.col("text"),
+        opt(did % 2 == 0, F.lit(" contact user"), did.cast("string"),
+            F.lit("@mail.example.com")),
+        opt(did % 3 == 0, F.lit(" see https://ex.org/d/"), did.cast("string"),
+            F.lit("?ref=corpus")),
+        opt(did % 5 == 0, F.lit(" ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0")),
+        opt(did % 7 == 0, F.lit(" from 10.0."), (did % 256).cast("string"),
+            F.lit("."), ((did * 7) % 256).cast("string")),
+        opt(did % 4 == 0, F.lit(" call 555-010-"),
+            F.lpad((did % 10000).cast("string"), 4, "0")),
+    )
+    return docs.select(did, raw.alias("raw")).select(
+        "doc_id",
+        F.md5(TX.redact_pii("raw")).alias("redacted_md5"),
+        *TX.pii_counts("raw"),
+    )
+
+
+def _dup_span_sql(n: int = 5, min_docs: int = 2) -> str:
+    toks = _TOK.format(col="text")
+    spans = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(generate_series(1, len(toks) - {n - 1}),"
+        f" i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({spans})) AS span FROM t
+    ),
+    c AS (
+      SELECT span, count(*) AS n_docs FROM sh
+      GROUP BY span HAVING count(*) >= {min_docs}
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c.n_docs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(sum(CASE WHEN c.n_docs IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS dup_fraction
+    FROM sh LEFT JOIN c ON sh.span = c.span
+    GROUP BY sh.doc_id
+    """
+
+
+@_q("dedup_spans", _dup_span_sql())
+def dedup_spans(spark, sf_dir):
+    """Repeated-span contamination (exact-substring-dedup signal, Lee
+    et al. 2022): per doc, the fraction of its distinct 5-token spans
+    occurring in >= 2 docs corpus-wide. Linear in shingle volume —
+    explode, one span-keyed count exchange, count-join back on the
+    same key, one doc-keyed agg; a corpus-hot span costs one count
+    row, never a pair blowup (operators/dedup.duplicate_span_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.duplicate_span_stats(docs, "doc_id", "text", ngram=5, min_docs=2)
