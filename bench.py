@@ -65,7 +65,10 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof_join",
     "events_funnel",
+    "events_retention",
     "skew_salted_revenue",
+    "token_vocab_topk",
+    "doc_length_quantiles",
     "eval_recall_knn",
     "text_quality",
     "doc_fingerprint",

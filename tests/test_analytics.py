@@ -1,0 +1,75 @@
+"""Corpus/product analytics operators: vocab head, cohort retention,
+length quantiles."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from vechord_spark.operators.funnel import cohort_retention
+from vechord_spark.operators.quality import length_quantiles, top_tokens
+
+
+def test_top_tokens_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [("b b b a a c",), ("a c? C!",)], "text string"
+    )
+    rows = top_tokens(df, "text", k=3).collect()
+    # a:3, b:3, c:3 — count ties broken by token
+    assert [(r.token, r.n_occurrences) for r in rows] == [
+        ("a", 3), ("b", 3), ("c", 3)
+    ]
+
+
+def test_cohort_retention_reference(spark):
+    base = datetime.datetime(2026, 3, 1)
+    # user 1: days 0,1,3 ; user 2: days 1,1 (dup) ; user 3: day 3
+    raw = [(1, 0), (1, 1), (1, 3), (2, 1), (2, 1), (3, 3)]
+    df = spark.createDataFrame(
+        [(u, base + datetime.timedelta(days=d, hours=u)) for u, d in raw],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.cohort_day.isoformat(), r.day_offset): r.n_users
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2026-03-01", 0): 1,  # user 1 cohort day 0
+        ("2026-03-01", 1): 1,  # user 1 active day 1
+        ("2026-03-01", 3): 1,  # user 1 active day 3
+        ("2026-03-02", 0): 1,  # user 2 cohort day 1 (dup day collapsed)
+        ("2026-03-04", 0): 1,  # user 3 cohort day 3
+    }
+
+
+def test_length_quantiles_exact_values(spark):
+    # one group, token counts 1..5 -> p50 = 3, p25 = 2, p75 = 4, p90 = 4.6
+    df = spark.createDataFrame(
+        [("s", " ".join(["w"] * n)) for n in range(1, 6)],
+        "source string, text string",
+    )
+    r = length_quantiles(df, "source", "text").collect()[0]
+    assert r.n_docs == 5
+    assert (r.p25, r.p50, r.p75, r.p90) == (2.0, 3.0, 4.0, 4.6)
+
+
+def test_length_quantiles_approx_close_to_exact(spark, docs):
+    exact = {
+        r.source: r.p50
+        for r in length_quantiles(docs, "source", "text").collect()
+    }
+    from vechord_spark.functions.text import tokenize
+
+    approx = {
+        r.source: r.ap50
+        for r in docs.groupBy("source")
+        .agg(
+            F.percentile_approx(
+                F.size(tokenize("text")).cast("double"), 0.5, 10000
+            ).alias("ap50")
+        )
+        .collect()
+    }
+    for src, p in exact.items():
+        # approx returns an actual data value; exact interpolates —
+        # at fine accuracy they sit within one value of each other
+        assert abs(approx[src] - p) <= max(2.0, 0.05 * p), (src, p, approx[src])

@@ -79,3 +79,35 @@ def funnel_counts(
         for i, name in enumerate(stages)
     ]
     return depth.agg(*aggs)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    counted per (cohort_day, day_offset) of later activity.
+
+    Scale shape: dedup to (user, active_day) (one keyed exchange —
+    map-side combine first, so the shuffle carries at most one row per
+    user-day), derive each user's cohort with a user-keyed min (reuses
+    the same partitioning), join activity to cohorts user-keyed, and
+    aggregate to the matrix. Row counts only ever shrink; nothing is
+    pairwise.
+    """
+    days = (
+        df.select(
+            F.col(user_col).alias("user_id"), F.to_date(F.col(ts_col)).alias("day")
+        )
+        .distinct()
+    )
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        # rows are distinct (user, day): count(*) IS distinct users
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -64,3 +64,43 @@ def repetition_stats(
         "dup_token_frac",
         F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
     )
+
+
+def top_tokens(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus-wide token frequency head — the Zipf/vocabulary report
+    every corpus card ships. Explode + count is map-side-combinable:
+    each partition emits one partial count per distinct token it saw,
+    so the single exchange carries ~|vocab| rows, not |tokens|; the
+    top-k compiles to TakeOrderedAndProject (per-partition heaps).
+    Ties break on the token itself for a total order."""
+    toks = df.select(F.explode(tokenize(text_col)).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(k)
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Per-group EXACT token-length quantiles (linear interpolation).
+
+    Exact `percentile` buffers each group's values in executor memory —
+    right for per-source corpus reports (groups = sources, values =
+    docs/source). For quantiles over a 100 TB *ungrouped* column use
+    ``F.percentile_approx`` instead (mergeable sketch, bounded memory);
+    tests assert the approx path lands within tolerance of this one.
+    """
+    ntok = F.size(tokenize(text_col)).cast("double")
+    aggs = [
+        F.round(F.percentile(ntok, F.lit(q)), 6).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"), *aggs
+    )

@@ -2470,3 +2470,80 @@ def dedup_spans(spark, sf_dir):
     row, never a pair blowup (operators/dedup.duplicate_span_stats)."""
     docs = _t(spark, sf_dir, "documents")
     return DD.duplicate_span_stats(docs, "doc_id", "text", ngram=5, min_docs=2)
+
+
+@_q(
+    "token_vocab_topk",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOK.format(col='text')}) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM toks GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT 20
+    """,
+)
+def token_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (Zipf report): explode + count with
+    map-side combine — the one exchange carries ~|vocab| partial
+    counts, and the top-20 compiles to TakeOrderedAndProject
+    (operators/quality.top_tokens)."""
+    from vechord_spark.operators.quality import top_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_tokens(docs, "text", k=20)
+
+
+@_q(
+    "events_retention",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, d.day) AS INTEGER) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM d JOIN c ON d.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix (first-activity day x day offset ->
+    distinct active users) — the other standard product-analytics
+    query next to funnel/sessionize. User-day dedup then user-keyed
+    min + join; never pairwise (operators/funnel.cohort_retention)."""
+    from vechord_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+@_q(
+    "doc_length_quantiles",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CAST(len({_TOK.format(col='text')}) AS DOUBLE) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_tok, 0.25), 6) AS p25,
+           round(quantile_cont(n_tok, 0.5), 6) AS p50,
+           round(quantile_cont(n_tok, 0.75), 6) AS p75,
+           round(quantile_cont(n_tok, 0.9), 6) AS p90
+    FROM t GROUP BY source
+    """,
+)
+def doc_length_quantiles(spark, sf_dir):
+    """Per-source token-length distribution (exact linear-interpolation
+    quantiles — identical arithmetic in Spark `percentile` and DuckDB
+    `quantile_cont`). The corpus-card length report; the ungrouped
+    100 TB path is percentile_approx (operators/quality.length_quantiles
+    docs + tolerance test)."""
+    from vechord_spark.operators.quality import length_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_quantiles(docs, "source", "text")
