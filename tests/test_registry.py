@@ -371,3 +371,36 @@ def test_auto_increment_mixed_batch_per_row_generation(spark, tmp_path):
     assert len(set(rows.values())) == 3
     # generated ids seed past the explicit ones
     assert rows["gen1"] > 7 and rows["gen2"] > 7
+
+
+def test_compact_merges_small_files(reg, spark):
+    for i in range(5):
+        reg.insert_rows(
+            "document",
+            [{"uid": 100 + i * 2 + j, "title": f"b{i}", "text": f"batch {i} row {j}"}
+             for j in range(2)],
+        )
+    before = sorted(
+        (r.uid, r.title, r.text) for r in reg.load("document").collect()
+    )
+    stats = reg.compact("document")
+    assert stats["files_before"] >= 5
+    assert stats["files_after"] == 1  # tiny table -> one target file
+    assert stats["files_after"] < stats["files_before"]
+    after = sorted(
+        (r.uid, r.title, r.text) for r in reg.load("document").collect()
+    )
+    assert after == before
+
+
+def test_compact_empty_table_is_noop(reg):
+    stats = reg.compact("document")
+    assert stats == {"files_before": 0, "files_after": 0, "bytes": 0}
+
+
+def test_compact_shuffle_path(reg):
+    reg.insert_rows("document", [{"uid": 1, "title": "a", "text": "t"}])
+    reg.insert_rows("document", [{"uid": 2, "title": "b", "text": "u"}])
+    stats = reg.compact("document", shuffle=True)
+    assert stats["files_after"] == 1
+    assert {r.uid for r in reg.load("document").collect()} == {1, 2}

@@ -153,3 +153,27 @@ def test_cli_list_and_query(capsys):
     assert "filter_project\toracle" in out
 
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    import json
+
+    from vechord_spark.cli import main
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec
+
+    reg = VechordRegistry("cli", str(tmp_path), spark)
+    reg.register(TableSpec("t", [Column("uid", "int"), Column("x", "string")]))
+    for i in range(3):
+        reg.insert_rows("t", [{"uid": i, "x": f"v{i}"}])
+
+    rc = main(["compact", "--base-path", str(tmp_path), "--namespace", "cli", "t"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_before"] >= 3 and stats["files_after"] == 1
+
+    fresh = VechordRegistry("cli", str(tmp_path), spark)
+    fresh.register(TableSpec("t", [Column("uid", "int"), Column("x", "string")]))
+    assert {r.uid for r in fresh.load("t").collect()} == {0, 1, 2}
+
+    assert main(["compact", "--base-path", str(tmp_path), "--namespace", "cli", "missing"]) == 2

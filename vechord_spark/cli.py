@@ -43,6 +43,21 @@ def build_parser() -> ArgumentParser:
     bench = sub.add_parser("bench", help="run bench.py's suite and print the JSON line")
     bench.add_argument("--sf-dir", type=str, default=None)
 
+    compact = sub.add_parser(
+        "compact", help="merge a table's small parquet files (lakehouse OPTIMIZE)"
+    )
+    compact.add_argument("--base-path", type=str, default="/tmp/vechord_spark")
+    compact.add_argument("--namespace", type=str, default="cli")
+    compact.add_argument("table", type=str, help="registered table name")
+    compact.add_argument(
+        "--target-file-mb", type=int, default=128,
+        help="target output file size in MiB (default 128)",
+    )
+    compact.add_argument(
+        "--shuffle", action="store_true",
+        help="repartition (even output files) instead of coalesce",
+    )
+
     return parser
 
 
@@ -86,6 +101,32 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("vechord-query")
         df = QUERIES[args.name](spark, args.sf_dir)
         print(json.dumps(rows_to_json(df, args.limit), default=str))
+        return 0
+
+    if args.command == "compact":
+        from vechord_spark.registry import VechordRegistry
+        from vechord_spark.session import get_spark
+        from vechord_spark.spec import Column, TableSpec
+
+        spark = get_spark("vechord-compact")
+        registry = VechordRegistry(args.namespace, args.base_path, spark)
+        # specs live in the owning process; a maintenance CLI infers
+        # the table shape from the parquet footprint it is compacting
+        path = registry.table_path(args.table)
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception:
+            print(f"no table storage at {path}", file=sys.stderr)
+            return 2
+        registry.register(
+            TableSpec(args.table, [Column(f.name, f.dataType) for f in schema.fields])
+        )
+        stats = registry.compact(
+            args.table,
+            target_file_bytes=args.target_file_mb << 20,
+            shuffle=args.shuffle,
+        )
+        print(json.dumps(stats))
         return 0
 
     if args.command == "bench":

@@ -357,6 +357,45 @@ class VechordRegistry:
             if scratch.exists():
                 shutil.rmtree(scratch)
 
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        shuffle: bool = False,
+    ) -> dict[str, int]:
+        """Rewrite ``name``'s storage into ~``target_file_bytes`` files.
+
+        Batch appends accumulate one file set per batch; at cluster
+        scale thousands of small parquet files throttle every scan on
+        file-open overhead and defeat row-group pruning. Compaction is
+        the lakehouse OPTIMIZE: read, ``coalesce`` to
+        ceil(bytes / target) partitions (no shuffle — partitions merge
+        in place), publish through the crash-recoverable ``_rewrite``
+        journal. Pass ``shuffle=True`` to ``repartition`` instead when
+        the batches were skewed and merged files must come out even.
+
+        Returns ``{"files_before", "files_after", "bytes"}``. No-op
+        (zeros) for an empty table.
+        """
+        self._spec(name)
+        live = Path(self.table_path(name))
+        if not live.exists():
+            self._recover_rewrite(name)
+        if not live.exists():
+            return {"files_before": 0, "files_after": 0, "bytes": 0}
+        files = [p for p in live.rglob("*.parquet") if p.is_file()]
+        total = sum(p.stat().st_size for p in files)
+        n_out = max(1, -(-total // max(1, target_file_bytes)))
+        df = self.load(name)
+        df = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+        self._rewrite(name, df)
+        after = sum(1 for p in live.rglob("*.parquet") if p.is_file())
+        return {
+            "files_before": len(files),
+            "files_after": after,
+            "bytes": total,
+        }
+
     def _cascade_from(self, parent: TableSpec) -> None:
         for child in self.tables.values():
             for local_col, p_table, p_col in child.foreign_keys():
