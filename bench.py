@@ -113,14 +113,21 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # --warm (or SPARK_GRAFT_WARM=1): time each query twice, report the
+    # second run — steady-state cost with Janino/JIT compile excluded.
+    # The driver's per-round number stays the default cold single-run.
+    warm = "--warm" in sys.argv[1:] or os.environ.get("SPARK_GRAFT_WARM") == "1"
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        dt = time.perf_counter() - t0
+        runs = 2 if warm else 1
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
