@@ -106,3 +106,97 @@ def test_registry_multivec_index_roundtrip(spark, tmp_path):
     ).collect()
     exact = reg.search_by_multivec("mvt", [[1.0, 0.0, 0.0, 0.0]], topk=5).collect()
     assert [r.id for r in got] == [r.id for r in exact]
+
+def test_centroid_interaction_full_budget_equals_exact(emb):
+    """Correctness gate for the PLAID-style phase-1 estimate: with the
+    refine budget >= row count the centroid-interaction path must
+    produce exactly the exact-MaxSim ranking (the estimator only
+    orders candidates; it must never change the final scores)."""
+    from vechord_spark.operators.ivf import build_multivec_ivf
+
+    mv = _mv(emb)
+    q = [[0.3] * 64, [-0.2] * 64]
+    exact = [
+        r.mv_id
+        for r in maxsim_topk(
+            mv, "vecs", q, k=10, select=["mv_id"], tie_break="mv_id"
+        ).collect()
+    ]
+    index = build_multivec_ivf(mv, "vecs", lists=8, seed=42, token_lists=16)
+    assert index.token_centroids is not None
+    got = [
+        r.mv_id
+        for r in maxsim_topk_refined(
+            index.inner.assigned.drop("centroid_id", "__mean"),
+            "vecs", q, k=10, refine=10_000,
+            select=["mv_id"], tie_break="mv_id",
+            centroids=index.token_centroids, centroid_ids_col="__centroid_ids",
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_centroid_interaction_small_budget_recall_floor(emb):
+    """At a small budget the token-centroid estimate must keep useful
+    recall (measured 0.5-0.7 at token_lists=16-32 on this corpus; the
+    floor leaves slack for KMeans re-seeding across environments)."""
+    from vechord_spark.operators.ivf import build_multivec_ivf
+
+    mv = _mv(emb)
+    q = [[0.3] * 64, [-0.2] * 64]
+    exact = {
+        r.mv_id
+        for r in maxsim_topk(
+            mv, "vecs", q, k=10, select=["mv_id"], tie_break="mv_id"
+        ).collect()
+    }
+    index = build_multivec_ivf(mv, "vecs", lists=8, seed=42, token_lists=32)
+    got = {
+        r.mv_id
+        for r in maxsim_topk_refined(
+            index.inner.assigned.drop("centroid_id", "__mean"),
+            "vecs", q, k=10, refine=50,
+            select=["mv_id"], tie_break="mv_id",
+            centroids=index.token_centroids, centroid_ids_col="__centroid_ids",
+        ).collect()
+    }
+    assert len(got & exact) >= 4
+
+
+def test_registry_multivec_token_index_roundtrip(spark, tmp_path):
+    """token_lists centroids + __centroid_ids round-trip through the
+    partitioned parquet layout; refined probe search at a full budget
+    agrees with exact, and without token_lists nothing is persisted."""
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, MultiVector, TableSpec
+
+    spec = TableSpec(
+        "mvt",
+        [Column("id", "long", primary_key=True), Column("vecs", MultiVector(4))],
+    )
+    reg = VechordRegistry("t_mvrefine", str(tmp_path), spark)
+    reg.register(spec)
+    reg.insert_rows(
+        "mvt",
+        [
+            {"id": i, "vecs": [[float(i), 1.0, 0.0, 0.5], [0.0, float(i % 3), 1.0, -0.5]]}
+            for i in range(40)
+        ],
+    )
+    reg.build_multivec_index("mvt", lists=4, token_lists=8)
+    idx = reg._load_multivec_index("mvt")
+    assert idx.token_centroids is not None and len(idx.token_centroids) == 8
+    assert "__centroid_ids" in idx.inner.assigned.columns
+    got = reg.search_by_multivec(
+        "mvt", [[1.0, 0.0, 0.0, 0.0]], topk=5, probes=4, maxsim_refine=40
+    ).collect()
+    exact = reg.search_by_multivec("mvt", [[1.0, 0.0, 0.0, 0.0]], topk=5).collect()
+    assert [r.id for r in got] == [r.id for r in exact]
+
+    reg.build_multivec_index("mvt", lists=4)  # rebuild without tokens
+    idx2 = reg._load_multivec_index("mvt")
+    assert idx2.token_centroids is None
+    got2 = reg.search_by_multivec(
+        "mvt", [[1.0, 0.0, 0.0, 0.0]], topk=5, probes=4, maxsim_refine=40
+    ).collect()
+    assert [r.id for r in got2] == [r.id for r in exact]

@@ -125,6 +125,33 @@ def mean_vector(doc_col: str | Column) -> Column:
     return F.transform(summed, lambda s: s / F.size(doc))
 
 
+def centroid_interaction_estimate(
+    centroid_ids_col: str | Column,
+    centroids,
+    query_vectors: Sequence[Sequence[float]],
+) -> Column:
+    """Centroid-interaction MaxSim estimate (the PLAID/ColBERTv2
+    candidate-scoring idea, public literature): score ≈ sum over query
+    vectors of max dot(centroid, q) over the DOC'S OWN token-centroid
+    set. The |Q| x |lists| dot table is precomputed driver-side and
+    inlined as array literals, so per row the cost is |Q| array-max
+    lookups over a handful of ids — pure JVM, no Python, and a far
+    tighter estimate than the doc-mean dot on spread-out token sets
+    (a mean of opposing tokens is ~0; the per-centroid max keeps each
+    facet's contribution)."""
+    import numpy as np
+
+    ids = F.col(centroid_ids_col) if isinstance(centroid_ids_col, str) else centroid_ids_col
+    c = np.asarray(centroids, dtype=np.float64)
+    est: Column | None = None
+    for q in query_vectors:
+        dots = c @ np.asarray(list(q), dtype=np.float64)
+        table = F.array(*[F.lit(float(d)) for d in dots])
+        term = F.array_max(F.transform(ids, lambda i: F.element_at(table, i + 1)))
+        est = term if est is None else est + term
+    return est
+
+
 def maxsim_topk_refined(
     df: DataFrame,
     doc_col: str,
@@ -134,27 +161,41 @@ def maxsim_topk_refined(
     select: Sequence[str] | None = None,
     tie_break: str | None = None,
     score_alias: str = "maxsim_distance",
+    centroids=None,
+    centroid_ids_col: str | None = None,
 ) -> DataFrame:
     """Two-phase MaxSim: the ``maxsim_refine`` budget analog (reference
     GUC, default 1000 — vechord/registry.py:233, client.py:337-343).
 
-    Phase 1 scores each row against its doc-vector MEAN — one dot per
-    query vector instead of |D| — and keeps the best ``refine`` rows;
+    Phase 1 scores each row cheaply and keeps the best ``refine``;
     phase 2 computes exact MaxSim on the survivors. With ``refine`` >=
     the row count this equals ``maxsim_topk``.
+
+    Two phase-1 estimators: the default doc-MEAN dot (one dot per
+    query vector), or — when ``centroids`` + ``centroid_ids_col`` are
+    given (the multivector IVF index stores per-doc token-centroid
+    sets at build time) — the centroid-interaction estimate, which
+    recalls far better on token sets whose facets cancel in the mean.
     """
     from vechord_spark.functions.vector import dot_product
 
-    mean = mean_vector(doc_col)
-    est = None
-    for q in query_vectors:
-        term = dot_product(mean, list(q))
-        est = term if est is None else est + term
+    if centroids is not None and centroid_ids_col is not None:
+        est = centroid_interaction_estimate(
+            centroid_ids_col, centroids, query_vectors
+        )
+    else:
+        mean = mean_vector(doc_col)
+        est = None
+        for q in query_vectors:
+            term = dot_product(mean, list(q))
+            est = term if est is None else est + term
     candidates = df.withColumn("__mean_est", -est)
     order = [F.col("__mean_est").asc()]
     if tie_break:
         order.append(F.col(tie_break).asc())
     survivors = candidates.orderBy(*order).limit(refine).drop("__mean_est")
+    if centroid_ids_col is not None and centroid_ids_col in survivors.columns:
+        survivors = survivors.drop(centroid_ids_col)
     return maxsim_topk(
         survivors,
         doc_col,

@@ -468,7 +468,11 @@ class VechordRegistry:
         return self.base_path / f"{self.namespace}_{name}.mvivf"
 
     def build_multivec_index(
-        self, name: str, lists: int | None = None, max_iter: int = 8
+        self,
+        name: str,
+        lists: int | None = None,
+        max_iter: int = 8,
+        token_lists: int | None = None,
     ) -> int:
         """Build + persist the multivector IVF index — the
         ``MultiVectorIndex`` analog (reference vechord/spec.py:447-464):
@@ -486,7 +490,9 @@ class VechordRegistry:
         if n == 0:
             raise SchemaError(f"cannot index empty table {name}")
         n_lists = lists or max(2, int(round(n**0.5)))
-        index = build_multivec_ivf(df, mv_col.name, n_lists, max_iter=max_iter)
+        index = build_multivec_ivf(
+            df, mv_col.name, n_lists, max_iter=max_iter, token_lists=token_lists
+        )
         ipath = self._mv_index_path(name)
         if ipath.exists():
             shutil.rmtree(ipath)
@@ -496,6 +502,15 @@ class VechordRegistry:
             "centroid_id int, vec array<double>",
         )
         cents.write.parquet(str(ipath / "centroids"))
+        if index.token_centroids is not None:
+            tok = self.spark.createDataFrame(
+                [
+                    (i, [float(x) for x in c])
+                    for i, c in enumerate(index.token_centroids)
+                ],
+                "centroid_id int, vec array<double>",
+            )
+            tok.write.parquet(str(ipath / "token_centroids"))
         return n_lists
 
     def _load_multivec_index(self, name: str):
@@ -514,8 +529,18 @@ class VechordRegistry:
         )
         centroids = np.array([r.vec for r in rows])
         assigned = self.spark.read.parquet(str(ipath / "data"))
+        token_centroids = None
+        if (ipath / "token_centroids").exists():
+            trows = (
+                self.spark.read.parquet(str(ipath / "token_centroids"))
+                .orderBy("centroid_id")
+                .collect()
+            )
+            token_centroids = np.array([r.vec for r in trows])
         return MultiVecIvfIndex(
-            IvfIndex(centroids, assigned, "__mean"), spec.multivec_column.name
+            IvfIndex(centroids, assigned, "__mean"),
+            spec.multivec_column.name,
+            token_centroids=token_centroids,
         )
 
     def _load_vector_index(self, name: str):
