@@ -85,3 +85,59 @@ def test_stream_dedup_first_stateful(spark, tmp_path):
     assert 1 in ids and 2 in ids and 4 in ids
     assert 3 not in ids
     assert len(ids) == 3
+
+
+def test_stream_to_registry_idempotent_ingest(spark, tmp_path):
+    """foreachBatch registry sink: streamed rows land through append
+    (serial PKs + unique semantics); re-delivered duplicates are
+    dropped under on_conflict='ignore'."""
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec
+    from vechord_spark.streaming.ingest import stream_to_registry
+
+    reg = VechordRegistry("stream", str(tmp_path / "store"), spark)
+    reg.register(
+        TableSpec(
+            "docs",
+            [Column("doc_id", "long", primary_key=True), Column("text", "string")],
+        )
+    )
+    # pre-existing row 2: the stream re-delivers it and must not dup
+    reg.insert_rows("docs", [{"doc_id": 2, "text": "already here"}])
+
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(1, "one"), (2, "already here")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "already here"), (3, "three"), (3, "three")],
+        "doc_id long, text string",
+    )
+    b1.write.parquet(src + "/b1")
+    b2.write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_to_registry(
+        stream, reg, "docs", str(tmp_path / "ckpt"), on_conflict="ignore"
+    )
+    # availableNow isn't a stream_to_registry knob; drain then stop
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted((r.doc_id, r.text) for r in reg.load("docs").collect())
+    assert rows == [(1, "one"), (2, "already here"), (3, "three")]
+
+
+def test_stream_to_registry_rejects_bad_mode(spark, tmp_path):
+    import pytest
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec
+    from vechord_spark.streaming.ingest import stream_to_registry
+
+    reg = VechordRegistry("stream2", str(tmp_path / "store"), spark)
+    reg.register(TableSpec("t", [Column("id", "long", primary_key=True)]))
+    with pytest.raises(ValueError):
+        stream_to_registry(None, reg, "t", "ckpt", on_conflict="merge")

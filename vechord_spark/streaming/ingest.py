@@ -134,3 +134,52 @@ def stream_dedup_first(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_to_registry(
+    stream_df: DataFrame,
+    registry,
+    table: str,
+    checkpoint: str,
+    on_conflict: str = "ignore",
+):
+    """Stream into a REGISTERED table via ``foreachBatch`` — the
+    streaming face of ``registry.append``, so streamed rows get the
+    same schema enforcement, serial-PK generation, and unique
+    semantics as batch ingest.
+
+    ``on_conflict='ignore'`` (default) makes ingestion idempotent for
+    unique-keyed rows: each micro-batch drops rows whose unique key
+    already exists (left-anti probe) plus within-batch duplicates,
+    THEN appends. foreachBatch retries re-deliver a failed epoch, so
+    at-least-once delivery + first-write-wins = effectively-once for
+    keyed rows. ``on_conflict='error'`` keeps batch append's raising
+    behavior (a retry after a partial failure will then surface
+    UniqueViolation — choose it only for provably-once upstreams).
+
+    Single-writer contract per table, same as batch append.
+    """
+    if on_conflict not in ("ignore", "error"):
+        raise ValueError(f"on_conflict must be ignore|error, got {on_conflict!r}")
+    spec = registry._spec(table)
+    uniques = spec.unique_columns()
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        df = batch_df
+        if on_conflict == "ignore" and uniques:
+            df = df.dropDuplicates(uniques)
+            existing = registry.load(table)
+            for col in uniques:
+                if col not in df.columns:
+                    continue  # serial PK filled by append
+                df = df.join(existing.select(col), col, "left_anti")
+        if df.isEmpty():
+            return
+        registry.append(table, df, check_unique=(on_conflict == "error"))
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
