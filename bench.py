@@ -118,32 +118,45 @@ def main() -> None:
     # The driver's per-round number stays the default cold single-run.
     warm = "--warm" in sys.argv[1:] or os.environ.get("SPARK_GRAFT_WARM") == "1"
 
-    timings: dict[str, float] = {}
+    # Per-query exception isolation: one broken query must never void
+    # the whole round's bench artifact — record an "err" entry and keep
+    # going, always emitting the summary JSON line.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+        fn = QUERIES.get(name)
+        if fn is None:
+            errors[name] = "unknown query"
+            print(f"# {name}: UNKNOWN QUERY", file=sys.stderr)
+            continue
         runs = 2 if warm else 1
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = time.perf_counter() - t0
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                dt = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001 - isolate per query
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            print(f"# {name}: ERROR {msg.splitlines()[0][:200]}", file=sys.stderr)
+            continue
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "suite_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
     spark.stop()
 
 

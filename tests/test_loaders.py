@@ -68,3 +68,51 @@ def test_jsonl_and_qrels_readers(spark, tmp_path):
     qrels = read_qrels_tsv(spark, str(tmp_path / "qrels.tsv"))
     got = {(r.query_id, r.doc_id): r.relevance for r in qrels.collect()}
     assert got == {("q1", "d1"): 1, ("q1", "d2"): 0}
+
+
+def test_events_loader_micros_and_nanos(spark, tmp_path):
+    """load_table must handle BOTH vintages of events.parquet: plain
+    timestamp[us] (current driver files — passes through untouched) and
+    INT64 TIMESTAMP(NANOS) (legacy — nanos-as-long fallback rebuilds a
+    microsecond timestamp with exact integer division)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vechord_spark.sources.testdata import load_table
+
+    stamps = [
+        dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+        dt.datetime(2024, 6, 15, 12, 30, 45, 999999),
+    ]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k": 1}', '{"k": 2}']),
+    }
+
+    micros_dir = tmp_path / "micros"
+    micros_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(stamps, pa.timestamp("us"))}),
+        str(micros_dir / "events.parquet"),
+    )
+    df_us = load_table(spark, str(micros_dir), "events")
+    got_us = sorted(r.ts for r in df_us.select("ts").collect())
+    assert got_us == stamps
+
+    nanos_dir = tmp_path / "nanos"
+    nanos_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(stamps, pa.timestamp("ns"))}),
+        str(nanos_dir / "events.parquet"),
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+        version="2.6",
+    )
+    df_ns = load_table(spark, str(nanos_dir), "events")
+    got_ns = sorted(r.ts for r in df_ns.select("ts").collect())
+    assert got_ns == stamps

@@ -3,11 +3,15 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet each under a scale-factor dir.
 
-``events.parquet`` stores INT64 TIMESTAMP(NANOS), which Spark's parquet
-reader rejects natively; we read nanos as long
-(``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
-timestamp with exact integer division (a double division would drift by
-ulps on epoch-nanos magnitudes).
+``events.parquet`` has shipped with two physical types for ``ts``
+across driver revisions: INT64 TIMESTAMP(NANOS) (which Spark's parquet
+reader rejects natively) and plain ``timestamp[us]`` (which it reads
+fine).  We read natively first and only fall back to the legacy
+nanos-as-long path — rebuilding a microsecond timestamp with exact
+integer division — when the loaded ``ts`` dtype is actually ``bigint``.
+A timestamp-typed column passes through untouched, so the loader is
+correct for either vintage of the file and never mutates session conf
+on the common path.
 """
 
 from __future__ import annotations
@@ -28,15 +32,29 @@ TABLES = (
 )
 
 
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # noqa: BLE001 - inspect & re-raise below
+        # Legacy driver files store INT64 TIMESTAMP(NANOS), which Spark
+        # rejects unless nanosAsLong is set. Only then flip the conf.
+        if "nanos" not in str(exc).lower():
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn(
+    df = _read_parquet(spark, path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long fallback: rebuild a microsecond timestamp with
+        # exact integer division (double division drifts by ulps at
+        # epoch-nanos magnitudes).
+        df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
         )
-    return spark.read.parquet(path)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

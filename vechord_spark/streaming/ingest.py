@@ -16,6 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _watermarked(events: DataFrame, delay: str) -> DataFrame:
+    """Watermark on ``ts``, tolerating TIMESTAMP_NTZ input (the driver's
+    events.parquet is timestamp[us] → NTZ, but event-time watermarks
+    require TIMESTAMP; session tz is pinned UTC so the cast is exact)."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", delay)
+
+
 def stream_documents(spark, path: str, schema) -> DataFrame:
     """File-arrival streaming source over a documents directory:
     new parquet files are discovered and processed incrementally."""
@@ -35,7 +44,7 @@ def windowed_event_counts(
     """
     src = events
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = _watermarked(events, watermark)
     return src.groupBy(
         F.window("ts", window).alias("w"), F.col("event_type")
     ).agg(
@@ -57,7 +66,7 @@ def sessionize(
     batch-compatible)."""
     src = events
     if events.isStreaming:
-        src = events.withWatermark("ts", gap)
+        src = _watermarked(events, gap)
     return src.groupBy(
         F.session_window("ts", gap).alias("s"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events")).select(

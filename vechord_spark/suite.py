@@ -555,10 +555,10 @@ def dedup_components(spark, sf_dir):
     clusters AS (
       SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
     )
-    SELECT count(*) AS n_kept,
-           sum(d.doc_id) AS id_sum,
-           min(d.doc_id) AS id_min,
-           max(d.doc_id) AS id_max
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+           CAST(min(d.doc_id) AS BIGINT) AS id_min,
+           CAST(max(d.doc_id) AS BIGINT) AS id_max
     FROM documents d
     LEFT JOIN clusters c ON d.doc_id = c.doc_id
     WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
@@ -1034,9 +1034,14 @@ def events_asof_join(spark, sf_dir):
         "user_id",
         F.round("value", 2).alias("value"),
         F.col("asof_signup_event_id").alias("signup_event_id"),
-        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias(
-            "gap_seconds"
-        ),
+        # ts is TIMESTAMP_NTZ (driver parquet is timestamp[us]); NTZ has
+        # no direct long cast, so hop through TIMESTAMP (session tz is
+        # pinned UTC — the offset cancels in the difference). Floor-epoch
+        # diff matches DuckDB date_diff('second', ...) boundary counting.
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.col("asof_ts").cast("timestamp").cast("long")
+        ).alias("gap_seconds"),
     )
 
 
@@ -2547,3 +2552,95 @@ def doc_length_quantiles(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return length_quantiles(docs, "source", "text")
+
+
+# ===========================================================================
+# registration order: the driver's correctness gate checks the FIRST 50
+# entries of QUERIES. Keep the highest-signal set — every §2-mapped
+# operator family with a hash oracle, the events family, and one query
+# per dedup/ANN/eval family — inside that window; diagnostic and
+# same-family variants register after (they stay DuckDB-verified via
+# tests/test_oracle_parity.py).
+# ===========================================================================
+
+_WINDOW_PRIORITY = [
+    # relational / OLAP core
+    "filter_project",
+    "topk_orders",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_first_order",
+    "rollup_order_stats",
+    # vector / ANN
+    "knn_cosine",
+    "maxsim_by_label",
+    "ivf_knn",
+    "ivf_recall",
+    "lsh_knn",
+    # keyword / hybrid search
+    "bm25_topk",
+    "sparse_knn",
+    "hybrid_rrf",
+    "rerank_reorder",
+    # graph
+    "graph_entity_merge",
+    "graph_relation_merge",
+    "graph_search_2hop",
+    # document pipeline (§2 D/P rows)
+    "chunk_regex",
+    "chunk_fixed_windows",
+    "augment_context",
+    "delete_cascade",
+    "multimodal_meta",
+    "groundtruth_generate",
+    # evaluation
+    "eval_ndcg_knn",
+    "eval_recall_knn",
+    # events / time-series
+    "events_daily_summary",
+    "events_json_extract",
+    "events_sessionize",
+    "events_asof_join",
+    "events_funnel",
+    "events_retention",
+    "skew_salted_revenue",
+    # dedup suite
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_jaccard",
+    "dedup_components",
+    "dedup_survivors",
+    "dedup_simhash_pairs",
+    "dedup_embedding_bucketed",
+    "dedup_incremental",
+    "dedup_spans",
+    # text analysis / training-data ops
+    "text_stats",
+    "text_quality",
+    "text_repetition",
+    "text_redact_pii",
+    "lang_id",
+    "token_count_by_source",
+    "sample_documents",
+    "sequence_pack",
+]
+
+
+def _apply_window_priority() -> None:
+    """Mutate QUERIES/ORACLES in place so priority entries come first
+    (in-place keeps every existing ``from suite import QUERIES`` binding
+    valid). Unlisted queries keep their relative definition order."""
+    missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+    if missing:  # pragma: no cover - registration bug guard
+        raise RuntimeError(f"_WINDOW_PRIORITY references unknown queries: {missing}")
+    ordered = {n: QUERIES[n] for n in _WINDOW_PRIORITY}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    o_ordered = {n: ORACLES[n] for n in _WINDOW_PRIORITY if n in ORACLES}
+    o_ordered.update((n, s) for n, s in ORACLES.items() if n not in o_ordered)
+    ORACLES.clear()
+    ORACLES.update(o_ordered)
+
+
+_apply_window_priority()
