@@ -63,3 +63,61 @@ def test_one_shuffle_plan(spark, frames):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_randomized_parity_with_duckdb(spark):
+    """Fuzz harness (advice: keep asof honest now that it is
+    correctness-gated): random event sets with ties, dense collisions,
+    and match-free keys, checked row-for-row against DuckDB's native
+    ASOF LEFT JOIN, plus the tolerance variant."""
+    import random
+    from datetime import timedelta
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(20260813)
+    base = datetime(2024, 1, 1)
+    for _ in range(3):
+        keys = [f"u{i}" for i in range(6)]
+        left_rows = [
+            (i, rng.choice(keys), base + timedelta(seconds=rng.randrange(0, 600)))
+            for i in range(120)
+        ]
+        seen: set[tuple[str, int]] = set()
+        right_rows = []
+        for j in range(80):
+            k, s = rng.choice(keys[:4]), rng.randrange(0, 600)  # keys 4,5 never match
+            if (k, s) in seen:
+                continue  # unique (key, ts) keeps the asof pick deterministic
+            seen.add((k, s))
+            right_rows.append((1000 + j, k, base + timedelta(seconds=s)))
+
+        left = spark.createDataFrame(left_rows, "lid long, k string, ts timestamp")
+        right = spark.createDataFrame(right_rows, "rid long, k string, ts timestamp")
+        got = {
+            r.lid: r.asof_rid for r in asof_join(left, right, by="k").collect()
+        }
+
+        con = duckdb.connect()
+        con.register("l", pd.DataFrame(left_rows, columns=["lid", "k", "ts"]))
+        con.register("r", pd.DataFrame(right_rows, columns=["rid", "k", "ts"]))
+        want_rows = con.execute(
+            "SELECT l.lid, r.rid, r.ts FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+        want = {lid: rid for lid, rid, _ in want_rows}
+        assert got == want
+
+        # tolerance: matches older than 60 s are nulled (merge_asof-style)
+        got_tol = {
+            r.lid: r.asof_rid
+            for r in asof_join(left, right, by="k", tolerance_seconds=60).collect()
+        }
+        lts = {lid: ts for lid, _, ts in left_rows}
+        want_tol = {
+            lid: (rid if rid is not None and (lts[lid] - rts).total_seconds() <= 60 else None)
+            for lid, rid, rts in want_rows
+        }
+        assert got_tol == want_tol
+        con.close()

@@ -82,3 +82,46 @@ def test_suite_oracle_precondition_no_oversized_tokens(docs):
         .collect()[0][0]
     )
     assert max_tok < 120
+
+
+def test_split_sentences_rules():
+    from vechord_spark.operators.chunk import split_sentences
+
+    assert split_sentences("") == []
+    assert split_sentences("One sentence only") == ["One sentence only"]
+    got = split_sentences("First part. Second part! Third? Yes.")
+    assert got == ["First part.", "Second part!", "Third?", "Yes."]
+    # abbreviations and initials do not split
+    got = split_sentences("Dr. Smith met J. Doe at 5 p.m. yesterday. Then left.")
+    assert got == ["Dr. Smith met J. Doe at 5 p.m. yesterday.", "Then left."]
+    # lowercase continuation after the period does not split
+    assert split_sentences("see fig. 3 for details. done deal. Next one.") == [
+        "see fig. 3 for details. done deal.",
+        "Next one.",
+    ]
+    # closing quotes stay attached to the sentence
+    assert split_sentences('He said "stop." Then ran.') == ['He said "stop."', "Then ran."]
+
+
+def test_spacy_chunker_fallback_segment():
+    from vechord_spark.providers import SpacyChunker
+
+    got = SpacyChunker().segment("Alpha beta. Gamma delta. Last one!")
+    assert got == ["Alpha beta.", "Gamma delta.", "Last one!"]
+
+
+def test_sentence_chunks_dataframe(spark):
+    from vechord_spark.operators.chunk import sentence_chunks
+
+    df = spark.createDataFrame(
+        [(1, "One two. Three four! Five."), (2, "Single sentence")],
+        "doc_id long, text string",
+    )
+    rows = sentence_chunks(df, "doc_id", "text").collect()
+    got = {(r.doc_id, r.seq_id): r.chunk_text for r in rows}
+    assert got == {
+        (1, 0): "One two.",
+        (1, 1): "Three four!",
+        (1, 2): "Five.",
+        (2, 0): "Single sentence",
+    }

@@ -42,3 +42,42 @@ def test_perfect_retriever_scores_one(spark):
     )
     m = evaluate_against_truth(retrieved, truth_lists, k=10).collect()[0]
     assert m.ndcg == 1.0 and m.recall == 1.0 and m.mrr == 1.0 and m.map == 1.0
+
+
+def test_umbrela_live_stage_parity_with_stub_contract(spark):
+    """The LIVE judge path (umbrela_stage over GeminiGenerateClient
+    structured output) must produce the same (query_id, doc_id, score)
+    shape the stub does, so generate_ground_truth is interchangeable.
+    EchoTransport scores 3 iff the passage mentions 'relevant'."""
+    from vechord_spark.providers_http import (
+        EchoTransport,
+        GeminiGenerateClient,
+        UmbrelaJudge,
+        umbrela_stage,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 10, "q one", "a very relevant passage"),
+            (1, 11, "q one", "noise with nothing useful"),
+            (2, 10, "q two", "also relevant text"),
+        ],
+        "query_id long, doc_id long, query_text string, doc_text string",
+    )
+    stage = umbrela_stage(
+        lambda: UmbrelaJudge(GeminiGenerateClient(transport=EchoTransport())),
+        rps=None,
+    )
+    scored = stage(pairs)
+    # same column contract the stub emits (plus the error quarantine)
+    assert {"query_id", "doc_id", "score"} <= set(scored.columns)
+    rows = {(r.query_id, r.doc_id): (r.score, r._error) for r in scored.collect()}
+    assert rows[(1, 10)][0] == 3 and rows[(2, 10)][0] == 3
+    assert rows[(1, 11)][0] == 0
+    assert all(err is None for _, err in rows.values())
+
+    truth = {
+        r.query_id: r.truth
+        for r in generate_ground_truth(scored.select("query_id", "doc_id", "score")).collect()
+    }
+    assert truth == {1: [10], 2: [10]}

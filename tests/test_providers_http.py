@@ -326,3 +326,87 @@ def test_gemini_inline_data_payload_and_ocr_extractor():
     body = t.calls[0][2]
     assert body["contents"]["parts"][0]["text"] == EXTRACT_PDF_PROMPT
     assert body["contents"]["parts"][1]["inline_data"]["mime_type"] == "application/pdf"
+
+
+# ---------------------------------------------------------------------------
+# LlamaCloud Parse (D5)
+# ---------------------------------------------------------------------------
+
+
+class LlamaFakeTransport:
+    """Upload returns a job id; polling returns 404 (still processing)
+    a configurable number of times before the text result."""
+
+    def __init__(self, pending_polls=2, text="parsed text"):
+        self.pending = pending_polls
+        self.text = text
+        self.posts = []
+        self.gets = []
+
+    def post(self, url, headers, body):
+        self.posts.append((url, headers, body))
+        return 200, json.dumps({"id": "job-123", "status": "PENDING"}).encode()
+
+    def get(self, url, headers):
+        self.gets.append((url, headers))
+        if self.pending > 0:
+            self.pending -= 1
+            return 404, b'{"detail": "pending"}'
+        return 200, json.dumps({"text": self.text}).encode()
+
+
+def test_llamaparse_upload_poll_extract():
+    from vechord_spark.providers import LlamaParseExtractor
+
+    t = LlamaFakeTransport(pending_polls=2, text="  scanned page  ")
+    ex = LlamaParseExtractor(transport=t)
+    client = ex._client()
+    client.poll_interval = 0.0
+    text = client.parse_bytes(b"%PDF-1.4 fake", "application/pdf", "document.pdf")
+    assert text == "  scanned page  "
+    # one multipart upload with auth + multipart content type
+    url, headers, body = t.posts[0]
+    assert url.endswith("/parsing/upload")
+    assert headers["Content-Type"].startswith("multipart/form-data; boundary=")
+    assert b'name="file"; filename="document.pdf"' in body
+    assert b"%PDF-1.4 fake" in body
+    # polled the job endpoint until success (2 pending + 1 final)
+    assert len(t.gets) == 3
+    assert all("/parsing/job/job-123/result/text" in u for u, _ in t.gets)
+    # extractor contract strips like the reference (extract.py:155-169)
+    t2 = LlamaFakeTransport(pending_polls=0, text="  edge text  ")
+    assert LlamaParseExtractor(transport=t2).extract_image(b"\xff\xd8") == "edge text"
+
+
+def test_llamaparse_timeout():
+    from vechord_spark.providers_http import LlamaParseClient
+
+    t = LlamaFakeTransport(pending_polls=10**9)
+    client = LlamaParseClient(api_key="k", transport=t, poll_interval=0.0, max_poll_sec=0.0)
+    with pytest.raises(TimeoutError):
+        client.get_text("job-123")
+
+
+def test_llamaparse_upload_error_and_multipart_shape():
+    from vechord_spark.providers_http import (
+        HttpCallError,
+        LlamaParseClient,
+        encode_multipart,
+    )
+
+    body, ctype = encode_multipart("image.jpg", b"\xff\xd8jpeg", "image/jpeg")
+    boundary = ctype.split("boundary=", 1)[1]
+    assert body.startswith(f"--{boundary}\r\n".encode())
+    assert body.endswith(f"\r\n--{boundary}--\r\n".encode())
+    assert b"Content-Type: image/jpeg" in body
+
+    class Failing:
+        def post(self, url, headers, b):
+            return 500, b'{"detail": "boom"}'
+
+        def get(self, url, headers):
+            return 200, b"{}"
+
+    client = LlamaParseClient(api_key="k", transport=Failing())
+    with pytest.raises(HttpCallError):
+        client.parse_upload(b"x", "application/pdf", "document.pdf")

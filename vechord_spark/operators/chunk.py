@@ -151,3 +151,68 @@ def fixed_size_chunks(
         step = size
     starts = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(step))
     return F.transform(starts, lambda i: F.substring(t, i, size))
+
+
+# ---------------------------------------------------------------------------
+# rule-based sentence segmentation (the no-spaCy D7 fallback)
+# ---------------------------------------------------------------------------
+
+# common English abbreviations that end with '.' mid-sentence
+_ABBREVIATIONS = frozenset(
+    "mr mrs ms dr prof sr jr st vs etc al inc ltd co corp fig no vol "
+    "dept est approx jan feb mar apr jun jul aug sep sept oct nov dec".split()
+)
+
+_SENT_BOUNDARY = re.compile(r"([.!?]+)([\"')\]]*)\s+")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Heuristic sentence splitter (pure Python, no models).
+
+    The in-container fallback for the reference's spaCy sentence
+    chunker (vechord/chunk.py:86-102): split after sentence-final
+    punctuation when the next token starts a sentence (capital, digit,
+    or opening quote/bracket), guarding common abbreviations and
+    single-letter initials. Same contract as SpacyChunker.segment —
+    every chunk is a sentence, document order preserved.
+    """
+    sents: list[str] = []
+    start = 0
+    for m in _SENT_BOUNDARY.finditer(text):
+        nxt = m.end()
+        if nxt < len(text) and not (
+            text[nxt].isupper() or text[nxt].isdigit() or text[nxt] in "\"'(["
+        ):
+            continue
+        if m.group(1) == ".":
+            before = text[start : m.start()]
+            words = before.split()
+            last = words[-1].lstrip("\"'([").lower() if words else ""
+            # "Dr", single initials ("J"), and dotted forms ("e.g", "U.S")
+            if last in _ABBREVIATIONS or (len(last) == 1 and last.isalpha()) or "." in last:
+                continue
+        piece = text[start : m.start() + len(m.group(1)) + len(m.group(2))].strip()
+        if piece:
+            sents.append(piece)
+        start = nxt
+    tail = text[start:].strip()
+    if tail:
+        sents.append(tail)
+    return sents
+
+
+def sentence_chunks(
+    df: DataFrame, doc_id: str, text_col: str
+) -> DataFrame:
+    """Document table -> one row per sentence ``(doc_id, seq_id,
+    chunk_text)`` using the rule-based splitter (Arrow-batched; same
+    output shape as chunk_documents)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _split(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: split_sentences(t or ""))
+
+    return df.select(
+        F.col(doc_id),
+        F.posexplode(_split(F.col(text_col))).alias("seq_id", "chunk_text"),
+    )

@@ -355,6 +355,29 @@ class GeminiExtractor:
         ).strip()
 
 
+@dataclass
+class LlamaParseExtractor:
+    """OCR via the LlamaCloud Parse service: upload -> poll -> text
+    (reference vechord/extract.py:137-169; D5). Same extractor contract
+    as GeminiExtractor, different backend — useful for scanned PDFs
+    where layout-aware parsing beats inline-data OCR."""
+
+    transport: object | None = None
+
+    def _client(self):
+        from vechord_spark.providers_http import LlamaParseClient
+
+        return LlamaParseClient(transport=self.transport)
+
+    def extract_pdf(self, doc: bytes) -> str:
+        # reference model/llamacloud.py:67-68 uploads as document.pdf
+        return self._client().parse_bytes(doc, "application/pdf", "document.pdf").strip()
+
+    def extract_image(self, img: bytes) -> str:
+        # reference model/llamacloud.py:62-64 uploads as image.jpg
+        return self._client().parse_bytes(img, "image/jpeg", "image.jpg").strip()
+
+
 def _load_spacy(model: str):
     try:
         import spacy
@@ -368,15 +391,24 @@ def _load_spacy(model: str):
 
 @dataclass
 class SpacyChunker:
-    """Sentence segmentation via spaCy (reference vechord/chunk.py:86-102),
-    gated behind the import — the library is absent from this sandbox.
-    The always-runnable chunkers are operators/chunk.regex_chunk and
-    fixed_size_chunks."""
+    """Sentence segmentation (reference vechord/chunk.py:86-102). Uses
+    spaCy when installed; otherwise falls back to the rule-based
+    splitter in operators/chunk.split_sentences (same pattern as D1's
+    pure-stdlib PDF fallback), so sentence chunking always runs. Set
+    ``require_spacy=True`` to forbid the fallback."""
 
     model: str = "en_core_web_sm"
+    require_spacy: bool = False
 
     def segment(self, text: str) -> list[str]:
-        nlp = _load_spacy(self.model)
+        try:
+            nlp = _load_spacy(self.model)
+        except NotImplementedError:
+            if self.require_spacy:
+                raise
+            from vechord_spark.operators.chunk import split_sentences
+
+            return split_sentences(text)
         return [sent.text for sent in nlp(text).sents]
 
 

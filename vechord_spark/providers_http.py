@@ -23,6 +23,7 @@ reference's APIKeyUnsetError.
 from __future__ import annotations
 
 import base64
+import hashlib
 import json
 import os
 import time
@@ -81,10 +82,18 @@ class UrllibTransport:
         self._next_at = max(self._next_at, now) + 1.0 / self.rps
 
     def post(self, url: str, headers: dict[str, str], body: bytes) -> tuple[int, bytes]:
+        return self._request(url, headers, body, "POST")
+
+    def get(self, url: str, headers: dict[str, str]) -> tuple[int, bytes]:
+        return self._request(url, headers, None, "GET")
+
+    def _request(
+        self, url: str, headers: dict[str, str], body: bytes | None, method: str
+    ) -> tuple[int, bytes]:
         delay = 1.0
         for attempt in range(self.max_retries):
             self._pace()
-            req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+            req = urllib.request.Request(url, data=body, headers=headers, method=method)
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
                     return resp.status, resp.read()
@@ -570,6 +579,98 @@ class CohereRerankClient:
             cohere_rerank_payload(query, documents, self.model),
         )
         return parse_rerank_indices(resp)
+
+
+# ---------------------------------------------------------------------------
+# LlamaCloud Parse OCR (reference vechord/provider.py:209-254,
+# extract.py:137-169, model/llamacloud.py:56-71; D5)
+# ---------------------------------------------------------------------------
+
+LLAMA_CLOUD_BASE = "https://api.cloud.llamaindex.ai/api"
+# reference provider.py:33-34 — 30-minute job cap, 5 s poll cadence
+EXTRACT_MAX_POLLING_TIME = 1800.0
+EXTRACT_CHECK_INTERVAL = 5.0
+
+
+def encode_multipart(
+    filename: str, content: bytes, mime_type: str, boundary: str | None = None
+) -> tuple[bytes, str]:
+    """RFC 2388 multipart/form-data body for a single ``file`` field
+    (the upload shape httpx builds for the reference's
+    ``files={"file": (...)}`` call). Returns (body, content_type)."""
+    if boundary is None:
+        boundary = "vechord-" + hashlib.md5(filename.encode() + content[:64]).hexdigest()
+    head = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'
+        f"Content-Type: {mime_type}\r\n\r\n"
+    ).encode()
+    tail = f"\r\n--{boundary}--\r\n".encode()
+    return head + content + tail, f"multipart/form-data; boundary={boundary}"
+
+
+class PollTransport(Protocol):
+    """Transport that can also GET (job polling)."""
+
+    def post(self, url: str, headers: dict[str, str], body: bytes) -> tuple[int, bytes]: ...
+
+    def get(self, url: str, headers: dict[str, str]) -> tuple[int, bytes]: ...
+
+
+@dataclass
+class LlamaParseClient:
+    """LlamaCloud Parse: multipart upload -> job id -> poll
+    ``/result/text`` until the job completes (reference
+    provider.py:226-254). Service limits (reference extract.py:139-145):
+    30-min jobs, 300 MB files, 64 KB text per page."""
+
+    api_key: str | None = None
+    transport: PollTransport | None = None
+    poll_interval: float = EXTRACT_CHECK_INTERVAL
+    max_poll_sec: float = EXTRACT_MAX_POLLING_TIME
+
+    def __post_init__(self) -> None:
+        self.api_key, self.transport = _resolve(
+            "LLAMA_CLOUD_API_KEY",
+            self.api_key,
+            self.transport,
+            lambda: UrllibTransport(rps=2.0, timeout_sec=60.0),
+        )
+
+    def _auth(self) -> dict[str, str]:
+        return {"Authorization": f"Bearer {self.api_key}"}
+
+    def parse_upload(self, content: bytes, mime_type: str, filename: str) -> str:
+        body, ctype = encode_multipart(filename, content, mime_type)
+        status, raw = self.transport.post(
+            f"{LLAMA_CLOUD_BASE}/parsing/upload",
+            {**self._auth(), "Content-Type": ctype},
+            body,
+        )
+        if status >= 400:
+            raise HttpCallError("llamaparse upload", status, raw.decode(errors="replace"))
+        return str(json.loads(raw)["id"])
+
+    def get_text(self, job_id: str) -> str:
+        """Poll the job result until success (any non-2xx means the job
+        is still processing, mirroring the reference's is_success loop),
+        with the 30-minute deadline."""
+        deadline = time.monotonic() + self.max_poll_sec
+        while True:
+            status, raw = self.transport.get(
+                f"{LLAMA_CLOUD_BASE}/parsing/job/{job_id}/result/text", self._auth()
+            )
+            if 200 <= status < 300:
+                return str(json.loads(raw)["text"])
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    "Polling LlamaCloud job result timed out after "
+                    f"{self.max_poll_sec} seconds."
+                )
+            time.sleep(self.poll_interval)
+
+    def parse_bytes(self, content: bytes, mime_type: str, filename: str) -> str:
+        return self.get_text(self.parse_upload(content, mime_type, filename))
 
 
 # ---------------------------------------------------------------------------
