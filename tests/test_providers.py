@@ -66,9 +66,14 @@ def test_providers_require_api_keys(monkeypatch):
         GeminiEmbedder().embed_query("x")
     with pytest.raises(ApiKeyMissing):
         CohereReranker().rerank("q", ["a"])
-    # spaCy genuinely absent -> NotImplementedError, not a key error
+    # spaCy genuinely absent -> strict mode raises; default mode falls
+    # back to the rule-based splitter
     with pytest.raises(NotImplementedError):
-        SpacyChunker().segment("One. Two.")
+        SpacyChunker(require_spacy=True).segment("One. Two.")
+    assert SpacyChunker().segment("Alpha one. Beta two.") == [
+        "Alpha one.",
+        "Beta two.",
+    ]
 
 
 from vechord_spark.providers_http import EchoTransport  # noqa: E402
@@ -143,3 +148,38 @@ def test_umbrela_stage_spark(spark, monkeypatch):
     )
     assert out["score"].tolist() == [3, 0, 0]
     assert out["_error"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# G6 fallback: rule-based NER/relations without spaCy
+# ---------------------------------------------------------------------------
+
+
+def test_rule_based_entities_and_relations():
+    from vechord_spark.providers import RuleBasedRelationMatcher
+
+    m = RuleBasedRelationMatcher()
+    text = "Alice Johnson founded Acme Corp. The company grew. Bob visited Paris."
+    ents = [e["text"] for e in m.extract(text)]
+    assert ents == ["Alice Johnson", "Acme Corp", "Bob", "Paris"]
+
+    ents2, rels = m.extract_relations(text)
+    assert [e["text"] for e in ents2] == ents
+    pairs = [(r["source"]["text"], r["target"]["text"]) for r in rels]
+    assert ("Alice Johnson", "Acme Corp") in pairs
+    assert ("Bob", "Paris") in pairs
+    # sentence-initial stopword is not an entity; no cross-sentence pairs
+    assert all("The" != s for s, _ in pairs)
+    founded = next(r for r in rels if r["source"]["text"] == "Alice Johnson")
+    assert founded["description"] == "Alice Johnson founded Acme Corp"
+
+
+def test_spacy_relation_matcher_falls_back():
+    from vechord_spark.providers import SpacyRelationMatcher
+
+    m = SpacyRelationMatcher()  # spaCy absent in this container
+    ents, rels = m.extract_relations("Carol met Dave in Berlin.")
+    assert [e["text"] for e in ents] == ["Carol", "Dave", "Berlin"]
+    assert [(r["source"]["text"], r["target"]["text"]) for r in rels] == [
+        ("Carol", "Dave")
+    ]

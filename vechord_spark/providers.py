@@ -470,20 +470,145 @@ class GeminiChunker:
         return out
 
 
+# tokens that open a sentence without being an entity (heuristic NER)
+_SENT_START_STOPWORDS = frozenset(
+    "the a an in on at it he she they we i you this that these those "
+    "but and or so if when while after before however then there "
+    "is are was were his her its their our my your".split()
+)
+
+# closed-class + high-frequency verbs for the ENT-VERB-ENT test
+_COMMON_VERBS = frozenset(
+    "is are was were be been being has have had do does did can could "
+    "will would may might must made make makes created creates founded "
+    "founds acquired acquires owns owned runs ran leads led wrote "
+    "writes built builds develops developed launched launches joined "
+    "joins works worked met meets visited visits announced announces "
+    "bought buys sold sells hired hires became becomes".split()
+)
+
+_WORD_STRIP = ".,;:!?\"'()[]"
+
+
+def _verbish(token: str) -> bool:
+    t = token.lower().strip(_WORD_STRIP)
+    return t in _COMMON_VERBS or (len(t) > 4 and t.endswith(("ed", "ing")))
+
+
+@dataclass
+class RuleBasedRelationMatcher:
+    """Pure-Python entity/relation extraction — the no-spaCy G6
+    fallback (same role split_sentences plays for D7).
+
+    Entities are maximal runs of capitalized tokens (a run never starts
+    on a capitalized stopword); a relation is emitted for each adjacent
+    within-sentence entity pair whose connecting span contains a
+    verb-like token, with the covering span as the description — the
+    same ENT-VERB-ENT contract as SpacyRelationMatcher, deterministic
+    and dependency-free."""
+
+    label: str = "ENTITY"
+
+    def _sentence_entities(self, sent: str) -> list[tuple[int, int, str]]:
+        """(start_word_idx, end_word_idx_exclusive, text) entity runs."""
+        import re as _re
+
+        words = sent.split()
+        ents: list[tuple[int, int, str]] = []
+        run_start: int | None = None
+
+        def close(end: int) -> None:
+            nonlocal run_start
+            if run_start is not None:
+                ents.append(
+                    (
+                        run_start,
+                        end,
+                        " ".join(x.strip(_WORD_STRIP) for x in words[run_start:end]),
+                    )
+                )
+                run_start = None
+
+        for i, w in enumerate(words):
+            core = w.strip(_WORD_STRIP)
+            is_cap = bool(_re.match(r"^[A-Z][\w-]*$", core))
+            if is_cap and run_start is None:
+                # a run never STARTS on a capitalized stopword ("The
+                # company", "He said") — loses "The Hague", keeps the
+                # fallback deterministic and precision-leaning
+                if core.lower() in _SENT_START_STOPWORDS:
+                    continue
+                run_start = i
+            elif not is_cap:
+                close(i)
+            # trailing punctuation ends the run ("Corp." / "Paris,")
+            if run_start is not None and w != core and w.rstrip(_WORD_STRIP) != w:
+                close(i + 1)
+        close(len(words))
+        return ents
+
+    def extract(self, text: str) -> list[dict]:
+        from vechord_spark.operators.chunk import split_sentences
+
+        out: list[dict] = []
+        for sent in split_sentences(text):
+            for _, _, ent_text in self._sentence_entities(sent):
+                out.append({"text": ent_text, "label": self.label, "description": ""})
+        return out
+
+    def extract_relations(self, text: str) -> tuple[list[dict], list[dict]]:
+        from vechord_spark.operators.chunk import split_sentences
+
+        ents: list[dict] = []
+        relations: list[dict] = []
+        for sent in split_sentences(text):
+            words = sent.split()
+            spans = self._sentence_entities(sent)
+            for _, _, ent_text in spans:
+                ents.append({"text": ent_text, "label": self.label, "description": ""})
+            for (s1, e1, t1), (s2, e2, t2) in zip(spans, spans[1:]):
+                between = words[e1:s2]
+                if any(_verbish(w) for w in between):
+                    relations.append(
+                        {
+                            "source": {"text": t1, "label": self.label},
+                            "target": {"text": t2, "label": self.label},
+                            "description": " ".join(
+                                w.strip(_WORD_STRIP) for w in words[s1:e2]
+                            ),
+                        }
+                    )
+        return ents, relations
+
+
 @dataclass
 class SpacyRelationMatcher:
     """Rule-based entity/relation extraction via spaCy (the reference
-    matches ENT-VERB-ENT style token patterns, vechord/graph.py:29-141),
-    gated behind the import. Behavioral analog, not a pattern-for-
-    pattern port: entities come from ``doc.ents``; a relation is
-    emitted for each within-sentence entity pair whose connecting span
-    contains a verb, with that span as the description. Graph operators
-    (operators/graph.py) consume the resulting (source, target,
-    description) rows."""
+    matches ENT-VERB-ENT style token patterns, vechord/graph.py:29-141).
+    Falls back to RuleBasedRelationMatcher when spaCy is absent (set
+    ``require_spacy=True`` to forbid). Behavioral analog, not a
+    pattern-for-pattern port: entities come from ``doc.ents``; a
+    relation is emitted for each within-sentence entity pair whose
+    connecting span contains a verb, with that span as the description.
+    Graph operators (operators/graph.py) consume the resulting
+    (source, target, description) rows."""
 
     model: str = "en_core_web_sm"
+    require_spacy: bool = False
+
+    def _fallback(self) -> RuleBasedRelationMatcher | None:
+        try:
+            _load_spacy(self.model)
+        except NotImplementedError:
+            if self.require_spacy:
+                raise
+            return RuleBasedRelationMatcher()
+        return None
 
     def extract(self, text: str) -> list[dict]:
+        fb = self._fallback()
+        if fb is not None:
+            return fb.extract(text)
         nlp = _load_spacy(self.model)
         return [
             {"text": ent.text, "label": ent.label_, "description": ""}
@@ -491,6 +616,9 @@ class SpacyRelationMatcher:
         ]
 
     def extract_relations(self, text: str) -> tuple[list[dict], list[dict]]:
+        fb = self._fallback()
+        if fb is not None:
+            return fb.extract_relations(text)
         nlp = _load_spacy(self.model)
         doc = nlp(text)
         ents = [
