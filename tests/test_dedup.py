@@ -189,3 +189,20 @@ def test_duplicate_span_stats_reference(spark):
     }
     assert got == want
     assert got[1][1] > 0 and got[4] == (1, 0, 0.0)
+
+
+def test_duplicate_span_strategies_agree(spark, docs):
+    from vechord_spark.operators.dedup import duplicate_span_stats
+
+    sub = docs.limit(80)
+    a = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_fraction)
+        for r in duplicate_span_stats(sub, "doc_id", "text", strategy="window").collect()
+    }
+    b = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_fraction)
+        for r in duplicate_span_stats(sub, "doc_id", "text", strategy="join").collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        duplicate_span_stats(sub, "doc_id", "text", strategy="nope")
