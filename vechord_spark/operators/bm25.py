@@ -79,7 +79,9 @@ class Bm25Index:
         terms_col = (
             tokenizer.column(text_col) if tokenizer else tokenize(text_col)
         )
-        tokens = df.select(
+        from vechord_spark.parallel import spread
+
+        tokens = spread(df).select(
             F.col(doc_id).alias("doc_id"),
             terms_col.alias("terms"),
         ).withColumn("dl", F.size("terms"))
@@ -207,7 +209,11 @@ def bm25_topk(
             .withColumn("rank", F.lit(0))
         )
 
-    tokens = df.select(F.col(doc_id).alias("doc_id"), tokenize(text_col).alias("terms"))
+    from vechord_spark.parallel import spread
+
+    tokens = spread(df).select(
+        F.col(doc_id).alias("doc_id"), tokenize(text_col).alias("terms")
+    )
     doclen = tokens.select("doc_id", F.size("terms").alias("dl"))
     stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     matched = tokens.select(

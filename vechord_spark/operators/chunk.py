@@ -130,8 +130,10 @@ def chunk_documents(
     document" (vechord/pipeline.py:300-303) — one distributed pass,
     posexplode keeps a stable per-document sequence id.
     """
+    from vechord_spark.parallel import spread
+
     udf = regex_chunk_udf(size=size, overlap=overlap)
-    return df.select(
+    return spread(df).select(
         F.col(doc_id),
         F.posexplode(udf(F.col(text_col))).alias("seq_id", "chunk_text"),
     )
@@ -212,7 +214,9 @@ def sentence_chunks(
     def _split(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: split_sentences(t or ""))
 
-    return df.select(
+    from vechord_spark.parallel import spread
+
+    return spread(df).select(
         F.col(doc_id),
         F.posexplode(_split(F.col(text_col))).alias("seq_id", "chunk_text"),
     )

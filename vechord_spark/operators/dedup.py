@@ -32,6 +32,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from vechord_spark.functions.text import fingerprint, word_ngrams
 
+
+# CPU-heavy md5/shingle projections must not inherit a single-split
+# scan's parallelism — see vechord_spark/parallel.spread.
+from vechord_spark.parallel import spread as _spread
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -122,7 +128,7 @@ def minhash_bands(
     and all permutation minima read it — one md5 per shingle total.
     """
     n_bands = num_hashes // band_size
-    withbase = df.select(
+    withbase = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         _shingle_base_hashes(text_col, ngram).alias("__base"),
     )
@@ -227,7 +233,7 @@ def ngram_jaccard(
             .distinct()
         )
         sets = (
-            df.join(needed, id_col, "left_semi")
+            _spread(df.join(needed, id_col, "left_semi"))
             .select(
                 F.col(id_col).alias("doc_id"),
                 F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
@@ -255,7 +261,7 @@ def ngram_jaccard(
         if threshold > 0:
             out = out.filter(F.col("jaccard") >= threshold)
         return out
-    sets = df.select(
+    sets = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
     )
@@ -307,7 +313,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from vechord_spark.functions.text import tokenize
 
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
     )
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
@@ -655,7 +661,7 @@ def duplicate_span_stats(
     (boilerplate at extreme corpus scale), which would funnel one
     window partition onto one task.
     """
-    spans = df.select(
+    spans = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("span"),
     )

@@ -52,7 +52,12 @@ def knn(
     the result so the scan after this operator prunes the wide array
     column out of any downstream exchange.
     """
-    scored = with_distance(df, vec_col, query, distance, score_alias)
+    from vechord_spark.parallel import spread
+
+    # the distance expression is the expensive part — don't let a
+    # single-split scan serialize it (parallel.spread is a no-op on
+    # inputs that already arrive wide)
+    scored = with_distance(spread(df), vec_col, query, distance, score_alias)
     order: list[Column] = [F.col(score_alias).asc()]
     if tie_break:
         order.append(F.col(tie_break).asc())
@@ -99,7 +104,9 @@ def knn_join(
     c = corpus.select(
         F.col(corpus_id).alias("__cid"), F.col(corpus_vec_col).alias("__cvec")
     )
-    pairs = c.crossJoin(F.broadcast(q))
+    from vechord_spark.parallel import spread
+
+    pairs = spread(c).crossJoin(F.broadcast(q))
     scored = pairs.withColumn(
         "distance", vector_distance(distance, "__cvec", F.col("__qvec"))
     )

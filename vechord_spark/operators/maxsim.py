@@ -76,7 +76,9 @@ def maxsim_topk(
     meaning in the exact path — the IVF variant reintroduces it as a
     refine budget (operators/ivf.py).
     """
-    scored = df.withColumn(score_alias, -maxsim_score(doc_col, query_vectors))
+    from vechord_spark.parallel import spread
+
+    scored = spread(df).withColumn(score_alias, -maxsim_score(doc_col, query_vectors))
     order = [F.col(score_alias).asc()]
     if tie_break:
         order.append(F.col(tie_break).asc())
