@@ -201,8 +201,14 @@ def build_ivf(
 
     # assignment via broadcast argmin — avoids a second MLlib transform
     # pass; Arrow-batched matmul handles lists in the thousands where a
-    # per-centroid SQL expression tree would blow up codegen.
-    assigned = assign_centroids(df, vec_col, centroids)
+    # per-centroid SQL expression tree would blow up codegen. The
+    # per-row pass is spread to session parallelism (parallel.spread —
+    # no-op on wide inputs); the FIT input is left untouched so the
+    # k-means|| init, which is partition-order sensitive, stays
+    # deterministic for a given file layout.
+    from vechord_spark.parallel import spread
+
+    assigned = assign_centroids(spread(df), vec_col, centroids)
     return IvfIndex(centroids, assigned, vec_col)
 
 
