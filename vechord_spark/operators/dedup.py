@@ -527,6 +527,9 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    ).first()[0]
     for _ in range(max_iterations):
         # hop: each node takes min(own label, neighbours' labels)
         nbr = (
@@ -556,16 +559,19 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        # convergence check without a join: labels only ever DECREASE
+        # (every update is least(...) of the old label and others), so
+        # the label sum is strictly monotone until fixpoint — one
+        # aggregate over the checkpointed table per round instead of a
+        # self-join + count. DECIMAL(38,0) keeps the sum exact at any
+        # node count (a raw BIGINT sum could wrap at ~1e10 nodes).
+        new_sum = updated.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
         labels = updated
-        if not changed:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )

@@ -21,6 +21,10 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     it currently has fewer partitions; pass through untouched otherwise
     (measured 5-10x on md5-heavy single-split scans at sf0.1; zero
     effect on inputs that already arrive wide)."""
+    if df.isStreaming:
+        # no RDD introspection on streams; micro-batch parallelism is
+        # the source's concern (maxFilesPerTrigger etc.)
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
