@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "knn_batch",
     "rollup_order_stats",
     "cube_ship_stats",
+    "shipping_priority",
+    "large_orders",
+    "doc_unigram_logprob",
     "rerank_reorder",
     "eval_ndcg_knn",
     "eval_mrr_knn",

@@ -104,3 +104,39 @@ def length_quantiles(
     return df.groupBy(F.col(group_col)).agg(
         F.count(F.lit(1)).alias("n_docs"), *aggs
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the model-free
+    perplexity proxy.
+
+    The corpus itself is the unigram LM: P(tok) = corpus_count(tok) /
+    total_tokens. A document's mean log P over its tokens separates
+    natural text (common-word mass) from gibberish/boilerplate tails
+    without any external model — the cheap first-pass filter before an
+    LM-based quality score. Returns ``(id, n_tokens, avg_logprob)``
+    with avg_logprob rounded to 6 decimals (determinism contract).
+
+    Scale shape: one token explode feeds BOTH the vocab count (shuffle
+    on token, map-side combined) and the per-doc join probe (same token
+    key — exchange reuse applies); hot tokens are a skewed-join case
+    AQE splits. Final per-doc aggregation is the only other exchange.
+    """
+    from vechord_spark.parallel import spread
+
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), (F.log(F.col("c") / F.col("t"))).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
