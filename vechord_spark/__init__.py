@@ -51,6 +51,14 @@ def __getattr__(name):
         from vechord_spark.plans.pipeline import VechordPipeline
 
         return VechordPipeline
+    if name == "spread":
+        from vechord_spark.parallel import spread
+
+        return spread
+    if name == "write_bucketed":
+        from vechord_spark.plans.bucketing import write_bucketed
+
+        return write_bucketed
     raise AttributeError(f"module 'vechord_spark' has no attribute {name!r}")
 
 
@@ -70,6 +78,8 @@ __all__ = [
     "VechordPipeline",
     "VechordRegistry",
     "get_spark",
+    "spread",
+    "write_bucketed",
 ]
 
 __version__ = "0.1.0"
