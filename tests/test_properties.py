@@ -76,3 +76,15 @@ def test_sparse_query_vector_bounds(text, dim):
 def test_minhash_affine_family_in_range(i, h):
     v = (h * _mh_a(i) + _mh_b(i)) % MINHASH_P
     assert 0 <= v < MINHASH_P
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_split_sentences_preserves_content(text):
+    """Sentence splitting must never lose or invent non-whitespace
+    content, and every piece must be non-empty and stripped."""
+    from vechord_spark.operators.chunk import split_sentences
+
+    sents = split_sentences(text)
+    assert all(s == s.strip() and s for s in sents)
+    assert "".join("".join(s.split()) for s in sents) == "".join(text.split())

@@ -119,17 +119,24 @@ def unigram_logprob(
     LM-based quality score. Returns ``(id, n_tokens, avg_logprob)``
     with avg_logprob rounded to 6 decimals (determinism contract).
 
-    Scale shape: one token explode feeds BOTH the vocab count (shuffle
-    on token, map-side combined) and the per-doc join probe (same token
-    key — exchange reuse applies); hot tokens are a skewed-join case
-    AQE splits. Final per-doc aggregation is the only other exchange.
+    Scale shape: two corpus scans — one builds the vocab (shuffle on
+    token, map-side combined), one probes it (hot tokens are a
+    skewed-join case AQE splits) — plus the per-doc aggregation. The
+    vocab (distinct tokens, orders of magnitude smaller than the token
+    stream) is locally checkpointed so the scalar total and the probe
+    join both read the materialized counts instead of re-tokenizing the
+    corpus a third time.
     """
     from vechord_spark.parallel import spread
 
     toks = spread(df).select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = vocab.agg(F.sum("c").cast("double").alias("t"))
     scored = (
         toks.join(vocab, "tok")
