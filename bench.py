@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "cube_ship_stats",
     "shipping_priority",
     "large_orders",
+    "corpus_mix",
     "doc_unigram_logprob",
     "rerank_reorder",
     "eval_ndcg_knn",

@@ -1,6 +1,7 @@
 """Deterministic hash sampling: stability, nesting, stratified rates."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from vechord_spark.operators.sample import (
     deterministic_sample,
@@ -65,3 +66,28 @@ def test_sample_plan_is_single_filter_no_shuffle(table):
     )
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_mixture_rates_and_sample(table, spark):
+    from vechord_spark.operators.sample import mixture_rates, mixture_sample
+
+    weights = {"a": 0.5, "b": 0.5}
+    df = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i in range(100)], "id long, src string"
+    )
+    rates = {r.src: r.rate for r in mixture_rates(df, "src", weights).collect()}
+    # b (20 rows) binds: alpha = 40, rate_b = 1.0, rate_a = 0.25
+    assert rates["b"] == 1.0
+    assert abs(rates["a"] - 0.25) < 1e-12
+    kept = mixture_sample(df, "id", "src", weights, salt="t")
+    by_src = {r.src: r.n for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by_src["b"] == 20  # binding source keeps everything
+    assert 10 <= by_src.get("a", 0) <= 30  # ~20 expected
+    # deterministic under repartitioning
+    k1 = sorted(r.id for r in kept.collect())
+    k2 = sorted(r.id for r in mixture_sample(df.repartition(7), "id", "src", weights, salt="t").collect())
+    assert k1 == k2
+    with pytest.raises(ValueError):
+        mixture_rates(df, "src", {})
+    with pytest.raises(ValueError):
+        mixture_rates(df, "src", {"a": -1.0})

@@ -83,3 +83,67 @@ def stratified_sample(
         else F.lit(_threshold(default_rate))
     )
     return df.filter(hash_fraction(id_col, salt) < threshold)
+
+
+def mixture_rates(
+    df: DataFrame, source_col: str, weights: Mapping[str, float]
+) -> DataFrame:
+    """Per-source sampling rates that hit a target corpus mixture.
+
+    ``weights`` are target PROPORTIONS (DoReMi-style static domain
+    mixing): the output sample should contain sources in ratio
+    ``w_s``. The largest such sample keeps every row of the binding
+    source: with c_s rows available, alpha = min_s(c_s / w_s) and
+    rate_s = alpha * w_s / c_s (<= 1 by construction, exactly 1 for the
+    binding source). Sources absent from ``weights`` rate 0.
+
+    Returns ``(source, n_rows, rate)`` — one small row per source
+    (one map-side-combined exchange over the corpus).
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())], f"{source_col} string, w double"
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    per = counts.join(F.broadcast(wdf), source_col, "inner").withColumn(
+        "cap", F.col("n_rows") / F.col("w")
+    )
+    alpha = per.agg(F.min("cap").alias("alpha"))
+    return (
+        per.crossJoin(F.broadcast(alpha))
+        .select(
+            source_col,
+            "n_rows",
+            (F.col("alpha") * F.col("w") / F.col("n_rows")).alias("rate"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically sample ``df`` into the target source mixture.
+
+    Rates come from ``mixture_rates`` IN-PLAN (no driver round-trip);
+    membership is the same md5(salt || id) rule as the other samplers,
+    so the mix is stable under repartitioning and incremental appends.
+    The rate table broadcasts — the corpus itself never shuffles; the
+    filter threshold ``floor(rate * 2^32)`` uses only scalar IEEE ops,
+    identical in the DuckDB oracle.
+    """
+    rates = mixture_rates(df, source_col, weights).select(
+        source_col, F.floor(F.col("rate") * F.lit(float(HASH_SPACE))).alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_fraction(id_col, salt) < F.col("__thr"))
+        .drop("__thr")
+    )

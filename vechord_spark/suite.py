@@ -2661,6 +2661,53 @@ def doc_unigram_logprob(spark, sf_dir):
     return unigram_logprob(docs, "doc_id", "text")
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@_q(
+    "corpus_mix",
+    f"""
+    WITH w(source, w) AS (
+      VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+             ('src2', CAST(0.2 AS DOUBLE))
+    ),
+    counts AS (
+      SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+    ),
+    per AS (
+      SELECT c.source, c.n_rows, w.w, c.n_rows / w.w AS cap
+      FROM counts c JOIN w ON c.source = w.source
+    ),
+    alpha AS (SELECT min(cap) AS alpha FROM per),
+    rates AS (
+      SELECT source,
+             CAST(floor(alpha * w / n_rows * 4294967296.0) AS BIGINT) AS thr
+      FROM per CROSS JOIN alpha
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_hash_frac_sql('mix-v1')} < r.thr
+    GROUP BY d.source
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    """Target-proportion corpus mixing (DoReMi-style static domain
+    weights): per-source sampling rates computed IN-PLAN so the sample
+    realizes the requested source ratio at maximal size (binding source
+    keeps rate 1.0), membership by the deterministic md5 rule. The rate
+    table broadcasts; the corpus never shuffles before the filter."""
+    from vechord_spark.operators.sample import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, "doc_id", "source", _MIX_WEIGHTS, salt="mix-v1")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
 # ===========================================================================
 # registration order: the driver's correctness gate checks the FIRST 50
 # entries of QUERIES. Keep the highest-signal set — every §2-mapped
