@@ -334,12 +334,15 @@ def test_gemini_inline_data_payload_and_ocr_extractor():
 
 
 class LlamaFakeTransport:
-    """Upload returns a job id; polling returns 404 (still processing)
-    a configurable number of times before the text result."""
+    """Upload returns a job id; the result endpoint returns 404 (still
+    processing) a configurable number of times before the text result;
+    the job-status endpoint reports the job as PENDING (the shape that
+    must NOT fail fast)."""
 
-    def __init__(self, pending_polls=2, text="parsed text"):
+    def __init__(self, pending_polls=2, text="parsed text", job_status="PENDING"):
         self.pending = pending_polls
         self.text = text
+        self.job_status = job_status
         self.posts = []
         self.gets = []
 
@@ -349,6 +352,9 @@ class LlamaFakeTransport:
 
     def get(self, url, headers):
         self.gets.append((url, headers))
+        if not url.endswith("/result/text"):
+            # job-status endpoint: the job exists
+            return 200, json.dumps({"id": "job-123", "status": self.job_status}).encode()
         if self.pending > 0:
             self.pending -= 1
             return 404, b'{"detail": "pending"}'
@@ -370,9 +376,13 @@ def test_llamaparse_upload_poll_extract():
     assert headers["Content-Type"].startswith("multipart/form-data; boundary=")
     assert b'name="file"; filename="document.pdf"' in body
     assert b"%PDF-1.4 fake" in body
-    # polled the job endpoint until success (2 pending + 1 final)
-    assert len(t.gets) == 3
-    assert all("/parsing/job/job-123/result/text" in u for u, _ in t.gets)
+    # polled the result endpoint until success (2 pending + 1 final);
+    # the first 404 additionally triggers ONE job-existence check
+    result_polls = [u for u, _ in t.gets if u.endswith("/result/text")]
+    status_polls = [u for u, _ in t.gets if not u.endswith("/result/text")]
+    assert len(result_polls) == 3
+    assert len(status_polls) == 1
+    assert all("/parsing/job/job-123" in u for u, _ in t.gets)
     # extractor contract strips like the reference (extract.py:155-169)
     t2 = LlamaFakeTransport(pending_polls=0, text="  edge text  ")
     assert LlamaParseExtractor(transport=t2).extract_image(b"\xff\xd8") == "edge text"
@@ -385,6 +395,35 @@ def test_llamaparse_timeout():
     client = LlamaParseClient(api_key="k", transport=t, poll_interval=0.0, max_poll_sec=0.0)
     with pytest.raises(TimeoutError):
         client.get_text("job-123")
+
+
+def test_llamaparse_fails_fast_on_permanent_errors():
+    """Revoked key, unknown job, and failed job must raise immediately
+    instead of polling out the 30-minute window (r4 ADVICE)."""
+    from vechord_spark.providers_http import HttpCallError, LlamaParseClient
+
+    class Auth401:
+        def get(self, url, headers):
+            return 401, b'{"detail": "invalid key"}'
+
+    class UnknownJob:
+        # result endpoint 404s AND the job-status endpoint 404s
+        def get(self, url, headers):
+            return 404, b'{"detail": "no such job"}'
+
+    class FailedJob:
+        def get(self, url, headers):
+            if url.endswith("/result/text"):
+                return 404, b'{"detail": "pending"}'
+            return 200, json.dumps({"id": "j", "status": "ERROR"}).encode()
+
+    for transport, frag in ((Auth401(), "401"), (UnknownJob(), "404"), (FailedJob(), "failed")):
+        client = LlamaParseClient(
+            api_key="k", transport=transport, poll_interval=0.0, max_poll_sec=3600.0
+        )
+        with pytest.raises(HttpCallError) as exc:
+            client.get_text("job-123")
+        assert frag in str(exc.value).lower() or frag in str(exc.value)
 
 
 def test_llamaparse_upload_error_and_multipart_shape():

@@ -27,6 +27,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # Cheap gate before the precise check: ``df.rdd`` forces full
+    # physical planning outside AQE, which on deeply composed plans is
+    # pure overhead when the input already arrives wide. ``inputFiles``
+    # needs only analysis + the file index; a scan over >= target files
+    # is at least that many splits (and every shuffle downstream of it
+    # is already shuffle.partitions wide), so skip without planning.
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # pragma: no cover - exotic sources without file lists
+        pass
+    # Few/no input files: small scans or local relations — plans here
+    # are shallow, so the precise partition count is cheap to compute.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -652,16 +652,45 @@ class LlamaParseClient:
         return str(json.loads(raw)["id"])
 
     def get_text(self, job_id: str) -> str:
-        """Poll the job result until success (any non-2xx means the job
-        is still processing, mirroring the reference's is_success loop),
-        with the 30-minute deadline."""
+        """Poll the job result until success, with the 30-minute
+        deadline. Permanent failures fail fast instead of burning the
+        full poll window: 401/403 (bad/revoked key) and an explicit
+        error-status job payload raise immediately. A 404 from the
+        result endpoint is ambiguous (LlamaCloud 404s until the job
+        finishes), so on the FIRST 404 the job-status endpoint is
+        consulted once: unknown job or failed status raises; a pending
+        job keeps the poll loop alive."""
         deadline = time.monotonic() + self.max_poll_sec
+        checked_job_exists = False
         while True:
             status, raw = self.transport.get(
                 f"{LLAMA_CLOUD_BASE}/parsing/job/{job_id}/result/text", self._auth()
             )
             if 200 <= status < 300:
                 return str(json.loads(raw)["text"])
+            if status in (401, 403):
+                raise HttpCallError(
+                    "llamaparse result", status, raw.decode(errors="replace")
+                )
+            if status == 404 and not checked_job_exists:
+                checked_job_exists = True
+                s2, raw2 = self.transport.get(
+                    f"{LLAMA_CLOUD_BASE}/parsing/job/{job_id}", self._auth()
+                )
+                if s2 in (401, 403, 404):
+                    raise HttpCallError(
+                        "llamaparse job lookup", s2, raw2.decode(errors="replace")
+                    )
+                if 200 <= s2 < 300:
+                    raw = raw2  # let the status check below see the job payload
+            try:
+                job_status = str(json.loads(raw).get("status", "")).upper()
+            except (ValueError, AttributeError):
+                job_status = ""
+            if job_status in ("ERROR", "FAILED", "CANCELED", "CANCELLED"):
+                raise HttpCallError(
+                    "llamaparse job failed", status, raw.decode(errors="replace")
+                )
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     "Polling LlamaCloud job result timed out after "

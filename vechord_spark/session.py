@@ -58,7 +58,13 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get(
                 "SPARK_GRAFT_WAREHOUSE",
-                os.path.join(tempfile.gettempdir(), "vechord-warehouse"),
+                # per-user path: a fixed world-shared /tmp name would let
+                # concurrent users collide on catalog table paths (and a
+                # pre-existing attacker-owned dir/symlink capture writes)
+                os.path.join(
+                    tempfile.gettempdir(),
+                    f"vechord-warehouse-{getattr(os, 'getuid', lambda: 'nt')()}",
+                ),
             ),
         )
         .config("spark.ui.enabled", "false")
