@@ -154,6 +154,14 @@ def test_connected_components_matches_union_find(spark):
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == want
 
+    # the distributed label-propagation path (gate disabled) must agree
+    # exactly with the driver-side union-find fast path
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, local_edge_threshold=0).collect()
+    }
+    assert dist == want
+
 
 def test_duplicate_span_stats_reference(spark):
     from vechord_spark.operators.dedup import duplicate_span_stats

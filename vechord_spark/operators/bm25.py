@@ -211,20 +211,31 @@ def bm25_topk(
 
     from vechord_spark.parallel import spread
 
-    tokens = spread(df).select(
-        F.col(doc_id).alias("doc_id"), tokenize(text_col).alias("terms")
+    # ONE tokenize pass: dl and the query-pruned term array come out of
+    # the same projection (Spark's subexpression elimination computes
+    # the tokenize() once per row), and dl rides along as a grouping key
+    # (functionally dependent on doc_id, so the key extension is free)
+    # exactly like the prebuilt-index layout — no doclen join at all.
+    # The pruned base is tiny (id, int, few terms) and is read by both
+    # the stats aggregate and the postings build, so persist it rather
+    # than re-tokenizing the corpus per consumer; at cluster scale this
+    # is the classic "write the pruned projection, then aggregate" step.
+    toks = tokenize(text_col)
+    base = spread(df).select(
+        F.col(doc_id).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(*terms)).alias("__qts"),
     )
-    doclen = tokens.select("doc_id", F.size("terms").alias("dl"))
-    stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-    matched = tokens.select(
-        "doc_id",
-        F.explode(F.filter("terms", lambda t: t.isin(*terms))).alias("term"),
+    base = base.persist()
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    postings_q = (
+        base.select("doc_id", "dl", F.explode("__qts").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    postings_q = matched.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     docfreq_q = postings_q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         postings_q.join(F.broadcast(docfreq_q), "term")
-        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",

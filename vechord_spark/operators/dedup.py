@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from vechord_spark.functions.text import fingerprint, word_ngrams
 
@@ -492,6 +492,7 @@ def embedding_top_pairs(
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
+    local_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Duplicate CLUSTERS from a near-dup pair list: connected
     components by iterative min-label propagation.
@@ -511,10 +512,56 @@ def connected_components(
     production dedup needs: pair lists alone cannot say "keep one per
     group" when duplicates chain A-B-C. Raises after ``max_iterations``
     without a fixpoint rather than silently returning partial clusters.
+
+    Size gate: the verified pair list is typically orders of magnitude
+    smaller than the corpus (it is the *duplicate* edges, post-Jaccard),
+    so when the deduped edge count is <= ``local_edge_threshold`` the
+    component labels are computed by a single-pass union-find on the
+    driver (one job to collect the edges, zero iterative shuffles) and
+    shipped back as a DataFrame. Above the gate — or with
+    ``local_edge_threshold=0`` — the distributed O(log diameter)
+    label-propagation loop runs; that path never materializes edges on
+    one machine and is the 100 TB route.
     """
+    spark = pairs.sparkSession
+    # undirected edge list; deduped ONCE here (half-edges suffice for
+    # the union-find path, both directions for label propagation)
+    half = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).distinct()
+    if local_edge_threshold:
+        half = half.persist()
+        n_edges = half.count()
+        if n_edges <= local_edge_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for u, v in ((r[0], r[1]) for r in half.collect()):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN id so the root IS the canonical survivor
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            rows = [(n, find(n)) for n in parent]
+            id_type = half.schema["u"].dataType
+            half.unpersist()
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", id_type, False),
+                    T.StructField("cluster_id", id_type, False),
+                ]
+            )
+            return spark.createDataFrame(rows, schema)
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )

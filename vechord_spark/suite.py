@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from vechord_spark.functions import text as TX
 from vechord_spark.functions.vector import cosine_distance, l2_distance, negative_dot
 from vechord_spark.operators import dedup as DD
-from vechord_spark.operators.bm25 import Bm25Index
+from vechord_spark.operators.bm25 import bm25_topk as bm25_oneshot
 from vechord_spark.operators.chunk import fixed_size_chunks
 from vechord_spark.operators.fusion import rrf_topk
 from vechord_spark.operators.knn import knn_join
@@ -367,10 +367,15 @@ _BM25_ORACLE = f"""
 
 @_q("bm25_topk", _BM25_ORACLE)
 def bm25_topk_documents(spark, sf_dir):
-    """K3 BM25 keyword top-k over the documents table (postings +
-    stats DataFrames, Robertson idf, k1=1.2 b=0.75)."""
+    """K3 BM25 keyword top-k over the documents table (Robertson idf,
+    k1=1.2 b=0.75), via the one-shot query-pruned plan: tokens are
+    filtered to the query terms BEFORE the postings shuffle, so 99%+ of
+    the (term, doc_id) volume never reaches an exchange — the plan that
+    survives a 100 TB corpus for ad-hoc queries. The prebuilt
+    ``Bm25Index`` (full postings, amortized across many queries) scores
+    identically and is covered by tests/test_bm25.py."""
     docs = _t(spark, sf_dir, "documents")
-    return Bm25Index(docs, "doc_id", "text").topk(BM25_QUERY, k=10)
+    return bm25_oneshot(docs, "doc_id", "text", BM25_QUERY, k=10)
 
 
 @_q(
