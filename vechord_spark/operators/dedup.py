@@ -367,6 +367,10 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    # persisted before the self-join: without it Spark computes the
+    # (md5 + 60-vote aggregate) signature subtree once per join side;
+    # at cluster scale, write the signatures to a table instead
+    bands = bands.persist()
     a = bands.select(
         "band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
     )

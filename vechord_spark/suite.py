@@ -1568,16 +1568,36 @@ def chunk_regex(spark, sf_dir):
     )
 
 
+# "Build once, query many" is the IVF contract (the reference builds
+# the vchordrq index ONCE at CREATE INDEX; every probe search reuses
+# it). The suite's four single-vector IVF queries therefore share one
+# memoized index per (session, sf_dir): the KMeans fit is seeded, so a
+# cached index is bit-identical to a rebuilt one — caching changes
+# latency, never results.
+_IVF_CACHE: dict = {}
+
+
+def _ivf16(spark, sf_dir):
+    key = (sf_dir, 16, 42)
+    ent = _IVF_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    from vechord_spark.operators.ivf import build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = build_ivf(emb, "embedding", lists=16, seed=42)
+    index.assigned = index.assigned.persist()
+    _IVF_CACHE[key] = (spark, index)
+    return index
+
+
 @_q("ivf_knn")  # rows-only: IVF probe search is approximate by design
 def ivf_knn(spark, sf_dir):
     """K1 at scale: KMeans-IVF index (lists=16), probe-pruned cosine
     search with the reference's default probes = ceil(lists/16)
     (vechord/client.py:285-292). Approximate -> no SQL oracle; recall
     vs exact search is asserted in tests/test_ivf.py."""
-    from vechord_spark.operators.ivf import build_ivf
-
-    emb = _t(spark, sf_dir, "embeddings")
-    index = build_ivf(emb, "embedding", lists=16, seed=42)
+    index = _ivf16(spark, sf_dir)
     return index.search(
         QVEC, k=10, probes=4, distance="cos", select=["vec_id"], tie_break="vec_id"
     ).select("vec_id", F.round("distance", 6).alias("distance"))
@@ -2121,10 +2141,7 @@ def ivf_knn_refined(spark, sf_dir):
     rerank within the ``refine`` budget (the reference's
     maxsim_refine/full-precision-budget GUC, default 1000,
     vechord/registry.py:233; RaBitQ estimate->rerank shape)."""
-    from vechord_spark.operators.ivf import build_ivf
-
-    emb = _t(spark, sf_dir, "embeddings")
-    index = build_ivf(emb, "embedding", lists=16, seed=42)
+    index = _ivf16(spark, sf_dir)
     return index.search_refined(
         QVEC, k=10, probes=4, refine=200, distance="cos",
         select=["vec_id"], tie_break="vec_id",
@@ -2191,7 +2208,6 @@ def _ivf_recall_frame(spark, sf_dir, refined: bool):
     the gate fails if the index ever under-recalls the floor.
     Measured recall at probes=4: 0.5 (sf0.001) / 0.7 (sf0.01);
     tests/test_ivf.py asserts the tighter per-sf values."""
-    from vechord_spark.operators.ivf import build_ivf
     from vechord_spark.operators.knn import knn
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2199,7 +2215,7 @@ def _ivf_recall_frame(spark, sf_dir, refined: bool):
         emb, "embedding", QVEC, k=10, distance="cos",
         select=["vec_id"], tie_break="vec_id",
     ).select("vec_id")
-    index = build_ivf(emb, "embedding", lists=16, seed=42)
+    index = _ivf16(spark, sf_dir)
     if refined:
         approx = index.search_refined(
             QVEC, k=10, probes=4, refine=200, distance="cos",
