@@ -333,7 +333,8 @@ def maxsim_by_label(spark, sf_dir):
     ).select("label", "rank")
 
 
-_BM25_ORACLE = f"""
+def _bm25_oracle_sql(terms: list[str]) -> str:
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_TOK.format(col='text')} AS terms FROM documents
     ),
@@ -342,7 +343,7 @@ _BM25_ORACLE = f"""
     tf AS (SELECT term, doc_id, count(*) AS tf FROM posts GROUP BY term, doc_id),
     dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
-    qterms AS (SELECT unnest({_BM25_TERMS!r}) AS term),
+    qterms AS (SELECT unnest({terms!r}) AS term),
     scored AS (
       SELECT tf.doc_id,
              round(sum(
@@ -365,6 +366,9 @@ _BM25_ORACLE = f"""
     """
 
 
+_BM25_ORACLE = _bm25_oracle_sql(_BM25_TERMS)
+
+
 @_q("bm25_topk", _BM25_ORACLE)
 def bm25_topk_documents(spark, sf_dir):
     """K3 BM25 keyword top-k over the documents table (Robertson idf,
@@ -376,6 +380,40 @@ def bm25_topk_documents(spark, sf_dir):
     identically and is covered by tests/test_bm25.py."""
     docs = _t(spark, sf_dir, "documents")
     return bm25_oneshot(docs, "doc_id", "text", BM25_QUERY, k=10)
+
+
+# steady-state keyword search: the postings/docfreq/stats tables are built
+# ONCE per (session, corpus) and persisted — every subsequent query is a
+# broadcast of its (tiny) term set against the cached postings. This is
+# the production shape (reference: the vchord-bm25 extension's index is
+# built at CREATE INDEX time); bm25_topk above is the ad-hoc one-shot.
+_BM25_INDEX_CACHE: dict = {}
+
+BM25_QUERY2 = "sort merge window batch"
+_BM25_TERMS2 = ["sort", "merge", "window", "batch"]
+
+
+def _bm25_index(spark, sf_dir):
+    from vechord_spark.operators.bm25 import Bm25Index
+
+    ent = _BM25_INDEX_CACHE.get(sf_dir)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    docs = _t(spark, sf_dir, "documents")
+    index = Bm25Index(docs, "doc_id", "text").persist()
+    _BM25_INDEX_CACHE[sf_dir] = (spark, index)
+    return index
+
+
+@_q("bm25_index_topk", _bm25_oracle_sql(_BM25_TERMS2))
+def bm25_index_topk(spark, sf_dir):
+    """K3 steady state: top-k from the persisted BM25 index (build
+    amortized across queries; this entry measures the query-side cost
+    the reference pays per search). Scoring formula and oracle are
+    identical to the one-shot path — only the plan differs: a
+    broadcast-pruned scan of the cached postings, no corpus
+    re-tokenization."""
+    return _bm25_index(spark, sf_dir).topk(BM25_QUERY2, k=10)
 
 
 @_q(
