@@ -104,6 +104,13 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert set(got.values()) == {0} and len(got) == 13
+    # the distributed star-contraction path on the same worst-case
+    # (path graph = maximum diameter) must converge to the same answer
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, local_edge_threshold=0).collect()
+    }
+    assert set(dist.values()) == {0} and len(dist) == 13
 
 
 def test_drop_near_duplicates_keeps_survivor(spark):
@@ -117,15 +124,20 @@ def test_drop_near_duplicates_keeps_survivor(spark):
     assert kept == [1, 9]  # min-id survivor + untouched singleton
 
 
-def test_connected_components_matches_union_find(spark):
+import pytest
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 200, 150), (11, 300, 120), (23, 60, 90)])
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
     """Randomized (seeded) graph vs a pure-Python union-find reference:
-    every node must map to the min id of its component."""
+    every node must map to the min id of its component — on BOTH the
+    driver fast path and the distributed star-contraction path."""
     import random
 
     from vechord_spark.operators.dedup import connected_components
 
-    rng = random.Random(7)
-    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
     edges = [(a, b) for a, b in edges if a != b]
 
     parent = {}

@@ -564,65 +564,74 @@ def connected_components(
                 ]
             )
             return spark.createDataFrame(rows, schema)
-    edges = (
-        half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("nbr_min"))
-        .select(
-            F.col("u").alias("doc_id"),
-            F.least(F.col("u"), F.col("nbr_min")).alias("cluster_id"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(
-        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-    ).first()[0]
+    # Distributed path: alternating large-star / small-star (Kiveris et
+    # al., "Connected Components in MapReduce and Beyond") — converges
+    # in O(log n) rounds, and each half-round is ONE groupBy(u) min
+    # aggregate plus a join co-partitioned on the same key (the
+    # Exchange introduced by the aggregate is reused by the join), vs
+    # the r3 label-propagation loop's two independent joins per round.
+    # At fixpoint the edge set is a forest of stars: every non-minimum
+    # node holds exactly the edge (node -> component minimum).
+    #
+    # Convergence detection stays join-free: per-node attached minima
+    # only ever decrease round-over-round (each rewrite replaces a
+    # partner u by m = min of a neighborhood containing u), so the
+    # DECIMAL(38,0) sum of (count, sum u, sum v) over the canonical
+    # hi->lo edge set is monotone and fixes exactly at convergence.
+    edges = half.filter(F.col("u") != F.col("v")).select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+
+    def _signature(e):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).first()
+        return (row[0], row[1], row[2])
+
+    prev_sig = _signature(edges)
     for _ in range(max_iterations):
-        # hop: each node takes min(own label, neighbours' labels)
-        nbr = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
-            .groupBy("u")
-            .agg(F.min("cluster_id").alias("nbr_label"))
+        # large-star: group the SYMMETRIZED adjacency by u; every
+        # strictly-larger neighbor re-attaches to m = min(N(u) + {u})
+        both = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        hopped = labels.join(nbr, labels["doc_id"] == nbr["u"], "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
-            ).alias("cluster_id"),
+        mins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
         )
-        # compress: labels are doc ids, so follow one pointer — my new
-        # label is my label's label. Halves remaining chain length.
-        thru = hopped.select(
-            F.col("doc_id").alias("via"), F.col("cluster_id").alias("via_label")
+        ls = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
         )
-        updated = (
-            hopped.join(thru, hopped["cluster_id"] == thru["via"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("via_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
+        # small-star: edges are now hi->lo; every node's smaller
+        # neighbors (and the node itself) attach to the smallest
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss_nbrs = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = (
+            ss_nbrs.union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        # convergence check without a join: labels only ever DECREASE
-        # (every update is least(...) of the old label and others), so
-        # the label sum is strictly monotone until fixpoint — one
-        # aggregate over the checkpointed table per round instead of a
-        # self-join + count. DECIMAL(38,0) keeps the sum exact at any
-        # node count (a raw BIGINT sum could wrap at ~1e10 nodes).
-        new_sum = updated.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-        ).first()[0]
-        labels = updated
-        if new_sum == prev_sum:
-            return labels
-        prev_sum = new_sum
+        sig = _signature(edges)
+        if sig == prev_sig:
+            # stars: (node -> min) edges are the labels; centers
+            # (the minima) label themselves
+            centers = edges.select(F.col("v").alias("doc_id")).distinct()
+            return edges.select(
+                F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+            ).union(
+                centers.select("doc_id", F.col("doc_id").alias("cluster_id"))
+            )
+        prev_sig = sig
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
