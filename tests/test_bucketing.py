@@ -62,3 +62,26 @@ def test_unbucketed_join_shuffles_as_baseline(spark, sf_dir):
         assert "Exchange" in explain_string(j)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_suite_bucketed_query_plan_and_values(spark):
+    """The registered bucketed_customer_revenue query: with broadcast
+    disabled, the co-located join AND the per-customer aggregate run
+    with zero Exchange (the aggregate's required distribution is
+    satisfied by the bucketed scan's partitioning)."""
+    from vechord_spark.suite import QUERIES
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["bucketed_customer_revenue"](spark, "/root/testdata/sf0.001")
+        plan = explain_string(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        rows = df.collect()
+        assert 0 < len(rows) <= 20
+        # revenue sorted descending, custkey tiebreak ascending
+        revs = [r.revenue for r in rows]
+        assert revs == sorted(revs, reverse=True)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

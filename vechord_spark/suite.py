@@ -2703,6 +2703,80 @@ def large_orders(spark, sf_dir):
     )
 
 
+# Bucketed-layout build, once per (session, sf_dir): orders and customer
+# are hash-bucketed on the customer key AT WRITE TIME, so every later
+# equi-join on that key is a SortMergeJoin reading bucket pairs with NO
+# Exchange on either side — the storage-level co-location a 100 TB
+# deployment uses for joins it re-runs every query wave
+# (plans/bucketing.py docstring has the bucket-count sizing math).
+_BUCKETED_CACHE: dict = {}
+
+
+def _bucketed_pair(spark, sf_dir):
+    import re as _re
+
+    ent = _BUCKETED_CACHE.get(sf_dir)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    from vechord_spark.plans.bucketing import write_bucketed
+
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    ot = write_bucketed(
+        orders, f"bq_orders_{tag}", f"{wh}/bq_orders_{tag}", "o_custkey",
+        num_buckets=8, sort_cols="o_custkey",
+    )
+    ct = write_bucketed(
+        cust, f"bq_customer_{tag}", f"{wh}/bq_customer_{tag}", "o_custkey",
+        num_buckets=8, sort_cols="o_custkey",
+    )
+    _BUCKETED_CACHE[sf_dir] = (spark, (ot, ct))
+    return ot, ct
+
+
+@_q(
+    "bucketed_customer_revenue",
+    """
+    SELECT o.o_custkey AS custkey, c.c_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey, c.c_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def bucketed_customer_revenue(spark, sf_dir):
+    """Top customers by revenue over the BUCKETED layout: both sides
+    hash-bucketed on the customer key at write time (build memoized per
+    session/corpus), so the join is bucket-pairwise and the per-customer
+    aggregate inherits the same partitioning — with broadcast disabled
+    the physical plan has ZERO Exchange end-to-end
+    (tests/test_bucketing.py pins the plan shape). The bench entry
+    measures the steady-state co-located cost, not the one-time
+    layout write."""
+    ot, ct = _bucketed_pair(spark, sf_dir)
+    return (
+        ot.join(ct, "o_custkey")
+        .groupBy("o_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .select(F.col("o_custkey").alias("custkey"), "c_name", "n_orders", "revenue")
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(20)
+    )
+
+
 @_q(
     "doc_unigram_logprob",
     f"""
@@ -2792,12 +2866,13 @@ def corpus_mix(spark, sf_dir):
 # shipping_priority + large_orders (broadcast sides changed this round —
 # must be driver-checked), cube_ship_stats, corpus_mix,
 # doc_unigram_logprob, knn_l2, eval_mrr_knn, doc_length_quantiles,
-# token_vocab_topk, maxsim_topk_docs. Rotated OUT (all green in
-# CORRECTNESS_r04, family still represented in-window):
+# token_vocab_topk, maxsim_topk_docs, and the NEW
+# bucketed_customer_revenue (never driver-checked before). Rotated OUT
+# (all green in CORRECTNESS_r04, family still represented in-window):
 # chunk_fixed_windows, eval_recall_knn, events_json_extract,
 # dedup_jaccard, dedup_incremental, text_repetition,
 # token_count_by_source, sample_documents, graph_relation_merge,
-# dedup_spans.
+# dedup_spans, events_retention.
 _WINDOW_PRIORITY = [
     # relational / OLAP core
     "filter_project",
@@ -2839,8 +2914,8 @@ _WINDOW_PRIORITY = [
     "events_sessionize",
     "events_asof_join",
     "events_funnel",
-    "events_retention",
     "skew_salted_revenue",
+    "bucketed_customer_revenue",
     # dedup suite
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
