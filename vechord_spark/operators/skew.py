@@ -17,12 +17,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def choose_salt_factor(
+    large: DataFrame,
+    on: str,
+    sample_fraction: float = 0.05,
+    max_salts: int = 64,
+    seed: int = 42,
+) -> int:
+    """Pick a salt factor from the key distribution of ``large``.
+
+    Profiles a SAMPLE (one aggregate over ~``sample_fraction`` of the
+    rows — at 100 TB you never profile the full table to decide a plan
+    knob) and asks: if the hottest key holds share ``s`` of the rows,
+    how many of the session's shuffle partitions would its rows fill?
+    ``ceil(s * shuffle_partitions)`` is the number of ways it must be
+    split for the hot partition to shrink to the average — that is the
+    salt factor, clamped to [1, max_salts]. Returns 1 (no salting
+    needed; AQE's skew-join splitting handles mild skew) when the
+    hottest key fits inside roughly one partition's fair share.
+    """
+    import math
+
+    sampled = (
+        large.sample(fraction=sample_fraction, seed=seed)
+        if 0 < sample_fraction < 1.0
+        else large
+    )
+    row = (
+        sampled.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
+        .first()
+    )
+    if not row or not row["tot"]:
+        return 1
+    share = row["mx"] / row["tot"]
+    parts = int(large.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = math.ceil(share * parts)
+    return 1 if n <= 1 else min(n, max_salts)
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
     on: str,
     n_salts: int = 8,
     how: str = "inner",
+    auto: bool = False,
 ) -> DataFrame:
     """Join ``large`` with ``small`` on column ``on`` with an ``n_salts``-way
     salt spreading each hot key across partitions.
@@ -30,7 +71,17 @@ def salted_join(
     ``small`` is replicated ``n_salts`` x — use when it's broadcast-sized
     per-key but the join key distribution is too skewed for a plain
     shuffle join. Output columns = the plain join's.
+
+    ``auto=True`` ignores ``n_salts`` and derives the factor from a
+    sampled profile of ``large`` (``choose_salt_factor``); a factor of 1
+    degrades to the plain join — zero replication cost on well-behaved
+    keys, so the hook is safe to leave on for the 100 TB events-by-user
+    case where only SOME days have a hot key.
     """
+    if auto:
+        n_salts = choose_salt_factor(large, on)
+    if n_salts <= 1:
+        return large.join(small, on, how)
     salted_large = large.withColumn(
         "__salt", (F.rand(seed=42) * n_salts).cast("int")
     )
