@@ -1,0 +1,145 @@
+"""Multimodal codec: the pure-stdlib PNG path (r4 VERDICT item 6).
+
+The decoder implements UNfiltering; these tests implement the forward
+filters independently, so roundtrips are a genuine cross-check, not a
+mirror of the implementation.
+"""
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from vechord_spark.sources.multimodal import (
+    DecodedImage,
+    _png_encode,
+    decode_image,
+    resize_image,
+)
+
+MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _manual_png(width, height, color_type, channels, pixels, filters, palette=None):
+    """Build a PNG applying the FORWARD scanline filters (RFC 2083)."""
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i in range(stride):
+            left = row[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = row[i] - left
+            elif f == 2:
+                v = row[i] - up
+            elif f == 3:
+                v = row[i] - ((left + up) >> 1)
+            else:
+                v = row[i] - paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = MAGIC + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("channels,color_type", [(1, 0), (2, 4), (3, 2), (4, 6)])
+def test_png_roundtrip_all_channel_layouts(channels, color_type):
+    rng = random.Random(7 + channels)
+    w, h = 5, 4
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    data = _png_encode(DecodedImage(w, h, channels, pixels))
+    img = decode_image(data)
+    assert (img.width, img.height, img.channels) == (w, h, channels)
+    assert img.pixels == pixels
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decode_every_scanline_filter(filters):
+    rng = random.Random(42)
+    w, h, ch = 7, 5, 3
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    data = _manual_png(w, h, 2, ch, pixels, filters)
+    img = decode_image(data)
+    assert img.pixels == pixels
+
+
+def test_png_palette_decodes_to_rgb():
+    # 2x2 indexed image over a 3-color palette
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    indices = bytes([0, 1, 2, 0])
+    data = _manual_png(2, 2, 3, 1, indices, [0], palette=palette)
+    img = decode_image(data)
+    assert img.channels == 3
+    assert img.pixels == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0]
+    )
+
+
+def test_resize_nearest_neighbor_downscale_and_upscale():
+    # 2x2 RGB quadrants
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    src = _png_encode(DecodedImage(2, 2, 3, px))
+    up = decode_image(resize_image(src, 4, 4))
+    assert (up.width, up.height) == (4, 4)
+    # top-left quadrant stays red
+    assert up.pixels[0:3] == bytes([255, 0, 0])
+    # bottom-right quadrant stays yellow
+    last = (4 * 3 + 3) * 3
+    assert up.pixels[last : last + 3] == bytes([255, 255, 0])
+    down = decode_image(resize_image(src, 1, 1))
+    assert (down.width, down.height, down.pixels) == (1, 1, bytes([255, 0, 0]))
+
+
+def test_non_png_without_pillow_raises_not_implemented():
+    pytest.importorskip_reason = None
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; non-PNG path is real here")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_media_feature_plumbing_still_deterministic(spark):
+    """The Arrow-batched feature path over a table containing REAL
+    decoded-then-reencoded PNG payloads."""
+    from vechord_spark.sources.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    px = bytes(range(48))
+    png = _png_encode(DecodedImage(4, 4, 3, px))
+    rows = [("m1", "image", "image/png", 4, 4, None, png)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_media_features(df, dim=8).collect()
+    assert len(out) == 1 and len(out[0].feature) == 8
+    again = extract_media_features(df, dim=8).collect()
+    assert out[0].feature == again[0].feature
