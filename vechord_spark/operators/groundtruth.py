@@ -19,7 +19,10 @@ Spark rendition: all set-at-a-time —
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 # UMBRELA scale: 0 irrelevant .. 3 perfectly relevant
 # (vechord/evaluate.py:159-231); reference keeps score >= 2 as truth.
@@ -41,11 +44,51 @@ def umbrela_stub_scores(
     return pairs.withColumn("score", (h % 4).cast("int"))
 
 
+def umbrela_stage(
+    judge_factory: Callable[[], object],
+    query_text: str = "query_text",
+    doc_text: str = "doc_text",
+) -> Callable[[DataFrame], DataFrame]:
+    """Build a scorer transform backed by the REAL UMBRELA judge
+    (providers_http.UmbrelaJudge over Gemini structured output,
+    reference vechord/evaluate.py:159-231).
+
+    ``judge_factory`` is a zero-arg callable constructed PER EXECUTOR
+    WORKER inside the Arrow batch iterator (HTTP clients don't pickle);
+    rate limiting lives in the client's transport
+    (providers_http.UrllibTransport rps), so Spark-side parallelism
+    multiplies by executor count — size the transport rps for the fleet,
+    exactly like every other provider stage. Returns a transform:
+    pairs -> pairs + ``score`` (int 0-3), pluggable as
+    ``generate_ground_truth(pairs, scorer=umbrela_stage(...))``.
+    """
+
+    def _stage(pairs: DataFrame) -> DataFrame:
+        out_schema = T.StructType(
+            list(pairs.schema.fields) + [T.StructField("score", T.IntegerType())]
+        )
+
+        def _gen(batches):
+            judge = judge_factory()
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["score"] = [
+                    judge.estimate(q, d)
+                    for q, d in zip(pdf[query_text], pdf[doc_text])
+                ]
+                yield pdf
+
+        return pairs.mapInPandas(_gen, out_schema)
+
+    return _stage
+
+
 def generate_ground_truth(
     scored: DataFrame,
     query_id: str = "query_id",
     doc_id: str = "doc_id",
     min_score: int = DEFAULT_MIN_SCORE,
+    scorer: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Scored retrieval -> one truth row per query.
 
@@ -56,7 +99,14 @@ def generate_ground_truth(
     Queries whose every candidate fails the threshold keep an empty
     list (left join), matching the reference's "no relevant chunk"
     case.
+
+    ``scorer``: optional transform applied first — pass UNSCORED
+    retrieval pairs plus ``scorer=umbrela_stage(...)`` for real LLM
+    judging, or ``scorer=umbrela_stub_scores`` for the deterministic
+    default used by tests and oracle queries.
     """
+    if scorer is not None:
+        scored = scorer(scored)
     kept = (
         scored.filter(F.col("score") >= min_score)
         .groupBy(query_id)
