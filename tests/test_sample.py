@@ -91,3 +91,65 @@ def test_mixture_rates_and_sample(table, spark):
         mixture_rates(df, "src", {})
     with pytest.raises(ValueError):
         mixture_rates(df, "src", {"a": -1.0})
+
+
+# --- split_assign (train/val/test + shards) -------------------------------
+
+def test_split_fractions_and_determinism(table):
+    from vechord_spark.operators.sample import split_assign
+
+    out = split_assign(table, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                       n_shards=4, salt="sp")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 700 < counts["train"] < 900
+    assert counts["train"] + counts["val"] + counts["test"] == 1000
+    # partitioning-invariant assignment
+    a = {(r["doc_id"], r["split"], r["shard"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"], r["shard"]) for r in
+         split_assign(table.repartition(7), "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1},
+                      n_shards=4, salt="sp").collect()}
+    assert a == b
+
+
+def test_split_shard_range_and_independence(table):
+    from vechord_spark.operators.sample import split_assign
+
+    out = split_assign(table, "doc_id", {"train": 0.5, "test": 0.5},
+                       n_shards=8, salt="sp")
+    rows = out.collect()
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    # shards are roughly even within each split (independent hash)
+    from collections import Counter
+    c = Counter((r["split"], r["shard"]) for r in rows)
+    assert all(v > 20 for v in c.values())
+
+
+def test_split_appends_never_move_rows(table):
+    # re-splitting a superset must keep old rows' assignments (no leakage)
+    from vechord_spark.operators.sample import split_assign
+
+    small = table.filter(F.col("doc_id") < 500)
+    a = {r["doc_id"]: r["split"] for r in
+         split_assign(small, "doc_id", {"train": 0.9, "val": 0.1}, salt="sp").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         split_assign(table, "doc_id", {"train": 0.9, "val": 0.1}, salt="sp").collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_fractions_must_sum_to_one(table):
+    from vechord_spark.operators.sample import split_assign
+
+    with pytest.raises(ValueError):
+        split_assign(table, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_split_plan_no_shuffle(table):
+    from vechord_spark.operators.sample import split_assign
+
+    plan = split_assign(table, "doc_id", {"train": 0.9, "val": 0.1},
+                        n_shards=4, salt="sp")._jdf.queryExecution(
+                        ).executedPlan().toString()
+    assert "Exchange" not in plan

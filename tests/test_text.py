@@ -126,3 +126,53 @@ def test_redact_pii_boundaries(spark):
             .select(redact_pii("t").alias("r")).collect()[0].r
         )
         assert got == want, (raw, got, want)
+
+
+# --- nb_classifier_score (in-plan Naive Bayes) ----------------------------
+
+def test_nb_classifier_separates_classes(spark):
+    import math
+    from pyspark.sql import functions as F
+    from vechord_spark.operators.quality import nb_classifier_score
+
+    rows = [
+        (1, "good clean prose with words", True),
+        (2, "good clean text with words", True),
+        (3, "zz qq xx junk junk junk", False),
+        (4, "qq zz xx spam spam spam", False),
+        (5, "good clean words", True),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = nb_classifier_score(df, "doc_id", "text", "y")
+    got = {r["doc_id"]: r["nb_logodds"] for r in out.collect()}
+    # positive-labeled docs score above negative-labeled docs
+    assert min(got[1], got[2], got[5]) > max(got[3], got[4])
+    assert all(math.isfinite(v) for v in got.values())
+
+
+def test_nb_classifier_matches_hand_computation(spark):
+    import math
+    from vechord_spark.operators.quality import nb_classifier_score
+
+    rows = [(1, "a a b", True), (2, "b c", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = {r["doc_id"]: (r["n_tokens"], r["nb_logodds"])
+           for r in nb_classifier_score(df, "doc_id", "text", "y").collect()}
+    # counts: a: pos 2 / neg 0; b: pos 1 / neg 1; c: pos 0 / neg 1
+    # n_pos = 3, n_neg = 2, V = 3, prior = ln(1/1) = 0
+    def w(cp, cn):
+        return math.log((cp + 1) / (3 + 3)) - math.log((cn + 1) / (2 + 3))
+    exp1 = round(w(2, 0) * 2 + w(1, 1), 6)
+    exp2 = round(w(1, 1) + w(0, 1), 6)
+    assert out[1] == (3, pytest.approx(exp1, abs=1e-6))
+    assert out[2] == (2, pytest.approx(exp2, abs=1e-6))
+
+
+def test_nb_classifier_accepts_column_label(spark):
+    from pyspark.sql import functions as F
+    from vechord_spark.operators.quality import nb_classifier_score
+
+    rows = [(1, "hello world", "en"), (2, "bonjour le monde", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_classifier_score(df, "doc_id", "text", F.col("lang") == "en")
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}

@@ -106,6 +106,84 @@ def length_quantiles(
     )
 
 
+def nb_classifier_score(
+    df: DataFrame, id_col: str, text_col: str, label_col
+) -> DataFrame:
+    """Train a multinomial Naive-Bayes text classifier IN-PLAN and score
+    every document — the fasttext-style quality/domain filter that
+    large-corpus pipelines (CCNet, the Llama data recipe) run between
+    the heuristic rules and any LM-based score.
+
+    ``label_col`` is a boolean Column of weak labels (metadata-derived:
+    lang tag, source domain, heuristic threshold). Training is just two
+    aggregations over the token stream — per-token class counts and the
+    class totals — so unlike an MLlib fit it is deterministic, fully
+    SQL-expressible (DuckDB-oracle-checkable), and never materializes a
+    model object: the "model" is a DataFrame of per-token log-odds
+    weights joined back onto the same token stream.
+
+    Per-doc output: ``(id, n_tokens, nb_logodds)`` where
+    ``nb_logodds = log P(pos|doc) - log P(neg|doc)`` under Laplace
+    smoothing, including the class-prior term; positive means the
+    classifier sides with the weak-positive class. Rounded to 6
+    decimals (determinism contract; token-order float drift is ~1e-13).
+
+    Scale shape: the token stream is scanned twice (train counts,
+    probe) through one localCheckpoint of the vocab-sized count table;
+    class totals and the doc-prior are broadcast scalars; the probe
+    join is vocab-vs-stream (hot tokens = AQE skew case); the final
+    aggregation is one map-side-combinable exchange on doc_id.
+    """
+    from vechord_spark.parallel import spread
+
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    toks = spread(df).select(
+        F.col(id_col),
+        y.alias("y"),
+        F.explode(tokenize(text_col)).alias("tok"),
+    )
+    counts = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c_neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("c_pos").cast("double").alias("n_pos"),
+        F.sum("c_neg").cast("double").alias("n_neg"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    prior = df.agg(
+        F.log(
+            F.sum(F.when(y, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(y, 0).otherwise(1)).cast("double")
+        ).alias("log_prior")
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (
+                F.log((F.col("c_pos") + 1.0) / (F.col("n_pos") + F.col("v")))
+                - F.log((F.col("c_neg") + 1.0) / (F.col("n_neg") + F.col("v")))
+            ).alias("w"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("s"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("s") + F.col("log_prior"), 6).alias("nb_logodds"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -85,6 +85,51 @@ def stratified_sample(
     return df.filter(hash_fraction(id_col, salt) < threshold)
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float],
+    n_shards: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split (+ optional shard id) — the
+    last step of every training-data pipeline before the tokenizer.
+
+    ``splits`` maps split name -> fraction (must sum to ~1). A row's
+    split is decided by where ``md5(salt || id)`` falls in the
+    cumulative ranges, so: stable under repartitioning and engine
+    changes, incremental appends never move old rows between splits
+    (no leakage from re-splitting), and nested salts give independent
+    re-splits. With ``n_shards > 0`` a second, independent hash
+    (``salt || '#shard'``) assigns a shard in [0, n_shards) — the
+    writer then does ``partitionBy(split).repartition(shard)`` to emit
+    stable, evenly-sized training files.
+
+    Scale shape: two md5 Column expressions — no shuffle, no state;
+    the split/shard columns are pure codegen over the scan.
+    """
+    total = sum(splits.values())
+    if not splits or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = hash_fraction(id_col, salt)
+    case: Column | None = None
+    cum = 0.0
+    items = list(splits.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        t = F.lit(_threshold(cum))
+        case = F.when(h < t, name) if case is None else case.when(h < t, name)
+    last = items[-1][0]
+    split = case.otherwise(F.lit(last)) if case is not None else F.lit(last)
+    out = df.withColumn("split", split)
+    if n_shards > 0:
+        out = out.withColumn(
+            "shard",
+            (hash_fraction(id_col, salt + "#shard") % F.lit(n_shards)).cast("int"),
+        )
+    return out
+
+
 def mixture_rates(
     df: DataFrame, source_col: str, weights: Mapping[str, float]
 ) -> DataFrame:

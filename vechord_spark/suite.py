@@ -2849,6 +2849,149 @@ def corpus_mix(spark, sf_dir):
     )
 
 
+# word 4-gram shingles for the gate query. Production decontamination
+# uses 8-13-grams (GPT-3: 13, The Pile/Dolma: 8-13) and that is the
+# operator's default (operators/decontaminate.py n=8); the synthetic
+# corpus's short docs share almost no 8-grams across non-duplicates
+# (1 hit at sf0.01), so the GATE runs n=4 for real coverage (31 hits).
+_G4 = (
+    f"CASE WHEN len({_TOK.format(col='text')}) >= 4 THEN "
+    f"list_transform(generate_series(1, len({_TOK.format(col='text')}) - 3),"
+    f" i -> array_to_string(list_slice({_TOK.format(col='text')}, i, i + 3), ' ')) "
+    f"ELSE [array_to_string({_TOK.format(col='text')}, ' ')] END"
+)
+
+_BENCH_RATE = 0.05
+_BENCH_THR = int(round(_BENCH_RATE * (1 << 32)))
+
+
+@_q(
+    "decontaminate_report",
+    f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE {_hash_frac_sql('bench-v1')} < {_BENCH_THR}
+    ),
+    corp AS (
+      SELECT doc_id, text FROM documents WHERE {_hash_frac_sql('bench-v1')} >= {_BENCH_THR}
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id AS bench_id, unnest(list_distinct({_G4})) AS gram FROM bench
+    ),
+    cg AS (
+      SELECT doc_id, unnest(list_distinct({_G4})) AS gram FROM corp
+    )
+    SELECT cg.doc_id,
+           CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
+    FROM cg JOIN bg USING (gram)
+    GROUP BY cg.doc_id
+    """,
+)
+def decontaminate_report(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/Pile/Dolma n-gram scrub):
+    flag training docs sharing any distinct word n-gram with the
+    held-out benchmark set (here: the 5% hash-sampled eval slice; gate
+    runs n=4 — see _G4 note — the operator defaults to the published
+    n=8). The benchmark gram table BROADCASTS — the corpus side never
+    shuffles before the per-doc aggregation, so the plan is
+    benchmark-bounded, never O(corpus x benchmark)."""
+    from vechord_spark.operators.decontaminate import contaminated_docs
+    from vechord_spark.operators.sample import hash_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    h = hash_fraction("doc_id", "bench-v1")
+    bench = docs.filter(h < F.lit(_BENCH_THR))
+    corp = docs.filter(h >= F.lit(_BENCH_THR))
+    return contaminated_docs(corp, "doc_id", "text", bench, "doc_id", "text", n=4)
+
+
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_N_SHARDS = 8
+_SPLIT_T_TRAIN = int(round(0.9 * (1 << 32)))
+_SPLIT_T_VAL = int(round(0.95 * (1 << 32)))
+
+
+@_q(
+    "split_shards",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_frac_sql('sp1')} < {_SPLIT_T_TRAIN} THEN 'train'
+                  WHEN {_hash_frac_sql('sp1')} < {_SPLIT_T_VAL} THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST({_hash_frac_sql('sp1#shard')} % {_N_SHARDS} AS INT) AS shard
+      FROM documents
+    )
+    SELECT split, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM assigned GROUP BY split, shard
+    """,
+)
+def split_shards(spark, sf_dir):
+    """Deterministic train/val/test split + shard assignment — the last
+    pipeline step before the tokenizer. Membership keyed on md5(salt||id)
+    (stable under repartitioning/appends — no re-split leakage); shard
+    from an independent salt, so ``partitionBy(split, shard)`` writes
+    stable, evenly-sized training files. Plan: two codegen md5
+    expressions + one map-side-combined aggregate; no join."""
+    from vechord_spark.operators.sample import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    assigned = split_assign(docs, "doc_id", _SPLITS, n_shards=_N_SHARDS, salt="sp1")
+    return assigned.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@_q(
+    "nb_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS y, unnest({_TOK.format(col='text')}) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+      FROM toks GROUP BY tok
+    ),
+    totals AS (
+      SELECT CAST(sum(c_pos) AS DOUBLE) AS n_pos,
+             CAST(sum(c_neg) AS DOUBLE) AS n_neg,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM counts
+    ),
+    prior AS (
+      SELECT ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE)) AS log_prior
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(ln((c_pos + 1.0) / (n_pos + v)) - ln((c_neg + 1.0) / (n_neg + v))) AS s
+      FROM toks JOIN counts USING (tok) CROSS JOIN totals
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(s + log_prior, 6) AS nb_logodds
+    FROM base CROSS JOIN prior
+    """,
+)
+def nb_quality(spark, sf_dir):
+    """Multinomial Naive-Bayes classifier trained IN-PLAN on weak labels
+    (lang tag = 'en') and applied to every document — the fasttext-style
+    quality/domain filter (CCNet, Llama data recipe) as two aggregations
+    and a probe join, deterministic and oracle-checkable, no model
+    object. Per-doc log-odds incl. class prior, Laplace smoothing."""
+    from vechord_spark.operators.quality import nb_classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_classifier_score(docs, "doc_id", "text", F.col("lang") == "en")
+
+
 # ===========================================================================
 # registration order: the driver's correctness gate checks the FIRST 50
 # entries of QUERIES. Keep the highest-signal set — every §2-mapped
@@ -2873,13 +3016,18 @@ def corpus_mix(spark, sf_dir):
 # dedup_jaccard, dedup_incremental, text_repetition,
 # token_count_by_source, sample_documents, graph_relation_merge,
 # dedup_spans, events_retention.
+#
+# Round-5 additions rotated IN (new operators — must be driver-checked):
+# decontaminate_report, split_shards, nb_quality. Rotated OUT to make
+# room (green in CORRECTNESS_r04, family still in-window):
+# window_first_order (relational keeps 8 entries), text_redact_pii
+# (text family keeps 7), events_daily_summary (events keeps 5).
 _WINDOW_PRIORITY = [
     # relational / OLAP core
     "filter_project",
     "topk_orders",
     "agg_pricing_summary",
     "join_revenue_by_nation",
-    "window_first_order",
     "rollup_order_stats",
     "cube_ship_stats",
     "shipping_priority",
@@ -2910,7 +3058,6 @@ _WINDOW_PRIORITY = [
     "eval_ndcg_knn",
     "eval_mrr_knn",
     # events / time-series
-    "events_daily_summary",
     "events_sessionize",
     "events_asof_join",
     "events_funnel",
@@ -2926,13 +3073,16 @@ _WINDOW_PRIORITY = [
     # text analysis / training-data ops
     "text_stats",
     "text_quality",
-    "text_redact_pii",
     "lang_id",
     "doc_length_quantiles",
     "token_vocab_topk",
     "corpus_mix",
     "doc_unigram_logprob",
     "sequence_pack",
+    # round-5 training-data additions
+    "decontaminate_report",
+    "split_shards",
+    "nb_quality",
 ]
 
 
