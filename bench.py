@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "knn_dot",
     "maxsim_by_label",
     "bm25_topk",
+    "bm25_index_topk",
     "hybrid_rrf",
     "dedup_minhash_lsh",
     "dedup_jaccard",
@@ -67,6 +68,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "skew_salted_revenue",
+    "bucketed_customer_revenue",
     "token_vocab_topk",
     "doc_length_quantiles",
     "eval_recall_knn",
@@ -80,6 +82,9 @@ BENCH_QUERIES = [
     "large_orders",
     "corpus_mix",
     "doc_unigram_logprob",
+    "decontaminate_report",
+    "split_shards",
+    "nb_quality",
     "rerank_reorder",
     "eval_ndcg_knn",
     "eval_mrr_knn",
@@ -101,6 +106,7 @@ BENCH_QUERIES = [
     "ivf_knn_refined",
     "ivf_recall",
     "ivf_recall_refined",
+    "ivf_pq_recall",
     "maxsim_ivf_recall",
 ]
 

@@ -1,0 +1,147 @@
+"""Product quantization (operators/pq.py): codebook math, encode,
+ADC ordering, IVF-PQ recall.
+
+Reference parity anchor: vchordrq's quantized estimate->refine scan
+(vechord/spec.py:437-444); PQ is the codebook-based analog (Jégou 2011 /
+FAISS IVF,PQ)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vechord_spark.operators.pq import (
+    IvfPqIndex,
+    PqCodebook,
+    adc_estimate,
+    build_ivf_pq,
+    encode_pq,
+    train_pq,
+)
+
+
+def _toy_book():
+    # m=2, ksub=2, dsub=2 hand-made codebooks
+    return PqCodebook(
+        np.array(
+            [
+                [[0.0, 0.0], [1.0, 1.0]],
+                [[0.0, 1.0], [1.0, 0.0]],
+            ]
+        )
+    )
+
+
+def test_lookup_table_l2_and_dot():
+    book = _toy_book()
+    q = [1.0, 1.0, 0.0, 1.0]
+    lut = book.lookup_table(q, "l2")
+    # subspace 0: ||(1,1)-(0,0)||^2=2, ||(1,1)-(1,1)||^2=0
+    assert lut[0].tolist() == [2.0, 0.0]
+    # subspace 1: ||(0,1)-(0,1)||^2=0, ||(0,1)-(1,0)||^2=2
+    assert lut[1].tolist() == [0.0, 2.0]
+    dot = book.lookup_table(q, "dot")
+    # subspace 0: (1,1)·(0,0)=0, (1,1)·(1,1)=2; subspace 1: (0,1)·(0,1)=1, (0,1)·(1,0)=0
+    assert dot[0].tolist() == pytest.approx([0.0, -2.0])
+    assert dot[1].tolist() == pytest.approx([-1.0, 0.0])
+    with pytest.raises(ValueError):
+        book.lookup_table(q, "cos")
+
+
+def test_reconstruct_and_code_bytes():
+    book = _toy_book()
+    assert book.reconstruct([1, 0]).tolist() == [1.0, 1.0, 0.0, 1.0]
+    assert book.code_bytes() == 1  # 2 codes x 1 bit
+    big = PqCodebook(np.zeros((8, 256, 8)))
+    assert big.code_bytes() == 8  # 8 codes x 8 bits
+
+
+def test_encode_picks_nearest_code(spark):
+    book = _toy_book()
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.1, 0.9, 0.1]), (2, [0.9, 0.9, 0.1, 0.9])],
+        "vec_id long, v array<double>",
+    )
+    got = {r["vec_id"]: r["__pq"] for r in encode_pq(df, "v", book).collect()}
+    assert got[1] == [0, 1]  # near (0,0) and (1,0)
+    assert got[2] == [1, 0]  # near (1,1) and (0,1)
+
+
+def test_adc_l2_equals_distance_to_reconstruction(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, v array<double>"
+    )
+    book = train_pq(df, "v", m=4, ksub=4, seed=1, max_iter=5)
+    q = rng.normal(size=8).tolist()
+    enc = encode_pq(df, "v", book)
+    rows = enc.withColumn("est", adc_estimate(book, q, "l2")).collect()
+    for r in rows:
+        recon = book.reconstruct(r["__pq"])
+        exact = float(((np.asarray(q) - recon) ** 2).sum())
+        assert r["est"] == pytest.approx(exact, rel=1e-9)
+
+
+def test_train_pq_validates(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(df, "v", m=2, ksub=2)
+    empty = df.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        train_pq(empty, "v", m=3, ksub=2)
+
+
+def test_ivf_pq_search_recall(spark, emb):
+    from vechord_spark.operators.knn import knn
+
+    q = [float(x) for x in np.linspace(-0.5, 0.5, 64)]
+    index = build_ivf_pq(emb, "embedding", lists=8, m=8, ksub=16, seed=42)
+    exact = {
+        r["vec_id"]
+        for r in knn(
+            emb, "embedding", q, k=10, distance="cos",
+            select=["vec_id"], tie_break="vec_id",
+        ).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in index.search(
+            q, k=10, probes=4, refine=100, distance="cos",
+            select=["vec_id"], tie_break="vec_id",
+        ).collect()
+    }
+    assert len(approx) == 10
+    assert len(approx & exact) / 10.0 >= 0.4
+
+
+def test_ivf_pq_l2_large_refine_matches_exact(spark, emb):
+    # with refine >= probed rows and probes = lists the search is exact
+    from vechord_spark.operators.knn import knn
+
+    q = [float(x) for x in np.linspace(0.3, -0.3, 64)]
+    index = build_ivf_pq(emb, "embedding", lists=4, m=8, ksub=16, seed=42)
+    exact = [
+        r["vec_id"]
+        for r in knn(
+            emb, "embedding", q, k=5, distance="l2",
+            select=["vec_id"], tie_break="vec_id",
+        ).collect()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in index.search(
+            q, k=5, probes=4, refine=10_000, distance="l2",
+            select=["vec_id"], tie_break="vec_id",
+        ).collect()
+    ]
+    assert approx == exact
+
+
+def test_encode_partitioning_invariant(spark, emb):
+    book = train_pq(emb, "embedding", m=8, ksub=16, seed=3, max_iter=3)
+    a = {r["vec_id"]: r["__pq"] for r in encode_pq(emb, "embedding", book).collect()}
+    b = {
+        r["vec_id"]: r["__pq"]
+        for r in encode_pq(emb.repartition(7), "embedding", book).collect()
+    }
+    assert a == b

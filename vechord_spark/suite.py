@@ -2322,6 +2322,67 @@ def ivf_recall(spark, sf_dir):
     return _ivf_recall_frame(spark, sf_dir, refined=False)
 
 
+_PQ_CACHE: dict = {}
+
+
+def _ivfpq(spark, sf_dir):
+    """IVF-PQ index memoized per (session, corpus): reuses the _ivf16
+    centroids/assignment (one KMeans) and adds the m=8 x ksub=16 PQ
+    codebooks + encoded codes, persisted like the IVF assignment."""
+    key = (sf_dir, 8, 16)
+    ent = _PQ_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    from vechord_spark.operators.pq import IvfPqIndex, train_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    book = train_pq(emb, "embedding", m=8, ksub=16, seed=42)
+    index = IvfPqIndex(_ivf16(spark, sf_dir), book)
+    index.encoded = index.encoded.persist()
+    _PQ_CACHE[key] = (spark, index)
+    return index
+
+
+@_q(
+    "ivf_pq_recall",
+    """
+    SELECT CAST(10 AS INT) AS k, CAST(4 AS INT) AS probes,
+           CAST(8 AS INT) AS m, CAST(16 AS INT) AS ksub,
+           CAST(100 AS INT) AS refine,
+           CAST(0.4 AS DOUBLE) AS recall_floor, CAST(1 AS INT) AS recall_ok
+    """,
+)
+def ivf_pq_recall(spark, sf_dir):
+    """Deterministic scalar gate for the IVF-PQ path (operators/pq.py —
+    the FAISS IVF,PQ / vchordrq-RaBitQ analog): recall@10 of
+    probe-prune -> PQ-ADC estimate -> exact-refine(100) vs exact k-NN,
+    one plan. The claim-style oracle pins config + floor + pass bit
+    (KMeans codebooks are not SQL-expressible). The estimate pass reads
+    m=8 int codes/vector instead of 64 floats — the 16-32x
+    scan-bandwidth cut that makes the candidate pass affordable at
+    100 TB; the float column is touched for refine=100 rows only."""
+    from vechord_spark.operators.knn import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = knn(
+        emb, "embedding", QVEC, k=10, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    ).select("vec_id")
+    approx = _ivfpq(spark, sf_dir).search(
+        QVEC, k=10, probes=4, refine=100, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    )
+    return approx.select("vec_id").join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("probes"),
+        F.lit(8).alias("m"),
+        F.lit(16).alias("ksub"),
+        F.lit(100).alias("refine"),
+        F.lit(0.4).alias("recall_floor"),
+        (F.count(F.lit(1)) / F.lit(10.0) >= F.lit(0.4)).cast("int").alias("recall_ok"),
+    )
+
+
 @_q("ivf_recall_refined", _IVF_RECALL_ORACLE)
 def ivf_recall_refined(spark, sf_dir):
     """Deterministic scalar gate for the rows-only ivf_knn_refined:
