@@ -38,7 +38,12 @@ def benchmark_grams(
     One row per (distinct-gram, benchmark-doc); the caller broadcasts
     this (it is benchmark-sized, not corpus-sized).
     """
-    return bench_df.select(
+    from vechord_spark.parallel import spread
+
+    # spread: a filter over a single-split scan leaves the CPU-bound
+    # shingle projection (and the distinct) on one core (no-op when the
+    # input is already wide)
+    return spread(bench_df).select(
         F.col(id_col).alias("bench_id"),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     ).distinct()
@@ -66,8 +71,13 @@ def contaminated_docs(
     The benchmark gram table is broadcast; the corpus never shuffles
     before the final doc_id aggregation.
     """
+    from vechord_spark.parallel import spread
+
     bg = benchmark_grams(bench_df, bench_id_col, bench_text_col, n)
-    corpus_grams = df.select(
+    # spread: the tokenize+shingle projection is CPU-bound; a
+    # single-split scan would otherwise pin it to one core (no-op on
+    # wide inputs, i.e. at cluster scale)
+    corpus_grams = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )
