@@ -141,3 +141,32 @@ def test_stream_to_registry_rejects_bad_mode(spark, tmp_path):
     reg.register(TableSpec("t", [Column("id", "long", primary_key=True)]))
     with pytest.raises(ValueError):
         stream_to_registry(None, reg, "t", "ckpt", on_conflict="merge")
+
+
+def test_streaming_sessionize_matches_batch(spark, events, tmp_path):
+    """session_window through a real stream equals the batch result on
+    the same data — the parity the engine's streaming surface promises
+    (late data handled by watermark; availableNow drains everything, so
+    no rows are late here and the outputs must be identical)."""
+    src = str(tmp_path / "sess_src")
+    sub = events.limit(300)
+    sub.write.parquet(src)
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(spark.read.parquet(src), gap="1 hour").collect()
+    }
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize(stream, gap="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert streamed == batch
