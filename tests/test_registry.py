@@ -404,3 +404,49 @@ def test_compact_shuffle_path(reg):
     stats = reg.compact("document", shuffle=True)
     assert stats["files_after"] == 1
     assert {r.uid for r in reg.load("document").collect()} == {1, 2}
+
+
+def test_persisted_ivf_pq_index_search(spark, tmp_path):
+    """build_vector_index(pq_m=..) persists codes + codebooks; probe
+    search with a generous refine equals brute force, and the loaded
+    index scans stored codes (no re-encode)."""
+    reg = VechordRegistry("ivfpq", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    import random
+
+    random.seed(11)
+    rows = [
+        {"uid": i, "vec": [random.uniform(-1, 1) for _ in range(8)]}
+        for i in range(200)
+    ]
+    reg.insert_rows("emb", rows)
+    n_lists = reg.build_vector_index("emb", lists=4, pq_m=4, pq_ksub=8)
+    assert n_lists == 4
+
+    q = [0.25] * 8
+    exact = [r.uid for r in reg.search_by_vector("emb", q, topk=5).collect()]
+    # all probes + refine >= table size -> exact, through the PQ path
+    full = [
+        r.uid
+        for r in reg.search_by_vector(
+            "emb", q, topk=5, probes=4, refine=1000
+        ).collect()
+    ]
+    assert full == exact
+
+    # loaded index is the PQ variant and reads persisted codes
+    from vechord_spark.operators.pq import IvfPqIndex
+
+    idx = reg._load_vector_index("emb")
+    assert isinstance(idx, IvfPqIndex)
+    assert "__pq" in idx.encoded.columns
+    assert idx.book.m == 4 and idx.book.ksub == 8
+
+    # tight refine still returns k rows (approximate path exercised)
+    approx = reg.search_by_vector("emb", q, topk=5, probes=2, refine=20)
+    assert len(approx.collect()) == 5

@@ -227,10 +227,14 @@ class IvfPqIndex:
     pruning (probe filter) -> code-column scan (ADC) -> float-column
     scan for ``refine`` rows only."""
 
-    def __init__(self, ivf, book: PqCodebook):
+    def __init__(self, ivf, book: PqCodebook, encoded: DataFrame | None = None):
         self.ivf = ivf  # operators.ivf.IvfIndex
         self.book = book
-        self.encoded = encode_pq(ivf.assigned, ivf.vec_col, book)
+        # pass a pre-encoded frame (e.g. the persisted clustered layout,
+        # which already carries __pq) to skip the encode pass on load
+        self.encoded = (
+            encoded if encoded is not None else encode_pq(ivf.assigned, ivf.vec_col, book)
+        )
 
     def search(
         self,

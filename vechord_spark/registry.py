@@ -425,7 +425,12 @@ class VechordRegistry:
         return self.base_path / f"{self.namespace}_{name}.ivf"
 
     def build_vector_index(
-        self, name: str, lists: int | None = None, max_iter: int = 8
+        self,
+        name: str,
+        lists: int | None = None,
+        max_iter: int = 8,
+        pq_m: int | None = None,
+        pq_ksub: int = 256,
     ) -> int:
         """Build + persist the IVF index for the table's vector column —
         the engine's ``CREATE INDEX`` (reference vchordrq index DDL,
@@ -434,9 +439,16 @@ class VechordRegistry:
         Catalyst PARTITION PRUNING at query time.
 
         ``lists`` falls back to the declared ``VectorIndex.lists``, then
-        to ~sqrt(n). Batch semantics: rebuild after bulk appends (the
-        reference's Postgres index updates transactionally; a batch
-        engine re-clusters). Returns the number of lists built.
+        to ~sqrt(n). With ``pq_m`` set, product-quantization codebooks
+        (``pq_m`` subspaces x ``pq_ksub`` codes, operators/pq.py) are
+        trained and the clustered layout additionally stores the
+        ``__pq`` code column — the vchordrq ``residual_quantization``
+        analog (vechord/spec.py:437-444): ``search_by_vector(probes=..,
+        refine=..)`` then scans codes for the estimate pass and floats
+        for only the refine survivors. Batch semantics: rebuild after
+        bulk appends (the reference's Postgres index updates
+        transactionally; a batch engine re-clusters). Returns the
+        number of lists built.
         """
         import numpy as np
 
@@ -456,7 +468,25 @@ class VechordRegistry:
         ipath = self._index_path(name)
         if ipath.exists():
             shutil.rmtree(ipath)
-        index.write_clustered(str(ipath / "data"))
+        if pq_m is not None:
+            from vechord_spark.operators.pq import IvfPqIndex, train_pq
+
+            book = train_pq(
+                df, vec_col.name, m=pq_m, ksub=pq_ksub, max_iter=max_iter
+            )
+            pq_index = IvfPqIndex(index, book)
+            pq_index.write_clustered(str(ipath / "data"))
+            codes = self.spark.createDataFrame(
+                [
+                    (j, k, [float(x) for x in book.codebooks[j, k]])
+                    for j in range(book.m)
+                    for k in range(book.ksub)
+                ],
+                "subspace int, code int, vec array<double>",
+            )
+            codes.write.parquet(str(ipath / "codebooks"))
+        else:
+            index.write_clustered(str(ipath / "data"))
         cents = self.spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
             "centroid_id int, vec array<double>",
@@ -559,7 +589,24 @@ class VechordRegistry:
         )
         centroids = np.array([r.vec for r in rows])
         assigned = self.spark.read.parquet(str(ipath / "data"))
-        return IvfIndex(centroids, assigned, spec.vector_column.name)
+        ivf = IvfIndex(centroids, assigned, spec.vector_column.name)
+        if (ipath / "codebooks").exists():
+            from vechord_spark.operators.pq import IvfPqIndex, PqCodebook
+
+            crows = (
+                self.spark.read.parquet(str(ipath / "codebooks"))
+                .orderBy("subspace", "code")
+                .collect()
+            )
+            m = max(r.subspace for r in crows) + 1
+            ksub = max(r.code for r in crows) + 1
+            dsub = len(crows[0].vec)
+            books = np.zeros((m, ksub, dsub))
+            for r in crows:
+                books[r.subspace, r.code] = r.vec
+            # the persisted layout already carries __pq — no re-encode
+            return IvfPqIndex(ivf, PqCodebook(books), encoded=assigned)
+        return ivf
 
     def search_by_vector(
         self,
@@ -569,6 +616,7 @@ class VechordRegistry:
         return_fields: Sequence[str] | None = None,
         distance: str | None = None,
         probes: int | None = None,
+        refine: int = 100,
     ) -> DataFrame:
         """Vector k-NN over the table's vector column (reference
         vechord/registry.py:190-225). Default topk=10 matches
@@ -577,8 +625,12 @@ class VechordRegistry:
         With ``probes`` set, searches the persisted IVF layout
         (build_vector_index) — the probe filter prunes whole partitions
         of the clustered copy, the vchordrq ``probes`` GUC analog
-        (vechord/client.py:285-292). Without it, exact brute-force scan
-        (the deterministic correctness path).
+        (vechord/client.py:285-292). If the index was built with
+        ``pq_m``, the probe search runs the PQ-ADC estimate over the
+        stored codes and exact-reranks ``refine`` survivors (the
+        quantized estimate->refine scan, vechord/spec.py:437-444).
+        Without ``probes``, exact brute-force scan (the deterministic
+        correctness path).
         """
         from vechord_spark.operators.knn import knn
 
@@ -601,6 +653,18 @@ class VechordRegistry:
             if index is None:
                 raise SchemaError(
                     f"no IVF index for {name}; call build_vector_index first"
+                )
+            from vechord_spark.operators.pq import IvfPqIndex
+
+            if isinstance(index, IvfPqIndex):
+                return index.search(
+                    list(vector),
+                    k=topk,
+                    probes=probes,
+                    refine=refine,
+                    distance=dist,
+                    select=fields,
+                    tie_break=pk.name if pk else None,
                 )
             return index.search(
                 list(vector),
