@@ -1,5 +1,6 @@
-"""Training-corpus preparation, end to end: quality filter -> near-dup
-removal -> deterministic subsample -> token-budget packing.
+"""Training-corpus preparation, end to end: quality filter -> NB
+classifier filter -> near-dup removal -> benchmark decontamination ->
+deterministic subsample -> train/val split -> token-budget packing.
 
 This is the 100 TB pipeline shape the engine's dedup/quality/sample/
 pack operators compose into (no reference equivalent — these are the
@@ -23,9 +24,14 @@ from vechord_spark.operators.dedup import (
     minhash_candidate_pairs,
     ngram_jaccard,
 )
+from vechord_spark.operators.decontaminate import decontaminate
 from vechord_spark.operators.pack import bin_utilization, pack_sequences
-from vechord_spark.operators.quality import repetition_stats
-from vechord_spark.operators.sample import stratified_sample
+from vechord_spark.operators.quality import nb_classifier_score, repetition_stats
+from vechord_spark.operators.sample import (
+    hash_fraction,
+    split_assign,
+    stratified_sample,
+)
 from vechord_spark.functions.text import token_count
 from vechord_spark.session import get_spark
 from vechord_spark.sources.testdata import load_table
@@ -47,37 +53,57 @@ def main() -> None:
     docs = docs.join(keep_ids, "doc_id", "left_semi")
     n1 = docs.count()
 
-    # 2. near-dup removal: MinHash candidates -> Jaccard verify ->
+    # 2. classifier filter: NB trained in-plan on weak labels (lang tag)
+    #    keeps docs the model scores at least neutral for the target class
+    nb = nb_classifier_score(docs, "doc_id", "text", F.col("lang") == "en")
+    docs = docs.join(
+        nb.filter(F.col("nb_logodds") > -50.0).select("doc_id"), "doc_id", "left_semi"
+    )
+    n2 = docs.count()
+
+    # 3. near-dup removal: MinHash candidates -> Jaccard verify ->
     #    connected components -> keep min-id survivor per cluster
     cands = minhash_candidate_pairs(docs, "doc_id", "text")
     pairs = ngram_jaccard(
         docs, "doc_id", "text", threshold=0.35, candidates=cands
     ).select("doc_a", "doc_b")
     docs = drop_near_duplicates(docs, "doc_id", pairs)
-    n2 = docs.count()
+    n3 = docs.count()
 
-    # 3. reproducible training mix: per-source rates, md5-keyed
+    # 4. benchmark decontamination: the held-out eval slice (5% hash
+    #    sample) must not leak into training via shared n-grams
+    thr = int(round(0.05 * (1 << 32)))
+    h = hash_fraction("doc_id", "bench-v1")
+    bench = docs.filter(h < F.lit(thr))
+    docs = decontaminate(
+        docs.filter(h >= F.lit(thr)), "doc_id", "text", bench, "doc_id", "text", n=4
+    )
+    n4 = docs.count()
+
+    # 5. reproducible training mix: per-source rates, md5-keyed
     rates = {"src0": 1.0, "src1": 0.5}
     docs = stratified_sample(
         docs, "doc_id", "source", rates, default_rate=0.25, salt="mix-v1"
     )
-    n3 = docs.count()
+    n5 = docs.count()
 
-    # 4. token-budget packing per source shard
+    # 6. train/val split (append-stable) + token-budget packing per split
+    docs = split_assign(docs, "doc_id", {"train": 0.95, "val": 0.05}, salt="sp1")
     packed = pack_sequences(
-        docs.select("doc_id", "source", token_count("text").alias("n_tokens")),
+        docs.select("doc_id", "split", token_count("text").alias("n_tokens")),
         "doc_id",
         "n_tokens",
         PACK_BUDGET,
-        "source",
+        "split",
     )
-    util = bin_utilization(packed, "n_tokens", PACK_BUDGET, "source")
+    util = bin_utilization(packed, "n_tokens", PACK_BUDGET, "split")
     n_bins, mean_fill = util.agg(
         F.count(F.lit(1)), F.round(F.avg("fill_frac"), 3)
     ).first()
 
     print(
-        f"corpus: {n0} docs -> quality {n1} -> dedup {n2} -> sample {n3} "
+        f"corpus: {n0} docs -> quality {n1} -> classifier {n2} -> dedup {n3} "
+        f"-> decontaminated {n4} -> sample {n5} "
         f"-> {n_bins} bins of {PACK_BUDGET} tokens (mean fill {mean_fill})"
     )
     spark.stop()
