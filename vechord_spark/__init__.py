@@ -59,6 +59,10 @@ def __getattr__(name):
         from vechord_spark.plans.bucketing import write_bucketed
 
         return write_bucketed
+    if name == "TableLog":
+        from vechord_spark.plans.commitlog import TableLog
+
+        return TableLog
     raise AttributeError(f"module 'vechord_spark' has no attribute {name!r}")
 
 
@@ -71,6 +75,7 @@ __all__ = [
     "KeywordIndex",
     "MultiVector",
     "MultiVectorIndex",
+    "TableLog",
     "TableSpec",
     "UniqueIndex",
     "Vector",

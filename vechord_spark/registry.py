@@ -62,12 +62,35 @@ class VechordRegistry:
     Reference: ``VechordRegistry(namespace, url)``
     (vechord/registry.py:64-101); namespace switching for multi-tenancy
     (vechord/client.py:40-51) is just constructing another registry.
+
+    ``concurrency`` selects the writer protocol:
+
+    - ``"single"`` (default): raw parquet directory appends; one writer
+      per table (the documented contract — cheapest, no log).
+    - ``"optimistic"``: every write goes through a per-table manifest
+      commit log (:mod:`vechord_spark.plans.commitlog`) with atomic
+      version claims — concurrent appenders both land, unique checks
+      and serial-id seeding re-validate against the winner's delta on
+      conflict, DELETE/compact become single-commit atomic rewrites,
+      and readers get snapshot isolation plus ``load(name, version=)``
+      time travel. This is the capability the reference inherits from
+      Postgres MVCC/sequences (vechord/registry.py:64-101) and a lake
+      gets from Delta/Iceberg.
     """
 
-    def __init__(self, namespace: str, base_path: str, spark: SparkSession) -> None:
+    def __init__(
+        self,
+        namespace: str,
+        base_path: str,
+        spark: SparkSession,
+        concurrency: str = "single",
+    ) -> None:
+        if concurrency not in ("single", "optimistic"):
+            raise ValueError(f"unknown concurrency mode {concurrency!r}")
         self.namespace = namespace
         self.base_path = Path(base_path)
         self.spark = spark
+        self.concurrency = concurrency
         self.tables: dict[str, TableSpec] = {}
 
     # ------------------------------------------------------------------ DDL
@@ -100,9 +123,29 @@ class VechordRegistry:
                 self.drop(name)
 
     # ----------------------------------------------------------------- read
-    def load(self, name: str) -> DataFrame:
+    def load(self, name: str, version: int | None = None) -> DataFrame:
+        """Read ``name`` as a DataFrame.
+
+        Tables with a commit log (written under ``concurrency=
+        "optimistic"``) read the manifest SNAPSHOT — exactly the files
+        the latest commit references, so a concurrent writer's staged
+        files are invisible until its commit lands. ``version`` time-
+        travels to an earlier snapshot (valid until ``vacuum`` reclaims
+        its files). Log-less tables read the directory as before.
+        """
+        from vechord_spark.plans.commitlog import TableLog
+
         spec = self._spec(name)
         path = Path(self.table_path(name))
+        log = TableLog(path)
+        if log.exists() or (self.concurrency == "optimistic" and path.exists()):
+            snap = self._ensure_log(name).snapshot(version)
+            return self._read_snapshot(name, snap)
+        if version is not None:
+            raise ValueError(
+                f"load(version=) needs a commit log; {name} has none "
+                "(write it through a concurrency='optimistic' registry)"
+            )
         if not path.exists():
             # a missing live dir is only legitimate for a never-written
             # table; if a rewrite intent references it, the process died
@@ -112,6 +155,92 @@ class VechordRegistry:
         if not path.exists():
             return self.spark.createDataFrame([], spec.struct_type())
         return self.spark.read.schema(spec.struct_type()).parquet(str(path))
+
+    # ---------------------------------------------- optimistic-commit layer
+    def _ensure_log(self, name: str):
+        """The table's commit log, bootstrapping legacy directories:
+        pre-log parquet files are adopted as version 0 through the same
+        atomic commit every writer uses, so racing bootstrappers agree."""
+        from vechord_spark.plans.commitlog import TableLog
+
+        table_dir = Path(self.table_path(name))
+        log = TableLog(table_dir)
+        if not log.exists():
+            files = []
+            if table_dir.exists():
+                files = [
+                    str(p.relative_to(table_dir))
+                    for p in table_dir.rglob("*.parquet")
+                    if p.is_file()
+                    and not any(
+                        part.startswith(("_", "."))
+                        for part in p.relative_to(table_dir).parts
+                    )
+                ]
+            table_dir.mkdir(parents=True, exist_ok=True)
+            log.bootstrap(files)
+        return log
+
+    def _read_snapshot(self, name: str, snap) -> DataFrame:
+        spec = self._spec(name)
+        if not snap.files:
+            return self.spark.createDataFrame([], spec.struct_type())
+        base = Path(self.table_path(name))
+        paths = [str(base / f) for f in snap.files]
+        return self.spark.read.schema(spec.struct_type()).parquet(*paths)
+
+    def _stage_data_files(self, name: str, df: DataFrame) -> list[str]:
+        """Write ``df`` executor-side and move its part files into the
+        table directory under commit-unique names. The files are INERT
+        until a manifest commit references them — an uncommitted stage
+        is invisible to snapshot readers and reclaimed by ``vacuum``."""
+        import uuid
+
+        spec = self._spec(name)
+        run = uuid.uuid4().hex
+        tmp = self.base_path / ".staging" / f"commit-{run}"
+        df.select(*spec.field_names).write.mode("overwrite").parquet(str(tmp))
+        table_dir = Path(self.table_path(name))
+        table_dir.mkdir(parents=True, exist_ok=True)
+        names = []
+        for i, p in enumerate(sorted(tmp.glob("*.parquet"))):
+            new_name = f"part-{run}-{i:05d}.parquet"
+            p.rename(table_dir / new_name)
+            names.append(new_name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return names
+
+    def _discard_staged(self, name: str, files: Sequence[str]) -> None:
+        base = Path(self.table_path(name))
+        for f in files:
+            (base / f).unlink(missing_ok=True)
+
+    def table_version(self, name: str) -> int:
+        """Latest committed version (-1 if the table has no log)."""
+        from vechord_spark.plans.commitlog import TableLog
+
+        self._spec(name)
+        return TableLog(Path(self.table_path(name))).current_version()
+
+    def history(self, name: str) -> list[dict]:
+        """The table's commit entries in version order (op + file
+        actions) — the observability surface of the manifest log."""
+        from vechord_spark.plans.commitlog import TableLog
+
+        self._spec(name)
+        return TableLog(Path(self.table_path(name))).entries()
+
+    def vacuum(self, name: str, older_than_s: float = 0.0) -> list[str]:
+        """Reclaim data files the current snapshot no longer references
+        (rewrite history + crashed writers' orphans). Time travel only
+        reaches versions whose files survive vacuum — Delta semantics."""
+        from vechord_spark.plans.commitlog import TableLog
+
+        self._spec(name)
+        log = TableLog(Path(self.table_path(name)))
+        if not log.exists():
+            return []
+        return log.vacuum(older_than_s)
 
     def _recover_rewrite(self, name: str) -> bool:
         """Roll a crashed ``_rewrite`` forward or back from its intent
@@ -157,26 +286,40 @@ class VechordRegistry:
         a collision raises :class:`UniqueViolation` like the reference
         (tests/test_table.py:142-151).
 
-        Concurrency contract: SINGLE WRITER per table. Auto-increment
-        ids seed from the current ``max(id)`` and unique checks probe
-        the pre-append snapshot, so two concurrent appends to the same
-        table can both pass and collide — same as any
-        read-check-then-write protocol without a lock. Run ingest jobs
-        per-table serialized (the reference gets this from Postgres
-        sequences/unique indexes; a lake deployment would use a table
-        format with optimistic commit, e.g. Delta/Iceberg).
+        Concurrency contract depends on the registry mode:
+
+        - ``"single"`` (default): auto-increment ids seed from the
+          current ``max(id)`` and unique checks probe the pre-append
+          snapshot, so two concurrent appends can both pass and collide
+          — run ingest jobs per-table serialized (the reference gets
+          this from Postgres sequences/unique indexes).
+        - ``"optimistic"``: the append stages its files, then claims the
+          next manifest version atomically; a loser re-seeds serial ids
+          / re-checks uniques against the winner's delta and retries,
+          so concurrent appends serialize correctly without locks.
         """
         spec = self._spec(name)
+        if self.concurrency == "optimistic":
+            return self._optimistic_append(name, df, check_unique)
+        prepared = self._prepare_batch(spec, df, self.load(name))
+        uniques = spec.unique_columns() if check_unique else []
+        if uniques:
+            self._check_unique(name, prepared, self.load(name), uniques)
+        n = prepared.count()
+        prepared.write.mode("append").parquet(self.table_path(name))
+        return n
+
+    def _prepare_batch(
+        self, spec: TableSpec, df: DataFrame, existing: DataFrame
+    ) -> DataFrame:
+        """Cast a batch to the declared schema, assigning serial ids
+        past ``existing``'s max (sequence semantics — reference Postgres
+        BIGSERIAL, vechord/spec.py:213-255: generated ids are unique and
+        increase across appends, gaps allowed; assignment is
+        ``monotonically_increasing_id`` so it stays executor-side)."""
         ai = spec.auto_increment_column
         if ai is not None and ai.name not in df.columns:
-            # sequence semantics (reference: Postgres BIGSERIAL,
-            # vechord/spec.py:213-255): generated ids are unique and
-            # increase across appends, with gaps allowed — start past
-            # the current max and offset by monotonically_increasing_id
-            # so assignment is executor-side with no shuffle.
-            start = (
-                self.load(name).agg(F.max(ai.name)).first()[0] or 0
-            ) + 1
+            start = (existing.agg(F.max(ai.name)).first()[0] or 0) + 1
             df = df.withColumn(
                 ai.name,
                 (F.lit(start) + F.monotonically_increasing_id()).cast(
@@ -185,30 +328,107 @@ class VechordRegistry:
             )
         missing = [c for c in spec.field_names if c not in df.columns]
         if missing:
-            raise SchemaError(f"append to {name} missing columns {missing}")
-        df = df.select(
+            raise SchemaError(f"append to {spec.name} missing columns {missing}")
+        return df.select(
             *[F.col(c.name).cast(c.spark_type) for c in spec.columns]
         )
-        uniques = spec.unique_columns() if check_unique else []
-        if uniques:
-            existing = self.load(name)
-            for col in uniques:
+
+    def _check_unique(
+        self,
+        name: str,
+        batch: DataFrame,
+        existing: DataFrame,
+        uniques: Sequence[str],
+        check_batch: bool = True,
+    ) -> None:
+        """Anti-join unique probe (reference relies on Postgres unique
+        indexes, vechord/client.py:146-156; tests/test_table.py:142-151
+        pins the violation behavior)."""
+        for col in uniques:
+            if check_batch:
                 batch_dups = (
-                    df.groupBy(col).count().filter(F.col("count") > 1).limit(1).count()
-                )
-                if batch_dups:
-                    raise UniqueViolation(f"duplicate {col} within batch for {name}")
-                clash = (
-                    df.select(col)
-                    .join(existing.select(col), on=col, how="left_semi")
+                    batch.groupBy(col)
+                    .count()
+                    .filter(F.col("count") > 1)
                     .limit(1)
                     .count()
                 )
-                if clash:
-                    raise UniqueViolation(f"duplicate {col} appending to {name}")
-        n = df.count()
-        df.write.mode("append").parquet(self.table_path(name))
-        return n
+                if batch_dups:
+                    raise UniqueViolation(f"duplicate {col} within batch for {name}")
+            clash = (
+                batch.select(col)
+                .join(existing.select(col), on=col, how="left_semi")
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise UniqueViolation(f"duplicate {col} appending to {name}")
+
+    _MAX_COMMIT_RETRIES = 12
+
+    def _optimistic_append(self, name: str, df: DataFrame, check_unique: bool) -> int:
+        """Stage-then-commit append with conflict re-validation.
+
+        The staged files are derived from the snapshot read at staging
+        time. Losing the version race means another commit landed in
+        between; the loser's data files stay valid UNLESS the batch
+        content depended on that snapshot — serial-id seeding (restage
+        from the new max) or unique checks (re-probe only the winner's
+        DELTA files, not the whole table). Plain appends just retry the
+        version claim with the same files.
+        """
+        from vechord_spark.plans.commitlog import CommitConflict
+
+        spec = self._spec(name)
+        ai = spec.auto_increment_column
+        generates_ids = ai is not None and ai.name not in df.columns
+        uniques = spec.unique_columns() if check_unique else []
+        log = self._ensure_log(name)
+        staged: list[str] | None = None
+        base_version = -1
+        n = 0
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            snap = log.snapshot()
+            if staged is None:
+                existing = self._read_snapshot(name, snap)
+                prepared = self._prepare_batch(spec, df, existing)
+                if uniques:
+                    self._check_unique(name, prepared, existing, uniques)
+                n = prepared.count()
+                staged = self._stage_data_files(name, prepared)
+                base_version = snap.version
+            elif snap.version != base_version:
+                if generates_ids:
+                    # ids were seeded from a stale max — restage
+                    self._discard_staged(name, staged)
+                    staged = None
+                    continue
+                if uniques:
+                    delta_files = [
+                        f
+                        for e in log.entries()
+                        if e["version"] > base_version
+                        for f in e.get("add", ())
+                    ]
+                    if delta_files:
+                        delta = self._read_snapshot(
+                            name, type(snap)(snap.version, tuple(delta_files))
+                        )
+                        try:
+                            self._check_unique(
+                                name, prepared, delta, uniques, check_batch=False
+                            )
+                        except UniqueViolation:
+                            self._discard_staged(name, staged)
+                            raise
+                base_version = snap.version
+            if log.try_commit(snap.version + 1, add=staged):
+                return n
+        if staged is not None:
+            self._discard_staged(name, staged)
+        raise CommitConflict(
+            f"append to {name} lost {self._MAX_COMMIT_RETRIES} version races"
+        )
 
     def insert_rows(self, name: str, rows: Iterable[Mapping[str, Any]]) -> int:
         """Insert Python rows (reference single-row insert,
@@ -296,6 +516,20 @@ class VechordRegistry:
         registered children (reference relies on Postgres FKs,
         vechord/spec.py:173; here it is an anti-join per child table)."""
         spec = self._spec(name)
+        if self.concurrency == "optimistic":
+            removed_holder = [0]
+
+            def build(df: DataFrame) -> DataFrame | None:
+                pred = build_predicate(df, conditions or {})
+                removed_holder[0] = df.filter(pred).count()
+                if removed_holder[0] == 0:
+                    return None  # nothing to delete at this snapshot
+                return df.filter(~pred)
+
+            self._optimistic_rewrite(name, build, op="delete")
+            if removed_holder[0] and cascade:
+                self._cascade_from(spec)
+            return removed_holder[0]
         df = self.load(name)
         pred = build_predicate(df, conditions or {})
         removed = df.filter(pred).count()
@@ -306,6 +540,33 @@ class VechordRegistry:
         if cascade:
             self._cascade_from(spec)
         return removed
+
+    def _optimistic_rewrite(self, name: str, build, op: str = "rewrite"):
+        """Replace ``name``'s contents with ``build(current_snapshot_df)``
+        in ONE atomic manifest commit (add survivors, remove every prior
+        file) — no publish window, unlike the rename-based single-writer
+        ``_rewrite``. A lost version race re-runs ``build`` against the
+        winner's snapshot, so a DELETE that races an append also deletes
+        matching late-arriving rows instead of resurrecting them.
+        ``build`` may return None to signal a no-op at this snapshot.
+        """
+        from vechord_spark.plans.commitlog import CommitConflict
+
+        log = self._ensure_log(name)
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            snap = log.snapshot()
+            out = build(self._read_snapshot(name, snap))
+            if out is None:
+                return snap
+            staged = self._stage_data_files(name, out)
+            if log.try_commit(
+                snap.version + 1, add=staged, remove=list(snap.files), op=op
+            ):
+                return log.snapshot()
+            self._discard_staged(name, staged)
+        raise CommitConflict(
+            f"{op} of {name} lost {self._MAX_COMMIT_RETRIES} version races"
+        )
 
     def _rewrite(self, name: str, df: DataFrame) -> None:
         """Replace ``name``'s storage with ``df`` distributedly.
@@ -379,6 +640,30 @@ class VechordRegistry:
         """
         self._spec(name)
         live = Path(self.table_path(name))
+        if self.concurrency == "optimistic" and live.exists():
+            stats: dict[str, int] = {}
+
+            def build(df: DataFrame) -> DataFrame | None:
+                snap = self._ensure_log(name).snapshot()
+                sizes = [
+                    (live / f).stat().st_size
+                    for f in snap.files
+                    if (live / f).exists()
+                ]
+                stats["files_before"] = len(sizes)
+                stats["bytes"] = sum(sizes)
+                if not sizes:
+                    return None
+                n_out = max(1, -(-stats["bytes"] // max(1, target_file_bytes)))
+                return df.repartition(n_out) if shuffle else df.coalesce(n_out)
+
+            final = self._optimistic_rewrite(name, build, op="compact")
+            stats["files_after"] = len(final.files) if stats.get("bytes") else 0
+            return {
+                "files_before": stats.get("files_before", 0),
+                "files_after": stats.get("files_after", 0),
+                "bytes": stats.get("bytes", 0),
+            }
         if not live.exists():
             self._recover_rewrite(name)
         if not live.exists():
@@ -413,10 +698,25 @@ class VechordRegistry:
                     .count()
                 )
                 if orphans:
-                    surviving = child_df.join(
-                        parent_keys, on=local_col, how="left_semi"
-                    )
-                    self._rewrite(child.name, surviving)
+                    if self.concurrency == "optimistic":
+
+                        def build(
+                            df: DataFrame,
+                            local_col=local_col,
+                            p_col=p_col,
+                            parent_name=parent.name,
+                        ) -> DataFrame:
+                            keys = self.load(parent_name).select(
+                                F.col(p_col).alias(local_col)
+                            )
+                            return df.join(keys, on=local_col, how="left_semi")
+
+                        self._optimistic_rewrite(child.name, build, op="cascade")
+                    else:
+                        surviving = child_df.join(
+                            parent_keys, on=local_col, how="left_semi"
+                        )
+                        self._rewrite(child.name, surviving)
                     self._cascade_from(child)
 
     # --------------------------------------------------------------- search
