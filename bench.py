@@ -99,7 +99,10 @@ BENCH_QUERIES = [
     "groundtruth_generate",
     "maxsim_topk_docs",
     "lsh_knn",
+    "approx_distinct_users",
+    "quantile_sketch_gate",
     # -- Python-worker path --
+    "heavy_hitter_users",
     "chunk_regex",
     "dedup_embedding_pairs",
     "ivf_knn",

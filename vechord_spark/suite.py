@@ -3094,6 +3094,81 @@ def nb_quality(spark, sf_dir):
     return nb_classifier_score(docs, "doc_id", "text", F.col("lang") == "en")
 
 
+@_q(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ cardinality with an exact gate: per event type,
+    distinct users exactly AND via approx_count_distinct(rsd=0.01),
+    flagged within 5% (operators/sketch.approx_distinct_gate). At
+    100 TB only the HLL half survives — fixed-size mergeable registers,
+    one map-side pass, no (type, user) shuffle."""
+    from vechord_spark.operators.sketch import approx_distinct_gate
+
+    ev = _t(spark, sf_dir, "events")
+    return approx_distinct_gate(ev, "event_type", "user_id")
+
+
+@_q(
+    "heavy_hitter_users",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    ORDER BY n_occurrences DESC, user_id
+    LIMIT 20
+    """,
+)
+def heavy_hitter_users(spark, sf_dir):
+    """Top-20 most active users via sketch-then-verify: bounded-memory
+    per-partition space-saving candidates (mapInPandas, no shuffle),
+    then an EXACT recount of only the broadcast candidate union
+    (operators/sketch.heavy_hitters). Exact — hence hash-verifiable —
+    whenever the 20th count exceeds N/capacity (sf0.1: 85 vs 24.4);
+    unlike a full groupBy, the exchange carries only ~partitions x
+    capacity candidate rows, not the whole key space."""
+    from vechord_spark.operators.sketch import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", k=20, capacity=4096)
+
+
+_GATE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@_q(
+    "quantile_sketch_gate",
+    "WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events"
+    " WHERE value IS NOT NULL)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({q} AS DOUBLE) AS quantile,"
+        f" round(quantile_cont(v, {q}), 6) AS p_exact,"
+        f" TRUE AS rank_ok FROM v"
+        for q in _GATE_QS
+    )
+    + "\nORDER BY quantile",
+)
+def quantile_sketch_gate(spark, sf_dir):
+    """Corpus-wide value quantiles: exact interpolated percentile beside
+    percentile_approx (mergeable GK sketch) verified by its actual
+    RANK-error contract, |rank(approx) - q| <= 1/accuracy, measured
+    against the data (operators/sketch.quantile_rank_gate). The exact
+    column is the gate's cost; the 100 TB job keeps only the sketch —
+    one map-side pass, bounded state."""
+    from vechord_spark.operators.sketch import quantile_rank_gate
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_rank_gate(ev, "value", quantiles=_GATE_QS)
+
+
 # ===========================================================================
 # registration order: the driver's correctness gate checks the FIRST 50
 # entries of QUERIES. Keep the highest-signal set — every §2-mapped
