@@ -170,3 +170,71 @@ def test_streaming_sessionize_matches_batch(spark, events, tmp_path):
         for r in spark.sql("select * from sess_out").collect()
     }
     assert streamed == batch
+
+
+def test_windowed_distinct_users_stream_matches_batch(spark, events, tmp_path):
+    """HLL distinct-users per window: the streaming run must equal the
+    batch run of the same expression exactly (the sketch is
+    deterministic for a given input) — and exact countDistinct is
+    what streaming aggregation legitimately cannot do."""
+    from vechord_spark.streaming.ingest import windowed_distinct_users
+
+    src = str(tmp_path / "du_src")
+    events.limit(500).write.parquet(src)
+    batch = windowed_distinct_users(
+        spark.read.parquet(src), window="1 day"
+    ).collect()
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_distinct_users(stream, window="1 day", watermark="2 days")
+        .writeStream.format("memory")
+        .queryName("du_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.n_users_approx, r.n_events)
+        for r in spark.sql("select * from du_counts").collect()
+    }
+    want = {(r.window_start, r.n_users_approx, r.n_events) for r in batch}
+    assert got == want
+    # sketch sanity: estimates within 5% of true per-window cardinality
+    exact = {
+        (r.w, r.n)
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("win.start").alias("w"), "n")
+        .collect()
+    }
+    approx = {r.window_start: r.n_users_approx for r in batch}
+    for w, n in exact:
+        assert abs(approx[w] - n) <= max(1, 0.05 * n)
+
+
+def test_trending_topk_over_streamed_counts(spark, events, tmp_path):
+    """Counts stream into a sink; trending is a rank over the closed
+    windows — equal to ranking the batch aggregation directly."""
+    from vechord_spark.streaming.ingest import trending_topk
+
+    src = str(tmp_path / "tr_src")
+    events.limit(500).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream, window="1 day", watermark="2 days")
+        .writeStream.format("memory")
+        .queryName("tr_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = trending_topk(spark.table("tr_counts"), k=2).collect()
+    want = trending_topk(
+        windowed_event_counts(spark.read.parquet(src), window="1 day"), k=2
+    ).collect()
+    key = lambda r: (r.window_start, r.rank)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert all(r.rank <= 2 for r in got)

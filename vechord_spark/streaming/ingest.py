@@ -77,6 +77,57 @@ def sessionize(
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Per-window distinct active users via HLL++ — the STREAMING-LEGAL
+    cardinality: exact ``countDistinct`` is unsupported in streaming
+    aggregation (it would need unbounded per-window sets), while the
+    HLL register state is fixed-size and mergeable, so it composes with
+    watermarked append-mode windows. The sketch is deterministic for a
+    given input, so the batch run of the same expression is the parity
+    oracle (tests), mirroring the batch-side gate
+    (operators/sketch.approx_distinct_gate)."""
+    src = events
+    if events.isStreaming:
+        src = _watermarked(events, watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_users_approx",
+            "n_events",
+        )
+    )
+
+
+def trending_topk(window_counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k event types per window over a MATERIALIZED windowed-counts
+    table (the ``windowed_event_counts`` sink). Ranking inside a live
+    append-mode stream would need the window to re-emit on every update
+    (complete mode — unbounded result state); the scalable layout is
+    counts-to-sink (append, incremental) + this rank over the closed
+    windows, which is one window function over a table that is tiny
+    relative to the raw stream (windows x event types)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        window_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "rank", "event_type", "n_events")
+    )
+
+
 def run_stream_to_table(stream_df: DataFrame, path: str, checkpoint: str):
     """Append a streaming DataFrame to a parquet table with exactly-once
     file-sink semantics (checkpointed)."""
