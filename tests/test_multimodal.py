@@ -143,3 +143,72 @@ def test_media_feature_plumbing_still_deterministic(spark):
     assert len(out) == 1 and len(out[0].feature) == 8
     again = extract_media_features(df, dim=8).collect()
     assert out[0].feature == again[0].feature
+
+
+# ---------------------------------------------------------------- probing
+def _fake_jpeg(w, h):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _fake_gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def _fake_bmp(w, h):
+    import struct
+
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h) + b"\x00" * 8
+
+
+def _fake_webp_vp8x(w, h):
+    return (
+        b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8X" + b"\x0a\x00\x00\x00"
+        + b"\x00" * 4
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    )
+
+
+def test_probe_image_all_containers():
+    from vechord_spark.sources.multimodal import (
+        DecodedImage,
+        _png_encode,
+        probe_image,
+    )
+
+    png = _png_encode(DecodedImage(7, 5, 3, bytes(7 * 5 * 3)))
+    assert probe_image(png) == ("png", 7, 5)
+    assert probe_image(_fake_jpeg(640, 480)) == ("jpeg", 640, 480)
+    assert probe_image(_fake_gif(31, 17)) == ("gif", 31, 17)
+    assert probe_image(_fake_bmp(100, 200)) == ("bmp", 100, 200)  # top-down abs
+    assert probe_image(_fake_webp_vp8x(1920, 1080)) == ("webp", 1920, 1080)
+    with pytest.raises(ValueError):
+        probe_image(b"plainly not an image")
+    with pytest.raises(ValueError):
+        probe_image(b"\xff\xd8\xff\xd9")  # JPEG with no SOF
+
+
+def test_probe_media_null_tolerant(spark):
+    from vechord_spark.sources.multimodal import (
+        DecodedImage,
+        _png_encode,
+        probe_media,
+    )
+
+    rows = [
+        ("a", bytearray(_png_encode(DecodedImage(3, 4, 1, bytes(12))))),
+        ("b", bytearray(_fake_jpeg(10, 20))),
+        ("c", bytearray(b"garbage payload")),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    got = {r.media_id: (r.format, r.width, r.height) for r in probe_media(df).collect()}
+    assert got["a"] == ("png", 3, 4)
+    assert got["b"] == ("jpeg", 10, 20)
+    assert got["c"] == (None, None, None)
+    assert got["d"] == (None, None, None)

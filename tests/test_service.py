@@ -177,3 +177,34 @@ def test_cli_compact(spark, tmp_path, capsys):
     assert {r.uid for r in fresh.load("t").collect()} == {0, 1, 2}
 
     assert main(["compact", "--base-path", str(tmp_path), "--namespace", "cli", "missing"]) == 2
+
+
+def test_cli_history_and_vacuum(spark, tmp_path, capsys):
+    import json
+
+    from vechord_spark.cli import main
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec
+
+    reg = VechordRegistry("cli", str(tmp_path), spark, concurrency="optimistic")
+    reg.register(TableSpec("t", [Column("uid", "int"), Column("x", "string")]))
+    reg.insert_rows("t", [{"uid": 1, "x": "a"}, {"uid": 2, "x": "b"}])
+    reg.remove_by("t", {"uid": 1})
+
+    rc = main(["history", "--base-path", str(tmp_path), "--namespace", "cli", "t"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [e["op"] for e in lines] == ["bootstrap", "append", "delete"]
+    assert [e["version"] for e in lines] == [0, 1, 2]
+
+    rc = main([
+        "vacuum", "--base-path", str(tmp_path), "--namespace", "cli", "t",
+        "--older-than-s", "0",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n"] >= 1  # the pre-delete files were reclaimed
+    assert reg.load("t").count() == 1
+
+    # no commit log -> exit 2 (single-writer tables keep no manifest)
+    assert main(["history", "--base-path", str(tmp_path), "--namespace", "cli", "nope"]) == 2

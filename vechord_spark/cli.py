@@ -58,6 +58,27 @@ def build_parser() -> ArgumentParser:
         help="repartition (even output files) instead of coalesce",
     )
 
+    hist = sub.add_parser(
+        "history", help="print a table's commit log (manifest versions)"
+    )
+    hist.add_argument("--base-path", type=str, default="/tmp/vechord_spark")
+    hist.add_argument("--namespace", type=str, default="cli")
+    hist.add_argument("table", type=str, help="registered table name")
+
+    vac = sub.add_parser(
+        "vacuum",
+        help="reclaim data files the current snapshot no longer references "
+        "(rewrite history + crashed-writer orphans)",
+    )
+    vac.add_argument("--base-path", type=str, default="/tmp/vechord_spark")
+    vac.add_argument("--namespace", type=str, default="cli")
+    vac.add_argument("table", type=str, help="registered table name")
+    vac.add_argument(
+        "--older-than-s", type=float, default=3600.0,
+        help="only delete files older than this many seconds (default 3600 "
+        "— keeps an in-flight writer's staged files safe)",
+    )
+
     return parser
 
 
@@ -127,6 +148,29 @@ def main(argv: list[str] | None = None) -> int:
             shuffle=args.shuffle,
         )
         print(json.dumps(stats))
+        return 0
+
+    if args.command in ("history", "vacuum"):
+        # pure manifest-log maintenance — no SparkSession needed
+        from pathlib import Path
+
+        from vechord_spark.plans.commitlog import TableLog
+
+        table_dir = Path(args.base_path) / f"{args.namespace}_{args.table}"
+        log = TableLog(table_dir)
+        if not log.exists():
+            print(
+                f"no commit log at {table_dir} (table absent, or written "
+                "single-writer — only concurrency='optimistic' tables keep one)",
+                file=sys.stderr,
+            )
+            return 2
+        if args.command == "history":
+            for entry in log.entries():
+                print(json.dumps(entry))
+        else:
+            deleted = log.vacuum(args.older_than_s)
+            print(json.dumps({"deleted": deleted, "n": len(deleted)}))
         return 0
 
     if args.command == "bench":

@@ -251,3 +251,99 @@ def resize_image(data: bytes, width: int, height: int) -> bytes:
 def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
     """STUB: frame sampling requires ffmpeg/opencv (not installed)."""
     raise NotImplementedError("video frame sampling requires ffmpeg (not installed)")
+
+
+# ---------------------------------------------------------------------------
+# header-only probing: format + dimensions WITHOUT decoding. This is the
+# metadata pass a media pipeline runs over everything (full decode only
+# over the filtered subset) — at 100 TB the probe reads a few hundred
+# bytes per object, never inflates pixels, and stays a cheap Arrow batch.
+
+
+def probe_image(data: bytes) -> tuple[str, int, int]:
+    """Sniff ``(format, width, height)`` from the container header.
+
+    Pure-stdlib parsers for the five common containers: PNG (IHDR),
+    JPEG (SOF marker walk), GIF (logical screen descriptor), BMP
+    (BITMAPINFOHEADER), WEBP (VP8/VP8L/VP8X chunk). Raises
+    ``ValueError`` on anything else — callers over dirty corpora wrap
+    this per-row (see :func:`probe_media`).
+    """
+    import struct
+
+    if len(data) >= 24 and data[:8] == _PNG_MAGIC and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return ("png", w, h)
+    if data[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to a SOF marker
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length
+                continue
+            seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seglen
+        raise ValueError("JPEG stream without a SOF marker")
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return ("gif", w, h)
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return ("bmp", w, abs(h))  # negative height = top-down rows
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 30:
+        chunk = data[12:16]
+        if chunk == b"VP8X":
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return ("webp", w, h)
+        if chunk == b"VP8L" and data[20] == 0x2F:
+            bits = int.from_bytes(data[21:25], "little")
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if chunk == b"VP8 " and data[23:26] == b"\x9d\x01\x2a":
+            w, h = struct.unpack("<HH", data[26:30])
+            return ("webp", w & 0x3FFF, h & 0x3FFF)
+        raise ValueError("unrecognized WEBP chunk")
+    raise ValueError("unrecognized image container")
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """media table -> (media_id, format, width, height) via header-only
+    sniffing; unparseable payloads yield NULLs rather than failing the
+    job (dirty-corpus contract — the NULL rate is itself a signal)."""
+    import pandas as pd
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for d in pdf["data"]:
+                try:
+                    f, w, h = probe_image(bytes(d) if d is not None else b"")
+                    fmts.append(f), ws.append(w), hs.append(h)
+                except (ValueError, IndexError, NotImplementedError):
+                    fmts.append(None), ws.append(None), hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return df.select("media_id", "data").mapInPandas(_probe, PROBE_SCHEMA)

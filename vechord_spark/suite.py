@@ -3199,6 +3199,13 @@ def quantile_sketch_gate(spark, sf_dir):
 # room (green in CORRECTNESS_r04, family still in-window):
 # window_first_order (relational keeps 8 entries), text_redact_pii
 # (text family keeps 7), events_daily_summary (events keeps 5).
+#
+# Late round-5 additions rotated IN (sketch gates — new operators, must
+# be driver-checked): approx_distinct_users, heavy_hitter_users,
+# quantile_sketch_gate. Rotated OUT (green in CORRECTNESS_r04 or
+# pytest-parity, family still in-window): knn_l2 (knn_cosine stays),
+# eval_mrr_knn (eval_ndcg_knn stays), cube_ship_stats
+# (rollup_order_stats stays).
 _WINDOW_PRIORITY = [
     # relational / OLAP core
     "filter_project",
@@ -3206,12 +3213,10 @@ _WINDOW_PRIORITY = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "rollup_order_stats",
-    "cube_ship_stats",
     "shipping_priority",
     "large_orders",
     # vector / ANN
     "knn_cosine",
-    "knn_l2",
     "maxsim_by_label",
     "maxsim_topk_docs",
     "ivf_knn",
@@ -3233,7 +3238,6 @@ _WINDOW_PRIORITY = [
     "groundtruth_generate",
     # evaluation
     "eval_ndcg_knn",
-    "eval_mrr_knn",
     # events / time-series
     "events_sessionize",
     "events_asof_join",
@@ -3260,6 +3264,10 @@ _WINDOW_PRIORITY = [
     "decontaminate_report",
     "split_shards",
     "nb_quality",
+    # sketch gates (late round-5)
+    "approx_distinct_users",
+    "heavy_hitter_users",
+    "quantile_sketch_gate",
 ]
 
 
