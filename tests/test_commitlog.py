@@ -250,3 +250,47 @@ def test_try_commit_is_first_writer_wins(tmp_path):
     snap = log.snapshot()
     assert snap.version == 1 and snap.files == ("b.parquet",)
     assert log.snapshot(version=0).files == ("a.parquet",)
+
+
+def test_upsert_replaces_and_appends_atomically(reg):
+    reg.insert_rows("doc", _rows(0, 5))
+    batch = reg.spark.createDataFrame(
+        [(3, "updated 3"), (9, "new 9")], "uid int, text string"
+    )
+    assert reg.upsert("doc", batch) == 2
+    assert reg.history("doc")[-1]["op"] == "upsert"
+    got = {r.uid: r.text for r in reg.load("doc").collect()}
+    assert len(got) == 6
+    assert got[3] == "updated 3" and got[9] == "new 9" and got[2] == "doc 2"
+
+
+def test_upsert_rejects_duplicate_keys_in_batch(reg):
+    reg.insert_rows("doc", _rows(0, 2))
+    bad = reg.spark.createDataFrame(
+        [(1, "a"), (1, "b")], "uid int, text string"
+    )
+    with pytest.raises(UniqueViolation):
+        reg.upsert("doc", bad)
+
+
+def test_concurrent_upserts_converge(reg):
+    reg.insert_rows("doc", _rows(0, 10))
+    barrier = threading.Barrier(2)
+
+    def upserter(lo, hi, tag):
+        def run():
+            barrier.wait()
+            batch = reg.spark.createDataFrame(
+                [(i, f"{tag} {i}") for i in range(lo, hi)], "uid int, text string"
+            )
+            reg.upsert("doc", batch)
+
+        return run
+
+    # disjoint key ranges; both must land regardless of commit order
+    errors = _run_threads([upserter(0, 5, "left"), upserter(5, 10, "right")])
+    assert errors == []
+    got = {r.uid: r.text for r in reg.load("doc").collect()}
+    assert len(got) == 10
+    assert all(got[i] == f"left {i}" for i in range(5))
+    assert all(got[i] == f"right {i}" for i in range(5, 10))

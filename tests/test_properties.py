@@ -134,3 +134,57 @@ def test_regex_chunk_carryover_with_unique_pieces(words, size, overlap, sep_char
         seen_first.extend(fresh)
     # 4. full coverage: every input piece appears exactly once as fresh
     assert seen_first == pieces_in
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    st.integers(2, 16),
+)
+def test_space_saving_superset_guarantee(stream, capacity):
+    """Space-saving (operators/sketch.py) keeps every value whose
+    frequency exceeds n/capacity — the Metwally guarantee the
+    heavy-hitters exactness condition rests on."""
+    import pandas as pd
+
+    from vechord_spark.operators.sketch import _space_saving_partition
+
+    gen = _space_saving_partition(capacity=capacity, col="v")
+    (out,) = list(gen(iter([pd.DataFrame({"v": stream})])))
+    kept = set(out["v"])
+    assert len(kept) <= capacity
+    n = len(stream)
+    from collections import Counter
+
+    for v, c in Counter(stream).items():
+        if c > n / capacity:
+            assert v in kept, f"{v} (freq {c} > {n}/{capacity}) evicted"
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    st.integers(2, 16),
+    st.integers(1, 8),
+)
+def test_space_saving_guarantee_across_batches(stream, capacity, n_batches):
+    """The per-partition guarantee must hold regardless of how Arrow
+    slices the partition into record batches."""
+    import pandas as pd
+
+    from vechord_spark.operators.sketch import _space_saving_partition
+
+    size = max(1, len(stream) // n_batches)
+    batches = [
+        pd.DataFrame({"v": stream[i : i + size]})
+        for i in range(0, len(stream), size)
+    ]
+    gen = _space_saving_partition(capacity=capacity, col="v")
+    (out,) = list(gen(iter(batches)))
+    kept = set(out["v"])
+    n = len(stream)
+    from collections import Counter
+
+    for v, c in Counter(stream).items():
+        if c > n / capacity:
+            assert v in kept

@@ -450,3 +450,17 @@ def test_persisted_ivf_pq_index_search(spark, tmp_path):
     # tight refine still returns k rows (approximate path exercised)
     approx = reg.search_by_vector("emb", q, topk=5, probes=2, refine=20)
     assert len(approx.collect()) == 5
+
+
+def test_upsert_single_writer_mode(reg):
+    reg.insert_rows("document", DOCS)
+    batch = reg.spark.createDataFrame(
+        [(2, "beta2", "rewritten"), (4, "delta", "brand new")],
+        "uid int, title string, text string",
+    )
+    assert reg.upsert("document", batch) == 2
+    got = {r.uid: (r.title, r.text) for r in reg.load("document").collect()}
+    assert len(got) == 4
+    assert got[2] == ("beta2", "rewritten")
+    assert got[4] == ("delta", "brand new")
+    assert got[1] == ("alpha", "the quick brown fox")  # untouched

@@ -430,6 +430,51 @@ class VechordRegistry:
             f"append to {name} lost {self._MAX_COMMIT_RETRIES} version races"
         )
 
+    def upsert(self, name: str, df: DataFrame, key: str | None = None) -> int:
+        """MERGE-style keyed upsert: rows in ``df`` replace existing rows
+        with the same ``key`` (default: the primary key) and new keys
+        append — the reference's entity/relation upsert-merge shape
+        (vechord/registry.py:120-153 ON CONFLICT DO UPDATE) as a batch
+        operation. Returns the number of rows written.
+
+        Plan: survivors = existing LEFT ANTI batch-keys (a broadcast
+        anti-join when the batch is small), unioned with the batch. In
+        ``"optimistic"`` mode the whole merge is ONE atomic manifest
+        commit (retried against the winner's snapshot on a version
+        race); in single-writer mode it goes through the journaled
+        rewrite. Serial ids and unique checks are bypassed — the merge
+        key IS the identity, matching ON CONFLICT semantics.
+        """
+        spec = self._spec(name)
+        key_col = key or (spec.primary_key.name if spec.primary_key else None)
+        if key_col is None:
+            raise SchemaError(f"upsert into {name} needs a key (no primary key)")
+        spec.column(key_col)  # validate
+        missing = [c for c in spec.field_names if c not in df.columns]
+        if missing:
+            raise SchemaError(f"upsert into {name} missing columns {missing}")
+        batch = df.select(
+            *[F.col(c.name).cast(c.spark_type) for c in spec.columns]
+        )
+        dups = (
+            batch.groupBy(key_col).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dups:
+            raise UniqueViolation(f"duplicate {key_col} within upsert batch for {name}")
+        n = batch.count()
+
+        def build(existing: DataFrame) -> DataFrame:
+            survivors = existing.join(
+                batch.select(key_col), on=key_col, how="left_anti"
+            )
+            return survivors.unionByName(batch)
+
+        if self.concurrency == "optimistic":
+            self._optimistic_rewrite(name, build, op="upsert")
+        else:
+            self._rewrite(name, build(self.load(name)))
+        return n
+
     def insert_rows(self, name: str, rows: Iterable[Mapping[str, Any]]) -> int:
         """Insert Python rows (reference single-row insert,
         vechord/client.py:240-251 — batched here, per-row inserts do not
