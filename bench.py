@@ -55,13 +55,16 @@ BENCH_QUERIES = [
     "dedup_spans",
     "sample_documents",
     "sample_stratified",
+    "source_cap_sample",
     "sequence_pack",
     "pack_utilization",
     "lang_id",
     "token_count_by_source",
     "chunk_fixed_windows",
     "graph_entity_merge",
+    "graph_pagerank",
     "events_daily_summary",
+    "events_interval_join",
     "events_json_extract",
     "events_sessionize",
     "events_asof_join",

@@ -65,3 +65,61 @@ def test_graph_search_two_hop(spark):
     got = sorted(r.uid for r in out.collect())
     # top relation (e1,e2) -> entities e1,e2 -> chunks c1,c2,c3; e3 excluded
     assert got == ["c1", "c2", "c3"]
+
+
+def test_pagerank_star_graph(spark):
+    """Hub of a star receives all mass: spokes -> hub edges."""
+    from vechord_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
+        "src string, dst string",
+    )
+    got = {r.node: r.units for r in pagerank(edges, iterations=20).collect()}
+    # (hub <-> s1 oscillation has converged by 20 rounds; spokes keep
+    # only the teleport base)
+    assert got["hub"] > got["s1"] > got["s2"] == got["s3"]
+
+
+def test_pagerank_matches_reference_float_impl(spark):
+    """Fixed-point result tracks a plain-float PageRank to ~1e-9."""
+    import random
+
+    from vechord_spark.operators.graph import pagerank
+
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)})
+
+    # driver-side float reference with the same simplified (leaky
+    # dangling-mass) formulation
+    allnodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(allnodes)
+    pr = {v: 1.0 / n for v in allnodes}
+    for _ in range(5):
+        inflow = {v: 0.0 for v in allnodes}
+        for s, d in edges:
+            inflow[d] += pr[s] / outdeg[s]
+        pr = {v: 0.15 / n + 0.85 * inflow[v] for v in allnodes}
+
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.units / 1e12 for r in pagerank(edf, iterations=5).collect()}
+    assert set(got) == set(allnodes)
+    for v in allnodes:
+        assert abs(got[v] - pr[v]) < 1e-8, (v, got[v], pr[v])
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """BIGINT floor-division arithmetic: identical to the last unit
+    regardless of partition count (the whole point of fixed-point)."""
+    from vechord_spark.operators.graph import pagerank
+
+    edges = [(f"a{i}", f"a{(i * 7 + 1) % 40}") for i in range(40)]
+    one = spark.createDataFrame(edges, "src string, dst string").coalesce(1)
+    many = spark.createDataFrame(edges, "src string, dst string").repartition(13)
+    r1 = sorted((r.node, r.units) for r in pagerank(one, iterations=4).collect())
+    r2 = sorted((r.node, r.units) for r in pagerank(many, iterations=4).collect())
+    assert r1 == r2

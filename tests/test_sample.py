@@ -153,3 +153,35 @@ def test_split_plan_no_shuffle(table):
                         n_shards=4, salt="sp")._jdf.queryExecution(
                         ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cap_per_key_caps_and_is_deterministic(spark):
+    from vechord_spark.operators.sample import cap_per_key
+
+    rows = [(i, "big" if i < 200 else "small") for i in range(220)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = cap_per_key(df, "source", 25, order_id="doc_id", salt="s")
+    counts = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 25, "small": 20}
+    again = cap_per_key(df.repartition(7), "source", 25, order_id="doc_id", salt="s")
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # different salt -> different (still size-25) subset
+    other = cap_per_key(df, "source", 25, order_id="doc_id", salt="t")
+    assert sorted(r.doc_id for r in other.collect()) != sorted(
+        r.doc_id for r in kept.collect()
+    )
+
+
+def test_cap_per_key_rejects_zero(spark):
+    import pytest as _pytest
+
+    from vechord_spark.operators.sample import cap_per_key
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        cap_per_key(df, "source", 0, order_id="doc_id")

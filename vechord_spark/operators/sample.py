@@ -192,3 +192,41 @@ def mixture_sample(
         .filter(hash_fraction(id_col, salt) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    order_id: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``n`` rows per key, chosen uniformly at random but
+    deterministically (RefinedWeb/CCNet-style per-domain cap against
+    over-represented sources).
+
+    The keep set is the first ``n`` rows per key ordered by
+    ``md5(salt || order_id)`` (ties broken by ``order_id``) — a salted
+    random permutation, so the cap is an unbiased uniform subsample yet
+    bit-stable across engines, partitionings, and reruns.
+
+    Scale shape: one shuffle on ``key_col`` + a rank filter. Spark's
+    WindowGroupLimit pushes the ``rank <= n`` limit to a PARTIAL pass
+    before the exchange (each map task keeps only its local top-n per
+    key), so a hot domain ships at most ``n * input_partitions`` rows —
+    the same trick TakeOrderedAndProject uses — rather than its full
+    row count.
+    """
+    if n < 1:
+        raise ValueError(f"cap must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(order_id).cast("string"))),
+        F.col(order_id),
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

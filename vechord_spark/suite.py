@@ -3170,6 +3170,181 @@ def quantile_sketch_gate(spark, sf_dir):
 
 
 # ===========================================================================
+# iterative graph ranking (PageRank) + range (point-in-interval) join
+# ===========================================================================
+
+_PR_SCALE = 10**12
+_PR_ITER = 3
+
+
+def _pagerank_sql(iterations: int = _PR_ITER, scale: int = _PR_SCALE) -> str:
+    """Unrolled fixed-point PageRank (see operators/graph.pagerank):
+    every step is BIGINT floor division, so the CTE chain is
+    bit-identical to the Spark iterative joins."""
+    its = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    it{i} AS (
+      SELECT n.node,
+             CAST(p.base + (CAST(coalesce(s.inflow, 0) AS BIGINT) * 85) // 100 AS BIGINT) AS units
+      FROM nodes n CROSS JOIN params p
+      LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(pr.units // d.outdeg) AS BIGINT) AS inflow
+        FROM edges e JOIN {prev} pr ON e.src = pr.node JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )""")
+        prev = f"it{i}"
+    return f"""
+    WITH toks AS (SELECT {_TOK.format(col='text')} AS ts FROM documents),
+    edges AS (
+      SELECT DISTINCT ts[1] AS src, ts[-1] AS dst FROM toks WHERE len(ts) >= 1
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+      )
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    params AS (
+      SELECT count(*) AS n,
+             CAST(({scale} * 15) // (100 * count(*)) AS BIGINT) AS base
+      FROM nodes
+    ),
+    pr0 AS (SELECT node, CAST({scale} // p.n AS BIGINT) AS units FROM nodes, params p),
+    {",".join(its)}
+    SELECT node, units,
+           CAST(row_number() OVER (ORDER BY units DESC, node) AS INT) AS rank
+    FROM it{iterations}
+    QUALIFY rank <= 20
+    ORDER BY rank
+    """
+
+
+@_q("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark, sf_dir):
+    """Iterative PageRank over the token graph (each document
+    contributes a (first token -> last token) edge, the same synthetic
+    graph as graph_relation_merge). Extends the reference's graph layer
+    (2-hop expansion, vechord/pipeline.py:444-487) with GraphRAG-style
+    entity importance. Fixed-point BIGINT arithmetic makes the 3
+    iterations hash-identical to the DuckDB oracle; at cluster scale
+    each iteration is one shuffled join + one aggregation (see
+    operators/graph.pagerank)."""
+    from vechord_spark.operators.graph import pagerank
+    from vechord_spark.operators.topk import ranked_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize("text")
+    edges = (
+        docs.select(
+            F.element_at(toks, 1).alias("src"),
+            F.element_at(toks, -1).alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=_PR_ITER, scale=_PR_SCALE)
+    return ranked_topk(
+        ranks, [F.col("units").desc(), F.col("node").asc()], 20
+    ).select("node", "units", "rank")
+
+
+@_q(
+    "events_interval_join",
+    """
+    WITH iv AS (
+      SELECT event_id, ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
+      FROM events WHERE event_type = 'error'
+    ),
+    pts AS (SELECT ts AS p_ts, value FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT iv.event_id,
+             CAST(count(*) AS BIGINT) AS n_clicks,
+             round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS click_value
+      FROM iv JOIN pts ON pts.p_ts >= iv.w_start AND pts.p_ts < iv.w_end
+      GROUP BY iv.event_id
+    )
+    SELECT event_id, n_clicks, click_value,
+           CAST(row_number() OVER (ORDER BY n_clicks DESC, event_id) AS INT) AS rank
+    FROM j
+    QUALIFY rank <= 20
+    ORDER BY rank
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """Range join at scale: click activity inside each error's 5-minute
+    incident window, ranked by click volume. The naive range join is a
+    BroadcastNestedLoopJoin (O(n*m) — a scale-killer); the engine's
+    point_in_interval_join bins time so it becomes a shuffled EQUI-join
+    on the bucket id with the exact range predicate re-applied (see
+    operators/interval.py). Complements the as-of join (operators/
+    asof.py) with overlap semantics."""
+    from vechord_spark.operators.interval import point_in_interval_join
+    from vechord_spark.operators.topk import ranked_topk
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("p_ts"), "value"
+    )
+    joined = point_in_interval_join(iv, pts, start="w_start", end="w_end", ts="p_ts")
+    agg = joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("click_value"),
+    )
+    return ranked_topk(
+        agg, [F.col("n_clicks").desc(), F.col("event_id").asc()], 20
+    ).select("event_id", "n_clicks", "click_value", "rank")
+
+
+_CAP_PER_SOURCE = 50
+
+
+@_q(
+    "source_cap_sample",
+    f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap0' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rn <= {_CAP_PER_SOURCE}
+    GROUP BY source
+    """,
+)
+def source_cap_sample(spark, sf_dir):
+    """Per-domain document cap (RefinedWeb/CCNet-style anti-bias
+    sampling): keep at most N docs per source, chosen by a salted-hash
+    order so the cap is deterministic AND uniformly random per domain.
+    One shuffle on source; the window never sorts more than one
+    domain's rows per partition, and at 100 TB a hot domain is first
+    pre-pruned map-side (any partition-local rank > N can be dropped
+    before the exchange — same trick as TakeOrderedAndProject)."""
+    from vechord_spark.operators.sample import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = cap_per_key(docs, "source", _CAP_PER_SOURCE, order_id="doc_id", salt="cap0")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+# ===========================================================================
 # registration order: the driver's correctness gate checks the FIRST 50
 # entries of QUERIES. Keep the highest-signal set — every §2-mapped
 # operator family with a hash oracle, the events family, and one query
@@ -3206,6 +3381,15 @@ def quantile_sketch_gate(spark, sf_dir):
 # pytest-parity, family still in-window): knn_l2 (knn_cosine stays),
 # eval_mrr_knn (eval_ndcg_knn stays), cube_ship_stats
 # (rollup_order_stats stays).
+#
+# Final round-5 additions rotated IN (new operators — must be
+# driver-checked): graph_pagerank (iterative fixed-point ranking),
+# events_interval_join (binned range join), source_cap_sample
+# (per-domain cap). Rotated OUT (green in CORRECTNESS_r04, family still
+# in-window): maxsim_topk_docs (maxsim_by_label stays),
+# events_funnel (sessionize/asof/interval stay), augment_context
+# (chunk_regex/delete_cascade/groundtruth_generate keep the document
+# pipeline covered).
 _WINDOW_PRIORITY = [
     # relational / OLAP core
     "filter_project",
@@ -3218,7 +3402,6 @@ _WINDOW_PRIORITY = [
     # vector / ANN
     "knn_cosine",
     "maxsim_by_label",
-    "maxsim_topk_docs",
     "ivf_knn",
     "ivf_recall",
     "lsh_knn",
@@ -3230,9 +3413,9 @@ _WINDOW_PRIORITY = [
     # graph
     "graph_entity_merge",
     "graph_search_2hop",
+    "graph_pagerank",
     # document pipeline (§2 D/P rows)
     "chunk_regex",
-    "augment_context",
     "delete_cascade",
     "multimodal_meta",
     "groundtruth_generate",
@@ -3241,7 +3424,7 @@ _WINDOW_PRIORITY = [
     # events / time-series
     "events_sessionize",
     "events_asof_join",
-    "events_funnel",
+    "events_interval_join",
     "skew_salted_revenue",
     "bucketed_customer_revenue",
     # dedup suite
@@ -3264,6 +3447,7 @@ _WINDOW_PRIORITY = [
     "decontaminate_report",
     "split_shards",
     "nb_quality",
+    "source_cap_sample",
     # sketch gates (late round-5)
     "approx_distinct_users",
     "heavy_hitter_users",
