@@ -464,3 +464,30 @@ def test_upsert_single_writer_mode(reg):
     assert got[2] == ("beta2", "rewritten")
     assert got[4] == ("delta", "brand new")
     assert got[1] == ("alpha", "the quick brown fox")  # untouched
+
+
+def test_append_ddl_built_frame_with_vector(spark, tmp_path):
+    """Frames built from DDL strings carry nullable array elements;
+    appending them into a Vector column must not trip Spark's
+    nullability cast check (regression: CAST_WITHOUT_SUGGESTION on
+    array<float> -> array<float>)."""
+
+
+    reg = VechordRegistry("ddlcast", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "chunks",
+            [
+                Column("uid", "long", primary_key=True),
+                Column("vec", Vector(4)),
+            ],
+        )
+    )
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4]), (2, [0.5, 0.6, 0.7, 0.8])],
+        "uid long, vec array<float>",
+    )
+    assert reg.append("chunks", df) == 2
+    got = reg.load("chunks")
+    assert got.count() == 2
+    assert [len(r.vec) for r in got.collect()] == [4, 4]

@@ -34,6 +34,30 @@ from vechord_spark.errors import SchemaError, TableNotFound, UniqueViolation
 from vechord_spark.spec import AnyOf, TableSpec
 
 
+def _cast_target(dt: T.DataType) -> T.DataType:
+    """The declared type with nullability constraints relaxed.
+
+    ``cast`` is a physical-type conversion — Spark refuses to cast e.g.
+    ``array<float>`` (nullable elements) to ``array<float>`` (non-null
+    elements) even though the data is identical, which broke appends of
+    DDL-built frames into Vector columns. Nullability is a *constraint*,
+    enforced by the spec checks, not by the cast."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_cast_target(dt.elementType), containsNull=True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _cast_target(dt.keyType), _cast_target(dt.valueType), True
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _cast_target(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def build_predicate(df: DataFrame, conditions: Mapping[str, Any]):
     """Compile a query-by-example mapping into a Column predicate.
 
@@ -330,7 +354,7 @@ class VechordRegistry:
         if missing:
             raise SchemaError(f"append to {spec.name} missing columns {missing}")
         return df.select(
-            *[F.col(c.name).cast(c.spark_type) for c in spec.columns]
+            *[F.col(c.name).cast(_cast_target(c.spark_type)) for c in spec.columns]
         )
 
     def _check_unique(
@@ -454,7 +478,7 @@ class VechordRegistry:
         if missing:
             raise SchemaError(f"upsert into {name} missing columns {missing}")
         batch = df.select(
-            *[F.col(c.name).cast(c.spark_type) for c in spec.columns]
+            *[F.col(c.name).cast(_cast_target(c.spark_type)) for c in spec.columns]
         )
         dups = (
             batch.groupBy(key_col).count().filter(F.col("count") > 1).limit(1).count()
