@@ -37,7 +37,18 @@ def test_assignment_is_argmin(ivf):
 
 
 def test_probe_search_recall(ivf):
-    """Full-probe IVF == exact; few-probe IVF recalls most of top-10."""
+    """Full-probe IVF == exact; few-probe recall beats the scan-fraction
+    baseline on average.
+
+    The corpus is uniform random (no cluster structure), so recall at
+    probes=2/8 is bounded by the fraction of data the probes cover:
+    with BALANCED cells that is ~25%. A single-query assertion would
+    reward degenerate unbalanced clusterings (two probes covering half
+    the corpus scans more, recalling more) — exactly the geometry a
+    scale-ready IVF must avoid — so this averages over queries and
+    separately pins cell balance."""
+    import numpy as np
+
     df, index = ivf
     q = [0.3] * 64
     exact = [r.vec_id for r in knn(df, "embedding", q, k=10, select=["vec_id"], tie_break="vec_id").collect()]
@@ -46,11 +57,26 @@ def test_probe_search_recall(ivf):
         for r in index.search(q, k=10, probes=8, select=["vec_id"], tie_break="vec_id").collect()
     ]
     assert full == exact
-    approx = {
-        r.vec_id
-        for r in index.search(q, k=10, probes=2, select=["vec_id"], tie_break="vec_id").collect()
-    }
-    assert len(approx & set(exact)) >= 5  # decent recall with 2/8 probes
+    rng = np.random.default_rng(0)
+    recalls = []
+    for i in range(6):
+        qi = q if i == 0 else [float(v) for v in rng.uniform(-1, 1, 64)]
+        ex = {r.vec_id for r in knn(df, "embedding", qi, k=10, select=["vec_id"], tie_break="vec_id").collect()}
+        ap = {
+            r.vec_id
+            for r in index.search(qi, k=10, probes=2, select=["vec_id"], tie_break="vec_id").collect()
+        }
+        recalls.append(len(ap & ex) / 10)
+    assert sum(recalls) / len(recalls) >= 0.3  # > the 0.25 scan-fraction baseline
+
+
+def test_cells_are_balanced(ivf):
+    """Driver-side best-of-3 Lloyd must not produce degenerate cells
+    (singleton clusters make probe cost unpredictable at scale)."""
+    df, index = ivf
+    sizes = [r["count"] for r in index.assigned.groupBy("centroid_id").count().collect()]
+    assert len(sizes) == 8
+    assert min(sizes) >= 0.3 * (sum(sizes) / len(sizes))
 
 
 def test_clustered_layout_prunes(ivf, tmp_path, spark):
