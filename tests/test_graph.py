@@ -123,3 +123,35 @@ def test_pagerank_partitioning_invariant(spark):
     r1 = sorted((r.node, r.units) for r in pagerank(one, iterations=4).collect())
     r2 = sorted((r.node, r.units) for r in pagerank(many, iterations=4).collect())
     assert r1 == r2
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    """Two disconnected communities: seeding in community A must give
+    community B exactly zero mass, and the seed must outrank its
+    neighbors."""
+    from vechord_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+            ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a1",)], "node string")
+    # 24 rounds: the 3-cycle's oscillation decays by 0.85^24 ~= 2%,
+    # far under the stationary a1-a3 gap (~0.11)
+    got = {r.node: r.units for r in pagerank(edges, iterations=24, seeds=seeds).collect()}
+    assert got["b1"] == got["b2"] == got["b3"] == 0
+    assert got["a1"] > got["a3"] > 0  # a1 keeps teleport mass; a3 feeds it
+
+
+def test_personalized_pagerank_rejects_unknown_seeds(spark):
+    import pytest as _pytest
+
+    from vechord_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("x", "y")], "src string, dst string")
+    seeds = spark.createDataFrame([("zzz",)], "node string")
+    with _pytest.raises(ValueError):
+        pagerank(edges, iterations=2, seeds=seeds)

@@ -139,6 +139,7 @@ def pagerank(
     damping_den: int = 100,
     scale: int = 10**12,
     checkpoint_every: int = 5,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list, in exact fixed-point
     arithmetic.
@@ -170,6 +171,11 @@ def pagerank(
     scale you would pre-partition ``edges`` by src and persist, making
     the per-round shuffle one-sided.
 
+    With ``seeds`` (a one-column DataFrame of node ids), teleport mass
+    restricts to the seed set — PERSONALIZED PageRank, the GraphRAG
+    entity-importance shape: ranks measure proximity to the query's
+    seed entities instead of global centrality.
+
     Returns (node, units BIGINT) — divide by ``scale`` for the float
     rank.
     """
@@ -178,15 +184,44 @@ def pagerank(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    n = nodes.count()
-    base = (scale * (damping_den - damping_num)) // (damping_den * n)
     outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
         .join(outdeg.withColumnRenamed(src, "node"), "node")
         .persist()
     )
-    ranks = nodes.withColumn("units", F.lit(scale // n).cast("bigint"))
+    if seeds is None:
+        n = nodes.count()
+        base_of = F.lit((scale * (damping_den - damping_num)) // (damping_den * n))
+        ranks = nodes.withColumn("units", F.lit(scale // n).cast("bigint"))
+        base_nodes = nodes
+    else:
+        # personalized: teleport mass restricts to the seed set (the
+        # GraphRAG shape — importance relative to the query's entities).
+        # Non-seed nodes start at 0 and receive no base mass; otherwise
+        # identical fixed-point arithmetic.
+        seed_nodes = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+            .persist()
+        )
+        n_seed = seed_nodes.count()
+        if n_seed == 0:
+            raise ValueError("personalized pagerank needs seeds present in the graph")
+        seed_base = (scale * (damping_den - damping_num)) // (damping_den * n_seed)
+        flagged = nodes.join(
+            seed_nodes.withColumn("__seed", F.lit(1)), "node", "left"
+        )
+        base_of = F.when(F.col("__seed") == 1, F.lit(seed_base)).otherwise(F.lit(0))
+        ranks = flagged.select(
+            "node",
+            F.when(F.col("__seed") == 1, F.lit(scale // n_seed))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("units"),
+        )
+        base_nodes = flagged
     for i in range(iterations):
         contrib = edges_deg.join(ranks, "node").select(
             F.col("dst_node").alias("node"),
@@ -195,10 +230,10 @@ def pagerank(
         summed = contrib.groupBy("node").agg(
             F.sum("contrib").cast("bigint").alias("inflow")
         )
-        ranks = nodes.join(summed, "node", "left").select(
+        ranks = base_nodes.join(summed, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                base_of
                 + F.expr(
                     f"(coalesce(inflow, 0L) * {damping_num}) div {damping_den}"
                 )
