@@ -2267,8 +2267,13 @@ def _ivf_recall_frame(spark, sf_dir, refined: bool):
     SQL-expressible, so the oracle pins the CLAIM (config + floor +
     pass bit) while Spark computes the actual recall distributively —
     the gate fails if the index ever under-recalls the floor.
-    Measured recall at probes=4: 0.5 (sf0.001) / 0.7 (sf0.01);
-    tests/test_ivf.py asserts the tighter per-sf values."""
+    Measured recall at probes=4 with the balanced driver-side fit:
+    0.5 (sf0.001) / 0.4 (sf0.01) / 0.4 (sf0.1) — ~the 4/16 scan
+    fraction plus top-k locality, which is what honest balanced cells
+    give on a structureless corpus (the old MLlib fit measured higher
+    only via degenerate giant cells). The margin at the floor is tight
+    but stable: the seeded driver-side fit is deterministic for fixed
+    data, so the gate value is reproducible run-to-run."""
     from vechord_spark.operators.knn import knn
 
     emb = _t(spark, sf_dir, "embeddings")
