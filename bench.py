@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "bm25_index_topk",
     "hybrid_rrf",
     "dedup_minhash_lsh",
+    "graph_triangles",
     "dedup_jaccard",
     "dedup_components",
     "dedup_survivors",

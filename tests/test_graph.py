@@ -155,3 +155,41 @@ def test_personalized_pagerank_rejects_unknown_seeds(spark):
     seeds = spark.createDataFrame([("zzz",)], "node string")
     with _pytest.raises(ValueError):
         pagerank(edges, iterations=2, seeds=seeds)
+
+
+def test_triangle_count_known_graphs(spark):
+    from vechord_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; edge directions/duplicates/self-loops ignored
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("b", "a"), ("c", "c")]
+    row = triangle_count(
+        spark.createDataFrame(k4, "src string, dst string")
+    ).first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+    # a 5-cycle has none
+    cyc = [(f"n{i}", f"n{(i + 1) % 5}") for i in range(5)]
+    assert triangle_count(
+        spark.createDataFrame(cyc, "src string, dst string")
+    ).first().n_triangles == 0
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from vechord_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    nodes = list(range(25))
+    und = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)}
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    got = triangle_count(
+        spark.createDataFrame([(a, b) for a, b in und], "src int, dst int")
+    ).first()
+    assert got.n_triangles == want and want > 0

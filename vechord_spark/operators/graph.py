@@ -242,3 +242,65 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count over the undirected graph, via degree
+    orientation — the join-based formulation that bounds work at scale.
+
+    Naive triangle counting (three-way self-join on the raw edge list)
+    enumerates every wedge at every node: a single hub of degree d
+    contributes d^2 wedge rows. Orienting each edge from its lower
+    (degree, id) endpoint to the higher makes every out-degree
+    O(sqrt(m)) in the worst case, so the wedge join materializes at
+    most O(m^1.5) rows total and each triangle is counted exactly once
+    (at its lowest-ordered vertex). Two shuffled equi-joins; no
+    nested loop.
+
+    Returns one row: (n_nodes, n_edges, n_triangles) — BIGINTs, so the
+    result is hash-exact against a SQL oracle running the same
+    orientation.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    with_deg = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).persist()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .where(F.col("e1.v") < F.col("e2.v"))
+        .select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    )
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    ).distinct()
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ne = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    # three 1-row aggregates -> one lazy result row (crossJoins of
+    # single-row frames, no driver-side collects)
+    return nn.crossJoin(ne).crossJoin(tri)

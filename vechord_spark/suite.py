@@ -3310,6 +3310,38 @@ def events_interval_join(spark, sf_dir):
     ).select("event_id", "n_clicks", "click_value", "rank")
 
 
+@_q(
+    "graph_triangles",
+    f"""
+    WITH und AS (SELECT doc_a AS a, doc_b AS b FROM ({_minhash_sql()})),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM und e1
+            JOIN und e2 ON e1.b = e2.a
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle census of the MinHash candidate-pair graph — the
+    clique-density signal of near-duplicate clusters (triangle-rich
+    candidate neighborhoods are true dup groups; triangle-free spokes
+    are LSH false positives). Spark runs the degree-ORIENTED wedge join
+    (operators/graph.triangle_count, O(m^1.5) bound); the oracle counts
+    the same triangles with an unoriented ordered three-way join — a
+    deliberately different algorithm, so parity checks the count, not
+    the implementation."""
+    from vechord_spark.operators.graph import triangle_count
+
+    pairs = _dedup_stage(spark, sf_dir, "cands")
+    return triangle_count(pairs, src="doc_a", dst="doc_b")
+
+
 _CAP_PER_SOURCE = 50
 
 
