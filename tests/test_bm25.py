@@ -85,3 +85,23 @@ def test_bm25_empty_query_schema_stable(spark):
     full2 = bm25_topk(df, "uid", "body", "alpha", k=5)
     empty2 = bm25_topk(df, "uid", "body", "!!!", k=5)
     assert empty2.schema == full2.schema
+
+
+def test_zero_token_docs_count_in_stats(spark):
+    """Docs that tokenize to nothing must still count toward n_docs and
+    avgdl (oracle semantics: stats cover the whole corpus) even though
+    the postings-only build uses a single tokenize pass."""
+    from vechord_spark.operators.bm25 import Bm25Index
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "!!! ...")],
+        "doc_id long, text string",
+    )
+    ix = Bm25Index(df, "doc_id", "text")
+    stats = ix.stats.first()
+    assert stats.n_docs == 3
+    assert abs(stats.avgdl - (3 + 2 + 0) / 3) < 1e-9
+    # the empty doc never matches, and term rows exclude the null marker
+    assert ix.docfreq.where("term is null").count() == 0
+    top = ix.topk("beta", k=10)
+    assert sorted(r.doc_id for r in top.collect()) == [1, 2]

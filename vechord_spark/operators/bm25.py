@@ -90,22 +90,40 @@ class Bm25Index:
         # dependent on doc_id, so the groupBy key extension is free):
         # query-time scoring then needs NO doclen join — the only
         # non-broadcast relation in a query plan is the postings scan.
+        # explode_OUTER keeps zero-token docs as a single null-term row,
+        # so the corpus statistics (n_docs, avgdl over ALL docs) derive
+        # from the postings too — the whole index is ONE tokenize pass
+        # over the corpus instead of separate passes for postings and
+        # doclen-based stats.
         self.postings = (
-            tokens.select("doc_id", "dl", F.explode("terms").alias("term"))
+            tokens.select("doc_id", "dl", F.explode_outer("terms").alias("term"))
             .groupBy("term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-        self.docfreq = self.postings.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("df")
+        self.docfreq = (
+            self.postings.where(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
         )
-        self.stats = self.doclen.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        self.stats = (
+            self.postings.select("doc_id", "dl")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
         )
 
-    def persist(self) -> "Bm25Index":
+    def persist(self, eager: bool = True) -> "Bm25Index":
+        """Cache the index frames. ``eager`` materializes the postings
+        immediately: a first query's plan references the postings from
+        THREE branches (matched terms, docfreq, stats), and with a cold
+        cache those branches race — each recomputes the
+        tokenize+explode+shuffle before any block lands. One count()
+        fills the cache so every branch (and every later query) reads
+        it."""
         self.postings.persist()
         self.doclen.persist()
         self.docfreq.persist()
+        if eager:
+            self.postings.count()
         return self
 
     def score(self, terms: Sequence[str]) -> DataFrame:
