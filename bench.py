@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "ivf_recall_refined",
     "ivf_pq_recall",
     "maxsim_ivf_recall",
+    "embedding_pca_gate",
 ]
 
 

@@ -1,0 +1,161 @@
+"""Distributed PCA over an embedding column.
+
+The scalable-PCA shape for tall-skinny data (n rows >> dim): the only
+corpus-sized work is ONE aggregation pass computing the Gram matrix
+(dim x dim — 64x64 = 32 KB regardless of corpus size), the
+eigendecomposition runs driver-side on that tiny matrix, and the
+projection back over the corpus is a pure in-plan expression. No MLlib
+RowMatrix, no iterative SVD — at dim <= a few thousand this is exact
+and one pass.
+
+Uses: embedding whitening/compression before ANN (PCA to 16-32 dims
+cuts brute-force scan bandwidth 2-4x with minor recall loss — the
+classic OPQ/PCA-W preprocessing step), redundancy analysis, and drift
+detection between corpus snapshots (compare spectra).
+
+Partial aggregation runs per-partition in Arrow batches
+(X^T X + column sums + count), partials are combined driver-side in
+deterministic partition order; float64 throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+class PcaModel:
+    """Fitted PCA: ``mean`` (dim,), ``components`` (k, dim) rows =
+    principal axes sorted by descending eigenvalue, ``explained`` (k,)
+    variance ratios."""
+
+    def __init__(
+        self,
+        mean: np.ndarray,
+        components: np.ndarray,
+        explained: np.ndarray,
+        eigenvalues: np.ndarray | None = None,
+        total_var: float | None = None,
+    ):
+        self.mean = mean
+        self.components = components
+        self.explained = explained
+        self.eigenvalues = eigenvalues  # (k,) descending, of kept axes
+        self.total_var = total_var  # trace of the covariance
+
+    @property
+    def k(self) -> int:
+        return int(self.components.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.components.shape[1])
+
+
+def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
+    """One-pass exact PCA fit.
+
+    Per partition: accumulate ``X^T X`` (dim x dim), column sums, and
+    the row count inside an Arrow-batched ``mapInPandas`` — each
+    partition emits ONE row of fixed size, so the driver collect is
+    O(partitions * dim^2) bytes no matter the corpus size. Partials
+    are summed in sorted partition order (deterministic for a fixed
+    partitioning), the covariance is ``(X^T X - n * mu mu^T) / (n-1)``,
+    and ``numpy.linalg.eigh`` solves the dim x dim problem driver-side.
+
+    Eigenvector SIGN is normalized (largest-|coordinate| entry made
+    positive) so the model is reproducible run-to-run.
+    """
+    import pandas as pd
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("cannot fit PCA on an empty DataFrame")
+    dim = int(dim_row["d"])
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+
+    out_schema = (
+        "part long, n long, s array<double>, g array<double>"
+    )
+
+    def _partials(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            x = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        yield pd.DataFrame(
+            {"part": [pid], "n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+        )
+
+    parts = (
+        df.select(F.col(vec_col).alias("__vec"))
+        .mapInPandas(_partials, out_schema)
+        .collect()
+    )
+    parts.sort(key=lambda r: r["part"])
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in parts:
+        s += np.array(r["s"])
+        g += np.array(r["g"]).reshape(dim, dim)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, dim)
+    # sign normalization: flip each axis so its largest-|coord| is +
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(evals.sum())
+    explained = np.array(
+        [float(evals[o]) / total_var if total_var > 0 else 0.0 for o in order]
+    )
+    kept = np.array([float(evals[o]) for o in order])
+    return PcaModel(mean, comps, explained, eigenvalues=kept, total_var=total_var)
+
+
+def project_pca(
+    df: DataFrame, vec_col: str, model: PcaModel, out_col: str = "pca"
+) -> DataFrame:
+    """Project every row onto the principal axes — pure Column
+    arithmetic (zip_with + aggregate per component), whole-stage
+    codegen, no Python in the corpus-sized pass."""
+    comps = []
+    for i in range(model.k):
+        w = [float(v) for v in model.components[i]]
+        mu_dot_w = float(np.dot(model.mean, model.components[i]))
+        comps.append(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.array(*[F.lit(v) for v in w]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                - F.lit(mu_dot_w)
+            ).alias(f"__c{i}")
+        )
+    projected = df.withColumns({f"__c{i}": c for i, c in enumerate(comps)})
+    return projected.withColumn(
+        out_col, F.array(*[F.col(f"__c{i}") for i in range(model.k)])
+    ).drop(*[f"__c{i}" for i in range(model.k)])

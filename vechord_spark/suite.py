@@ -3310,6 +3310,66 @@ def events_interval_join(spark, sf_dir):
     ).select("event_id", "n_clicks", "click_value", "rank")
 
 
+_PCA_CACHE: dict = {}
+
+
+def _pca8(spark, sf_dir):
+    """PCA model over the embeddings table, memoized per (session,
+    corpus) — build-once/query-many like _ivf16."""
+    key = (sf_dir, 8)
+    ent = _PCA_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    from vechord_spark.operators.pca import fit_pca
+
+    model = fit_pca(_t(spark, sf_dir, "embeddings"), "embedding", k=8)
+    _PCA_CACHE[key] = (spark, model)
+    return model
+
+
+@_q(
+    "embedding_pca_gate",
+    """
+    SELECT CAST(8 AS INT) AS k, CAST(64 AS INT) AS dim,
+           CAST(0.1 AS DOUBLE) AS var_floor,
+           CAST(1 AS INT) AS var_ok, CAST(1 AS INT) AS ortho_ok
+    """,
+)
+def embedding_pca_gate(spark, sf_dir):
+    """Distributed-PCA gate (operators/pca.py): the one-pass Gram
+    aggregation + driver-side eigh is not SQL-expressible, so — like
+    the IVF recall gates — the oracle pins the CLAIM (config + floors +
+    pass bits) while Spark computes the evidence: the IN-PLAN variance
+    of the projected corpus (exercising the codegen projection path)
+    must reach var_floor of the total variance, and the fitted axes
+    must be orthonormal. Uniform random 64-d embeddings put ~1/64 of
+    variance per axis, so top-8 measures ~0.125 against the 0.10
+    floor."""
+    import numpy as np
+
+    from vechord_spark.operators.pca import project_pca
+
+    model = _pca8(spark, sf_dir)
+    ortho_err = float(
+        np.abs(model.components @ model.components.T - np.eye(model.k)).max()
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = project_pca(emb, "embedding", model, out_col="pca")
+    sq = F.aggregate(
+        "pca", F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    return proj.agg(
+        F.lit(8).alias("k"),
+        F.lit(64).alias("dim"),
+        F.lit(0.1).alias("var_floor"),
+        (
+            (F.sum(sq) / (F.count(F.lit(1)) - F.lit(1)))
+            >= F.lit(0.1) * F.lit(float(model.total_var))
+        ).cast("int").alias("var_ok"),
+        F.lit(1 if ortho_err < 1e-8 else 0).alias("ortho_ok"),
+    )
+
+
 @_q(
     "graph_triangles",
     f"""
