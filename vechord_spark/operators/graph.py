@@ -163,13 +163,15 @@ def pagerank(
     simplified formulation; total mass shrinks slightly per round, which
     is fine for ranking.
 
-    Scale: each iteration is ONE shuffled join (ranks ⋈ edges on src —
-    edges carry their out-degree from a one-time prep join) plus ONE
-    aggregation on dst; the node base table is reused via a left join.
-    Lineage is truncated with localCheckpoint every ``checkpoint_every``
-    rounds so 50-iteration runs don't compound plan depth. At cluster
-    scale you would pre-partition ``edges`` by src and persist, making
-    the per-round shuffle one-sided.
+    Scale: per iteration, ONE join (ranks ⋈ edges on src) and ONE
+    aggregation. The edge table is repartitioned by src and persisted
+    once, so the join's edge side never re-shuffles — only the (small)
+    rank state moves each round — and the dangling-node fill is FUSED
+    into the aggregation: per-node base rows union with the contribs
+    and a single groupBy computes ``max(base) + damp(sum(contrib))``,
+    instead of a separate left join back to the node table. Lineage is
+    truncated with localCheckpoint every ``checkpoint_every`` rounds so
+    50-iteration runs don't compound plan depth.
 
     With ``seeds`` (a one-column DataFrame of node ids), teleport mass
     restricts to the seed set — PERSONALIZED PageRank, the GraphRAG
@@ -185,16 +187,25 @@ def pagerank(
         .distinct()
     )
     outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    # repartition by the join key BEFORE persisting: the cached edge
+    # blocks then already satisfy the per-round join's distribution
+    # requirement, so only the (much smaller) rank state shuffles each
+    # iteration
     edges_deg = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
         .join(outdeg.withColumnRenamed(src, "node"), "node")
+        .repartition(F.col("node"))
         .persist()
     )
     if seeds is None:
         n = nodes.count()
-        base_of = F.lit((scale * (damping_den - damping_num)) // (damping_den * n))
+        base_val = (scale * (damping_den - damping_num)) // (damping_den * n)
+        base_rows = nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("contrib"),
+            F.lit(base_val).cast("bigint").alias("base"),
+        )
         ranks = nodes.withColumn("units", F.lit(scale // n).cast("bigint"))
-        base_nodes = nodes
     else:
         # personalized: teleport mass restricts to the seed set (the
         # GraphRAG shape — importance relative to the query's entities).
@@ -213,7 +224,14 @@ def pagerank(
         flagged = nodes.join(
             seed_nodes.withColumn("__seed", F.lit(1)), "node", "left"
         )
-        base_of = F.when(F.col("__seed") == 1, F.lit(seed_base)).otherwise(F.lit(0))
+        base_rows = flagged.select(
+            "node",
+            F.lit(0).cast("bigint").alias("contrib"),
+            F.when(F.col("__seed") == 1, F.lit(seed_base))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("base"),
+        )
         ranks = flagged.select(
             "node",
             F.when(F.col("__seed") == 1, F.lit(scale // n_seed))
@@ -221,23 +239,27 @@ def pagerank(
             .cast("bigint")
             .alias("units"),
         )
-        base_nodes = flagged
+    base_rows = base_rows.persist()
     for i in range(iterations):
         contrib = edges_deg.join(ranks, "node").select(
             F.col("dst_node").alias("node"),
             F.expr("units div outdeg").alias("contrib"),
+            F.lit(0).cast("bigint").alias("base"),
         )
-        summed = contrib.groupBy("node").agg(
-            F.sum("contrib").cast("bigint").alias("inflow")
-        )
-        ranks = base_nodes.join(summed, "node", "left").select(
-            "node",
-            (
-                base_of
-                + F.expr(
-                    f"(coalesce(inflow, 0L) * {damping_num}) div {damping_den}"
-                )
-            ).cast("bigint").alias("units"),
+        # dangling/zero-inflow fill fused into the aggregation: every
+        # node has exactly one base row (contrib=0), so one groupBy
+        # replaces the agg + left-join-back-to-nodes pair
+        ranks = (
+            contrib.unionByName(base_rows)
+            .groupBy("node")
+            .agg(
+                (
+                    F.max("base")
+                    + F.expr(
+                        f"(sum(contrib) * {damping_num}) div {damping_den}"
+                    )
+                ).cast("bigint").alias("units")
+            )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
