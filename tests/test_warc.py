@@ -1,0 +1,95 @@
+"""WARC ingestion (sources/warc.py): synthetic archives round-trip."""
+
+import gzip
+
+import pytest
+
+from vechord_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    split_http_response,
+    warc_to_documents,
+)
+
+
+def _record(warc_type: str, uri: str, payload: bytes, extra: str = "") -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"{extra}"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _http_html(title: str, body: str) -> bytes:
+    html = f"<html><head><title>{title}</title></head><body><p>{body}</p></body></html>"
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        + html.encode()
+    )
+
+
+@pytest.fixture()
+def archive() -> bytes:
+    return (
+        _record("warcinfo", "", b"software: test-crawler\r\n")
+        + _record("response", "http://a.example/", _http_html("A", "alpha beta"))
+        + _record("request", "http://a.example/", b"GET / HTTP/1.1\r\n")
+        + _record(
+            "response",
+            "http://b.example/img",
+            b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\x89PNG...",
+        )
+        + _record("response", "http://c.example/", _http_html("C", "gamma delta"))
+    )
+
+
+def test_parse_plain_and_gzip(archive):
+    plain = list(parse_warc_bytes(archive, path="p"))
+    assert [r["warc_type"] for r in plain] == [
+        "warcinfo", "response", "request", "response", "response",
+    ]
+    assert plain[1]["target_uri"] == "http://a.example/"
+    # multi-member gzip (the Common Crawl convention is one member per
+    # record; any member split decompresses to the same stream)
+    members = b"".join(
+        gzip.compress(chunk)
+        for chunk in [archive[:len(archive) // 2], archive[len(archive) // 2:]]
+    )
+    # concatenated members decompress to the same stream
+    assert [r["target_uri"] for r in parse_warc_bytes(members)] == [
+        r["target_uri"] for r in plain
+    ]
+
+
+def test_truncated_tail_dropped(archive):
+    broken = archive + _record("response", "http://d.example/", b"x" * 100)[:-80]
+    got = list(parse_warc_bytes(broken))
+    assert len(got) == 5  # the truncated record is dropped, not raised
+
+
+def test_split_http_response():
+    ctype, body = split_http_response(_http_html("T", "content"))
+    assert ctype.startswith("text/html")
+    assert b"<html>" in body
+    assert split_http_response(b"no headers here") == ("", b"no headers here")
+
+
+def test_read_warc_and_to_documents(spark, tmp_path, archive):
+    (tmp_path / "a.warc").write_bytes(archive)
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(archive))
+    records = read_warc(spark, str(tmp_path))
+    assert records.count() == 10  # both archives parsed
+    docs = warc_to_documents(records)
+    rows = sorted(
+        (r.url, r.text) for r in docs.collect()
+    )
+    # 2 archives x 2 html responses; the png response is dropped
+    assert len(rows) == 4
+    assert rows[0][0] == "http://a.example/"
+    assert "alpha beta" in rows[0][1]
+    assert all("png" not in u for u, _ in rows)

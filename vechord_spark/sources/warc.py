@@ -1,0 +1,160 @@
+"""WARC (Web ARChive) ingestion — the Common Crawl container format.
+
+A 100 TB text corpus starts as WARC: gzip'd archives of captured HTTP
+exchanges (ISO 28500). This reader is pure stdlib — WARC is a simple
+length-prefixed record stream — and distributes the natural way: one
+archive file per task via Spark's ``binaryFile`` source (Common Crawl
+shards archives at ~1 GB precisely so per-file parallelism works), with
+record parsing in an Arrow-batched ``mapInPandas``.
+
+Pipeline shape::
+
+    read_warc(spark, "s3a://bucket/crawl/*.warc.gz")   # records
+      -> warc_to_documents(...)                        # HTML -> text
+      -> the engine's dedup / quality / lang-id operators
+
+Multi-member gzip (each record its own member — the Common Crawl
+convention, enabling record-level seeks) and plain concatenated-member
+files both decompress with one streaming pass.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+RECORD_SCHEMA = (
+    "warc_path string, record_offset long, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "payload binary"
+)
+
+
+def parse_warc_bytes(data: bytes, path: str = "") -> Iterator[dict]:
+    """Iterate records of one (possibly gzip'd) WARC byte blob.
+
+    Tolerant of trailing junk and truncated final records (a crashed
+    crawler mid-write must not poison the whole archive — only the
+    broken tail is dropped).
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # handles concatenated members
+    buf = io.BytesIO(data)
+    while True:
+        offset = buf.tell()
+        line = buf.readline()
+        if not line:
+            return
+        if not line.strip():
+            continue
+        if not line.startswith(b"WARC/"):
+            return  # lost sync — stop rather than emit garbage
+        headers: dict[str, str] = {}
+        while True:
+            h = buf.readline()
+            if not h or h in (b"\r\n", b"\n"):
+                break
+            if b":" in h:
+                k, _, v = h.partition(b":")
+                headers[k.decode("ascii", "replace").strip().lower()] = (
+                    v.decode("utf-8", "replace").strip()
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload = buf.read(length)
+        if len(payload) < length:
+            return  # truncated tail
+        yield {
+            "warc_path": path,
+            "record_offset": offset,
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "warc_date": headers.get("warc-date", ""),
+            "content_type": headers.get("content-type", ""),
+            "payload": payload,
+        }
+        # skip the two record-terminating CRLFs (and any padding)
+        while True:
+            pos = buf.tell()
+            nl = buf.readline()
+            if not nl:
+                return
+            if nl.strip():
+                buf.seek(pos)
+                break
+
+
+def split_http_response(payload: bytes) -> tuple[str, bytes]:
+    """Split an HTTP response payload into (content-type, body)."""
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep:
+        return "", payload
+    ctype = ""
+    for line in head.split(b"\r\n")[1:]:
+        if line.lower().startswith(b"content-type:"):
+            ctype = line.partition(b":")[2].decode("ascii", "replace").strip()
+            break
+    return ctype, body
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC records as a DataFrame — one archive per task, Arrow-batched
+    parsing, columns ``RECORD_SCHEMA``."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_bytes(bytes(blob), path=p))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_path", "record_offset", "warc_type", "target_uri",
+                    "warc_date", "content_type", "payload",
+                ],
+            )
+
+    return files.mapInPandas(_parse, RECORD_SCHEMA)
+
+
+def warc_to_documents(records: DataFrame) -> DataFrame:
+    """HTTP ``response`` records -> (url, fetched_at, text) — the
+    Common Crawl -> documents-table step. HTML is stripped with the
+    engine's stdlib extractor; non-HTML responses are dropped."""
+    import pandas as pd
+
+    from vechord_spark.sources.loaders import extract_html
+
+    responses = records.filter(F.col("warc_type") == "response").select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        "payload",
+    )
+
+    def _extract(batches):
+        for pdf in batches:
+            urls, dates, texts = [], [], []
+            for url, date, payload in zip(
+                pdf["url"], pdf["fetched_at"], pdf["payload"]
+            ):
+                ctype, body = split_http_response(bytes(payload))
+                if "html" not in ctype.lower():
+                    continue
+                urls.append(url)
+                dates.append(date)
+                texts.append(extract_html(body))
+            yield pd.DataFrame(
+                {"url": urls, "fetched_at": dates, "text": texts}
+            )
+
+    return responses.mapInPandas(
+        _extract, "url string, fetched_at string, text string"
+    )
