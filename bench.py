@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "events_daily_summary",
     "events_interval_join",
+    "events_sliding_counts",
     "events_json_extract",
     "events_sessionize",
     "events_asof_join",

@@ -3310,6 +3310,61 @@ def events_interval_join(spark, sf_dir):
     ).select("event_id", "n_clicks", "click_value", "rank")
 
 
+@_q(
+    "events_sliding_counts",
+    """
+    WITH starts AS (
+      SELECT w_start, event_type FROM (
+        SELECT date_trunc('hour', ts) AS w_start, event_type FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w_start, event_type
+        FROM events
+      )
+    ),
+    counted AS (
+      SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM starts GROUP BY w_start, event_type
+    )
+    SELECT w_start AS window_start, event_type, n_events,
+           CAST(row_number() OVER (
+             ORDER BY n_events DESC, w_start, event_type
+           ) AS INT) AS rank
+    FROM counted
+    QUALIFY rank <= 20
+    ORDER BY rank
+    """,
+)
+def events_sliding_counts(spark, sf_dir):
+    """Sliding-window rollup (2-hour windows, 1-hour slide): the
+    overlapping-window counterpart of events_daily_summary — each event
+    lands in window_size/slide windows (here 2: its own hour's window
+    and the previous hour's). Spark's F.window handles the fan-out
+    in-plan (epoch-aligned starts, which is what the oracle's
+    two-shifted-truncations UNION reproduces); top-20 busiest
+    (window, type) cells returned."""
+    from vechord_spark.operators.topk import ranked_topk
+
+    ev = _t(spark, sf_dir, "events")
+    counted = (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    return ranked_topk(
+        counted,
+        [
+            F.col("n_events").desc(),
+            F.col("window_start").asc(),
+            F.col("event_type").asc(),
+        ],
+        20,
+    ).select("window_start", "event_type", "n_events", "rank")
+
+
 _PCA_CACHE: dict = {}
 
 
