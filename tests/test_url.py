@@ -77,3 +77,27 @@ def test_normalized_url_as_dedup_key(spark):
         .count()
     )
     assert n == 2
+
+
+def test_normalize_idempotent_random(spark):
+    """normalize(normalize(u)) == normalize(u) — the dedup-key property:
+    a normalized URL re-entering the pipeline must not change again."""
+    import random
+
+    rng = random.Random(9)
+    schemes = ["http", "https", "HTTP", "HtTpS"]
+    hosts = ["Example.com", "a.b.co.uk", "X9.example", "localhost"]
+    paths = ["", "/", "/A/b", "/p/"]
+    queries = ["", "?q=1", "?utm_source=x", "?utm_source=x&q=2", "?a=1&fbclid=z&b=2"]
+    frags = ["", "#top", "#a/b"]
+    ports = ["", ":80", ":443", ":8080"]
+    urls = [
+        f"{rng.choice(schemes)}://{rng.choice(hosts)}{rng.choice(ports)}"
+        f"{rng.choice(paths)}{rng.choice(queries)}{rng.choice(frags)}"
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(normalize_url("url").alias("n1"))
+    twice = once.select(F.col("n1"), normalize_url("n1").alias("n2"))
+    bad = twice.filter(F.col("n1") != F.col("n2")).collect()
+    assert not bad, bad[:5]

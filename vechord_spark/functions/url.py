@@ -32,8 +32,9 @@ def normalize_url(url) -> Column:
         F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
     )
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    u = F.regexp_replace(u, r":80(/|$)", "$1")  # default http port
-    u = F.regexp_replace(u, r":443(/|$)", "$1")  # default https port
+    # scheme-default ports only, whatever follows (path, query, or end)
+    u = F.regexp_replace(u, r"^(http://[^/?#]*):80(?=[/?]|$)", "$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*):443(?=[/?]|$)", "$1")
     # tracking params, then tidy the separators they leave behind
     u = F.regexp_replace(u, r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
     u = F.regexp_replace(u, r"\?&+", "?")
