@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "split_shards",
     "nb_quality",
     "rerank_reorder",
+    "rerank_lexical",
     "eval_ndcg_knn",
     "eval_mrr_knn",
     "eval_ap_knn",

@@ -57,3 +57,31 @@ def test_hybrid_rrf(spark):
     kw = spark.createDataFrame([("d2", 1), ("d3", 2)], "uid string, rank int")
     out = hybrid_rrf(vec, kw, "uid", topk=2).collect()
     assert [r.uid for r in out] == ["d2", "d1"]
+
+
+def test_lexical_rerank_orders_by_coverage_then_stage1(spark):
+    from vechord_spark.operators.fusion import lexical_rerank
+
+    cands = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", 1),
+            (2, "alpha only here", 2),
+            (3, "alpha beta gamma delta", 3),
+            (4, "nothing relevant", 4),
+        ],
+        "doc_id long, text string, rank int",
+    )
+    out = lexical_rerank(cands, "text", "alpha beta GAMMA", "doc_id", topk=3)
+    rows = out.collect()
+    # docs 1 and 3 both cover 3/3 -> stage1 rank breaks the tie
+    assert [r.doc_id for r in rows] == [1, 3, 2]
+    assert rows[0].coverage == 1.0 and rows[2].coverage == pytest.approx(1 / 3)
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_lexical_rerank_rejects_empty_query(spark):
+    from vechord_spark.operators.fusion import lexical_rerank
+
+    cands = spark.createDataFrame([(1, "x", 1)], "doc_id long, text string, rank int")
+    with pytest.raises(ValueError):
+        lexical_rerank(cands, "text", "!!!", "doc_id")

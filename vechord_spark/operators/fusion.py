@@ -114,3 +114,64 @@ def hybrid_rrf(
     """Hybrid search fusion: vector list ∪ keyword list -> RRF top-k
     (reference vechord/examples/hybrid.py:48-57). Inputs carry ``rank``."""
     return rrf_topk([vector_hits, keyword_hits], id_col, topk=topk, k=k)
+
+
+def lexical_rerank(
+    candidates: DataFrame,
+    text_col: str,
+    query: str,
+    id_col: str,
+    topk: int = 10,
+) -> DataFrame:
+    """Deterministic lexical reranker: re-score a candidate set by query
+    term coverage — |terms(doc) ∩ terms(query)| / |terms(query)|.
+
+    The in-container executable member of the reranker family (R4's
+    Cohere/Jina rerankers are HTTP providers, exercised on fixtures):
+    same contract — candidates in, re-ordered top-k out — with an exact
+    SQL oracle. First-stage ranks break coverage ties (the standard
+    cascade behavior: the reranker reorders, the retriever's order is
+    the tiebreak), then id. A pure Column program over the candidate
+    set only — the corpus is never touched again, so rerank cost is
+    O(candidates), independent of corpus size.
+
+    Input needs ``id_col``, ``text_col`` and a first-stage ``rank``
+    column; returns (id, coverage, rank).
+    """
+    import re
+
+    from vechord_spark.functions.text import tokenize
+
+    terms = sorted({t for t in re.split(r"[^a-z0-9]+", query.lower()) if t})
+    if not terms:
+        raise ValueError("lexical_rerank needs a non-empty query")
+    coverage = (
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tokenize(text_col)),
+                F.array(*[F.lit(t) for t in terms]),
+            )
+        )
+        / F.lit(float(len(terms)))
+    )
+    scored = candidates.withColumn("coverage", F.round(coverage, 6))
+    out = (
+        scored.orderBy(
+            F.col("coverage").desc(), F.col("rank").asc(), F.col(id_col).asc()
+        )
+        .limit(topk)
+        .select(
+            id_col,
+            "coverage",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("coverage").desc(),
+                    F.col("rank").asc(),
+                    F.col(id_col).asc(),
+                )
+            )
+            .alias("rank"),
+        )
+    )
+    return out

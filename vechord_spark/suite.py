@@ -3311,6 +3311,47 @@ def events_interval_join(spark, sf_dir):
 
 
 @_q(
+    "rerank_lexical",
+    f"""
+    WITH cands AS ({{bm25}}),
+    cov AS (
+      SELECT c.doc_id,
+             round(len(list_intersect(
+               list_distinct({_TOK.format(col='d.text')}),
+               {_BM25_TERMS!r}
+             )) / {len(_BM25_TERMS)}.0, 6) AS coverage,
+             c.rank AS stage1_rank
+      FROM cands c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, coverage,
+           CAST(row_number() OVER (
+             ORDER BY coverage DESC, stage1_rank, doc_id
+           ) AS INT) AS rank
+    FROM cov
+    ORDER BY rank
+    LIMIT 10
+    """.replace("{bm25}", "PLACEHOLDER_BM25"),
+)
+def rerank_lexical(spark, sf_dir):
+    """R-family executable reranker: BM25 first stage -> lexical
+    coverage rerank (|doc terms ∩ query terms| / |query terms|), the
+    cascade contract of the HTTP rerankers (operators/fusion.
+    lexical_rerank) with an exact SQL oracle. Rerank cost is
+    O(candidates) — the corpus is never rescanned."""
+    from vechord_spark.operators.fusion import lexical_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = bm25_topk_documents(spark, sf_dir).select("doc_id", "rank")
+    with_text = cands.join(docs.select("doc_id", "text"), "doc_id")
+    return lexical_rerank(with_text, "text", BM25_QUERY, "doc_id", topk=10)
+
+
+ORACLES["rerank_lexical"] = ORACLES["rerank_lexical"].replace(
+    "PLACEHOLDER_BM25", _BM25_ORACLE
+)
+
+
+@_q(
     "events_sliding_counts",
     """
     WITH starts AS (
