@@ -212,3 +212,79 @@ def test_probe_media_null_tolerant(spark):
     assert got["b"] == ("jpeg", 10, 20)
     assert got["c"] == (None, None, None)
     assert got["d"] == (None, None, None)
+
+
+def _wav_bytes(freq=440.0, rate=8000, seconds=0.5, width=2, channels=1, silence_tail=0.0):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    tail = int(rate * silence_tail)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n + tail):
+            v = 0.0 if i >= n else 0.5 * math.sin(2 * math.pi * freq * i / rate)
+            if width == 2:
+                s = struct.pack("<h", int(v * 32767))
+            elif width == 1:
+                s = struct.pack("B", int(v * 127) + 128)
+            else:
+                s = struct.pack("<i", int(v * 2147483000))
+            frames += s * channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_wav_widths_and_channels():
+    from vechord_spark.sources.multimodal import decode_wav
+
+    for width in (1, 2, 4):
+        a = decode_wav(_wav_bytes(width=width))
+        assert a.sample_rate == 8000 and a.n_frames == 4000
+        assert abs(a.duration_s - 0.5) < 1e-9
+        # 0.5-amplitude sine -> RMS ~ 0.5/sqrt(2)
+        import numpy as np
+
+        assert abs(float(np.sqrt((a.samples ** 2).mean())) - 0.3535) < 0.02
+    stereo = decode_wav(_wav_bytes(channels=2))
+    assert stereo.n_channels == 2 and stereo.samples.shape[0] == 4000
+
+
+def test_decode_wav_rejects_junk():
+    import pytest as _pytest
+
+    from vechord_spark.sources.multimodal import decode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"\x89PNG not audio")
+
+
+def test_wav_features_silence_ratio():
+    from vechord_spark.sources.multimodal import wav_features
+
+    f = wav_features(_wav_bytes(seconds=0.4, silence_tail=0.4))
+    assert abs(f["duration_s"] - 0.8) < 1e-6
+    assert 0.4 < f["silence_ratio"] < 0.6  # half the clip is silent
+    assert f["rms"] > 0.2
+
+
+def test_audio_features_dataframe(spark):
+    from vechord_spark.sources.multimodal import audio_features
+
+    rows = [
+        ("a", _wav_bytes()),
+        ("b", _wav_bytes(freq=880.0)),
+        ("junk", b"not a wav"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    out = {r.media_id: r.audio for r in audio_features(df).collect()}
+    assert out["a"]["sample_rate"] == 8000
+    # doubled frequency -> roughly doubled zero-crossing rate
+    assert out["b"]["zcr"] > 1.5 * out["a"]["zcr"]
+    assert out["junk"]["sample_rate"] is None

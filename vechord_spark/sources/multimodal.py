@@ -14,7 +14,10 @@ clearly-marked ``NotImplementedError`` stub or a deterministic fake
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -347,3 +350,116 @@ def probe_media(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "data").mapInPandas(_probe, PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: stdlib WAV decode + features (the real codec path for audio,
+# mirroring how PNG is the real codec path for images)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DecodedAudio:
+    """PCM audio: ``samples`` is float64 in [-1, 1], channel-averaged."""
+
+    sample_rate: int
+    n_channels: int
+    n_frames: int
+    samples: "np.ndarray"
+
+    @property
+    def duration_s(self) -> float:
+        return self.n_frames / self.sample_rate if self.sample_rate else 0.0
+
+
+def decode_wav(data: bytes) -> DecodedAudio:
+    """Decode a RIFF/WAVE blob with the stdlib ``wave`` module
+    (8/16/32-bit integer PCM). Channels are averaged to mono for the
+    feature path; raises ``ValueError`` on non-WAV bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            rate = w.getframerate()
+            chans = w.getnchannels()
+            width = w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a PCM WAV blob: {exc}") from exc
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if chans > 1:
+        x = x.reshape(-1, chans).mean(axis=1)
+    return DecodedAudio(rate, chans, n, x)
+
+
+def wav_features(data: bytes) -> dict:
+    """Compact per-clip features for corpus filtering: duration, RMS
+    energy, zero-crossing rate, and a silence ratio (fraction of 20 ms
+    windows under -40 dBFS). These are the signals an audio-corpus
+    pipeline filters on (clipped/silent/too-short removal) before any
+    model touches the data."""
+    import numpy as np
+
+    a = decode_wav(data)
+    x = a.samples
+    if x.size == 0:
+        return {
+            "sample_rate": a.sample_rate, "n_channels": a.n_channels,
+            "duration_s": 0.0, "rms": 0.0, "zcr": 0.0, "silence_ratio": 1.0,
+        }
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    win = max(1, a.sample_rate // 50)  # 20 ms
+    n_win = x.size // win
+    silence = 1.0
+    if n_win:
+        frames = x[: n_win * win].reshape(n_win, win)
+        frame_rms = np.sqrt((frames * frames).mean(axis=1))
+        silence = float((frame_rms < 10 ** (-40 / 20)).mean())
+    return {
+        "sample_rate": a.sample_rate,
+        "n_channels": a.n_channels,
+        "duration_s": round(a.duration_s, 6),
+        "rms": round(rms, 6),
+        "zcr": round(zcr, 6),
+        "silence_ratio": round(silence, 6),
+    }
+
+
+def audio_features(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Arrow-batched WAV feature extraction over a binary media column —
+    the audio twin of probe_media: one Python pass, fixed-width output,
+    non-WAV rows get nulls instead of failing the batch."""
+    schema = (
+        "sample_rate int, n_channels int, duration_s double, "
+        "rms double, zcr double, silence_ratio double"
+    )
+
+    @F.pandas_udf(schema)
+    def _feat(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for blob in blobs:
+            try:
+                rows.append(wav_features(bytes(blob)))
+            except (ValueError, TypeError):
+                rows.append(
+                    {
+                        "sample_rate": None, "n_channels": None,
+                        "duration_s": None, "rms": None, "zcr": None,
+                        "silence_ratio": None,
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    return df.withColumn("audio", _feat(F.col(data_col)))
