@@ -3578,11 +3578,17 @@ def source_cap_sample(spark, sf_dir):
 # Final round-5 additions rotated IN (new operators — must be
 # driver-checked): graph_pagerank (iterative fixed-point ranking),
 # events_interval_join (binned range join), source_cap_sample
-# (per-domain cap). Rotated OUT (green in CORRECTNESS_r04, family still
-# in-window): maxsim_topk_docs (maxsim_by_label stays),
-# events_funnel (sessionize/asof/interval stay), augment_context
+# (per-domain cap), rerank_lexical (executable reranker),
+# events_sliding_counts (sliding windows), graph_triangles (oriented
+# triangle census), embedding_pca_gate (one-pass distributed PCA).
+# Rotated OUT (green in CORRECTNESS_r04, family still in-window):
+# maxsim_topk_docs (maxsim_by_label stays), events_funnel
+# (sessionize/interval/sliding stay), augment_context
 # (chunk_regex/delete_cascade/groundtruth_generate keep the document
-# pipeline covered).
+# pipeline covered), rerank_reorder (rerank_lexical stays),
+# events_asof_join (pytest-parity; events keeps 5 entries),
+# dedup_simhash_pairs (5 dedup entries + graph_triangles stay),
+# lsh_knn (ivf_knn/ivf_recall keep ANN covered).
 _WINDOW_PRIORITY = [
     # relational / OLAP core
     "filter_project",
@@ -3597,16 +3603,16 @@ _WINDOW_PRIORITY = [
     "maxsim_by_label",
     "ivf_knn",
     "ivf_recall",
-    "lsh_knn",
     # keyword / hybrid search
     "bm25_topk",
     "sparse_knn",
     "hybrid_rrf",
-    "rerank_reorder",
+    "rerank_lexical",
     # graph
     "graph_entity_merge",
     "graph_search_2hop",
     "graph_pagerank",
+    "graph_triangles",
     # document pipeline (§2 D/P rows)
     "chunk_regex",
     "delete_cascade",
@@ -3616,8 +3622,8 @@ _WINDOW_PRIORITY = [
     "eval_ndcg_knn",
     # events / time-series
     "events_sessionize",
-    "events_asof_join",
     "events_interval_join",
+    "events_sliding_counts",
     "skew_salted_revenue",
     "bucketed_customer_revenue",
     # dedup suite
@@ -3625,7 +3631,6 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_survivors",
-    "dedup_simhash_pairs",
     "dedup_embedding_bucketed",
     # text analysis / training-data ops
     "text_stats",
@@ -3645,6 +3650,8 @@ _WINDOW_PRIORITY = [
     "approx_distinct_users",
     "heavy_hitter_users",
     "quantile_sketch_gate",
+    # round-5b analytics gates
+    "embedding_pca_gate",
 ]
 
 
