@@ -20,8 +20,6 @@ deterministic partition order; float64 throughout.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
