@@ -81,3 +81,37 @@ def test_bounds_reusable_for_incremental(spark, tmp_path):
 def test_interleave_validates():
     with pytest.raises(ValueError):
         interleave_bits(F.lit(1), F.lit(1), bits=0)
+
+
+def test_registry_optimize_zorder(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column as C, TableSpec
+
+    reg = VechordRegistry("zz", str(tmp_path), spark)
+    reg.register(
+        TableSpec("ev", [C("a", "long", primary_key=True), C("b", "long")])
+    )
+    df = spark.range(5000).select(
+        F2.col("id").alias("a"), ((F2.col("id") * 2654435761) % 997).alias("b")
+    )
+    reg.append("ev", df)
+    stats = reg.optimize_zorder("ev", "a", "b", n_files=8, bits=8)
+    assert stats["rows"] == 5000 and stats["files_after"] >= 1
+    back = reg.load("ev")
+    assert back.count() == 5000
+    assert sorted(r.a for r in back.collect()) == list(range(5000))
+
+
+def test_registry_optimize_zorder_validates(spark, tmp_path):
+    import pytest as _pytest
+
+    from vechord_spark.errors import SchemaError
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column as C, TableSpec
+
+    reg = VechordRegistry("zv", str(tmp_path), spark)
+    reg.register(TableSpec("t", [C("a", "long", primary_key=True)]))
+    with _pytest.raises(SchemaError):
+        reg.optimize_zorder("t", "a", "nope")

@@ -750,6 +750,51 @@ class VechordRegistry:
             "bytes": total,
         }
 
+    def optimize_zorder(
+        self,
+        name: str,
+        col_a: str,
+        col_b: str,
+        n_files: int = 16,
+        bits: int = 16,
+    ) -> dict[str, int]:
+        """Rewrite ``name``'s storage clustered on the Morton curve of
+        (col_a, col_b) — the lakehouse ``OPTIMIZE ZORDER BY``: after
+        the rewrite, parquet min-max stats prune scans filtered on
+        EITHER column (plans/zorder.py has the layout argument). Runs
+        through the same crash-recoverable publish as compact();
+        snapshot-atomic under ``concurrency="optimistic"``.
+
+        Returns ``{"files_after", "rows"}``; zeros for an empty table.
+        """
+        spec = self._spec(name)
+        spec.column(col_a)
+        spec.column(col_b)
+        from vechord_spark.plans.zorder import zorder_key
+
+        live = Path(self.table_path(name))
+
+        def build(df: DataFrame) -> DataFrame:
+            keyed, _ = zorder_key(df, col_a, col_b, bits)
+            return (
+                keyed.repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+
+        if self.concurrency == "optimistic" and live.exists():
+            final = self._optimistic_rewrite(name, build, op="zorder")
+            n_rows = self.load(name).count()
+            return {"files_after": len(final.files), "rows": n_rows}
+        if not live.exists():
+            self._recover_rewrite(name)
+        if not live.exists():
+            return {"files_after": 0, "rows": 0}
+        df = self.load(name)
+        self._rewrite(name, build(df))
+        after = sum(1 for p in live.rglob("*.parquet") if p.is_file())
+        return {"files_after": after, "rows": self.load(name).count()}
+
     def _cascade_from(self, parent: TableSpec) -> None:
         for child in self.tables.values():
             for local_col, p_table, p_col in child.foreign_keys():
