@@ -274,3 +274,38 @@ def test_stream_interval_join_matches_batch(spark, events, tmp_path):
         for r in spark.sql("select * from ssj_out").collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_stream_funnel_matches_batch(spark, events, tmp_path):
+    """The stateful funnel machine drained over a single-batch stream
+    equals the batch higher-order fold (stage_reached is monotone, so
+    the last update per user is the final depth)."""
+    from vechord_spark.operators.funnel import funnel_stages
+    from vechord_spark.streaming.ingest import stream_funnel
+
+    stages = ["view", "click", "purchase"]
+    src = str(tmp_path / "fun_src")
+    events.limit(800).coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+    batch = {
+        (r.user_id, r.stage_reached)
+        for r in funnel_stages(static, "user_id", "ts", "event_type", stages).collect()
+    }
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        stream_funnel(stream, stages)
+        .writeStream.format("memory")
+        .queryName("fun_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.stage_reached)
+        for r in spark.sql(
+            "select user_id, max(stage_reached) as stage_reached from fun_out group by user_id"
+        ).collect()
+    }
+    assert got == batch and len(batch) > 0

@@ -304,3 +304,84 @@ def stream_interval_join(
         "inner",
     )
     return joined.drop("__bucket")
+
+
+def stream_funnel(
+    events: DataFrame,
+    stages: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    state_ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Per-user funnel state machine — a CUSTOM STATEFUL streaming
+    operator via ``applyInPandasWithState``, the streaming twin of the
+    batch fold (operators/funnel.funnel_stages: advance at most one
+    stage per event, stage i requires a ts strictly after stage i-1's
+    first qualifying ts).
+
+    State per user is ONE (stage, ts_micros) pair regardless of event
+    volume; a processing-time TTL bounds the state store. Each
+    micro-batch emits the user's updated ``stage_reached`` (monotone
+    non-decreasing, so downstream ``max`` per user is the final depth).
+    Within a batch events are sorted by event time; ACROSS batches the
+    machine assumes watermark-ordered arrival (an out-of-order stage-1
+    after its stage-2 landed in an earlier batch is not revisited —
+    the standard state-machine trade; the batch operator is the
+    re-statement tool).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    stage_of = {name: i for i, name in enumerate(stages)}
+
+    src = events
+    if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keyed = src.filter(F.col(type_col).isin(list(stages))).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", keyed.schema["user_id"].dataType),
+            T.StructField("stage_reached", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("stage", T.IntegerType()), T.StructField("t", T.LongType())]
+    )
+
+    def _machine(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stage, t = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "et"])
+            for ts, et in zip(pdf["ts"], pdf["et"]):
+                micros = int(ts.value // 1000)
+                want = stage_of.get(et)
+                if want != stage:
+                    continue
+                if stage > 0 and t is not None and micros <= t:
+                    continue
+                stage += 1
+                t = micros
+        state.update((stage, t))
+        state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "stage_reached": [stage]})
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
