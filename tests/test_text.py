@@ -176,3 +176,63 @@ def test_nb_classifier_accepts_column_label(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = nb_classifier_score(df, "doc_id", "text", F.col("lang") == "en")
     assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+def test_gopher_quality_hand_computed(spark):
+    """Known doc: 60 words (50 x 'the' + fillers), clean prose -> passes;
+    bullet-heavy and symbol-heavy docs fail the specific rule."""
+    from vechord_spark.operators.quality import gopher_quality
+
+    good = " ".join(["the word"] * 30)  # 60 words, mean len 3.5, has 'the'
+    bullets = "\n".join(f"- item {i} of the list to be had" for i in range(10))
+    symbols = " ".join(["### word"] * 30)
+    empty = "   "
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, empty)], ["id", "body"]
+    )
+    rows = {r.doc_id: r for r in gopher_quality(df, "id", "body").collect()}
+
+    g = rows[1]
+    assert g.n_words == 60 and abs(g.mean_word_len - 3.5) < 1e-9
+    assert g.symbol_ratio == 0.0 and g.alpha_word_frac == 1.0
+    # required words: only 'the' -> n_required_words == 1 -> fails
+    assert g.n_required_words == 1 and not g.passes_gopher
+
+    b = rows[2]
+    assert b.bullet_line_frac == 1.0 and not b.passes_gopher
+
+    s = rows[3]
+    # 60 words, 90 '#' chars -> ratio 1.5 > 0.1
+    assert abs(s.symbol_ratio - 1.5) < 1e-9 and not s.passes_gopher
+
+    e = rows[4]
+    assert e.n_words == 0 and e.mean_word_len == 0.0 and not e.passes_gopher
+
+
+def test_gopher_quality_passing_doc(spark):
+    """A doc engineered to satisfy every rule passes."""
+    from vechord_spark.operators.quality import gopher_quality
+
+    body = (
+        "the cat sat with all of these and that other thing to have been "
+    ) * 5  # 65 words, plenty of required words, clean
+    df = spark.createDataFrame([(7, body)], ["id", "body"])
+    r = gopher_quality(df, "id", "body").collect()[0]
+    assert r.passes_gopher, r
+    assert r.n_required_words >= 5
+    assert 3.0 <= r.mean_word_len <= 10.0
+
+
+def test_gopher_quality_ellipsis_lines(spark):
+    from vechord_spark.operators.quality import gopher_quality
+
+    body = "\n".join(
+        ["the line of text to be had with that"] * 6
+        + ["trailing off with the rest..."] * 4
+    )
+    r = gopher_quality(
+        spark.createDataFrame([(1, body)], ["id", "body"]), "id", "body"
+    ).collect()[0]
+    assert abs(r.ellipsis_line_frac - 0.4) < 1e-9
+    # 0.4 > 0.3 threshold -> fails despite everything else
+    assert not r.passes_gopher

@@ -225,3 +225,106 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1 —
+# the MassiveText filter that open pipelines (RedPajama, Dolma, FineWeb)
+# reuse). Reference anchor: vechord has no corpus-quality surface — this
+# is a driver-mandated training-data extension.
+# ---------------------------------------------------------------------------
+
+#: the eight "required" English words; a Gopher-passing doc contains >= 2
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule report: every signal the original rule
+    set measures, plus the combined ``passes_gopher`` verdict.
+
+    - ``n_words`` / ``mean_word_len`` — whitespace words (punctuation
+      kept attached, as in the paper)
+    - ``symbol_ratio`` — ('#' + ellipsis occurrences) / words
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — over non-empty
+      trimmed lines (split on newline)
+    - ``alpha_word_frac`` — words containing >= 1 alphabetic char
+    - ``n_required_words`` — how many of the eight required English
+      words appear at least once
+
+    Scale shape: every signal is a Column expression over one scan —
+    no explode, no shuffle, whole-stage codegen end to end. At 100 TB
+    this is the cheapest possible pass (filter pushes into the scan
+    when used as a predicate); the expensive token-distribution
+    signals live in ``repetition_stats``.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_wl = F.when(n_words > 0, F.round(sum_len / n_words, 6)).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ) + F.regexp_count(text, F.lit(r"(\.\.\.|…)"))
+    symbol_ratio = F.when(n_words > 0, F.round(n_symbols / n_words, 6)).otherwise(
+        F.lit(0.0)
+    )
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•‣▶]")))
+    n_ellip = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.when(n_lines > 0, F.round(n_bullet / n_lines, 6)).otherwise(
+        F.lit(0.0)
+    )
+    ellipsis_frac = F.when(n_lines > 0, F.round(n_ellip / n_lines, 6)).otherwise(
+        F.lit(0.0)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n_words > 0, F.round(n_alpha / n_words, 6)).otherwise(
+        F.lit(0.0)
+    )
+    toks = tokenize(text_col)
+    n_req = sum(
+        (F.array_contains(toks, w).cast("int") for w in GOPHER_REQUIRED_WORDS),
+        start=F.lit(0),
+    )
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (n_req >= min_required_words)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_req.cast("int").alias("n_required_words"),
+        passes.alias("passes_gopher"),
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from vechord_spark.functions import text as TX
 from vechord_spark.functions.vector import cosine_distance, l2_distance, negative_dot
 from vechord_spark.operators import dedup as DD
+from vechord_spark.operators import quality as QL
 from vechord_spark.operators.bm25 import bm25_topk as bm25_oneshot
 from vechord_spark.operators.chunk import fixed_size_chunks
 from vechord_spark.operators.fusion import rrf_topk
@@ -3534,6 +3535,109 @@ def source_cap_sample(spark, sf_dir):
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+
+# ===========================================================================
+# Gopher quality rules over a synthesized multi-line corpus (round 5)
+# ===========================================================================
+
+# The synthetic documents table has no newlines/bullets/ellipses, so —
+# exactly like text_redact_pii's PII injection — the query
+# deterministically rebuilds each doc as 7-token lines with
+# doc_id-keyed bullet / ellipsis / '#' decorations, then runs the full
+# Gopher rule set; the oracle proves the rebuild AND the rules
+# byte-identical in DuckDB.
+_GOPHER_LINE_W = 7
+
+
+def _gopher_sql() -> str:
+    toks = _TOK.format(col="text")
+    w = _GOPHER_LINE_W
+    req = ", ".join(f"'{t}'" for t in QL.GOPHER_REQUIRED_WORDS)
+    req_hits = " + ".join(
+        f"CAST(list_contains(toks, '{t}') AS INTEGER)" for t in QL.GOPHER_REQUIRED_WORDS
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN '' ELSE
+               array_to_string(
+                 list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / {w}.0) AS INTEGER) - 1),
+                   i -> CASE WHEN (doc_id + i) % 4 = 0 THEN '- ' ELSE '' END
+                        || array_to_string(list_slice(toks, i * {w} + 1, i * {w} + {w}), ' ')
+                        || CASE WHEN (doc_id + i) % 6 = 0 THEN ' #tag' ELSE '' END
+                        || CASE WHEN (doc_id + i) % 5 = 0 THEN '...' ELSE '' END),
+                 chr(10))
+             END AS body,
+             toks
+      FROM t
+    ),
+    feats AS (
+      SELECT doc_id, toks,
+             list_filter(string_split_regex(body, '\\s+'), x -> x <> '') AS words,
+             list_filter(list_transform(string_split(body, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+             length(body) - length(replace(body, '#', '')) AS n_hash,
+             len(regexp_extract_all(body, '(\\.\\.\\.|…)')) AS n_dots
+      FROM built
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_words,
+           CASE WHEN len(words) > 0 THEN round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6) ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(words) > 0 THEN round(CAST(n_hash + n_dots AS DOUBLE) / len(words), 6) ELSE 0.0 END AS symbol_ratio,
+           CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•‣▶]'))) AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS bullet_line_frac,
+           CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS ellipsis_line_frac,
+           CASE WHEN len(words) > 0 THEN round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+           CAST({req_hits} AS INTEGER) AS n_required_words,
+           (len(words) BETWEEN 50 AND 100000)
+             AND (CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+             AND (CASE WHEN len(words) > 0 THEN CAST(n_hash + n_dots AS DOUBLE) / len(words) ELSE 0.0 END <= 0.1)
+             AND (CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•‣▶]'))) AS DOUBLE) / len(lines) ELSE 0.0 END <= 0.9)
+             AND (CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(lines) ELSE 0.0 END <= 0.3)
+             AND (CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(words) ELSE 0.0 END >= 0.8)
+             AND ({req_hits} >= 2)
+           AS passes_gopher
+    FROM feats
+    """
+
+
+def _gopher_multiline_body(doc_id, toks):
+    """Deterministic multi-line rebuild shared by gopher/line-dedup
+    queries: 7-token lines, doc_id-keyed '- ' bullets, ' #tag' symbols
+    and '...' endings (Spark side of _gopher_sql's `built` CTE)."""
+    w = _GOPHER_LINE_W
+    n_lines = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.when((doc_id + i) % 4 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(toks, i * w + 1, w), " "),
+            F.when((doc_id + i) % 6 == 0, F.lit(" #tag")).otherwise(F.lit("")),
+            F.when((doc_id + i) % 5 == 0, F.lit("...")).otherwise(F.lit("")),
+        ),
+    )
+    return F.when(F.size(toks) == 0, F.lit("")).otherwise(F.array_join(lines, "\n"))
+
+
+@_q("gopher_quality_flags", _gopher_sql())
+def gopher_quality_flags(spark, sf_dir):
+    """Full Gopher rule report (Rae et al. 2021 A1.1: word-count
+    bounds, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, required-word hits) over the
+    decorated multi-line rebuild. Pure Column expressions — one scan,
+    zero shuffles, whole-stage codegen end to end
+    (operators/quality.gopher_quality)."""
+    from vechord_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    body = _gopher_multiline_body(F.col("doc_id"), tokenize("text"))
+    return QL.gopher_quality(
+        docs.select("doc_id", body.alias("text")), "doc_id", "text"
     )
 
 
