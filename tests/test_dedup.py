@@ -226,3 +226,40 @@ def test_duplicate_span_strategies_agree(spark, docs):
     assert a == b
     with pytest.raises(ValueError):
         duplicate_span_stats(sub, "doc_id", "text", strategy="nope")
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Cross-doc boilerplate keeps only its (doc_id, line_no)-first
+    copy; within-doc repeats collapse too; empty lines drop."""
+    import hashlib
+
+    from vechord_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nfooter text\n\nunique two"),
+            (2, "footer text\nown line\nfooter text"),
+            (3, "footer text"),
+        ],
+        ["id", "body"],
+    )
+    rows = {r.doc_id: r for r in line_dedup(docs, "id", "body").collect()}
+    assert rows[1].n_lines == 3 and rows[1].n_kept == 3
+    exp1 = hashlib.md5(b"unique one\nfooter text\nunique two").hexdigest()
+    assert rows[1].kept_md5 == exp1
+    # doc 2: 'footer text' already seen in doc 1 -> both copies dropped
+    assert rows[2].n_lines == 3 and rows[2].n_kept == 1
+    assert rows[2].kept_md5 == hashlib.md5(b"own line").hexdigest()
+    # doc 3: fully boilerplate -> zero kept, empty-string hash
+    assert rows[3].n_lines == 1 and rows[3].n_kept == 0
+    assert rows[3].kept_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_line_dedup_trims_before_matching(spark):
+    from vechord_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "  padded line  "), (2, "padded line")], ["id", "body"]
+    )
+    rows = {r.doc_id: r for r in line_dedup(docs, "id", "body").collect()}
+    assert rows[1].n_kept == 1 and rows[2].n_kept == 0

@@ -760,3 +760,71 @@ def duplicate_span_stats(
             "dup_fraction"
         ),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (the C4 cleaning rule,
+    Raffel et al. 2020 §2.2: any line occurring more than once in the
+    corpus keeps only its first occurrence) — the standard boilerplate
+    scrub (nav bars, cookie banners, footers) before training.
+
+    First occurrence is the corpus-total order ``(doc_id, line_no)``;
+    lines are trimmed, empty lines dropped. Returns one row per input
+    document that had at least one non-empty line:
+
+    - ``n_lines`` — non-empty lines before dedup
+    - ``n_kept`` — lines surviving (first occurrences)
+    - ``kept_md5`` — md5 of the surviving lines re-joined with
+      newline in original order ('' joins to the empty-string hash, so
+      fully-boilerplate docs are still visible)
+
+    Scale shape: posexplode -> ONE exchange keyed on the line text
+    (the ``row_number`` window; a corpus-hot boilerplate line costs
+    its occurrence count in one partition — bounded by docs, never
+    pairwise) -> one doc_id-keyed aggregation to reassemble. No
+    O(corpus^2) anywhere; at 100 TB the line-keyed exchange carries
+    (line, doc_id, line_no) triples only, never full documents.
+
+    Reference anchor: vechord has no corpus-cleaning surface — this is
+    a driver-mandated training-data extension beside the
+    MinHash/SimHash family above.
+    """
+    lines = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("line_no", "line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("kept_md5"),
+        )
+    )

@@ -3552,6 +3552,22 @@ def source_cap_sample(spark, sf_dir):
 _GOPHER_LINE_W = 7
 
 
+def _gopher_body_sql() -> str:
+    """The `built` CTE body expression shared by gopher/line-dedup
+    oracles (DuckDB side of _gopher_multiline_body)."""
+    w = _GOPHER_LINE_W
+    return f"""CASE WHEN len(toks) = 0 THEN '' ELSE
+               array_to_string(
+                 list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / {w}.0) AS INTEGER) - 1),
+                   i -> CASE WHEN (doc_id + i) % 4 = 0 THEN '- ' ELSE '' END
+                        || array_to_string(list_slice(toks, i * {w} + 1, i * {w} + {w}), ' ')
+                        || CASE WHEN (doc_id + i) % 6 = 0 THEN ' #tag' ELSE '' END
+                        || CASE WHEN (doc_id + i) % 5 = 0 THEN '...' ELSE '' END),
+                 chr(10))
+             END"""
+
+
 def _gopher_sql() -> str:
     toks = _TOK.format(col="text")
     w = _GOPHER_LINE_W
@@ -3564,18 +3580,7 @@ def _gopher_sql() -> str:
       SELECT doc_id, {toks} AS toks FROM documents
     ),
     built AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) = 0 THEN '' ELSE
-               array_to_string(
-                 list_transform(
-                   generate_series(0, CAST(ceil(len(toks) / {w}.0) AS INTEGER) - 1),
-                   i -> CASE WHEN (doc_id + i) % 4 = 0 THEN '- ' ELSE '' END
-                        || array_to_string(list_slice(toks, i * {w} + 1, i * {w} + {w}), ' ')
-                        || CASE WHEN (doc_id + i) % 6 = 0 THEN ' #tag' ELSE '' END
-                        || CASE WHEN (doc_id + i) % 5 = 0 THEN '...' ELSE '' END),
-                 chr(10))
-             END AS body,
-             toks
+      SELECT doc_id, {_gopher_body_sql()} AS body, toks
       FROM t
     ),
     feats AS (
@@ -3637,6 +3642,77 @@ def gopher_quality_flags(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     body = _gopher_multiline_body(F.col("doc_id"), tokenize("text"))
     return QL.gopher_quality(
+        docs.select("doc_id", body.alias("text")), "doc_id", "text"
+    )
+
+
+
+_LINE_DEDUP_NOTICE = "copyright notice all rights reserved"
+_LINE_DEDUP_FOOTER = "subscribe to the newsletter for more updates"
+
+
+def _line_dedup_sql() -> str:
+    toks = _TOK.format(col="text")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               CASE WHEN doc_id % 4 = 0 THEN '{_LINE_DEDUP_NOTICE}' END,
+               {_gopher_body_sql()},
+               CASE WHEN doc_id % 3 = 0 THEN '{_LINE_DEDUP_FOOTER}' END) AS body
+      FROM t
+    ),
+    split AS (
+      SELECT doc_id, string_split(body, chr(10)) AS ls FROM built
+    ),
+    lines AS (
+      SELECT doc_id, (s).i - 1 AS line_no, trim((s).l) AS line
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ls)),
+                                     i -> struct_pack(i := i, l := ls[i]))) AS s
+        FROM split
+      )
+      WHERE trim((s).l) <> ''
+    ),
+    ranked AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY line_no)) AS kept_md5
+    FROM ranked
+    GROUP BY doc_id
+    """
+
+
+@_q("dedup_lines_c4", _line_dedup_sql())
+def dedup_lines_c4(spark, sf_dir):
+    """Corpus-wide exact line dedup (the C4 boilerplate scrub): every
+    line keeps only its first (doc_id, line_no) occurrence. The corpus
+    is rebuilt as decorated 7-token lines plus doc_id-keyed injected
+    boilerplate (a copyright header on doc_id%4, a subscribe footer on
+    doc_id%3 — the nav/footer repetition the rule exists to remove),
+    and the oracle proves injection + dedup identical in DuckDB. One
+    line-keyed exchange + one doc_id reassembly agg
+    (operators/dedup.line_dedup)."""
+    from vechord_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat_ws(
+        "\n",
+        F.when(did % 4 == 0, F.lit(_LINE_DEDUP_NOTICE)),
+        _gopher_multiline_body(did, tokenize("text")),
+        F.when(did % 3 == 0, F.lit(_LINE_DEDUP_FOOTER)),
+    )
+    return DD.line_dedup(
         docs.select("doc_id", body.alias("text")), "doc_id", "text"
     )
 
