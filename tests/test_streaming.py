@@ -309,3 +309,89 @@ def test_stream_funnel_matches_batch(spark, events, tmp_path):
         ).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_stream_near_dedup_matches_batch_owners(spark, tmp_path):
+    """Single-batch stream: every LSH bucket's minimum doc_id owns it
+    and every other member emits (doc_id, band, dup_of=owner) — the
+    exact event set derivable from batch minhash_bands."""
+    from vechord_spark.operators.dedup import minhash_bands
+    from vechord_spark.sources.testdata import load_table
+    from vechord_spark.streaming.ingest import stream_near_dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    # clone some docs so buckets actually collide (near-identical text)
+    clones = docs.limit(15).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    src = str(tmp_path / "nd_src")
+    corpus.coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    bands = minhash_bands(static, "doc_id", "text").collect()
+    buckets: dict = {}
+    for r in bands:
+        buckets.setdefault((r.band, r.sig), []).append(r.doc_id)
+    expected = {
+        (m, band, min(ids))
+        for (band, _sig), ids in buckets.items()
+        for m in ids
+        if len(ids) > 1 and m != min(ids)
+    }
+    assert expected, "fixture produced no colliding buckets"
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        stream_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("nd_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.band, r.dup_of)
+        for r in spark.sql("select * from nd_out").collect()
+    }
+    assert got == expected
+    # the kill-list contract: distinct non-owner doc_ids
+    kill = {d for d, _, _ in got}
+    assert all(d >= 100000 or d in {m for m, _, _ in expected} for d in kill)
+
+
+def test_stream_near_dedup_owner_persists_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the first batch's doc
+    owns its buckets; the near-identical doc arriving in batch 2 emits
+    dup_of pointing at it — state survives between batches."""
+    from vechord_spark.streaming.ingest import stream_near_dedup
+
+    src = tmp_path / "nd2_src"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame([(1, base)], ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(
+        [(2, base + " tail")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    schema = spark.read.parquet(str(src / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("nd2_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from nd2_out").collect()
+    assert rows, "expected at least one shared bucket between the clones"
+    assert all(r.doc_id == 2 and r.dup_of == 1 for r in rows)

@@ -385,3 +385,85 @@ def stream_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_near_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    ngram: int = 3,
+    state_ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection — a CUSTOM
+    STATEFUL operator via ``applyInPandasWithState``, the incremental
+    twin of the batch candidate generator
+    (operators/dedup.minhash_bands / dedup_incremental).
+
+    The band projection is the SAME stateless expression pipeline as
+    batch; state lives per (band, sig) LSH bucket and is exactly ONE
+    long — the bucket's first-arrived doc_id (its *owner*) — plus a
+    processing-time TTL, so state is bounded by distinct buckets, never
+    by corpus size, and a boilerplate-hot bucket costs the same as a
+    cold one. Each micro-batch emits one ``(doc_id, band, dup_of)`` row
+    per non-owner arrival; downstream ``.select("doc_id").distinct()``
+    is the kill-list (a doc colliding with an owner in ANY band is a
+    near-dup candidate, the standard LSH OR-construction). Within a
+    micro-batch arrival order is doc_id order (deterministic); across
+    batches it is stream order — the first batch's minimum owns the
+    bucket, which is precisely the incremental-ingest contract (new
+    arrivals dedup against the established corpus).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from vechord_spark.operators.dedup import minhash_bands
+
+    bands = minhash_bands(
+        docs, id_col, text_col,
+        num_hashes=num_hashes, band_size=band_size, ngram=ngram,
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("dup_of", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("owner", T.LongType())])
+
+    def _bucket(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        owner = state.get[0] if state.exists else None
+        band = int(key[0])
+        out_ids, out_owners = [], []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for did in sorted(int(d) for d in pdf["doc_id"]):
+                if owner is None:
+                    owner = did
+                elif did != owner:
+                    out_ids.append(did)
+                    out_owners.append(owner)
+        state.update((owner,))
+        state.setTimeoutDuration(state_ttl_ms)
+        if out_ids:
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "band": band, "dup_of": out_owners}
+            )
+
+    keyed = bands.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "band", "sig"
+    )
+    return keyed.groupBy("band", "sig").applyInPandasWithState(
+        _bucket,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
