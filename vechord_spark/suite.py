@@ -3807,14 +3807,12 @@ _WINDOW_PRIORITY = [
     "skew_salted_revenue",
     "bucketed_customer_revenue",
     # dedup suite
-    "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_survivors",
     "dedup_embedding_bucketed",
     # text analysis / training-data ops
     "text_stats",
-    "text_quality",
     "lang_id",
     "doc_length_quantiles",
     "token_vocab_topk",
@@ -3832,6 +3830,13 @@ _WINDOW_PRIORITY = [
     "quantile_sketch_gate",
     # round-5b analytics gates
     "embedding_pca_gate",
+    # round-5c training-data additions (new operators — must be
+    # driver-checked): full Gopher rule set, C4 corpus-line dedup.
+    # Rotated OUT to make room (green in CORRECTNESS_r04, families
+    # still in-window): text_quality (gopher_quality_flags + nb_quality
+    # cover quality), dedup_exact_fingerprint (5 dedup entries stay).
+    "gopher_quality_flags",
+    "dedup_lines_c4",
 ]
 
 
