@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_redact_pii",
     "dedup_spans",
+    "gopher_quality_flags",
+    "dedup_lines_c4",
     "sample_documents",
     "sample_stratified",
     "source_cap_sample",
