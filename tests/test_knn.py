@@ -116,3 +116,55 @@ def test_quantize_int8_codes_and_clamp(spark):
     (codes,) = df.select(quantize_int8("v").alias("q")).first()
     # floor(x*127 + 0.5) with clamp to [-127, 127]
     assert codes == [0, 127, -127, 64, 127, -127, 0]
+
+
+def test_binary_signature_matches_driver_packing(spark):
+    from vechord_spark.functions.vector import binary_signature, signature_of
+
+    vecs = [
+        [1.0, -1.0, 0.0, 2.0] * 16,          # 64-dim, pattern 1001 repeating
+        [-0.5] * 64,
+        [0.001] * 64,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], ["id", "v"])
+    got = {
+        r.id: list(r.sig)
+        for r in df.select("id", binary_signature("v", 64).alias("sig")).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == signature_of(v), (i, got[i], signature_of(v))
+    assert got[1] == [0, 0] and got[2] == [2**32 - 1, 2**32 - 1]
+
+
+def test_hamming_distance_known(spark):
+    from vechord_spark.functions.vector import hamming_distance
+
+    df = spark.createDataFrame(
+        [([0b1010, 0], [0b0110, 1])], ["a", "b"]
+    ).select(
+        F.col("a").cast("array<long>").alias("a"),
+        F.col("b").cast("array<long>").alias("b"),
+    )
+    assert df.select(hamming_distance("a", "b").alias("h")).collect()[0].h == 3
+
+
+def test_binary_knn_full_refine_equals_exact(spark):
+    """With refine >= corpus size the rerank scores every row, so the
+    result must equal brute-force exact knn."""
+    from vechord_spark.operators.knn import binary_knn, knn
+    from vechord_spark.sources.testdata import load_table
+    from vechord_spark.suite import QVEC
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    exact = [
+        r.vec_id
+        for r in knn(emb, "embedding", QVEC, k=10, distance="cos",
+                     tie_break="vec_id").select("vec_id").collect()
+    ]
+    approx = [
+        r.vec_id
+        for r in binary_knn(emb, "vec_id", "embedding", QVEC, dim=64,
+                            topk=10, refine=n).collect()
+    ]
+    assert approx == exact

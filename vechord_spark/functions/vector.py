@@ -138,3 +138,58 @@ def quantize_int8(vec: ColumnOrName, scale: float = 127.0) -> Column:
             F.least(F.lit(127), F.floor(x.cast("double") * scale + F.lit(0.5))),
         ).cast("tinyint"),
     )
+
+
+def binary_signature(vec: ColumnOrName, dim: int, word_bits: int = 32) -> Column:
+    """Sign-bit binary quantization: ``array<long>`` of ``word_bits``-bit
+    words, bit ``i`` (within its word) set when ``vec[i] > 0`` — the
+    32x-compression estimate representation of binary-hash retrieval
+    (pgvector ``bit`` vectors / the BPR recipe). 32 bits per long keeps
+    every word positive, so Spark and DuckDB integer semantics agree
+    bit-for-bit (no sign-bit edge at 1<<63).
+
+    Powers of two come from ``pow(2, i)`` in double (exact below 2^53)
+    so the same expression transcribes to the SQL oracle verbatim.
+    """
+    v = _as_col(vec)
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    def _word(lo: int, hi: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(lo), F.lit(hi - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(v, i.cast("int") + 1).cast("double") > 0.0,
+                F.pow(F.lit(2.0), (i - lo).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    for w in range(n_words):
+        lo = w * word_bits
+        words.append(_word(lo, min(lo + word_bits, dim)))
+    return F.array(*words)
+
+
+def hamming_distance(a: ColumnOrName, b: Union[ColumnOrName, Column]) -> Column:
+    """Hamming distance between two packed-word signature arrays
+    (``binary_signature`` outputs): sum of ``bit_count(xor)`` per word."""
+    ca, cb = _as_col(a), b if isinstance(b, Column) else _as_col(b)
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def signature_of(vector: Sequence[float], word_bits: int = 32) -> list[int]:
+    """Driver-side twin of ``binary_signature`` for literal query
+    vectors (bit-identical packing)."""
+    out = []
+    for w in range(0, len(vector), word_bits):
+        word = 0
+        for i, x in enumerate(vector[w : w + word_bits]):
+            if x > 0:
+                word |= 1 << i
+        out.append(word)
+    return out

@@ -121,3 +121,53 @@ def knn_join(
             "rank",
         )
     )
+
+
+def binary_knn(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    dim: int,
+    topk: int = 10,
+    refine: int = 50,
+    distance: str = "cos",
+) -> DataFrame:
+    """Binary-quantized estimate -> exact-refine k-NN: the 32x-smaller
+    scan path for embedding search at corpus scale (the same
+    estimate->refine shape as the PQ path, operators/pq.py, with sign
+    bits instead of codebooks — pgvector's ``bit`` + ``<~>`` rerank
+    recipe).
+
+    Stage 1 scans ONLY the packed sign words: Hamming distance to the
+    query signature, ``orderBy(hamming, id).limit(refine)`` compiles to
+    TakeOrderedAndProject (per-partition bounded heap, no shuffle — at
+    100 TB this stage reads the 32x-compressed column and moves
+    ``refine`` rows total). Stage 2 broadcast-semi-joins the survivor
+    ids back to fetch full vectors and exact-scores them. Ties break on
+    the id at both stages, so the result is deterministic and
+    oracle-checkable end to end.
+    """
+    from vechord_spark.functions.vector import binary_signature, signature_of
+
+    qsig = signature_of(list(query))
+    sig = binary_signature(vec_col, dim)
+    qsig_col = F.array(*[F.lit(w).cast("long") for w in qsig])
+    ham = F.aggregate(
+        F.zip_with(sig, qsig_col, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        df.select(F.col(id_col), ham.alias("hamming"))
+        .orderBy("hamming", id_col)
+        .limit(refine)
+    )
+    exact = df.join(F.broadcast(cands), id_col).withColumn(
+        "distance", vector_distance(distance, vec_col, query)
+    )
+    return (
+        exact.select(id_col, "hamming", F.round("distance", 6).alias("distance"))
+        .orderBy("distance", id_col)
+        .limit(topk)
+    )

@@ -3717,6 +3717,65 @@ def dedup_lines_c4(spark, sf_dir):
     )
 
 
+
+# ===========================================================================
+# binary-signature estimate -> exact-refine ANN (round 5c)
+# ===========================================================================
+
+
+def _binary_knn_sql(refine: int = 50, topk: int = 10) -> str:
+    from vechord_spark.functions.vector import signature_of
+
+    q0, q1 = signature_of(QVEC)
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             list_transform(generate_series(0, 1), w ->
+               CAST(list_sum(list_transform(generate_series(0, 31), i ->
+                 CASE WHEN embedding[w * 32 + i + 1] > 0
+                      THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS s
+      FROM embeddings
+    ),
+    qh AS (
+      SELECT vec_id, embedding,
+             bit_count(xor(s[1], {q0}::BIGINT)) + bit_count(xor(s[2], {q1}::BIGINT)) AS hamming
+      FROM sig
+    ),
+    cand AS (
+      SELECT vec_id, embedding, hamming
+      FROM qh ORDER BY hamming, vec_id LIMIT {refine}
+    ),
+    exact AS (
+      SELECT vec_id, CAST(hamming AS INT) AS hamming,
+             1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QV_SQL}) AS d
+      FROM cand
+    )
+    SELECT vec_id, hamming,
+           CAST(row_number() OVER (ORDER BY d, vec_id) AS INT) AS rank
+    FROM exact
+    ORDER BY rank
+    LIMIT {topk}
+    """
+
+
+@_q("knn_binary_refine", _binary_knn_sql())
+def knn_binary_refine(spark, sf_dir):
+    """Binary sign-bit quantization (32x-compressed estimate column) ->
+    Hamming TakeOrderedAndProject over the packed words -> broadcast
+    the `refine` survivor ids back for exact cosine rerank
+    (operators/knn.binary_knn, the pgvector bit + rerank recipe).
+    Integer hamming and ranks only — no float hashing."""
+    from pyspark.sql import Window
+    from vechord_spark.operators.knn import binary_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = binary_knn(emb, "vec_id", "embedding", QVEC, dim=64, topk=10, refine=50)
+    w = Window.orderBy("distance", "vec_id")
+    return out.select(
+        "vec_id", "hamming", F.row_number().over(w).alias("rank")
+    )
+
+
 # ===========================================================================
 # registration order: the driver's correctness gate checks the FIRST 50
 # entries of QUERIES. Keep the highest-signal set — every §2-mapped
@@ -3818,7 +3877,6 @@ _WINDOW_PRIORITY = [
     "token_vocab_topk",
     "corpus_mix",
     "doc_unigram_logprob",
-    "sequence_pack",
     # round-5 training-data additions
     "decontaminate_report",
     "split_shards",
@@ -3837,6 +3895,9 @@ _WINDOW_PRIORITY = [
     # cover quality), dedup_exact_fingerprint (5 dedup entries stay).
     "gopher_quality_flags",
     "dedup_lines_c4",
+    # binary-signature ANN (new operator; sequence_pack rotates out —
+    # green in r4, pack family stays pytest-parity-verified)
+    "knn_binary_refine",
 ]
 
 
