@@ -236,3 +236,33 @@ def test_gopher_quality_ellipsis_lines(spark):
     assert abs(r.ellipsis_line_frac - 0.4) < 1e-9
     # 0.4 > 0.3 threshold -> fails despite everything else
     assert not r.passes_gopher
+
+
+def test_top_tfidf_terms_hand_computed(spark):
+    """3-doc corpus: a term unique to one doc outranks corpus-wide
+    terms; ties break alphabetically; ranks are 1..k."""
+    import math
+
+    from vechord_spark.operators.quality import top_tfidf_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common common cherry"),
+        ],
+        ["id", "body"],
+    )
+    out = top_tfidf_terms(docs, "id", "body", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    for v in by_doc.values():
+        v.sort()
+    # doc 1: apple tf=2 df=1 -> 2*(ln(4/2)+1); banana tf=1 df=2
+    exp_apple = round(2 * (math.log(4 / 2) + 1), 6)
+    assert by_doc[1][0] == (1, "apple", exp_apple)
+    assert by_doc[1][1][1] == "banana"
+    # doc 3: common tf=2 df=3 -> idf = ln(4/4)+1 = 1 -> score 2.0
+    assert by_doc[3][0] == (1, "common", 2.0)
+    assert all(len(v) == 2 for v in by_doc.values())

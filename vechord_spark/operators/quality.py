@@ -328,3 +328,46 @@ def gopher_quality(
         n_req.cast("int").alias("n_required_words"),
         passes.alias("passes_gopher"),
     )
+
+
+def top_tfidf_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document keyphrase extraction: top-``k`` terms by smoothed
+    TF-IDF (``tf * (ln((N+1)/(df+1)) + 1)``, the sklearn smoothing so
+    unseen-term idf stays finite), ties broken by term — the classic
+    unsupervised doc-labeling / topic-signal pass over a corpus.
+
+    Scale shape: one tokenize pass -> (doc, term) counts (map-side
+    combinable) -> term-keyed document-frequency aggregation joined
+    back on the term key -> per-doc window top-k. Three key-parallel
+    exchanges, no broadcast of the vocabulary (corpus-sized vocab
+    cannot be broadcast at 100 TB), no O(vocab x docs) anywhere.
+
+    ``n_docs``: pass the corpus size if already known to keep the count
+    out of the plan; defaults to ``df.count()``.
+    """
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
+    scored = counts.join(dfreq, "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", F.round("score", 6).alias("score"))
+    )
