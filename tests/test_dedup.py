@@ -263,3 +263,43 @@ def test_line_dedup_trims_before_matching(spark):
     )
     rows = {r.doc_id: r for r in line_dedup(docs, "id", "body").collect()}
     assert rows[1].n_kept == 1 and rows[2].n_kept == 0
+
+
+def test_line_dedup_randomized_against_python_model(spark):
+    """Seeded random corpora with a tiny line alphabet (forcing heavy
+    cross-doc collisions) must match a pure-Python first-occurrence
+    model exactly — counts and surviving-text hash."""
+    import hashlib
+    import random
+
+    vocab = ["alpha line", "beta line", "gamma", "delta text", " padded  ", ""]
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        corpus = [
+            (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+            for i in range(60)
+        ]
+        # python model: global first-occurrence by (doc_id, line_no)
+        seen, model = set(), {}
+        for did, body in sorted(corpus):
+            lines = [l.strip() for l in body.split("\n")]
+            lines = [(no, l) for no, l in enumerate(lines) if l != ""]
+            kept = []
+            for no, l in lines:
+                if l not in seen:
+                    seen.add(l)
+                    kept.append(l)
+            if lines:
+                model[did] = (
+                    len(lines),
+                    len(kept),
+                    hashlib.md5("\n".join(kept).encode()).hexdigest(),
+                )
+        from vechord_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(corpus, ["id", "body"])
+        got = {
+            r.doc_id: (r.n_lines, r.n_kept, r.kept_md5)
+            for r in line_dedup(df, "id", "body").collect()
+        }
+        assert got == model, f"seed {seed}"
