@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_redact_pii",
     "dedup_spans",
     "gopher_quality_flags",
+    "text_repetition_chars",
     "knn_binary_refine",
     "dedup_lines_c4",
     "sample_documents",

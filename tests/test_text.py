@@ -266,3 +266,44 @@ def test_top_tfidf_terms_hand_computed(spark):
     # doc 3: common tf=2 df=3 -> idf = ln(4/4)+1 = 1 -> score 2.0
     assert by_doc[3][0] == (1, "common", 2.0)
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_repetition_char_fractions_hand_computed(spark):
+    from vechord_spark.operators.quality import repetition_char_fractions
+
+    # doc 1: 3 lines, 'dup line' twice (8 chars each), 'solo' once (4)
+    #   dup_line_frac = 2/3; dup_line_char_frac = 16/20
+    # tokens: dup line dup line solo -> 2-grams: 'dup line' x2,
+    # 'line dup' 'line solo' -> top = 2*(8-1)=14 chars? gchars=len-1=7
+    # tchars = 3+4+3+4+4 = 18 -> top_frac = 14/18
+    # 5-grams: exactly one ('dup line dup line solo') c=1 -> dup5 = 0
+    body1 = "dup line\nsolo\ndup line"
+    # doc 2: no repetition at all
+    body2 = "alpha beta\ngamma delta"
+    df = spark.createDataFrame([(1, body1), (2, body2)], ["id", "body"])
+    rows = {r.doc_id: r for r in repetition_char_fractions(df, "id", "body").collect()}
+    r1 = rows[1]
+    assert abs(r1.dup_line_frac - round(2 / 3, 6)) < 1e-9
+    assert abs(r1.dup_line_char_frac - 0.8) < 1e-9
+    assert abs(r1.top_ngram_char_frac - round(14 / 18, 6)) < 1e-9
+    assert r1.dup_ngram_char_frac == 0.0
+    r2 = rows[2]
+    assert r2.dup_line_frac == 0.0 and r2.dup_line_char_frac == 0.0
+    assert r2.dup_ngram_char_frac == 0.0
+    # 4 tokens -> single whole-text 5-gram, c=1 -> still 0; top 2-gram
+    # 'alpha beta' c=1 gchars=10-1=9; tchars=5+4+5+5=19 -> 9/19
+    assert abs(r2.top_ngram_char_frac - round(9 / 19, 6)) < 1e-9
+
+
+def test_repetition_char_fractions_empty_doc(spark):
+    from vechord_spark.operators.quality import repetition_char_fractions
+
+    df = spark.createDataFrame([(1, ""), (2, "   \n  ")], ["id", "body"])
+    rows = {r.doc_id: r for r in repetition_char_fractions(df, "id", "body").collect()}
+    for r in rows.values():
+        assert (
+            r.dup_line_frac == 0.0
+            and r.dup_line_char_frac == 0.0
+            and r.top_ngram_char_frac == 0.0
+            and r.dup_ngram_char_frac == 0.0
+        )

@@ -371,3 +371,128 @@ def top_tfidf_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "rank", F.round("score", 6).alias("score"))
     )
+
+
+def repetition_char_fractions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ngram: int = 2,
+    dup_ngram: int = 5,
+) -> DataFrame:
+    """The character-weighted half of the Gopher repetition rules
+    (Rae et al. 2021 A1.1, the counts-based half is
+    ``repetition_stats``):
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — within-doc
+      duplicate lines, by count and by character mass
+    - ``top_ngram_char_frac`` — characters covered by the most
+      frequent word ``top_ngram``-gram (count x gram token chars /
+      total token chars, the standard open-pipeline approximation of
+      the paper's overlapping-occurrence count, capped at 1)
+    - ``dup_ngram_char_frac`` — characters in ``dup_ngram``-grams
+      occurring more than once, same approximation
+
+    Ties for the top gram break lexicographically; gram character
+    mass excludes the joining spaces (``len(gram) - (n-1)``) so both
+    engines count identical characters. Docs with no tokens emit 0.0
+    everywhere. Scale shape: three explode+doc-keyed aggregations, all
+    map-side combinable, state per doc O(distinct lines + grams).
+    """
+    doc = F.col(id_col).alias("doc_id")
+
+    lines = (
+        df.select(
+            doc,
+            F.explode(
+                F.filter(
+                    F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+                    lambda l: l != "",
+                )
+            ).alias("line"),
+        )
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                / F.sum("c"),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.sum(
+                    F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0)
+                )
+                / F.sum(F.col("c") * F.length("line")),
+                6,
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    def gram_counts(n: int):
+        return (
+            df.select(doc, F.explode(word_ngrams(text_col, n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("gchars", F.length("g") - F.lit(n - 1))
+        )
+
+    total = (
+        df.select(doc, tokenize(text_col).alias("toks"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.col("toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+            ).alias("tchars"),
+        )
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+    top = (
+        gram_counts(top_ngram)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("c") * F.col("gchars")).alias("top_chars"))
+    )
+    dup = (
+        gram_counts(dup_ngram)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("gchars")).otherwise(0)
+            ).alias("dup_chars")
+        )
+    )
+    return (
+        total.join(lines, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.round(
+                F.when(
+                    F.col("tchars") > 0,
+                    F.least(
+                        F.lit(1.0),
+                        F.coalesce("top_chars", F.lit(0)) / F.col("tchars"),
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_ngram_char_frac"),
+            F.round(
+                F.when(
+                    F.col("tchars") > 0,
+                    F.least(
+                        F.lit(1.0),
+                        F.coalesce("dup_chars", F.lit(0)) / F.col("tchars"),
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ngram_char_frac"),
+        )
+    )

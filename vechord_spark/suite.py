@@ -3817,6 +3817,112 @@ def doc_tfidf_terms(spark, sf_dir):
     )
 
 
+
+def _rep_char_sql() -> str:
+    toks = _TOK.format(col="text")
+    toks2 = _TOK.format(col="body")
+
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN len(toks2) >= {n} THEN "
+            f"list_transform(generate_series(1, len(toks2) - {n - 1}),"
+            f" i -> array_to_string(list_slice(toks2, i, i + {n - 1}), ' ')) "
+            f"ELSE [array_to_string(toks2, ' ')] END"
+        )
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    built AS (
+      SELECT doc_id, {_gopher_body_sql()} AS body0 FROM t
+    ),
+    b2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 AND body0 <> ''
+                  THEN body0 || chr(10) || string_split(body0, chr(10))[1]
+                  ELSE body0 END AS body
+      FROM built
+    ),
+    lt AS (SELECT doc_id, {toks2} AS toks2 FROM b2),
+    lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(body, chr(10))) AS l FROM b2)
+      WHERE trim(l) <> ''
+    ),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+    lstats AS (
+      SELECT doc_id,
+             round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_line_frac,
+             round(CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS DOUBLE) / sum(c * length(line)), 6) AS dup_line_char_frac
+      FROM lc GROUP BY doc_id
+    ),
+    g2 AS (
+      SELECT doc_id, g, count(*) AS c, length(g) - 1 AS gchars
+      FROM (SELECT doc_id, unnest({grams(2)}) AS g FROM lt)
+      GROUP BY doc_id, g
+    ),
+    top2 AS (
+      SELECT doc_id, c * gchars AS top_chars
+      FROM (SELECT doc_id, c, gchars,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+            FROM g2)
+      WHERE rn = 1
+    ),
+    g5 AS (
+      SELECT doc_id, g, count(*) AS c, length(g) - 4 AS gchars
+      FROM (SELECT doc_id, unnest({grams(5)}) AS g FROM lt)
+      GROUP BY doc_id, g
+    ),
+    dup5 AS (
+      SELECT doc_id, sum(CASE WHEN c > 1 THEN c * gchars ELSE 0 END) AS dup_chars
+      FROM g5 GROUP BY doc_id
+    ),
+    total AS (
+      SELECT doc_id,
+             coalesce(list_sum(list_transform(toks2, x -> length(x))), 0) AS tchars
+      FROM lt
+    )
+    SELECT total.doc_id,
+           coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+           coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           round(CASE WHEN tchars > 0
+                 THEN least(1.0, CAST(coalesce(top_chars, 0) AS DOUBLE) / tchars)
+                 ELSE 0.0 END, 6) AS top_ngram_char_frac,
+           round(CASE WHEN tchars > 0
+                 THEN least(1.0, CAST(coalesce(dup_chars, 0) AS DOUBLE) / tchars)
+                 ELSE 0.0 END, 6) AS dup_ngram_char_frac
+    FROM total
+    LEFT JOIN lstats USING (doc_id)
+    LEFT JOIN top2 USING (doc_id)
+    LEFT JOIN dup5 USING (doc_id)
+    """
+
+
+@_q("text_repetition_chars", _rep_char_sql())
+def text_repetition_chars(spark, sf_dir):
+    """Character-weighted Gopher repetition signals (the other half of
+    text_repetition's count-based ones): within-doc duplicate-line
+    count/char fractions, top-2-gram char coverage, duplicated-5-gram
+    char coverage (operators/quality.repetition_char_fractions). The
+    multi-line rebuild gains a doc_id%2-keyed repeat of its first line
+    so the line signals are exercised; three doc-keyed explode+agg
+    branches, all map-side combinable."""
+    from vechord_spark.functions.text import tokenize
+    from vechord_spark.operators.quality import repetition_char_fractions
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body0 = _gopher_multiline_body(did, tokenize("text"))
+    body = F.when(
+        (did % 2 == 0) & (body0 != ""),
+        F.concat(body0, F.lit("\n"), F.split(body0, "\n").getItem(0)),
+    ).otherwise(body0)
+    return repetition_char_fractions(
+        docs.select("doc_id", body.alias("text")), "doc_id", "text"
+    )
+
+
 # ===========================================================================
 # registration order: the driver's correctness gate checks the FIRST 50
 # entries of QUERIES. Keep the highest-signal set — every §2-mapped
@@ -3940,7 +4046,8 @@ _WINDOW_PRIORITY = [
     # green in r4, pack family stays pytest-parity-verified)
     "knn_binary_refine",
 ]
-# Parked round-5c additions (window full at 50): doc_tfidf_terms —
+# Parked round-5c additions (window full at 50): doc_tfidf_terms,
+# text_repetition_chars —
 # DuckDB-hash-verified on every pytest run via test_oracle_parity;
 # rotate into the window next round.
 
