@@ -26,7 +26,11 @@ from vechord_spark.operators.dedup import (
 )
 from vechord_spark.operators.decontaminate import decontaminate
 from vechord_spark.operators.pack import bin_utilization, pack_sequences
-from vechord_spark.operators.quality import nb_classifier_score, repetition_stats
+from vechord_spark.operators.quality import (
+    gopher_quality,
+    nb_classifier_score,
+    repetition_stats,
+)
 from vechord_spark.operators.sample import (
     hash_fraction,
     split_assign,
@@ -44,6 +48,18 @@ def main() -> None:
     spark = get_spark("corpus-pipeline", master="local[4]", shuffle_partitions=8)
     docs = load_table(spark, SF_DIR, "documents")
     n0 = docs.count()
+
+    # 0. Gopher rule gate (zero-shuffle scan — the cheapest filter runs
+    #    first at scale). The synthetic corpus has no English stopwords
+    #    or newlines, so the stopword/line rules are relaxed here; on a
+    #    real crawl use the paper defaults.
+    gq = gopher_quality(
+        docs, "doc_id", "text", min_words=20, min_required_words=0
+    )
+    docs = docs.join(
+        gq.filter("passes_gopher").select("doc_id"), "doc_id", "left_semi"
+    )
+    n_g = docs.count()
 
     # 1. quality gate: drop docs dominated by repeated tokens/bigrams
     rep = repetition_stats(docs, "doc_id", "text")
@@ -102,7 +118,7 @@ def main() -> None:
     ).first()
 
     print(
-        f"corpus: {n0} docs -> quality {n1} -> classifier {n2} -> dedup {n3} "
+        f"corpus: {n0} docs -> gopher {n_g} -> quality {n1} -> classifier {n2} -> dedup {n3} "
         f"-> decontaminated {n4} -> sample {n5} "
         f"-> {n_bins} bins of {PACK_BUDGET} tokens (mean fill {mean_fill})"
     )
