@@ -395,3 +395,29 @@ def test_stream_near_dedup_owner_persists_across_batches(spark, tmp_path):
     rows = spark.sql("select * from nd2_out").collect()
     assert rows, "expected at least one shared bucket between the clones"
     assert all(r.doc_id == 2 and r.dup_of == 1 for r in rows)
+
+
+def test_gopher_quality_composes_on_stream(spark, tmp_path):
+    """gopher_quality is pure Column expressions, so a streaming frame
+    flows through it unchanged — streamed report == batch report."""
+    from vechord_spark.operators.quality import gopher_quality
+    from vechord_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    src = str(tmp_path / "gq_src")
+    docs.select("doc_id", "text").coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+    batch = {tuple(r) for r in gopher_quality(static, "doc_id", "text").collect()}
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        gopher_quality(stream, "doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("gq_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from gq_out").collect()}
+    assert got == batch and len(batch) == 100
