@@ -303,3 +303,16 @@ def test_line_dedup_randomized_against_python_model(spark):
             for r in line_dedup(df, "id", "body").collect()
         }
         assert got == model, f"seed {seed}"
+
+
+def test_line_dedup_return_text(spark):
+    from vechord_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "keep one\nshared"), (2, "shared\nkeep two")], ["id", "body"]
+    )
+    rows = {
+        r.doc_id: r.kept_text
+        for r in line_dedup(docs, "id", "body", return_text=True).collect()
+    }
+    assert rows == {1: "keep one\nshared", 2: "keep two"}

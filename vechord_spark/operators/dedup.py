@@ -767,6 +767,7 @@ def line_dedup(
     id_col: str,
     text_col: str,
     sep: str = "\n",
+    return_text: bool = False,
 ) -> DataFrame:
     """Corpus-wide exact line deduplication (the C4 cleaning rule,
     Raffel et al. 2020 §2.2: any line occurring more than once in the
@@ -782,6 +783,9 @@ def line_dedup(
     - ``kept_md5`` — md5 of the surviving lines re-joined with
       newline in original order ('' joins to the empty-string hash, so
       fully-boilerplate docs are still visible)
+    - ``kept_text`` (only with ``return_text=True``) — the scrubbed
+      document itself, for feeding the next pipeline stage (the
+      oracle-checked report keeps the hash-only shape)
 
     Scale shape: posexplode -> ONE exchange keyed on the line text
     (the ``row_number`` window; a corpus-hot boilerplate line costs
@@ -805,26 +809,28 @@ def line_dedup(
     )
     w = Window.partitionBy("line").orderBy("doc_id", "line_no")
     ranked = lines.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("rn") == 1,
-                                    F.struct("line_no", "line"),
-                                )
-                            )
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    "\n",
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") == 1, F.struct("line_no", "line"))
                 )
-            ).alias("kept_md5"),
-        )
+            ),
+            lambda s: s["line"],
+        ),
+        "\n",
     )
+    out = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        kept_text.alias("kept_text"),
+    )
+    cols = [
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("kept_text").alias("kept_md5"),
+    ]
+    if return_text:
+        cols.append("kept_text")
+    return out.select(*cols)
