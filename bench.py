@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "dedup_spans",
     "gopher_quality_flags",
     "text_repetition_chars",
+    "corpus_health_by_source",
     "knn_binary_refine",
     "dedup_lines_c4",
     "sample_documents",

@@ -3923,6 +3923,78 @@ def text_repetition_chars(spark, sf_dir):
     )
 
 
+
+def _health_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    toks = _TOK.format(col="text")
+    return f"""
+    WITH t AS (
+      SELECT source, lang, text, {toks} AS toks FROM documents
+    ),
+    f AS (
+      SELECT source, lang,
+             len(toks) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS punct,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mean_len
+      FROM t
+    ),
+    q AS (
+      SELECT source, lang, n_tok, mean_len,
+             round(least(n_tok / 64.0, 1.0) * 0.5
+             + greatest(1.0 - punct * 4.0, 0.0) * 0.3
+             + (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(CAST(n_tok AS DOUBLE)), 6) AS avg_doc_tokens,
+           round(avg(quality), 6) AS avg_quality,
+           round(avg(mean_len), 6) AS avg_token_len,
+           round(CAST(sum(CASE WHEN n_tok < 50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_short,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM q
+    GROUP BY source
+    """
+
+
+@_q("corpus_health_by_source", _health_sql())
+def corpus_health_by_source(spark, sf_dir):
+    """Per-source corpus health dashboard — the report a training-data
+    pipeline emits every ingest wave: volume (docs/tokens), quality
+    score mix, token-shape stats, short-doc fraction, language spread.
+    One scan -> one source-keyed aggregation (map-side combinable;
+    count_distinct(lang) expands to the standard two-phase distinct
+    agg). Composes functions/text quality_score + tokenize."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokenize("text"))
+    return (
+        docs.select(
+            "source",
+            "lang",
+            n_tok.alias("n_tok"),
+            TX.quality_score("text").alias("quality"),
+            TX.mean_token_length("text").alias("mean_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 6).alias("avg_doc_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.avg("mean_len"), 6).alias("avg_token_len"),
+            F.round(
+                F.sum((F.col("n_tok") < 50).cast("double")) / F.count(F.lit(1)), 6
+            ).alias("pct_short"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
 # ===========================================================================
 # registration order: the driver's correctness gate checks the FIRST 50
 # entries of QUERIES. Keep the highest-signal set — every §2-mapped
@@ -4047,7 +4119,7 @@ _WINDOW_PRIORITY = [
     "knn_binary_refine",
 ]
 # Parked round-5c additions (window full at 50): doc_tfidf_terms,
-# text_repetition_chars —
+# text_repetition_chars, corpus_health_by_source —
 # DuckDB-hash-verified on every pytest run via test_oracle_parity;
 # rotate into the window next round.
 
