@@ -33,6 +33,9 @@ def repetition_stats(
 
     Documents with zero tokens produce no row (nothing to measure).
     """
+    from vechord_spark.parallel import spread
+
+    df = spread(df)
     uni = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -353,8 +356,11 @@ def top_tfidf_terms(
     """
     from pyspark.sql import Window
 
+    from vechord_spark.parallel import spread
+
     if n_docs is None:
         n_docs = df.count()
+    df = spread(df)
     counts = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term"))
         .groupBy("doc_id", "term")
@@ -397,8 +403,13 @@ def repetition_char_fractions(
     mass excludes the joining spaces (``len(gram) - (n-1)``) so both
     engines count identical characters. Docs with no tokens emit 0.0
     everywhere. Scale shape: three explode+doc-keyed aggregations, all
-    map-side combinable, state per doc O(distinct lines + grams).
+    map-side combinable, state per doc O(distinct lines + grams); the
+    input is spread() so a single-split scan doesn't serialize the
+    CPU-bound shingling onto one core (no-op on wide inputs).
     """
+    from vechord_spark.parallel import spread
+
+    df = spread(df)
     doc = F.col(id_col).alias("doc_id")
 
     lines = (
