@@ -3995,6 +3995,60 @@ def corpus_health_by_source(spark, sf_dir):
     )
 
 
+
+@_q(
+    "quality_top_fraction",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOK.format(col='text')} AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS punct,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mean_len
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, source,
+             round(least(n_tok / 64.0, 1.0) * 0.5
+             + greatest(1.0 - punct * 4.0, 0.0) * 0.3
+             + (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM f
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS pr
+      FROM q
+    )
+    SELECT doc_id, source, quality FROM r WHERE pr <= 0.5
+    """,
+)
+def quality_top_fraction(spark, sf_dir):
+    """Relative quality filtering — keep the best half of each source
+    (the FineWeb/DCLM pattern: thresholds are per-source percentiles,
+    not global constants, so a clean source isn't over-pruned and a
+    noisy one isn't under-pruned). percent_rank over (source, quality
+    desc, doc_id) is exact and deterministic (doc_id tie-break), one
+    source-keyed window exchange."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .select("doc_id", "source", "quality")
+    )
+
+
 # ===========================================================================
 # registration order: the driver's correctness gate checks the FIRST 50
 # entries of QUERIES. Keep the highest-signal set — every §2-mapped
@@ -4119,7 +4173,7 @@ _WINDOW_PRIORITY = [
     "knn_binary_refine",
 ]
 # Parked round-5c additions (window full at 50): doc_tfidf_terms,
-# text_repetition_chars, corpus_health_by_source —
+# text_repetition_chars, corpus_health_by_source, quality_top_fraction —
 # DuckDB-hash-verified on every pytest run via test_oracle_parity;
 # rotate into the window next round.
 
