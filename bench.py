@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "text_repetition_chars",
     "corpus_health_by_source",
+    "quality_top_fraction",
     "knn_binary_refine",
     "dedup_lines_c4",
     "sample_documents",
