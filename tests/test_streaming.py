@@ -421,3 +421,53 @@ def test_gopher_quality_composes_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("select * from gq_out").collect()}
     assert got == batch and len(batch) == 100
+
+
+def test_stream_line_dedup_matches_batch_events(spark, tmp_path):
+    """Single-batch stream: drop events == every line occurrence past
+    the (doc_id, line_no)-first one, derived independently via the
+    batch window."""
+    from pyspark.sql import Window
+    from vechord_spark.streaming.ingest import stream_line_dedup
+
+    corpus = [
+        (1, "unique one\nshared footer\n\nunique two"),
+        (2, "shared footer\nown line\nshared footer"),
+        (3, "shared footer\nunique three"),
+    ]
+    src = str(tmp_path / "ld_src")
+    spark.createDataFrame(corpus, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    lines = (
+        static.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("rn", F.row_number().over(w)).withColumn(
+        "owner", F.first("doc_id").over(w)
+    )
+    expected = {
+        (r.doc_id, r.line_no, r.owner)
+        for r in ranked.filter("rn > 1").collect()
+    }
+    assert expected, "fixture must contain duplicate lines"
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        stream_line_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("ld_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.line_no, r.dup_of)
+        for r in spark.sql("select * from ld_out").collect()
+    }
+    assert got == expected

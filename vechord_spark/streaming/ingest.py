@@ -467,3 +467,85 @@ def stream_near_dedup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    state_ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming C4 line scrub — the incremental twin of
+    operators/dedup.line_dedup: the corpus-first occurrence of every
+    trimmed line owns it; every later occurrence emits a drop event
+    ``(doc_id, line_no, dup_of)``.
+
+    State is one (owner doc_id, owner line_no) pair per distinct line
+    (grouped on the line text itself — exact semantics, no hash
+    collisions) with a processing-time TTL; a boilerplate line hot in a
+    billion documents still costs ONE state entry. Within a micro-batch
+    arrival order is (doc_id, line_no); across batches stream order —
+    the established corpus owns, new arrivals scrub against it, which
+    is the incremental-ingest contract. Consumers subtract the emitted
+    (doc_id, line_no) pairs from the exploded doc to reassemble the
+    scrubbed text (the batch operator is the restatement tool).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lines = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("line_no", T.IntegerType()),
+            T.StructField("dup_of", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("owner_doc", T.LongType()),
+            T.StructField("owner_line_no", T.IntegerType()),
+        ]
+    )
+
+    def _bucket(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        owner = state.get if state.exists else None
+        out_docs, out_nos, out_owners = [], [], []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["doc_id", "line_no"])
+            for did, no in zip(pdf["doc_id"], pdf["line_no"]):
+                did, no = int(did), int(no)
+                if owner is None:
+                    owner = (did, no)
+                else:
+                    out_docs.append(did)
+                    out_nos.append(no)
+                    out_owners.append(owner[0])
+        state.update(owner)
+        state.setTimeoutDuration(state_ttl_ms)
+        if out_docs:
+            yield pd.DataFrame(
+                {"doc_id": out_docs, "line_no": out_nos, "dup_of": out_owners}
+            )
+
+    return lines.groupBy("line").applyInPandasWithState(
+        _bucket,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
