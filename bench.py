@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "text_repetition_chars",
     "corpus_health_by_source",
     "quality_top_fraction",
+    "doc_tfidf_terms",
     "knn_binary_refine",
     "dedup_lines_c4",
     "sample_documents",
