@@ -174,16 +174,52 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    summary = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "suite_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "n_queries": len(timings),
     }
     if errors:
-        summary["errors"] = errors
-    print(json.dumps(summary))
+        full["errors"] = errors
+    # Full-precision record for BASELINE.md / local diffing.
+    Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
+        json.dumps(full, indent=1) + "\n"
+    )
+
+    # The driver keeps only the last ~2000 chars of output and parses the
+    # last complete JSON line it finds there. With 90+ queries a naive
+    # dumps() exceeds that window and the round's bench artifact becomes
+    # unparseable (this happened in round 5). Emit a compact line and
+    # greedily include per-query timings in BENCH_QUERIES order until a
+    # hard length budget is hit; the remainder lives in BENCH_FULL.json.
+    budget = 1850
+    head = {
+        "metric": "suite_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+    }
+    if errors:
+        head["n_errors"] = len(errors)
+    line_q: dict[str, float] = {}
+    base_len = len(json.dumps({**head, "queries": {}}, separators=(",", ":")))
+    used = base_len
+    for name, dt in timings.items():
+        entry = len(json.dumps({name: round(float(dt), 2)}, separators=(",", ":")))
+        if used + entry > budget:
+            break
+        line_q[name] = round(float(dt), 2)
+        used += entry
+    summary = {**head, "queries": line_q}
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= 2000, f"bench summary line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

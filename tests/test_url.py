@@ -101,3 +101,22 @@ def test_normalize_idempotent_random(spark):
     twice = once.select(F.col("n1"), normalize_url("n1").alias("n2"))
     bad = twice.filter(F.col("n1") != F.col("n2")).collect()
     assert not bad, bad[:5]
+
+
+def test_normalize_schemeless_passthrough(spark):
+    """Scheme-less / malformed URLs fall back to the trimmed input —
+    they must NOT all collapse onto the '' fingerprint (that would make
+    drop_exact_duplicates keep one junk row and silently discard the
+    rest)."""
+    got = _apply(spark, normalize_url, [
+        "  example.com/page  ",
+        "not a url at all",
+        "://missing-scheme",
+        "https://ok.example/page",
+    ])
+    assert got[0] == "example.com/page"
+    assert got[1] == "not a url at all"
+    assert got[2] == "://missing-scheme"
+    assert got[3] == "https://ok.example/page"
+    # distinct junk inputs keep distinct fingerprints
+    assert len(set(got)) == 4

@@ -93,3 +93,19 @@ def test_read_warc_and_to_documents(spark, tmp_path, archive):
     assert rows[0][0] == "http://a.example/"
     assert "alpha beta" in rows[0][1]
     assert all("png" not in u for u, _ in rows)
+
+
+def test_gzip_parse_is_streaming(archive, monkeypatch):
+    """parse_warc_bytes must never materialize the whole decompressed
+    archive (a 1 GB .warc.gz expands 4-5x per task); the gzip path goes
+    through GzipFile, not gzip.decompress."""
+    import vechord_spark.sources.warc as warc_mod
+
+    def _boom(_data):
+        raise AssertionError("gzip.decompress materializes the archive")
+
+    monkeypatch.setattr(warc_mod.gzip, "decompress", _boom)
+    got = list(parse_warc_bytes(gzip.compress(archive)))
+    assert [r["target_uri"] for r in got] == [
+        r["target_uri"] for r in parse_warc_bytes(archive)
+    ]

@@ -24,12 +24,19 @@ def _col(c) -> Column:
 def normalize_url(url) -> Column:
     """Canonical form for dedup keys: lowercase scheme+host, default
     ports stripped, fragment dropped, tracking params (utm_*, fbclid,
-    gclid) removed, trailing ``/`` and empty ``?`` trimmed."""
-    u = F.trim(_col(url))
+    gclid) removed, trailing ``/`` and empty ``?`` trimmed.
+
+    Scheme-less or malformed URLs (no ``scheme://`` prefix) pass
+    through as their trimmed input rather than collapsing to ``''`` —
+    otherwise every junk URL would share one dedup fingerprint and
+    ``drop_exact_duplicates`` would keep exactly one of them. Run
+    ``filter_urls`` first when junk should be dropped instead."""
+    raw = F.trim(_col(url))
+    head = F.lower(F.regexp_extract(raw, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
     # lowercase scheme://host, keep path case (paths are case-sensitive)
     u = F.concat(
-        F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
-        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
+        head,
+        F.regexp_extract(raw, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
     )
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
     # scheme-default ports only, whatever follows (path, query, or end)
@@ -42,7 +49,7 @@ def normalize_url(url) -> Column:
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"/\?", "?")  # dir slash before query
     u = F.regexp_replace(u, r"/$", "")
-    return u
+    return F.when(head == "", raw).otherwise(u)
 
 
 def url_host(url) -> Column:

@@ -263,6 +263,15 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
+    # materialize the final ranks, then release the per-call caches —
+    # a long-lived session calling pagerank repeatedly must not leak
+    # executor storage blocks (the checkpoint blocks are tied to the
+    # returned frame's lineage and go away with it)
+    ranks = ranks.localCheckpoint(eager=True)
+    edges_deg.unpersist()
+    base_rows.unpersist()
+    if seeds is not None:
+        seed_nodes.unpersist()
     return ranks
 
 
@@ -323,6 +332,9 @@ def triangle_count(
     )
     nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     ne = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    # three 1-row aggregates -> one lazy result row (crossJoins of
-    # single-row frames, no driver-side collects)
-    return nn.crossJoin(ne).crossJoin(tri)
+    # three 1-row aggregates -> one result row; materialize it eagerly
+    # (it is a single row) so the oriented-edge cache can be released
+    # before returning — no leaked storage blocks across calls
+    out = nn.crossJoin(ne).crossJoin(tri).localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out

@@ -196,6 +196,18 @@ def build_ivf(
     where the bounded sample genuinely can't represent the space
     (lists in the tens of thousands with high-variance corpora).
 
+    BEHAVIOR NOTE (changed in round 5): the default fit moved from
+    MLlib k-means|| to this driver-side sample fit. Measured effect at
+    sf0.01: identical recall at default probes on the full training
+    set, but a low-probe configuration (probes=4 of 64 lists) saw
+    recall drop 0.7 -> 0.4 because fewer, less-converged centroids
+    shift the list boundaries — raise ``probes`` or pass
+    ``fit_method="mllib"`` to recover the old behavior. The training
+    sample is made partitioning-independent by ordering on
+    ``xxhash64(vec)`` before the limit (a per-partition top-K merge,
+    not a full sort), so a fixed seed gives the same centroids on any
+    cluster layout.
+
     Assignment is a broadcast of the centroid matrix + a vectorized
     argmin pass — one scan, no shuffle. Deterministic via fixed seed.
     IVF centroids don't need converged clustering — a few Lloyd
@@ -208,8 +220,17 @@ def build_ivf(
     if fit_method == "sample":
         from vechord_spark.operators.pq import _lloyd
 
+        # hash-ordered limit: limit() alone takes whichever partitions
+        # answer first, so the training set (and thus the centroids)
+        # would depend on cluster layout. Ordering by xxhash64(vec)
+        # compiles to TakeOrderedAndProject (per-partition top-K +
+        # driver merge, no full sort) and is deterministic everywhere.
+        sampled = (
+            train.orderBy(F.xxhash64(F.col("__vec")).asc())
+            .limit(max_train_points)
+        )
         x = np.array(
-            [r["__vec"] for r in train.limit(max_train_points).collect()],
+            [r["__vec"] for r in sampled.collect()],
             dtype=np.float64,
         )
         if x.shape[0] == 0:

@@ -36,13 +36,24 @@ RECORD_SCHEMA = (
 def parse_warc_bytes(data: bytes, path: str = "") -> Iterator[dict]:
     """Iterate records of one (possibly gzip'd) WARC byte blob.
 
+    Decompression is STREAMING: a ``gzip.GzipFile`` over the raw bytes,
+    so peak memory per task is the raw archive plus one record's
+    payload — never the full decompressed archive (a ~1 GB Common Crawl
+    ``.warc.gz`` expands 4-5x; materializing it per task would OOM
+    executors). The raw bytes themselves still arrive whole via Spark's
+    ``binaryFile`` source, which caps files at 2 GiB — within Common
+    Crawl's ~1 GB shard convention, but re-shard larger archives first.
+
     Tolerant of trailing junk and truncated final records (a crashed
     crawler mid-write must not poison the whole archive — only the
-    broken tail is dropped).
+    broken tail is dropped). ``record_offset`` is the offset in the
+    DECOMPRESSED stream.
     """
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # handles concatenated members
-    buf = io.BytesIO(data)
+        # handles concatenated members, one streaming pass
+        buf = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(data)))
+    else:
+        buf = io.BufferedReader(io.BytesIO(data))
     while True:
         offset = buf.tell()
         line = buf.readline()
@@ -78,15 +89,17 @@ def parse_warc_bytes(data: bytes, path: str = "") -> Iterator[dict]:
             "content_type": headers.get("content-type", ""),
             "payload": payload,
         }
-        # skip the two record-terminating CRLFs (and any padding)
+        # skip the two record-terminating CRLFs (and any padding) via
+        # peek, not seek — backward seek on a gzip stream restarts
+        # decompression from byte 0 (quadratic over the archive)
         while True:
-            pos = buf.tell()
-            nl = buf.readline()
-            if not nl:
+            nxt = buf.peek(1)
+            if not nxt:
                 return
-            if nl.strip():
-                buf.seek(pos)
-                break
+            if nxt[:1] in (b"\r", b"\n"):
+                buf.readline()
+                continue
+            break
 
 
 def split_http_response(payload: bytes) -> tuple[str, bytes]:

@@ -3686,7 +3686,7 @@ def _line_dedup_sql() -> str:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           md5(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY line_no)) AS kept_md5
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY line_no), '')) AS kept_md5
     FROM ranked
     GROUP BY doc_id
     """
