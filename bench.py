@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "cube_ship_stats",
     "shipping_priority",
     "large_orders",
+    "promo_revenue",
+    "late_shipments",
+    "dedup_bloom_incremental",
     "corpus_mix",
     "doc_unigram_logprob",
     "decontaminate_report",

@@ -1447,6 +1447,43 @@ def dedup_incremental(spark, sf_dir):
 
 
 @_q(
+    "dedup_bloom_incremental",
+    f"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice({_TOK.format(col='text')}, 1, 5), ' ')) AS fp
+      FROM documents
+    ),
+    seen AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0)
+    SELECT f.doc_id, f.fp
+    FROM fps f
+    LEFT JOIN seen s ON f.fp = s.fp
+    WHERE f.doc_id % 3 <> 0 AND s.fp IS NULL
+    """,
+)
+def dedup_bloom_incremental(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup: the new batch (doc_id%3!=0)
+    probes a Bloom filter built from the seen-set's fingerprints
+    (doc_id%3=0) — definitely-unseen rows never shuffle; only the
+    maybe-seen candidates (true dupes + ~1% false positives) pay the
+    exact anti-join confirm, so the result is EXACT and carries a plain
+    anti-join oracle. The 5-token-prefix fingerprint manufactures real
+    cross-batch overlap. At 100 TB this is the difference between
+    re-shuffling a whole day's crawl and shuffling a percent of it
+    (operators/bloom.bloom_anti_join; hash positions are JVM
+    expressions shared by build and probe, bitset built via bit_or
+    aggregation — m/64 longs to the driver, never the keys)."""
+    from vechord_spark.operators.bloom import bloom_anti_join
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(TX.tokenize("text"), 1, 5)))
+    with_fp = docs.select("doc_id", fp.alias("fp"))
+    seen = with_fp.filter(F.col("doc_id") % 3 == 0).select("fp")
+    new = with_fp.filter(F.col("doc_id") % 3 != 0)
+    return bloom_anti_join(new, seen, "fp", fpp=0.01)
+
+
+@_q(
     "embedding_quantize",
     """
     SELECT vec_id,
@@ -2808,6 +2845,106 @@ def large_orders(spark, sf_dir):
         )
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(20)
+    )
+
+
+@_q(
+    "promo_revenue",
+    """
+    WITH r AS (
+      SELECT p.p_type,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS rev
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY p.p_type
+    ),
+    t AS (SELECT sum(rev) AS total FROM r)
+    SELECT r.p_type,
+           round(CAST(r.rev AS DOUBLE), 2) AS revenue,
+           round(CAST(r.rev AS DOUBLE) / CAST(t.total AS DOUBLE) * 100, 6) AS revenue_pct
+    FROM r CROSS JOIN t
+    ORDER BY r.p_type
+    """,
+)
+def promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: revenue share by part type over a ship-date
+    year. The date filter pushes into the lineitem scan (PushedFilters
+    on l_shipdate); the part join is a dim join AQE broadcasts at bench
+    SF and shuffles at SF100 (no forced hint — part is 20M rows at
+    SF100); the per-type rollup is 6 groups with map-side combine, and
+    the total is a 1-row crossJoin (broadcast by construction), never a
+    driver collect. Revenue sums through DECIMAL(38,6) so the shares
+    are order-independent."""
+    line = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    by_type = (
+        line.join(part, line["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    total = by_type.agg(F.sum("rev").alias("total"))
+    return (
+        by_type.crossJoin(total)
+        .select(
+            "p_type",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("total").cast("double") * 100, 6
+            ).alias("revenue_pct"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@_q(
+    "late_shipments",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS late_frac
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment rate by order priority (shipped
+    more than 90 days after the order date). Two fact tables joined on
+    orderkey — the honest plan is a shuffle join on the key both sides
+    (no broadcast hint could ever be right here; AQE handles skew), then
+    a 5-group CASE-sum aggregate with map-side combine. Integer counts,
+    one exact double division — zero float-parity risk."""
+    line = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        line.join(orders, line["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(late).cast("bigint").alias("n_late"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            "n_late",
+            F.round(F.col("n_late").cast("double") / F.col("n_lines"), 6).alias(
+                "late_frac"
+            ),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
