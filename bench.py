@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "late_shipments",
     "dedup_bloom_incremental",
     "corpus_mix",
+    "temperature_mix",
     "doc_unigram_logprob",
     "decontaminate_report",
     "split_shards",

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "graph_triangles",
     "groundtruth_generate",
     "corpus_mix",
+    "temperature_mix",  # 1-row n_min aggregate crossJoined into the rate table
     "promo_revenue",  # 1-row revenue-total aggregate crossJoined for shares
     "doc_unigram_logprob",
     "nb_quality",

@@ -185,3 +185,42 @@ def test_cap_per_key_rejects_zero(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with _pytest.raises(ValueError):
         cap_per_key(df, "source", 0, order_id="doc_id")
+
+
+def test_temperature_rates_shape(spark):
+    from vechord_spark.operators.sample import temperature_rates
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+         for i in range(1000)],
+        "id long, source string",
+    )
+    rates = {r["source"]: r["rate"] for r in
+             temperature_rates(df, "source", alpha=0.5).collect()}
+    # smallest source binds at rate 1; rates scale as sqrt(n_min/n)
+    assert rates["small"] == 1.0
+    assert abs(rates["mid"] - (10 / 90) ** 0.5) < 1e-12
+    assert abs(rates["big"] - (10 / 900) ** 0.5) < 1e-12
+    # alpha=1 is the natural mix: keep everything
+    nat = {r["source"]: r["rate"] for r in
+           temperature_rates(df, "source", alpha=1.0).collect()}
+    assert set(nat.values()) == {1.0}
+
+
+def test_temperature_sample_flattens_mix(spark):
+    from vechord_spark.operators.sample import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "head" if i < 3000 else "tail") for i in range(3300)],
+        "id long, source string",
+    )
+    kept = temperature_sample(df, "id", "source", alpha=0.5)
+    by = {r["source"]: r["n"] for r in
+          kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # tail keeps everything; head downsamples toward sqrt ratio
+    assert by["tail"] == 300
+    expected_head = 3000 * (300 / 3000) ** 0.5  # ~949
+    assert abs(by["head"] - expected_head) < 0.15 * expected_head
+    # deterministic: identical under repartition
+    again = temperature_sample(df.repartition(7), "id", "source", alpha=0.5)
+    assert again.count() == kept.count()

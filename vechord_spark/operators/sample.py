@@ -194,6 +194,66 @@ def mixture_sample(
     )
 
 
+def temperature_rates(
+    df: DataFrame, source_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-source rates for temperature-based mixing: target weights
+    w_s ∝ c_s^alpha (the multilingual-corpus standard — alpha in (0,1)
+    upsamples tail sources relative to their natural share; alpha=1 is
+    the natural mix, alpha=0 uniform). Rates are scaled so the binding
+    source keeps every row: rate_s = min_t(c_t / w_t) * w_s / c_s,
+    i.e. rate_s ∝ c_s^(alpha-1), normalized so max rate = 1.
+
+    One map-side-combined count per source, then scalar arithmetic on
+    the |sources|-row table — the corpus is scanned once and never
+    shuffled. Returns ``(source, n_rows, rate)``.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    # rate_s ∝ c_s^(alpha-1) with max rate = 1; since alpha <= 1 the
+    # binding (rate-1) source is the SMALLEST, so algebraically
+    # rate_s = (min_t c_t / c_s) ^ (1 - alpha). Computing it as ONE
+    # power of an exact ratio keeps engines bit-identical where the
+    # power function allows: sqrt (alpha=0.5) is IEEE correctly-rounded
+    # everywhere, so that common case is exactly oracle-reproducible;
+    # general pow may differ by 1 ulp across libms (documented).
+    nmin = counts.agg(F.min("n_rows").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n_rows").cast("double")
+    if alpha == 1.0:
+        rate = F.lit(1.0)
+    elif alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    return (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(source_col, "n_rows", rate.alias("rate"))
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically resample ``df`` toward the temperature-alpha
+    mixture. Same plan shape as ``mixture_sample``: the |sources|-row
+    rate table broadcasts, membership is md5(salt || id) vs the
+    per-source threshold — stable under repartitioning and incremental
+    appends, exactly reproducible in the SQL oracle."""
+    rates = temperature_rates(df, source_col, alpha).select(
+        source_col, F.floor(F.col("rate") * F.lit(float(HASH_SPACE))).alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_fraction(id_col, salt) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,

@@ -3094,6 +3094,46 @@ def corpus_mix(spark, sf_dir):
     )
 
 
+@_q(
+    "temperature_mix",
+    f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+    ),
+    nmin AS (SELECT min(n_rows) AS n_min FROM counts),
+    rates AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                        * 4294967296.0) AS BIGINT) AS thr
+      FROM counts CROSS JOIN nmin
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_hash_frac_sql('temp-v1')} < r.thr
+    GROUP BY d.source
+    """,
+)
+def temperature_mix(spark, sf_dir):
+    """Temperature-based corpus resampling (the multilingual c^alpha
+    standard, alpha=0.5): per-source rates sqrt(n_min/n_s) computed
+    IN-PLAN — tail sources keep everything, head sources downsample
+    toward the flattened mix. sqrt is IEEE correctly-rounded in every
+    engine, so the thresholds (and the exact kept-row set) are
+    bit-reproducible in the oracle. Rate table broadcasts; the corpus
+    never shuffles before the filter (operators/sample
+    .temperature_sample)."""
+    from vechord_spark.operators.sample import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "doc_id", "source", alpha=0.5, salt="temp-v1")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
 # word 4-gram shingles for the gate query. Production decontamination
 # uses 8-13-grams (GPT-3: 13, The Pile/Dolma: 8-13) and that is the
 # operator's default (operators/decontaminate.py n=8); the synthetic
