@@ -471,3 +471,42 @@ def test_stream_line_dedup_matches_batch_events(spark, tmp_path):
         for r in spark.sql("select * from ld_out").collect()
     }
     assert got == expected
+
+
+def test_stream_new_docs_matches_batch_anti_join(spark, tmp_path):
+    """stream_new_docs must emit exactly the batch anti-join row set:
+    bloom-negative rows pass straight through, bloom-positive ones are
+    confirmed against the static seen keys per micro-batch."""
+    from vechord_spark.operators.bloom import bloom_anti_join
+    from vechord_spark.sources.testdata import load_table
+    from vechord_spark.streaming.ingest import stream_new_docs
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 5)))
+    with_fp = docs.select("doc_id", fp.alias("fp"))
+    seen = with_fp.filter(F.col("doc_id") % 3 == 0).select("fp")
+    new = with_fp.filter(F.col("doc_id") % 3 != 0)
+
+    src = str(tmp_path / "bloom_src")
+    new.coalesce(2).write.parquet(src)
+    static_new = spark.read.parquet(src)
+    expected = {
+        r.doc_id for r in bloom_anti_join(static_new, seen, "fp").collect()
+    }
+    batch_exact = {
+        r.doc_id for r in static_new.join(seen, "fp", "left_anti").collect()
+    }
+    assert expected == batch_exact  # exactness of the batch operator
+
+    stream = spark.readStream.schema(static_new.schema).parquet(src)
+    q = (
+        stream_new_docs(stream, seen, "fp")
+        .writeStream.format("memory")
+        .queryName("bloom_new")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("select doc_id from bloom_new").collect()}
+    assert got == expected

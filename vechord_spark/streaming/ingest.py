@@ -549,3 +549,44 @@ def stream_line_dedup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_new_docs(
+    stream: DataFrame,
+    seen: DataFrame,
+    key_col: str,
+    fpp: float = 0.01,
+    expected_n: int | None = None,
+) -> DataFrame:
+    """EXACT "never seen before" filter on a stream — the streaming
+    twin of ``operators/bloom.bloom_anti_join`` (incremental-crawl
+    ingestion against an established corpus).
+
+    The Bloom filter is built ONCE, batch-side, from the static
+    seen-set (one scan; m/64 longs to the driver) and broadcast into
+    the stream as a stateless projection: bloom-negative rows are
+    DEFINITELY new and flow map-only with no state and no join;
+    bloom-positive candidates (true dupes + ~fpp of the rest) are
+    confirmed by a stream-static LEFT ANTI join against the seen keys —
+    supported stateless-ly by Structured Streaming, the static side is
+    re-broadcast per micro-batch. Exactness: the bloom has no false
+    negatives, so definite ∪ confirmed is precisely the anti-join.
+
+    State cost: ZERO streaming state (no watermark needed); the only
+    resident memory is the bloom words broadcast. For a seen-set that
+    GROWS as the stream commits, rebuild the bloom between restarts —
+    within a run, new arrivals are not deduped against each other (use
+    ``stream_dedup_first`` downstream for intra-stream exactness).
+    """
+    from vechord_spark.operators.bloom import build_bloom, might_contain
+
+    bloom = build_bloom(seen.select(key_col), key_col, expected_n, fpp)
+    flagged = stream.withColumn(
+        "__maybe_seen", might_contain(stream, key_col, bloom)
+    )
+    definite = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    candidates = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    confirmed = candidates.join(
+        seen.select(key_col).distinct(), key_col, "left_anti"
+    )
+    return definite.unionByName(confirmed)
