@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "dedup_bloom_incremental",
     "corpus_mix",
     "temperature_mix",
+    "table_profile",
     "doc_unigram_logprob",
     "decontaminate_report",
     "split_shards",

@@ -3134,6 +3134,58 @@ def temperature_mix(spark, sf_dir):
     )
 
 
+@_q(
+    "table_profile",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM documents)
+    SELECT p.column, n.n_rows, p.n_nulls,
+           round(CAST(p.n_nulls AS DOUBLE) / n.n_rows, 6) AS null_frac,
+           p.n_distinct, p.min_str, p.max_str,
+           round(p.avg_len, 6) AS avg_len
+    FROM (
+      SELECT 'doc_id' AS column,
+             CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_str,
+             CAST(max(doc_id) AS VARCHAR) AS max_str,
+             CAST(NULL AS DOUBLE) AS avg_len
+      FROM documents
+      UNION ALL
+      SELECT 'source',
+             CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT source) AS BIGINT),
+             min(source), max(source), avg(length(source))
+      FROM documents
+      UNION ALL
+      SELECT 'lang',
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT lang) AS BIGINT),
+             min(lang), max(lang), avg(length(lang))
+      FROM documents
+      UNION ALL
+      SELECT 'text',
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT text) AS BIGINT),
+             min(text), max(text), avg(length(text))
+      FROM documents
+    ) p CROSS JOIN n
+    """,
+)
+def table_profile(spark, sf_dir):
+    """Corpus-card data profile of the documents table: per-column null
+    fraction, exact distinct count, extremes, and average string width —
+    computed for ALL columns in ONE map-side-combined aggregation pass
+    (N_cols x N_stats aggregate expressions in a single HashAggregate),
+    then unpivoted to |columns| rows with stack() on the 1-row result.
+    Oracle-parity mode runs exact count(DISTINCT); the documented 100 TB
+    default is HLL++ approx_count_distinct, which keeps the whole
+    profile single-exchange (operators/profile.profile_columns)."""
+    from vechord_spark.operators.profile import profile_columns
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    return profile_columns(docs, exact_distinct=True)
+
+
 # word 4-gram shingles for the gate query. Production decontamination
 # uses 8-13-grams (GPT-3: 13, The Pile/Dolma: 8-13) and that is the
 # operator's default (operators/decontaminate.py n=8); the synthetic
