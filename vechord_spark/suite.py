@@ -4330,6 +4330,24 @@ def quality_top_fraction(spark, sf_dir):
 # events_asof_join (pytest-parity; events keeps 5 entries),
 # dedup_simhash_pairs (5 dedup entries + graph_triangles stay),
 # lsh_knn (ivf_knn/ivf_recall keep ANN covered).
+# Round-6 rotation: the four queries parked in round 5c rotate IN as
+# promised (doc_tfidf_terms, text_repetition_chars — whose plan was
+# rewritten map-only this round — corpus_health_by_source,
+# quality_top_fraction), plus the five NEW round-6 operators
+# (dedup_bloom_incremental, promo_revenue, late_shipments,
+# temperature_mix, table_profile). Rotated OUT, all green in
+# CORRECTNESS_r05 with their family still represented in-window:
+# shipping_priority + large_orders (rotated in last round to re-check
+# the flipped broadcasts — confirmed green; promo_revenue +
+# late_shipments keep the TPC-H shapes driver-checked),
+# graph_entity_merge (graph keeps 2hop/pagerank/triangles),
+# events_sessionize (events keeps interval_join + sliding_counts),
+# skew_salted_revenue (bucketed_customer_revenue stays),
+# dedup_embedding_bucketed (dedup keeps minhash_lsh/components/
+# survivors + the new bloom entry), text_stats (corpus_health +
+# gopher_quality_flags + lang_id cover text), groundtruth_generate
+# (chunk_regex/delete_cascade/multimodal_meta keep the doc pipeline),
+# corpus_mix (temperature_mix is the same family's new member).
 _WINDOW_PRIORITY = [
     # relational / OLAP core
     "filter_project",
@@ -4337,8 +4355,8 @@ _WINDOW_PRIORITY = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "rollup_order_stats",
-    "shipping_priority",
-    "large_orders",
+    "promo_revenue",
+    "late_shipments",
     # vector / ANN
     "knn_cosine",
     "maxsim_by_label",
@@ -4350,7 +4368,6 @@ _WINDOW_PRIORITY = [
     "hybrid_rrf",
     "rerank_lexical",
     # graph
-    "graph_entity_merge",
     "graph_search_2hop",
     "graph_pagerank",
     "graph_triangles",
@@ -4358,26 +4375,22 @@ _WINDOW_PRIORITY = [
     "chunk_regex",
     "delete_cascade",
     "multimodal_meta",
-    "groundtruth_generate",
     # evaluation
     "eval_ndcg_knn",
     # events / time-series
-    "events_sessionize",
     "events_interval_join",
     "events_sliding_counts",
-    "skew_salted_revenue",
     "bucketed_customer_revenue",
     # dedup suite
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_survivors",
-    "dedup_embedding_bucketed",
+    "dedup_bloom_incremental",
     # text analysis / training-data ops
-    "text_stats",
     "lang_id",
     "doc_length_quantiles",
     "token_vocab_topk",
-    "corpus_mix",
+    "temperature_mix",
     "doc_unigram_logprob",
     # round-5 training-data additions
     "decontaminate_report",
@@ -4390,21 +4403,18 @@ _WINDOW_PRIORITY = [
     "quantile_sketch_gate",
     # round-5b analytics gates
     "embedding_pca_gate",
-    # round-5c training-data additions (new operators — must be
-    # driver-checked): full Gopher rule set, C4 corpus-line dedup.
-    # Rotated OUT to make room (green in CORRECTNESS_r04, families
-    # still in-window): text_quality (gopher_quality_flags + nb_quality
-    # cover quality), dedup_exact_fingerprint (5 dedup entries stay).
+    # round-5c training-data additions
     "gopher_quality_flags",
     "dedup_lines_c4",
-    # binary-signature ANN (new operator; sequence_pack rotates out —
-    # green in r4, pack family stays pytest-parity-verified)
     "knn_binary_refine",
+    # round-5c parked entries, rotated in as promised
+    "doc_tfidf_terms",
+    "text_repetition_chars",
+    "corpus_health_by_source",
+    "quality_top_fraction",
+    # round-6 additions
+    "table_profile",
 ]
-# Parked round-5c additions (window full at 50): doc_tfidf_terms,
-# text_repetition_chars, corpus_health_by_source, quality_top_fraction —
-# DuckDB-hash-verified on every pytest run via test_oracle_parity;
-# rotate into the window next round.
 
 
 def _apply_window_priority() -> None:
