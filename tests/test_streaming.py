@@ -12,6 +12,21 @@ from vechord_spark.streaming.ingest import sessionize, windowed_event_counts
 from vechord_spark.sources.testdata import load_table
 
 
+def _drain(q):
+    """Wait for an availableNow query to finish, then ALWAYS stop it.
+
+    awaitTermination(timeout) RETURNS on timeout without stopping the
+    query — a straggler would keep polling micro-batches for the rest
+    of the pytest session, starving local[4] and compounding into the
+    next straggler (measured: the tail of the suite degraded ~20x).
+    Stopping in finally guarantees no zombie stream survives a test.
+    """
+    try:
+        assert q.awaitTermination(300), "streaming query did not finish in 300s"
+    finally:
+        q.stop()
+
+
 @pytest.fixture()
 def events(spark):
     return load_table(spark, "/root/testdata/sf0.001", "events")
@@ -44,7 +59,7 @@ def test_streaming_windowed_counts(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     got = spark.sql("select sum(n_events) s from evt_counts").collect()[0].s
     assert got == 200
 
@@ -78,7 +93,7 @@ def test_stream_dedup_first_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     rows = spark.sql("select * from dedup_out order by doc_id").collect()
     ids = [r.doc_id for r in rows]
     # doc 3 normalizes to doc 1's fingerprint -> dropped
@@ -164,7 +179,7 @@ def test_streaming_sessionize_matches_batch(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     streamed = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in spark.sql("select * from sess_out").collect()
@@ -193,7 +208,7 @@ def test_windowed_distinct_users_stream_matches_batch(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     got = {
         (r.window_start, r.n_users_approx, r.n_events)
         for r in spark.sql("select * from du_counts").collect()
@@ -230,7 +245,7 @@ def test_trending_topk_over_streamed_counts(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     got = trending_topk(spark.table("tr_counts"), k=2).collect()
     want = trending_topk(
         windowed_event_counts(spark.read.parquet(src), window="1 day"), k=2
@@ -268,7 +283,7 @@ def test_stream_interval_join_matches_batch(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     got = {
         (r.interval_id, r.point_id)
         for r in spark.sql("select * from ssj_out").collect()
@@ -301,7 +316,7 @@ def test_stream_funnel_matches_batch(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     got = {
         (r.user_id, r.stage_reached)
         for r in spark.sql(
@@ -351,7 +366,7 @@ def test_stream_near_dedup_matches_batch_owners(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     got = {
         (r.doc_id, r.band, r.dup_of)
         for r in spark.sql("select * from nd_out").collect()
@@ -391,7 +406,7 @@ def test_stream_near_dedup_owner_persists_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     rows = spark.sql("select * from nd2_out").collect()
     assert rows, "expected at least one shared bucket between the clones"
     assert all(r.doc_id == 2 and r.dup_of == 1 for r in rows)
@@ -418,7 +433,7 @@ def test_gopher_quality_composes_on_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     got = {tuple(r) for r in spark.sql("select * from gq_out").collect()}
     assert got == batch and len(batch) == 100
 
@@ -465,7 +480,7 @@ def test_stream_line_dedup_matches_batch_events(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     got = {
         (r.doc_id, r.line_no, r.dup_of)
         for r in spark.sql("select * from ld_out").collect()
@@ -507,6 +522,6 @@ def test_stream_new_docs_matches_batch_anti_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     got = {r.doc_id for r in spark.sql("select doc_id from bloom_new").collect()}
     assert got == expected

@@ -307,3 +307,24 @@ def test_repetition_char_fractions_empty_doc(spark):
             and r.top_ngram_char_frac == 0.0
             and r.dup_ngram_char_frac == 0.0
         )
+
+
+def test_perplexity_buckets(spark):
+    from vechord_spark.operators.quality import perplexity_buckets
+
+    rows = [(i, "en", float(i)) for i in range(9)] + [
+        (100 + i, "fr", float(i * 10)) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    got = {r.doc_id: r.ppl_bucket
+           for r in perplexity_buckets(df, "lang", "score").collect()}
+    # en: 9 values 0..8 -> q_lo ~ 2.67, q_hi ~ 5.33
+    assert [got[i] for i in range(9)] == [
+        "tail", "tail", "tail", "middle", "middle", "middle",
+        "head", "head", "head",
+    ]
+    # fr: 3 values 0,10,20 -> q_lo ~ 6.67, q_hi ~ 13.33
+    assert [got[100], got[101], got[102]] == ["tail", "middle", "head"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        perplexity_buckets(df, "lang", "score", cuts=(0.7, 0.3))

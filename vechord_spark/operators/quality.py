@@ -230,6 +230,50 @@ def unigram_logprob(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: rank every document's
+    quality score against its OWN group's (language's) distribution and
+    cut at the ``cuts`` quantiles — the standard per-language corpus
+    tiering (Wenzek et al. 2019) that follows a perplexity-proxy score
+    like ``unigram_logprob``. Higher score = better, so ``head`` is the
+    top tier (score >= upper quantile), ``tail`` the bottom.
+
+    Determinism: thresholds and comparisons use 6-decimal-rounded
+    doubles, so bucket membership is bit-reproducible across engines
+    (exact interpolated ``percentile`` matches DuckDB quantile_cont
+    after rounding — the same contract length_quantiles relies on).
+
+    Scale shape: one group aggregation for the |groups|-row threshold
+    table (exact percentile buffers per-group values — right when
+    groups are languages; swap percentile_approx for the mergeable
+    sketch at 100 TB), broadcast back onto the scored frame — the
+    corpus itself never shuffles. Adds a ``ppl_bucket`` column.
+    """
+    lo, hi = cuts
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    s = F.round(F.col(score_col), 6)
+    th = scored.groupBy(group_col).agg(
+        F.round(F.percentile(F.round(F.col(score_col), 6), F.lit(lo)), 6).alias("__q_lo"),
+        F.round(F.percentile(F.round(F.col(score_col), 6), F.lit(hi)), 6).alias("__q_hi"),
+    )
+    bucket = (
+        F.when(s >= F.col("__q_hi"), F.lit("head"))
+        .when(s >= F.col("__q_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(th), group_col)
+        .withColumn("ppl_bucket", bucket)
+        .drop("__q_lo", "__q_hi")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", appendix A1.1 —

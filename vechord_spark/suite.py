@@ -3047,6 +3047,62 @@ def doc_unigram_logprob(spark, sf_dir):
     return unigram_logprob(docs, "doc_id", "text")
 
 
+@_q(
+    "ccnet_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK.format(col='text')}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    scored AS (
+      SELECT doc_id, round(avg(ln(c / t)), 6) AS avg_logprob
+      FROM toks JOIN vocab USING (tok) CROSS JOIN total
+      GROUP BY doc_id
+    ),
+    langd AS (
+      SELECT s.doc_id, d.lang, s.avg_logprob
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    th AS (
+      SELECT lang,
+             round(quantile_cont(avg_logprob, 1.0/3.0), 6) AS q_lo,
+             round(quantile_cont(avg_logprob, 2.0/3.0), 6) AS q_hi
+      FROM langd GROUP BY lang
+    )
+    SELECT l.lang,
+           CASE WHEN l.avg_logprob >= t.q_hi THEN 'head'
+                WHEN l.avg_logprob >= t.q_lo THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(l.avg_logprob), 6) AS mean_score
+    FROM langd l JOIN th t USING (lang)
+    GROUP BY 1, 2
+    """,
+)
+def ccnet_buckets(spark, sf_dir):
+    """CCNet per-language corpus tiering: unigram-logprob quality score
+    -> per-lang head/middle/tail buckets cut at exact 1/3 and 2/3
+    quantiles (Wenzek et al. 2019's perplexity bucketing, with the
+    corpus-unigram LM standing in for KenLM). Thresholds and scores are
+    6-decimal-rounded so bucket membership is bit-reproducible in the
+    oracle. The |langs|-row threshold table broadcasts; the corpus
+    never shuffles after scoring (operators/quality
+    .perplexity_buckets; at 100 TB swap the exact percentile for
+    percentile_approx as documented)."""
+    from vechord_spark.operators.quality import perplexity_buckets, unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    buckets = perplexity_buckets(scored, "lang", "avg_logprob")
+    return buckets.groupBy("lang", "ppl_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.round("avg_logprob", 6)), 6).alias("mean_score"),
+    )
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
@@ -4391,7 +4447,10 @@ _WINDOW_PRIORITY = [
     "doc_length_quantiles",
     "token_vocab_topk",
     "temperature_mix",
-    "doc_unigram_logprob",
+    # ccnet_buckets composes unigram_logprob -> per-lang quantile tiers,
+    # so it supersedes doc_unigram_logprob in the window (the plain
+    # score stays hash-verified by tests/test_oracle_parity.py).
+    "ccnet_buckets",
     # round-5 training-data additions
     "decontaminate_report",
     "split_shards",
