@@ -224,3 +224,40 @@ def test_temperature_sample_flattens_mix(spark):
     # deterministic: identical under repartition
     again = temperature_sample(df.repartition(7), "id", "source", alpha=0.5)
     assert again.count() == kept.count()
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from vechord_spark.operators.sample import leakage_safe_split, split_assign
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # two chained clusters (1-2-3, 10-11) plus isolated docs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", {"train": 0.8, "test": 0.2}, pairs, salt="t"
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # every clustered doc keyed on the min-id representative
+    assert all(by_id[i].split_rep == 1 for i in (1, 2, 3))
+    assert all(by_id[i].split_rep == 10 for i in (10, 11))
+    assert len({by_id[i].split for i in (1, 2, 3)}) == 1
+    assert len({by_id[i].split for i in (10, 11)}) == 1
+    # isolated docs match plain row-id splitting (same salt)
+    plain = {
+        r.doc_id: r.split
+        for r in split_assign(
+            docs, "doc_id", {"train": 0.8, "test": 0.2}, salt="t"
+        ).collect()
+    }
+    clustered = {1, 2, 3, 10, 11}
+    assert all(
+        by_id[i].split == plain[i] for i in range(200) if i not in clustered
+    )
+    # the invariant the operator exists for: no cluster spans splits
+    n_splits_per_rep = {}
+    for r in out:
+        n_splits_per_rep.setdefault(r.split_rep, set()).add(r.split)
+    assert all(len(s) == 1 for s in n_splits_per_rep.values())

@@ -130,6 +130,44 @@ def split_assign(
     return out
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float],
+    pairs: DataFrame,
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test split keyed on the near-dup CLUSTER, not the row.
+
+    Hash-splitting by row id leaks near-duplicates across splits: a
+    paraphrase or boilerplate clone of a training doc lands in test
+    with ~p(test) probability, and the eval set silently overlaps the
+    training set (the contamination Lee et al. 2022 measure). Here
+    every row is assigned the split of its duplicate-cluster
+    REPRESENTATIVE — connected components over the verified near-dup
+    ``pairs`` (doc_a, doc_b), min-id label — so whole clusters move
+    together and cross-split leakage is 0 BY CONSTRUCTION.
+
+    Output adds ``split_rep`` (the cluster representative the decision
+    was keyed on; equals the row id for docs in no pair) and ``split``.
+
+    Scale shape: the cluster label frame is bounded by the docs that
+    appear in a verified duplicate pair — orders of magnitude smaller
+    than the corpus — so the left join is AQE-broadcastable; the corpus
+    itself never shuffles and the split decision stays a codegen md5
+    CASE, exactly as :func:`split_assign`.
+    """
+    from vechord_spark.operators.dedup import connected_components
+
+    clusters = connected_components(pairs).withColumnRenamed("doc_id", id_col)
+    rep = (
+        df.join(clusters, id_col, "left")
+        .withColumn("split_rep", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .drop("cluster_id")
+    )
+    return split_assign(rep, "split_rep", splits, salt=salt)
+
+
 def mixture_rates(
     df: DataFrame, source_col: str, weights: Mapping[str, float]
 ) -> DataFrame:

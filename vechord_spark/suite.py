@@ -2948,6 +2948,47 @@ def late_shipments(spark, sf_dir):
     )
 
 
+@_q(
+    "order_priority_exists",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: order counts by priority for a quarter, keeping
+    only orders with at least one returned line — an EXISTS subquery,
+    expressed as a LEFT SEMI join so the probe side (orders) emits each
+    row at most once with NO post-join dedup and carries NO payload
+    columns from lineitem. The quarter filter is pushed into the orders
+    scan and the returnflag filter into the lineitem scan (each prunes
+    before the exchange); the semi-join shuffles only (l_orderkey) from
+    the fact table — the minimal bytes any engine could move for this
+    question. No broadcast hint: lineitem-orders is fact-fact, AQE
+    decides at runtime (broadcasts the filtered quarter at small SF)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
 # Bucketed-layout build, once per (session, sf_dir): orders and customer
 # are hash-bucketed on the customer key AT WRITE TIME, so every later
 # equi-join on that key is a SortMergeJoin reading bucket pairs with NO
@@ -3334,6 +3375,67 @@ def split_shards(spark, sf_dir):
     assigned = split_assign(docs, "doc_id", _SPLITS, n_shards=_N_SHARDS, salt="sp1")
     return assigned.groupBy("split", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+_LS_HASH = (
+    "CAST(('0x' || substr(md5('ls1' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@_q(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE jp AS ({_jaccard_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ),
+    labeled AS (
+      SELECT doc_id, rep,
+             CASE WHEN {_LS_HASH} < {_SPLIT_T_TRAIN} THEN 'train'
+                  WHEN {_LS_HASH} < {_SPLIT_T_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assigned
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM labeled GROUP BY split
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Cluster-keyed train/val/test split: near-dup components (from
+    the verified MinHash->Jaccard pairs) move as a unit, so no
+    paraphrase of a training doc can land in test — cross-split
+    leakage is 0 by construction, vs ~p(test) per clone under row-id
+    splitting. The cluster-label frame is bounded by docs-in-pairs
+    (tiny vs the corpus), so the join broadcasts and the corpus never
+    shuffles; the split itself stays a codegen md5 CASE
+    (operators/sample.leakage_safe_split)."""
+    from vechord_spark.operators.sample import leakage_safe_split as _ls
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dedup_stage(spark, sf_dir, "jaccard").select("doc_a", "doc_b")
+    assigned = _ls(docs, "doc_id", _SPLITS, pairs, salt="ls1")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("split_rep").alias("n_clusters"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
 
