@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "temperature_mix",  # 1-row n_min aggregate crossJoined into the rate table
     "promo_revenue",  # 1-row revenue-total aggregate crossJoined for shares
     "doc_unigram_logprob",
+    "doc_bigram_logprob",  # same 1-row vocab-total scalar crossJoin
     "ccnet_buckets",  # composes unigram_logprob's vocab-total scalar crossJoin
     "nb_quality",
     "quantile_sketch_gate",

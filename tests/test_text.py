@@ -328,3 +328,29 @@ def test_perplexity_buckets(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         perplexity_buckets(df, "lang", "score", cuts=(0.7, 0.3))
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from vechord_spark.operators.quality import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    # corpus tokens: a b a b a -> c1: a=3, b=2, T=5
+    # bigrams (doc 1): (a,b) x2, (b,a) x1 -> c2: ab=2, ba=1
+    lam = 0.75
+    p_ab = lam * 2 / 3 + (1 - lam) * 2 / 5
+    p_ba = lam * 1 / 2 + (1 - lam) * 3 / 5
+    want = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert rows[1].n_bigrams == 3
+    assert abs(rows[1].avg_logprob - round(want, 6)) < 1e-9
+    # <2-token docs stay visible with NULL score
+    assert rows[2].n_bigrams == 0 and rows[2].avg_logprob is None
+    assert rows[3].n_bigrams == 0 and rows[3].avg_logprob is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bigram_logprob(df, "doc_id", "text", lam=1.0)

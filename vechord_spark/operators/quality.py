@@ -230,6 +230,100 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability — the
+    KenLM-shaped perplexity proxy one rung above :func:`unigram_logprob`
+    (CCNet scores with a 5-gram KenLM; Jelinek-Mercer-smoothed bigrams
+    are the same signal computable from the corpus alone):
+
+        P(w_i | w_{i-1}) = lam * c2(w_{i-1} w_i) / c1(w_{i-1})
+                         + (1 - lam) * c1(w_i) / T
+
+    scored as ``avg(ln P)`` over a doc's bigram positions (docs with
+    fewer than 2 tokens get a NULL score — nothing to measure). Repeated
+    n-grams raise the score, so this rewards fluent word ORDER, which
+    the bag-of-words unigram score cannot see. Returns
+    ``(id, n_bigrams, avg_logprob)``, 6-decimal-rounded.
+
+    Scale shape: the bigram list is built IN-ARRAY from the token array
+    (element_at pairs — no self-join, no window, no per-doc sort), then
+    one vocab aggregation per order (unigram shuffle on token, bigram on
+    the pair; both map-side combined and locally checkpointed) and three
+    stream-side probe joins (c2, c1(prev), c1(cur)) — hot-token skew is
+    AQE's standard case. The corpus is scanned twice, same as unigram.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    from vechord_spark.parallel import spread
+
+    base = spread(df).select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    )
+    toks = base.select(id_col, F.explode("__toks").alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    total = vocab.agg(F.sum("c1").cast("double").alias("t"))
+    # guard: Spark's sequence(1, 0) DESCENDS to [1, 0] instead of being
+    # empty, so docs with < 2 tokens must be filtered before transform
+    pairs = (
+        base.filter(F.size("__toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1),"
+                    " i -> struct(element_at(__toks, i) as prev,"
+                    "             element_at(__toks, i + 1) as cur))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    bigrams = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    vp = vocab.select(F.col("tok").alias("prev"), F.col("c1").alias("c1_prev"))
+    vc = vocab.select(F.col("tok").alias("cur"), F.col("c1").alias("c1_cur"))
+    scored = (
+        pairs.join(bigrams, ["prev", "cur"])
+        .join(vp, "prev")
+        .join(vc, "cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.lit(lam) * F.col("c2") / F.col("c1_prev")
+                + F.lit(1.0 - lam) * F.col("c1_cur") / F.col("t")
+            ).alias("lp"),
+        )
+    )
+    counted = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    # docs with < 2 tokens: keep them visible with a NULL score so the
+    # caller's corpus accounting doesn't silently lose rows
+    return (
+        df.select(id_col)
+        .join(counted, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.col("avg_logprob"),
+        )
+    )
+
+
 def perplexity_buckets(
     scored: DataFrame,
     group_col: str,

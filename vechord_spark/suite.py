@@ -3144,6 +3144,55 @@ def ccnet_buckets(spark, sf_dir):
     )
 
 
+@_q(
+    "doc_bigram_logprob",
+    f"""
+    WITH toksl AS (
+      SELECT doc_id, {_TOK.format(col='text')} AS l FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(l) AS tok FROM toksl),
+    vocab AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+    total AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM vocab),
+    pairs AS (
+      SELECT doc_id,
+             unnest(l[1:len(l) - 1]) AS prev,
+             unnest(l[2:len(l)]) AS cur
+      FROM toksl WHERE len(l) >= 2
+    ),
+    bg AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+    scored AS (
+      SELECT p.doc_id,
+             ln(0.75 * bg.c2 / vp.c1 + 0.25 * vc.c1 / total.t) AS lp
+      FROM pairs p
+      JOIN bg USING (prev, cur)
+      JOIN vocab vp ON vp.tok = p.prev
+      JOIN vocab vc ON vc.tok = p.cur
+      CROSS JOIN total
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(lp), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.avg_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_bigram_logprob(spark, sf_dir):
+    """Jelinek-Mercer interpolated bigram LM score (lam=0.75) — the
+    KenLM-shaped perplexity proxy CCNet tiers on, one rung above the
+    unigram score: rewards fluent word ORDER, not just common-word
+    mass. Bigrams are built in-array from the token list (no self-join,
+    no window); one vocab aggregation per order, three probe joins,
+    corpus scanned twice (operators/quality.bigram_logprob)."""
+    from vechord_spark.operators.quality import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text", lam=0.75)
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
