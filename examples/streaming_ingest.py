@@ -63,7 +63,9 @@ def main() -> None:
 
     # 2. stateful first-seen content dedup across micro-batches
     #    (applyInPandasWithState keyed on the md5 content fingerprint)
-    deduped = stream_dedup_first(stream, text_col="props")
+    # state_ttl_ms=0 (NoTimeout): an availableNow drain never
+    # terminates while a processing-time timeout is pending
+    deduped = stream_dedup_first(stream, text_col="props", state_ttl_ms=0)
     q2 = (
         deduped.writeStream.format("memory")
         .queryName("first_seen")

@@ -86,7 +86,7 @@ def test_stream_dedup_first_stateful(spark, tmp_path):
         .parquet(src + "/*")
     )
     q = (
-        stream_dedup_first(stream)
+        stream_dedup_first(stream, state_ttl_ms=0)
         .writeStream.format("memory")
         .queryName("dedup_out")
         .outputMode("append")
@@ -309,7 +309,7 @@ def test_stream_funnel_matches_batch(spark, events, tmp_path):
 
     stream = spark.readStream.schema(static.schema).parquet(src)
     q = (
-        stream_funnel(stream, stages)
+        stream_funnel(stream, stages, state_ttl_ms=0)
         .writeStream.format("memory")
         .queryName("fun_out")
         .outputMode("update")
@@ -359,7 +359,7 @@ def test_stream_near_dedup_matches_batch_owners(spark, tmp_path):
 
     stream = spark.readStream.schema(static.schema).parquet(src)
     q = (
-        stream_near_dedup(stream)
+        stream_near_dedup(stream, state_ttl_ms=0)
         .writeStream.format("memory")
         .queryName("nd_out")
         .outputMode("update")
@@ -399,7 +399,7 @@ def test_stream_near_dedup_owner_persists_across_batches(spark, tmp_path):
         .parquet(str(src / "*"))
     )
     q = (
-        stream_near_dedup(stream)
+        stream_near_dedup(stream, state_ttl_ms=0)
         .writeStream.format("memory")
         .queryName("nd2_out")
         .outputMode("update")
@@ -473,7 +473,7 @@ def test_stream_line_dedup_matches_batch_events(spark, tmp_path):
 
     stream = spark.readStream.schema(static.schema).parquet(src)
     q = (
-        stream_line_dedup(stream)
+        stream_line_dedup(stream, state_ttl_ms=0)
         .writeStream.format("memory")
         .queryName("ld_out")
         .outputMode("update")

@@ -157,6 +157,11 @@ def stream_dedup_first(
     row by the remaining columns (deterministic).
 
     Batch equivalent: drop_exact_duplicates (operators/dedup.py).
+
+    ``state_ttl_ms <= 0`` disables the TTL (NoTimeout): required for
+    ``availableNow`` drains — a pending processing-time timeout keeps
+    the query alive after the data is exhausted, so a run-to-completion
+    backfill never terminates (see tests/test_streaming.py).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -168,6 +173,7 @@ def stream_dedup_first(
     out_schema = docs.schema
     out_cols = [f.name for f in out_schema.fields]
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    use_ttl = state_ttl_ms > 0
 
     def _first_only(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -176,7 +182,8 @@ def stream_dedup_first(
         fresh = not state.exists
         if fresh:
             state.update((True,))
-        state.setTimeoutDuration(state_ttl_ms)
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
         emitted = False
         for pdf in pdfs:
             if not fresh or emitted or pdf.empty:
@@ -192,7 +199,9 @@ def stream_dedup_first(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if use_ttl
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -329,6 +338,10 @@ def stream_funnel(
     after its stage-2 landed in an earlier batch is not revisited —
     the standard state-machine trade; the batch operator is the
     re-statement tool).
+
+    ``state_ttl_ms <= 0`` disables the TTL (NoTimeout) — required for
+    ``availableNow`` run-to-completion drains, where a pending
+    processing-time timeout keeps the query alive forever.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -337,6 +350,7 @@ def stream_funnel(
     if not stages:
         raise ValueError("stages must be non-empty")
     stage_of = {name: i for i, name in enumerate(stages)}
+    use_ttl = state_ttl_ms > 0
 
     src = events
     if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
@@ -375,7 +389,8 @@ def stream_funnel(
                 stage += 1
                 t = micros
         state.update((stage, t))
-        state.setTimeoutDuration(state_ttl_ms)
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame({"user_id": [key[0]], "stage_reached": [stage]})
 
     return keyed.groupBy("user_id").applyInPandasWithState(
@@ -383,7 +398,9 @@ def stream_funnel(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if use_ttl
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -414,6 +431,10 @@ def stream_near_dedup(
     batches it is stream order — the first batch's minimum owns the
     bucket, which is precisely the incremental-ingest contract (new
     arrivals dedup against the established corpus).
+
+    ``state_ttl_ms <= 0`` disables the TTL (NoTimeout) — required for
+    ``availableNow`` run-to-completion drains, where a pending
+    processing-time timeout keeps the query alive forever.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -451,7 +472,8 @@ def stream_near_dedup(
                     out_ids.append(did)
                     out_owners.append(owner)
         state.update((owner,))
-        state.setTimeoutDuration(state_ttl_ms)
+        if state_ttl_ms > 0:
+            state.setTimeoutDuration(state_ttl_ms)
         if out_ids:
             yield pd.DataFrame(
                 {"doc_id": out_ids, "band": band, "dup_of": out_owners}
@@ -465,7 +487,9 @@ def stream_near_dedup(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms > 0
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -490,6 +514,10 @@ def stream_line_dedup(
     is the incremental-ingest contract. Consumers subtract the emitted
     (doc_id, line_no) pairs from the exploded doc to reassemble the
     scrubbed text (the batch operator is the restatement tool).
+
+    ``state_ttl_ms <= 0`` disables the TTL (NoTimeout) — required for
+    ``availableNow`` run-to-completion drains, where a pending
+    processing-time timeout keeps the query alive forever.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -536,7 +564,8 @@ def stream_line_dedup(
                     out_nos.append(no)
                     out_owners.append(owner[0])
         state.update(owner)
-        state.setTimeoutDuration(state_ttl_ms)
+        if state_ttl_ms > 0:
+            state.setTimeoutDuration(state_ttl_ms)
         if out_docs:
             yield pd.DataFrame(
                 {"doc_id": out_docs, "line_no": out_nos, "dup_of": out_owners}
@@ -547,7 +576,9 @@ def stream_line_dedup(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms > 0
+        else GroupStateTimeout.NoTimeout,
     )
 
 
