@@ -94,13 +94,18 @@ BENCH_QUERIES = [
     "large_orders",
     "promo_revenue",
     "late_shipments",
+    "order_priority_exists",
     "dedup_bloom_incremental",
     "corpus_mix",
     "temperature_mix",
     "table_profile",
     "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "ccnet_buckets",
     "decontaminate_report",
     "split_shards",
+    "leakage_safe_split",
+    "corpus_funnel_report",
     "nb_quality",
     "rerank_reorder",
     "rerank_lexical",

@@ -471,7 +471,9 @@ _SHINGLES = (
 )
 
 
-def _minhash_sql(num_hashes: int = 16, band_size: int = 4) -> str:
+def _minhash_sql(
+    num_hashes: int = 16, band_size: int = 4, src: str = "documents"
+) -> str:
     from vechord_spark.operators.dedup import MINHASH_P, _mh_a, _mh_b
 
     mh = ", ".join(
@@ -490,7 +492,7 @@ def _minhash_sql(num_hashes: int = 16, band_size: int = 4) -> str:
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
+      SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM {src}
     ),
     base AS (
       SELECT doc_id,
@@ -548,11 +550,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _dedup_stage(spark, sf_dir, "cands")
 
 
-def _jaccard_sql() -> str:
+def _jaccard_sql(src: str = "documents") -> str:
     return f"""
-    WITH cands AS ({_minhash_sql()}),
+    WITH cands AS ({_minhash_sql(src=src)}),
     sh AS (
-      SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
+      SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM {src}
     ),
     inter AS (
       SELECT doc_a, doc_b,
@@ -4083,6 +4085,143 @@ def gopher_quality_flags(spark, sf_dir):
 
 
 
+_FUNNEL_GATE_SQL = (
+    "gq.n_words BETWEEN 50 AND 100000 AND gq.symbol_ratio <= 0.1 "
+    "AND gq.ellipsis_line_frac <= 0.3"
+)
+
+
+@_q(
+    "corpus_funnel_report",
+    f"""
+    WITH RECURSIVE
+    gq AS ({_gopher_sql()}),
+    pass1 AS (
+      SELECT d.* FROM documents d
+      JOIN gq ON gq.doc_id = d.doc_id
+      WHERE {_FUNNEL_GATE_SQL}
+    ),
+    exact AS (
+      SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT d.*, row_number() OVER (
+          PARTITION BY md5(array_to_string({_TOK.format(col='text')}, ' '))
+          ORDER BY doc_id) AS rn
+        FROM pass1 d) WHERE rn = 1
+    ),
+    jp AS ({_jaccard_sql(src='exact')}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    surv AS (
+      SELECT e.* FROM exact e LEFT JOIN clusters c ON e.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
+    ),
+    train AS (
+      SELECT * FROM surv WHERE {_hash_frac_sql('sp1')} < {_SPLIT_T_TRAIN}
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_no, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(len({_TOK.format(col='text')})), 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+      FROM documents
+      UNION ALL
+      SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len({_TOK.format(col='text')})), 0) AS BIGINT),
+             CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM pass1
+      UNION ALL
+      SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len({_TOK.format(col='text')})), 0) AS BIGINT),
+             CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM exact
+      UNION ALL
+      SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len({_TOK.format(col='text')})), 0) AS BIGINT),
+             CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM surv
+      UNION ALL
+      SELECT 4, 'train_split', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len({_TOK.format(col='text')})), 0) AS BIGINT),
+             CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM train
+    )
+    """,
+)
+def corpus_funnel_report(spark, sf_dir):
+    """THE end-to-end training-corpus pipeline, as one report: raw ->
+    quality gate -> exact dedup -> near-dup survivors -> train split,
+    with per-stage doc/token/id-sum accounting — the data-funnel table
+    every large-scale ingest wave publishes. Stages compose the
+    already-verified operators: Gopher shape rules over the decorated
+    rebuild (required-words rule omitted — the synthetic corpus has no
+    English stopwords, so it zeroes every doc; the three retained rules
+    each discriminate here), min-id exact dedup on the normalized-text
+    fingerprint, MinHash->Jaccard->connected-components survivors, and
+    the md5 hash split. Scale shape: each stage is the pinned plan of
+    its standalone query (zero-shuffle gate; one fingerprint exchange;
+    banded candidate join; md5 CASE split); the five stage aggregates
+    are one job over persisted intermediates, so the dedup chain runs
+    once, not three times."""
+    from vechord_spark.functions.text import tokenize
+    from vechord_spark.operators.sample import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    body = _gopher_multiline_body(F.col("doc_id"), tokenize("text"))
+    flags = QL.gopher_quality(
+        docs.select("doc_id", body.alias("text")), "doc_id", "text"
+    )
+    keep = flags.filter(
+        F.col("n_words").between(50, 100000)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+    ).select("doc_id")
+    pass1 = docs.join(keep, "doc_id")
+    exact = DD.drop_exact_duplicates(pass1, "doc_id", "text").persist()
+    cands = DD.minhash_candidate_pairs(exact, "doc_id", "text")
+    pairs = DD.ngram_jaccard(
+        exact, "doc_id", "text", threshold=0.35, candidates=cands
+    ).select("doc_a", "doc_b")
+    surv = DD.drop_near_duplicates(exact, "doc_id", pairs).persist()
+    train = split_assign(surv, "doc_id", _SPLITS, salt="sp1").filter(
+        F.col("split") == "train"
+    )
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.size(tokenize("text"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_sum"),
+        ).select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            "id_sum",
+        )
+
+    out = stage(0, "raw", docs)
+    for i, (nm, df) in enumerate(
+        [
+            ("quality_gate", pass1),
+            ("exact_dedup", exact),
+            ("near_dedup", surv),
+            ("train_split", train),
+        ],
+        start=1,
+    ):
+        out = out.unionByName(stage(i, nm, df))
+    return out
+
+
 _LINE_DEDUP_NOTICE = "copyright notice all rights reserved"
 _LINE_DEDUP_FOOTER = "subscribe to the newsletter for more updates"
 
@@ -4604,7 +4743,9 @@ _WINDOW_PRIORITY = [
     "ccnet_buckets",
     # round-5 training-data additions
     "decontaminate_report",
-    "split_shards",
+    # corpus_funnel_report (round 6) subsumes split_shards: the funnel's
+    # last stage IS the md5 split (split_shards stays parity-tested)
+    "corpus_funnel_report",
     "nb_quality",
     "source_cap_sample",
     # sketch gates (late round-5)
