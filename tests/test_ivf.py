@@ -124,3 +124,44 @@ def test_refined_search_small_budget_recall(ivf):
         ).collect()
     }
     assert len(refined & exact) >= 8
+
+
+def test_incremental_add_finds_new_and_keeps_old(ivf, spark):
+    df, index = ivf
+    # clone 5 rows as "new arrivals" with fresh ids and a tiny nudge
+    new = (
+        df.limit(5)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.001)).alias(
+                "embedding"
+            ),
+            "label",
+        )
+    )
+    bigger = index.add(new)
+    # old assignments untouched (same rows, same centroid per row)
+    before = {
+        r.vec_id: r.centroid_id
+        for r in index.assigned.select("vec_id", "centroid_id").collect()
+    }
+    after = {
+        r.vec_id: r.centroid_id
+        for r in bigger.assigned.select("vec_id", "centroid_id").collect()
+    }
+    assert all(after[v] == c for v, c in before.items())
+    assert len(after) == len(before) + 5
+    # a new vector is findable: search with its own embedding -> top-1
+    probe_row = new.collect()[0]
+    hit = bigger.search(list(probe_row.embedding), k=1, probes=8).collect()[0]
+    assert hit.vec_id == probe_row.vec_id
+    # new rows' assignment is the argmin over the ORIGINAL centroids
+    fresh = {
+        r.vec_id: r.centroid_id
+        for r in bigger.assigned.filter(F.col("vec_id") >= 1_000_000).collect()
+    }
+    want = {
+        r.vec_id: r.centroid_id
+        for r in assign_centroids(new, "embedding", index.centroids).collect()
+    }
+    assert fresh == want

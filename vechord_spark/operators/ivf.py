@@ -70,6 +70,29 @@ class IvfIndex:
     def lists(self) -> int:
         return int(self.centroids.shape[0])
 
+    def add(self, new_rows: DataFrame) -> "IvfIndex":
+        """Incremental index maintenance: assign NEW vectors to the
+        EXISTING centroids (no refit, no touch of old rows) and append.
+
+        This is the production append path — a day's new embeddings
+        cost one broadcast-argmin assignment scan of the new rows only;
+        with the clustered parquet layout the append is
+        ``write.mode("append").partitionBy("centroid_id")`` into the
+        same directory, so probe pruning keeps working unchanged. The
+        trade (standard for IVF): centroids drift from the true cluster
+        means as inserts accumulate — recall on the *new* data decays
+        slowly until a periodic refit; existing assignments never
+        change, so old query results are stable.
+
+        Reference parity: vechord keeps its pgvector IVF index updated
+        on INSERT the same way (assignment only, refit is an explicit
+        REINDEX).
+        """
+        fresh = assign_centroids(new_rows, self.vec_col, self.centroids)
+        return IvfIndex(
+            self.centroids, self.assigned.unionByName(fresh), self.vec_col
+        )
+
     def nearest_centroids(self, query: Sequence[float], probes: int) -> list[int]:
         q = np.asarray(query, dtype=np.float64)
         d = np.linalg.norm(self.centroids - q, axis=1)
