@@ -734,6 +734,61 @@ def dedup_embedding_bucketed(spark, sf_dir):
 
 
 @_q(
+    "semdedup_survivors",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(e.vec_id) AS BIGINT) AS id_sum,
+           CAST(min(e.vec_id) AS BIGINT) AS id_min,
+           CAST(max(e.vec_id) AS BIGINT) AS id_max
+    FROM embeddings e
+    LEFT JOIN clusters c ON e.vec_id = c.vec_id
+    WHERE c.vec_id IS NULL OR c.cluster_id = c.vec_id
+    """,
+)
+def semdedup_survivors(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space
+    — within-CLUSTER cosine pairs above threshold, connected
+    components, keep one min-id representative per semantic-duplicate
+    group. The cluster column (``label``, standing in for an IVF
+    centroid assignment — build_ivf is the production bucketer) bounds
+    comparisons to bucket-local joins, never all-pairs; the component
+    and survivor steps are the same scale-safe machinery as the text
+    path (dedup_survivors). Summarized to hash-stable scalars."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketer = emb.select("vec_id", F.col("label").alias("bucket"))
+    pairs = DD.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    kept = DD.drop_near_duplicates(emb, "vec_id", pairs)
+    return kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("vec_id").cast("bigint").alias("id_sum"),
+        F.min("vec_id").cast("bigint").alias("id_min"),
+        F.max("vec_id").cast("bigint").alias("id_max"),
+    )
+
+
+@_q(
     "dedup_exact_fingerprint",
     f"""
     SELECT lang,
@@ -4174,9 +4229,16 @@ def corpus_funnel_report(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     body = _gopher_multiline_body(F.col("doc_id"), tokenize("text"))
+    # The per-doc quality report is the funnel's ONE materialization
+    # point (a production wave writes it anyway): checkpointing it (a)
+    # computes the heavy gate expressions once instead of once per
+    # downstream stage, and (b) stops Catalyst pushing the gate filter
+    # through the spread exchange back onto the single-split scan,
+    # which would serialize the whole rule set onto one core
+    # (measured: 19 s -> ~7 s cold at sf0.1).
     flags = QL.gopher_quality(
         docs.select("doc_id", body.alias("text")), "doc_id", "text"
-    )
+    ).localCheckpoint(eager=True)
     keep = flags.filter(
         F.col("n_words").between(50, 100000)
         & (F.col("symbol_ratio") <= 0.1)
