@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_exact_fingerprint",
     "dedup_incremental",
     "dedup_embedding_bucketed",
+    "semdedup_survivors",
     "embedding_quantize",
     "text_stats",
     "text_repetition",

@@ -46,3 +46,22 @@ def test_every_query_callable_signature(entry_mod):
     q = entry_mod.queries()
     assert len(q) >= 70
     assert all(callable(fn) for fn in q.values())
+
+
+def test_bench_list_covers_every_query():
+    """bench.py's explicit ordered list must stay in lockstep with the
+    suite registry: a query that is registered but never benched
+    silently escapes the per-round perf record (this drifted to -5
+    queries in round 6 before this test)."""
+    import importlib.util as _ilu
+    from pathlib import Path as _P
+
+    from vechord_spark.suite import QUERIES
+
+    spec = _ilu.spec_from_file_location(
+        "bench_mod", _P(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert set(bench.BENCH_QUERIES) == set(QUERIES)
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
