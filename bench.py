@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "knn_cosine",
     "knn_l2",
     "knn_dot",
+    "knn_filtered",
     "maxsim_by_label",
     "bm25_topk",
     "bm25_index_topk",

@@ -491,3 +491,55 @@ def test_append_ddl_built_frame_with_vector(spark, tmp_path):
     got = reg.load("chunks")
     assert got.count() == 2
     assert [len(r.vec) for r in got.collect()] == [4, 4]
+
+
+def test_search_by_vector_with_conditions(spark, tmp_path):
+    """Filtered vector search: pre-filter semantics on both the
+    brute-force and IVF paths (k nearest MATCHING rows, exactly k)."""
+    import random
+
+    reg = VechordRegistry("fvec", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "emb",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("grp", "string"),
+                Column("vec", Vector(8)),
+            ],
+        )
+    )
+    random.seed(11)
+    rows = [
+        {
+            "uid": i,
+            "grp": "even" if i % 2 == 0 else "odd",
+            "vec": [random.uniform(-1, 1) for _ in range(8)],
+        }
+        for i in range(200)
+    ]
+    reg.insert_rows("emb", rows)
+    q = [0.1] * 8
+
+    got = reg.search_by_vector(
+        "emb", q, topk=5, conditions={"grp": "even"}
+    ).collect()
+    assert len(got) == 5 and all(r.grp == "even" for r in got)
+    # equals brute-force ranking restricted to the matching subset
+    all_hits = reg.search_by_vector("emb", q, topk=200).collect()
+    want = [r.uid for r in all_hits if r.grp == "even"][:5]
+    assert [r.uid for r in got] == want
+
+    # IVF path: full probes + filter == filtered brute force
+    reg.build_vector_index("emb", lists=4)
+    via_ivf = reg.search_by_vector(
+        "emb", q, topk=5, probes=4, conditions={"grp": "even"}
+    ).collect()
+    assert [r.uid for r in via_ivf] == want
+
+    # PQ path refuses conditions with a clear error
+    from vechord_spark.errors import SchemaError as SE
+
+    reg.build_vector_index("emb", lists=4, pq_m=4)
+    with pytest.raises(SE, match="conditions"):
+        reg.search_by_vector("emb", q, topk=5, probes=4, conditions={"grp": "even"})

@@ -1031,6 +1031,7 @@ class VechordRegistry:
         distance: str | None = None,
         probes: int | None = None,
         refine: int = 100,
+        conditions: Mapping[str, Any] | None = None,
     ) -> DataFrame:
         """Vector k-NN over the table's vector column (reference
         vechord/registry.py:190-225). Default topk=10 matches
@@ -1045,7 +1046,18 @@ class VechordRegistry:
         quantized estimate->refine scan, vechord/spec.py:437-444).
         Without ``probes``, exact brute-force scan (the deterministic
         correctness path).
+
+        ``conditions`` (same mapping shape as ``select_by``) applies
+        BEFORE ranking — PRE-filter semantics, pgvector's ``WHERE meta
+        ... ORDER BY embedding <=> q LIMIT k``: the result is the k
+        nearest rows that MATCH, never fewer because neighbors were
+        discarded after the fact. On the brute-force path the predicate
+        reaches the parquet scan; on the IVF path it prunes the
+        clustered frame before the probe scan (composes with partition
+        pruning — a highly selective predicate can make low ``probes``
+        under-recall, exactly pgvector's filtered-iterative-scan trade).
         """
+        from vechord_spark.operators.ivf import IvfIndex
         from vechord_spark.operators.knn import knn
 
         from vechord_spark.errors import DimensionMismatch
@@ -1071,6 +1083,12 @@ class VechordRegistry:
             from vechord_spark.operators.pq import IvfPqIndex
 
             if isinstance(index, IvfPqIndex):
+                if conditions:
+                    raise SchemaError(
+                        "conditions are not supported on the PQ index path "
+                        "(the ADC estimate scans codes, not rows); use the "
+                        "plain IVF index or the brute-force path"
+                    )
                 return index.search(
                     list(vector),
                     k=topk,
@@ -1080,6 +1098,14 @@ class VechordRegistry:
                     select=fields,
                     tie_break=pk.name if pk else None,
                 )
+            if conditions:
+                index = IvfIndex(
+                    index.centroids,
+                    index.assigned.filter(
+                        build_predicate(index.assigned, conditions)
+                    ),
+                    index.vec_col,
+                )
             return index.search(
                 list(vector),
                 k=topk,
@@ -1088,8 +1114,11 @@ class VechordRegistry:
                 select=fields,
                 tie_break=pk.name if pk else None,
             )
+        base = self.load(name)
+        if conditions:
+            base = base.filter(build_predicate(base, conditions))
         return knn(
-            self.load(name),
+            base,
             vec_col.name,
             list(vector),
             k=topk,

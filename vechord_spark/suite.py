@@ -302,6 +302,44 @@ def knn_dot(spark, sf_dir):
 
 
 @_q(
+    "knn_filtered",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label,
+             1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QV_SQL}) AS distance
+      FROM embeddings
+      WHERE label % 2 = 0
+    )
+    SELECT vec_id, label,
+           CAST(row_number() OVER (ORDER BY distance, vec_id) AS INT) AS rank
+    FROM scored
+    ORDER BY rank
+    LIMIT 10
+    """,
+)
+def knn_filtered(spark, sf_dir):
+    """Filtered vector search — pgvector's ``WHERE meta ... ORDER BY
+    embedding <=> q LIMIT k`` (the reference composes VectorSearch with
+    row filters the same way). PRE-filter semantics: the metadata
+    predicate applies BEFORE ranking, so the result is exactly the k
+    nearest TRUE matches, never fewer because neighbors were discarded
+    post-hoc (the iterative-rescan problem pgvector's docs warn about).
+    The predicate reaches the parquet scan as a PushedFilter — at
+    100 TB the scan skips non-matching row groups before any distance
+    math; ranking stays the codegen'd distance + TakeOrderedAndProject
+    of knn_cosine."""
+    from vechord_spark.operators.topk import ranked_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter((F.col("label") % 2) == 0)
+    scored = emb.select(
+        "vec_id", "label", cosine_distance("embedding", QVEC).alias("distance")
+    )
+    return ranked_topk(
+        scored, [F.col("distance").asc(), F.col("vec_id").asc()], 10
+    ).select("vec_id", "label", "rank")
+
+
+@_q(
     "maxsim_by_label",
     f"""
     WITH q AS (
