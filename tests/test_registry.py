@@ -543,3 +543,21 @@ def test_search_by_vector_with_conditions(spark, tmp_path):
     reg.build_vector_index("emb", lists=4, pq_m=4)
     with pytest.raises(SE, match="conditions"):
         reg.search_by_vector("emb", q, topk=5, probes=4, conditions={"grp": "even"})
+
+
+def test_search_by_keyword_with_conditions(reg):
+    reg.insert_rows("chunk", CHUNKS)
+    got = reg.search_by_keyword(
+        "chunk", "quick fox", topk=5, conditions={"doc_id": 1}
+    ).collect()
+    assert got and all(r.doc_id == 1 for r in got)
+    # equals unfiltered ranking restricted to matching docs
+    allhits = reg.search_by_keyword("chunk", "quick fox", topk=50).collect()
+    want = [r.uid for r in allhits if r.doc_id == 1][: len(got)]
+    assert [r.uid for r in got] == want
+    # persisted-index path: same filtered result
+    reg.build_keyword_index("chunk")
+    via_index = reg.search_by_keyword(
+        "chunk", "quick fox", topk=5, conditions={"doc_id": 1}
+    ).collect()
+    assert [r.uid for r in via_index] == [r.uid for r in got]

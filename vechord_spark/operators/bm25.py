@@ -172,9 +172,17 @@ class Bm25Index:
         self,
         query: str,
         k: int = 10,
+        candidates: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k ``(doc_id, score, rank)`` for a raw query string.
-        Default topk=10 (vechord/registry.py:272)."""
+        Default topk=10 (vechord/registry.py:272).
+
+        ``candidates``: optional one-column doc-id frame restricting
+        the RESULT to matching docs (pre-filter semantics: exactly k
+        true matches). Applied as a semi-join on the scored frame, so
+        corpus statistics (idf, avgdl) stay corpus-global — the
+        standard search-engine behavior for metadata filters.
+        """
         from vechord_spark.operators.topk import ranked_topk
 
         if self.tokenizer is not None:
@@ -185,6 +193,9 @@ class Bm25Index:
         else:
             terms = _query_terms(self.postings.sparkSession, query)
         scores = self.score(terms)
+        if candidates is not None:
+            cand = candidates.toDF("doc_id")
+            scores = scores.join(cand, "doc_id", "left_semi")
         # TakeOrderedAndProject + rank over the k survivors — never a
         # global single-partition window over all scored docs
         return ranked_topk(
@@ -201,6 +212,7 @@ def bm25_topk(
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
     select: Sequence[str] | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """One-shot BM25 top-k over ``df``.
 
@@ -209,6 +221,10 @@ def bm25_topk(
     the postings shuffle: tf/df aggregates over non-query terms can't
     affect the result, so 99%+ of the (term, doc_id) pair volume never
     reaches an exchange. df(term) and the scoring formula are identical.
+
+    ``candidates``: optional one-column doc-id frame restricting the
+    RESULT (pre-filter semantics, corpus-global statistics — matching
+    ``Bm25Index.topk``).
 
     Result: requested payload columns + ``score`` + ``rank``.
     """
@@ -268,6 +284,8 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 6).alias("score"))
     )
+    if candidates is not None:
+        scored = scored.join(candidates.toDF("doc_id"), "doc_id", "left_semi")
     hits = ranked_topk(scored, [F.col("score").desc(), F.col("doc_id").asc()], k)
     if select:
         hits = hits.withColumnRenamed("doc_id", "__hit_id")

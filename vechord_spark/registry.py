@@ -1286,12 +1286,19 @@ class VechordRegistry:
         topk: int = 10,
         return_fields: Sequence[str] | None = None,
         use_index: bool = True,
+        conditions: Mapping[str, Any] | None = None,
     ) -> DataFrame:
         """BM25 keyword top-k (reference vechord/registry.py:269-302).
 
         Uses the persisted postings index (build_keyword_index) when one
         exists — queries then never re-tokenize the corpus; otherwise
-        the one-shot query-term-pruned plan."""
+        the one-shot query-term-pruned plan.
+
+        ``conditions`` (same mapping as ``select_by``) restricts the
+        RESULT to matching rows with pre-filter semantics (exactly k
+        true matches); corpus statistics (idf, avgdl) stay
+        corpus-global — the standard search-engine behavior for
+        metadata filters, and identical on both paths."""
         from vechord_spark.operators.bm25 import bm25_topk
 
         spec = self._spec(name)
@@ -1302,10 +1309,14 @@ class VechordRegistry:
         pk = spec.primary_key
         if pk is None:
             raise SchemaError(f"table {name} needs a primary key for BM25")
+        cand = None
+        if conditions:
+            base = self.load(name)
+            cand = base.filter(build_predicate(base, conditions)).select(pk.name)
         if use_index:
             index = self._load_keyword_index(name)
             if index is not None:
-                hits = index.topk(query, k=topk)
+                hits = index.topk(query, k=topk, candidates=cand)
                 payload = self.load(name).select(*{*fields, pk.name})
                 return (
                     hits.withColumnRenamed("doc_id", "__hit_id")
@@ -1313,7 +1324,7 @@ class VechordRegistry:
                     .select(*fields, "score", "rank")
                 )
         idx = kw_col.index
-        return bm25_topk(
+        hits = bm25_topk(
             self.load(name),
             doc_id=pk.name,
             text_col=kw_col.name,
@@ -1322,4 +1333,6 @@ class VechordRegistry:
             k1=idx.k1,
             b=idx.b,
             select=fields,
+            candidates=cand,
         )
+        return hits
