@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "corpus_funnel_report",
     "nb_quality",
+    "dsir_importance",
     "rerank_reorder",
     "rerank_lexical",
     "eval_ndcg_knn",

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "doc_bigram_logprob",  # same 1-row vocab-total scalar crossJoin
     "ccnet_buckets",  # composes unigram_logprob's vocab-total scalar crossJoin
     "nb_quality",
+    "dsir_importance",  # same 1-row totals scalar crossJoin as nb_quality
     "quantile_sketch_gate",
     "dedup_embedding_pairs",
     "knn_batch",

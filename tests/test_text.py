@@ -354,3 +354,27 @@ def test_bigram_logprob_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bigram_logprob(df, "doc_id", "text", lam=1.0)
+
+
+def test_dsir_importance_separates_domains(spark):
+    from vechord_spark.operators.quality import dsir_importance
+
+    rows = (
+        [(i, "en", "alpha beta gamma delta") for i in range(20)]
+        + [(100 + i, "fr", "zeta eta theta iota") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: r.importance
+        for r in dsir_importance(
+            df, "doc_id", "text", df.lang == "en"
+        ).collect()
+    }
+    # target-domain docs score strictly above out-of-domain docs
+    assert min(got[i] for i in range(20)) > max(got[100 + i] for i in range(20))
+    # ln P_target - ln P_corpus is positive for target-exclusive tokens
+    assert all(got[i] > 0 for i in range(20))
+    assert all(got[100 + i] < 0 for i in range(20))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dsir_importance(df, "doc_id", "text", df.lang == "en", n_buckets=0)

@@ -324,6 +324,87 @@ def bigram_logprob(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    how much more likely its tokens are under the TARGET distribution
+    than under the raw-corpus distribution, with tokens hashed into a
+    fixed bucket space so the two "LMs" are bounded count vectors, not
+    open vocabularies.
+
+        importance(doc) = avg over tokens of
+            ln( P_target(bucket) / P_corpus(bucket) )
+
+    with Laplace smoothing on both sides. ``target`` is a boolean
+    Column marking the target-domain rows (lang tag, trusted source);
+    positive scores mean "looks like the target domain" — feed the
+    score to a top-fraction or threshold sampler for the actual
+    resample step.
+
+    Hashing: bucket = md5-derived uniform int mod ``n_buckets`` — the
+    one hash bit-identical in Spark and the DuckDB oracle (the paper
+    uses a fixed hash for the same reason: the feature space must be
+    stable across runs and machines).
+
+    Scale shape: identical to :func:`nb_classifier_score` — two passes
+    over the token stream through one checkpointed bucket-count table
+    (fixed size ``n_buckets``, broadcastable by construction), probe
+    join, one map-side-combinable doc aggregation. Returns
+    ``(id, n_tokens, importance)``, 6-decimal-rounded.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from vechord_spark.parallel import spread
+
+    y = F.col(target) if isinstance(target, str) else target
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    toks = (
+        spread(df)
+        .select(F.col(id_col), y.alias("__y"), F.explode(tokenize(text_col)).alias("tok"))
+        .select(id_col, "__y", bucket.alias("b"))
+    )
+    counts = (
+        toks.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("c_tgt"),
+            F.count(F.lit(1)).alias("c_all"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+        F.sum("c_all").cast("double").alias("n_all"),
+    )
+    scored = (
+        toks.join(counts, "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + float(n_buckets))
+                )
+                - F.log(
+                    (F.col("c_all") + 1.0) / (F.col("n_all") + float(n_buckets))
+                )
+            ).alias("w"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("w"), 6).alias("importance"),
+    )
+
+
 def perplexity_buckets(
     scored: DataFrame,
     group_col: str,

@@ -3585,6 +3585,49 @@ def leakage_safe_split(spark, sf_dir):
 
 
 @_q(
+    "dsir_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS y,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 8192 AS b
+      FROM (SELECT doc_id, lang, unnest({_TOK.format(col='text')}) AS tok
+            FROM documents)
+    ),
+    counts AS (
+      SELECT b, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_tgt,
+             count(*) AS c_all
+      FROM toks GROUP BY b
+    ),
+    totals AS (
+      SELECT CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+             CAST(sum(c_all) AS DOUBLE) AS n_all
+      FROM counts
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             ln((c.c_tgt + 1.0) / (tt.n_tgt + 8192.0))
+               - ln((c.c_all + 1.0) / (tt.n_all + 8192.0)) AS w
+      FROM toks t JOIN counts c USING (b) CROSS JOIN totals tt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(w), 6) AS importance
+    FROM scored GROUP BY doc_id
+    """,
+)
+def dsir_importance_q(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    target-vs-corpus log-likelihood ratio per doc, the importance-
+    resampling score for steering a raw crawl toward a target domain
+    (here lang='en'). Hash buckets make both distributions fixed-size
+    count vectors; the md5 bucket hash is bit-identical in the oracle
+    (operators/quality.dsir_importance)."""
+    from vechord_spark.operators.quality import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(docs, "doc_id", "text", F.col("lang") == "en")
+
+
+@_q(
     "nb_quality",
     f"""
     WITH toks AS (
