@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_funnel",
     "events_retention",
+    "events_rollup_daily",
     "skew_salted_revenue",
     "bucketed_customer_revenue",
     "token_vocab_topk",

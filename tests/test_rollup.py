@@ -1,0 +1,78 @@
+"""Storage-side rollup: coarser group-bys re-aggregate losslessly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vechord_spark.plans.rollup import rollup_query, write_rollup
+from vechord_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rolled(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rollup") / "events_daily")
+    events = load_table(spark, SF, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    write_rollup(
+        events,
+        dims=["day", "event_type"],
+        aggs={"*": ["count"], "value": ["sum", "min", "max"]},
+        path=path,
+    )
+    return path, events
+
+
+def _norm(rows):
+    return sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in rows
+    )
+
+
+def test_rollup_matches_raw_at_build_grain(spark, rolled):
+    path, events = rolled
+    got = rollup_query(
+        spark, path, ["day", "event_type"], {"*": ["count"], "value": ["sum"]}
+    ).select("day", "event_type", "count_rows", "sum_value")
+    want = events.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("count_rows"),
+        F.sum("value").alias("sum_value"),
+    )
+    assert _norm(got.collect()) == _norm(want.collect())
+
+
+def test_rollup_answers_coarser_grain(spark, rolled):
+    path, events = rolled
+    got = rollup_query(
+        spark, path, ["event_type"], {"*": ["count"], "value": ["min", "max"]}
+    ).select("event_type", "count_rows", "min_value", "max_value")
+    want = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("count_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    assert _norm(got.collect()) == _norm(want.collect())
+
+
+def test_rollup_grand_total(spark, rolled):
+    path, events = rolled
+    got = rollup_query(spark, path, [], {"*": ["count"]}).collect()
+    assert got[0].count_rows == events.count()
+
+
+def test_rollup_scan_is_tiny(spark, rolled):
+    path, events = rolled
+    n_rolled = spark.read.parquet(path).count()
+    assert n_rolled < events.count() / 5
+
+
+def test_rollup_rejects_non_mergeable_and_missing(spark, rolled):
+    path, events = rolled
+    with pytest.raises(ValueError, match="not mergeable"):
+        write_rollup(events, ["event_type"], {"value": ["avg"]}, path + "_x")
+    with pytest.raises(ValueError, match="does not store"):
+        rollup_query(spark, path, ["event_type"], {"value": ["count"]})
+    with pytest.raises(ValueError, match="at least one dimension"):
+        write_rollup(events, [], {"*": ["count"]}, path + "_y")

@@ -1,0 +1,108 @@
+"""Pre-aggregated rollup tables: the materialized-view pattern.
+
+At 100 TB the dashboard queries — counts and sums grouped by a handful
+of low-cardinality dimensions — do not need to re-scan the fact table
+per query: a rollup materialized ONCE at the finest useful grain
+(every dimension kept) answers every coarser group-by by
+RE-AGGREGATING the rollup, because the mergeable aggregates (count,
+sum, min, max) compose: ``sum(sum_x)`` over a sub-grouping equals
+``sum(x)`` over the raw rows. The Druid/Pinot ingestion-rollup and the
+classic OLAP summary-table pattern, expressed as plain parquet + a
+deterministic naming contract.
+
+Non-mergeable aggregates (avg, count distinct) are DERIVED, not
+stored: avg = sum/count at query time; distinct counts need a sketch
+(operators/sketch.py HLL gates) or the raw table.
+
+Scale shape: the build is one map-side-combinable aggregation scan of
+the facts; the rollup is |dim-combinations| rows — typically orders of
+magnitude smaller than the facts — so every later query is a scan of a
+tiny table, usually a single partition, with the same exact results
+(integer/count/sum math is order-insensitive; tests pin equality).
+
+Reference anchor: no reference equivalent (vechord has no OLAP rollup
+surface); this is part of the engine's analytics extension beside
+cube_ship_stats/rollup_order_stats, which demonstrate the QUERY-side
+ROLLUP/CUBE operators — this module is the STORAGE-side complement.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# aggregates that re-aggregate losslessly from their own partials
+_MERGEABLE = {"count", "sum", "min", "max"}
+# how each stored partial column merges when re-grouping coarser
+_REMERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _partial_name(agg: str, col: str) -> str:
+    return f"{agg}_{col}"
+
+
+def write_rollup(
+    facts: DataFrame,
+    dims: Sequence[str],
+    aggs: Mapping[str, Sequence[str]],
+    path: str,
+) -> None:
+    """Materialize a rollup of ``facts`` at grain ``dims``.
+
+    ``aggs`` maps column -> aggregate names (subset of count/sum/min/
+    max; pass column ``"*"`` with ``["count"]`` for the row count).
+    One aggregation scan; written as parquet at ``path``.
+    """
+    if not dims:
+        raise ValueError("rollup needs at least one dimension")
+    exprs = []
+    for col, fns in aggs.items():
+        for fn in fns:
+            if fn not in _MERGEABLE:
+                raise ValueError(
+                    f"{fn} is not mergeable; store count+sum and derive "
+                    "(avg) or use a sketch (count distinct)"
+                )
+            target = F.lit(1) if col == "*" else F.col(col)
+            expr = getattr(F, fn)(target)
+            if fn in ("count", "sum"):
+                expr = expr.cast("bigint") if fn == "count" else expr
+            exprs.append(expr.alias(_partial_name(fn, col.strip("*") or "rows")))
+    if not exprs:
+        raise ValueError("rollup needs at least one aggregate")
+    facts.groupBy(*dims).agg(*exprs).write.mode("overwrite").parquet(path)
+
+
+def rollup_query(
+    spark: SparkSession,
+    path: str,
+    dims: Sequence[str],
+    aggs: Mapping[str, Sequence[str]],
+) -> DataFrame:
+    """Answer a group-by at a COARSER grain from the stored rollup.
+
+    ``dims`` must be a subset of the build-time dimensions; ``aggs``
+    uses the same (column -> aggregate names) shape as the build. The
+    result is exactly what the same group-by over the raw facts would
+    return (pinned by tests), but the scan is the tiny rollup table.
+    """
+    rolled = spark.read.parquet(path)
+    exprs = []
+    for col, fns in aggs.items():
+        for fn in fns:
+            part = _partial_name(fn, col.strip("*") or "rows")
+            if part not in rolled.columns:
+                raise ValueError(
+                    f"rollup at {path} does not store {fn}({col}); rebuild "
+                    f"with it in aggs (stored: {rolled.columns})"
+                )
+            merged = _REMERGE[fn](F.col(part))
+            if fn == "count":
+                merged = merged.cast("bigint")
+            exprs.append(merged.alias(part))
+    if not exprs:
+        raise ValueError("rollup query needs at least one aggregate")
+    if not dims:
+        return rolled.agg(*exprs)
+    return rolled.groupBy(*dims).agg(*exprs)

@@ -3093,6 +3093,74 @@ def order_priority_exists(spark, sf_dir):
 _BUCKETED_CACHE: dict = {}
 
 
+_ROLLUP_CACHE: dict = {}
+
+
+def _events_rollup(spark, sf_dir):
+    """Build the storage-side daily rollup once per (session, corpus) —
+    the materialized-view pattern (plans/rollup.py): facts scanned ONCE
+    at build; every dashboard grain re-aggregates the tiny summary."""
+    import re as _re
+
+    ent = _ROLLUP_CACHE.get(sf_dir)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    from vechord_spark.plans.rollup import write_rollup
+
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = f"{wh}/rollup_events_{tag}"
+    events = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    write_rollup(
+        events,
+        dims=["day", "event_type"],
+        aggs={"*": ["count"], "value": ["sum", "min", "max"]},
+        path=path,
+    )
+    _ROLLUP_CACHE[sf_dir] = (spark, path)
+    return path
+
+
+@_q(
+    "events_rollup_daily",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS count_rows,
+           round(sum(value), 4) AS sum_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_rollup_daily(spark, sf_dir):
+    """Materialized-rollup query path: the per-event-type dashboard
+    totals are answered from the (day, event_type) summary table, NOT
+    the raw facts — count/sum/min/max re-aggregate losslessly from
+    their partials, so the result is hash-identical to the raw
+    group-by (the oracle IS the raw group-by) while the scan is
+    |days x types| rows instead of the fact table. Build cost is paid
+    once per corpus (plans/rollup.py; Druid-style ingestion rollup).
+
+    Float determinism: sum(value) re-aggregates partial DOUBLE sums in
+    a different order than the raw scan; both sides round to 4
+    decimals, within the corpus's float-sum drift (~1e-9)."""
+    from vechord_spark.plans.rollup import rollup_query
+
+    path = _events_rollup(spark, sf_dir)
+    out = rollup_query(
+        spark, path, ["event_type"],
+        {"*": ["count"], "value": ["sum", "min", "max"]},
+    )
+    return out.select(
+        "event_type",
+        "count_rows",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
 def _bucketed_pair(spark, sf_dir):
     import re as _re
 
