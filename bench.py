@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "quality_top_fraction",
     "doc_tfidf_terms",
     "knn_binary_refine",
+    "knn_matryoshka",
     "dedup_lines_c4",
     "sample_documents",
     "sample_stratified",

@@ -168,3 +168,31 @@ def test_binary_knn_full_refine_equals_exact(spark):
                             topk=10, refine=n).collect()
     ]
     assert approx == exact
+
+
+def test_matryoshka_knn_matches_exact_with_full_budget(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vechord_spark.operators.knn import knn, matryoshka_knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [0.1] * 64
+    n = emb.count()
+    # refine = corpus size -> must equal exact brute force
+    got = matryoshka_knn(
+        emb, "vec_id", "embedding", q, prefix_dim=16, topk=5, refine=n
+    ).collect()
+    want = knn(emb, "embedding", q, k=5, distance="cos", select=["vec_id"]).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    # small refine still returns topk rows with ascending distances
+    small = matryoshka_knn(
+        emb, "vec_id", "embedding", q, prefix_dim=16, topk=5, refine=20
+    ).collect()
+    assert len(small) == 5
+    dists = [r.distance for r in small]
+    assert dists == sorted(dists)
+    with _pytest.raises(ValueError):
+        matryoshka_knn(emb, "vec_id", "embedding", q, prefix_dim=0)
+    with _pytest.raises(ValueError):
+        matryoshka_knn(emb, "vec_id", "embedding", q, prefix_dim=65)

@@ -171,3 +171,55 @@ def binary_knn(
         .orderBy("distance", id_col)
         .limit(topk)
     )
+
+
+def matryoshka_knn(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    prefix_dim: int,
+    topk: int = 10,
+    refine: int = 100,
+    distance: str = "cos",
+) -> DataFrame:
+    """Matryoshka prefix-dimension estimate -> exact-refine k-NN.
+
+    MRL-trained embeddings (Kusupati et al. 2022; the layout OpenAI/
+    Gemini embedding APIs expose via ``dimensions=``) pack the most
+    informative components first, so distance on the FIRST
+    ``prefix_dim`` components is a cheap estimate whose top-``refine``
+    candidates almost surely contain the true top-k. Same two-stage
+    shape as :func:`binary_knn` / the PQ path: stage 1 scans only
+    ``prefix_dim/dim`` of the vector bytes and compiles to
+    TakeOrderedAndProject (per-partition bounded heap — ``refine`` rows
+    move, never the corpus); stage 2 broadcast-joins the survivor ids
+    back for the exact full-dimension rerank. Ties break on id at both
+    stages: deterministic, oracle-checkable end to end.
+
+    (On non-MRL embeddings the prefix estimate is unbiased-but-noisier
+    — recall degrades gracefully with ``refine``, which is the
+    benchmarkable knob either way.)
+    """
+    if not 0 < prefix_dim <= len(query):
+        raise ValueError(
+            f"prefix_dim must be in (0, {len(query)}], got {prefix_dim}"
+        )
+    est = vector_distance(
+        distance,
+        F.slice(F.col(vec_col), 1, prefix_dim),
+        list(query)[:prefix_dim],
+    )
+    cands = (
+        df.select(F.col(id_col), F.round(est, 6).alias("est"))
+        .orderBy("est", id_col)
+        .limit(refine)
+    )
+    exact = df.join(F.broadcast(cands), id_col).withColumn(
+        "distance", vector_distance(distance, vec_col, query)
+    )
+    return (
+        exact.select(id_col, "est", F.round("distance", 6).alias("distance"))
+        .orderBy("distance", id_col)
+        .limit(topk)
+    )

@@ -4544,6 +4544,51 @@ def _binary_knn_sql(refine: int = 50, topk: int = 10) -> str:
     """
 
 
+_QV16_SQL = "[" + ", ".join(str(v) for v in QVEC[:16]) + "]"
+
+
+@_q(
+    "knn_matryoshka",
+    f"""
+    WITH est AS (
+      SELECT vec_id,
+             round(1.0 - list_cosine_similarity(
+               CAST(embedding[1:16] AS DOUBLE[]), {_QV16_SQL}), 6) AS est
+      FROM embeddings
+    ),
+    cand AS (SELECT vec_id, est FROM est ORDER BY est, vec_id LIMIT 100),
+    exact AS (
+      SELECT e.vec_id, c.est,
+             round(1.0 - list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), {_QV_SQL}), 6) AS distance
+      FROM embeddings e JOIN cand c USING (vec_id)
+    )
+    SELECT vec_id, est, distance,
+           CAST(row_number() OVER (ORDER BY distance, vec_id) AS INT) AS rank
+    FROM exact ORDER BY rank LIMIT 10
+    """,
+)
+def knn_matryoshka(spark, sf_dir):
+    """Matryoshka prefix-dim ANN (Kusupati et al. 2022; the
+    ``dimensions=`` truncation modern embedding APIs expose): stage 1
+    estimates cosine on the FIRST 16 of 64 components — a scan of 1/4
+    of the vector bytes compiling to TakeOrderedAndProject — stage 2
+    exact-reranks the 100 survivors at full dimension. The fourth ANN
+    scale path beside IVF, PQ, and sign-bit Hamming
+    (operators/knn.matryoshka_knn)."""
+    from pyspark.sql import Window
+    from vechord_spark.operators.knn import matryoshka_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = matryoshka_knn(
+        emb, "vec_id", "embedding", QVEC, prefix_dim=16, topk=10, refine=100
+    )
+    w = Window.orderBy("distance", "vec_id")
+    return out.select(
+        "vec_id", "est", "distance", F.row_number().over(w).alias("rank")
+    )
+
+
 @_q("knn_binary_refine", _binary_knn_sql())
 def knn_binary_refine(spark, sf_dir):
     """Binary sign-bit quantization (32x-compressed estimate column) ->
