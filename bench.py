@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "doc_length_quantiles",
     "eval_recall_knn",
     "text_quality",
+    "char_entropy",
     "doc_fingerprint",
     "dedup_simhash_pairs",
     "knn_batch",

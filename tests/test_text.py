@@ -378,3 +378,21 @@ def test_dsir_importance_separates_domains(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dsir_importance(df, "doc_id", "text", df.lang == "en", n_buckets=0)
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from vechord_spark.operators.quality import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert got[1].entropy_bits == 0.0 and got[1].n_chars == 4
+    assert abs(got[2].entropy_bits - 1.0) < 1e-9          # two equiprobable chars
+    assert abs(got[3].entropy_bits - 2.0) < 1e-9          # four equiprobable chars
+    assert got[4].n_chars == 0 and got[4].entropy_bits == 0.0
+    # repeated-char spam scores strictly below natural-ish text
+    assert got[1].entropy_bits < got[2].entropy_bits < got[3].entropy_bits

@@ -324,6 +324,51 @@ def bigram_logprob(
     )
 
 
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution, in
+    bits — the classic gibberish/noise detector: natural language sits
+    ~3.5-4.5 bits/char, base64/binary junk pushes toward 6, repeated-
+    character spam collapses toward 0. Complements the token-level
+    signals (repetition_stats, unigram_logprob), which cannot see
+    sub-token noise.
+
+    Entropy from two count aggregates, no probability column:
+    H = log2(N) - (1/N) * sum_c n_c*log2(n_c). Empty docs keep a row
+    with entropy 0.0 (corpus accounting never loses rows).
+
+    Scale shape: one char explode -> (doc, char) count -> doc
+    aggregate, both keyed on doc_id so the second reuses the first's
+    partitioning; state per doc is O(alphabet), never O(text).
+    """
+    from vechord_spark.parallel import spread
+
+    chars = (
+        spread(df)
+        .select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+    )
+    counts = chars.groupBy(id_col, "c").agg(F.count(F.lit(1)).alias("n"))
+    ent = counts.groupBy(id_col).agg(
+        F.sum("n").cast("bigint").alias("n_chars"),
+        F.round(
+            F.log2(F.sum("n"))
+            - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return (
+        df.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0)).cast("bigint").alias("n_chars"),
+            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+        )
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     id_col: str,

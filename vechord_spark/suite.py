@@ -3653,6 +3653,36 @@ def leakage_safe_split(spark, sf_dir):
 
 
 @_q(
+    "char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS c
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c),
+    ent AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+             round(log2(CAST(sum(n) AS DOUBLE))
+                   - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 6) AS entropy_bits
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(e.n_chars, 0) AS BIGINT) AS n_chars,
+           coalesce(e.entropy_bits, 0.0) AS entropy_bits
+    FROM documents d LEFT JOIN ent e USING (doc_id)
+    """,
+)
+def char_entropy_q(spark, sf_dir):
+    """Character-level Shannon entropy per doc (bits) — the sub-token
+    gibberish/noise detector: natural text ~4 bits/char, base64 junk
+    ~6, character spam ~0 (operators/quality.char_entropy)."""
+    from vechord_spark.operators.quality import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", "text")
+
+
+@_q(
     "dsir_importance",
     f"""
     WITH toks AS (
