@@ -4980,6 +4980,16 @@ def quality_top_fraction(spark, sf_dir):
 # gopher_quality_flags + lang_id cover text), groundtruth_generate
 # (chunk_regex/delete_cascade/multimodal_meta keep the doc pipeline),
 # corpus_mix (temperature_mix is the same family's new member).
+# Round-6b/6c rotation (this round's later additions):
+# ccnet_buckets IN for doc_unigram_logprob (ccnet composes the unigram
+# score, so the driver still exercises that path);
+# corpus_funnel_report IN for split_shards (the funnel's last stage IS
+# the md5 split). Everything rotated out stays hash-verified on every
+# pytest run by tests/test_oracle_parity.py, as do the round-6c
+# queries that never entered the window (doc_bigram_logprob,
+# leakage_safe_split, order_priority_exists, semdedup_survivors,
+# knn_filtered, knn_matryoshka, dsir_importance, char_entropy,
+# events_rollup_daily).
 _WINDOW_PRIORITY = [
     # relational / OLAP core
     "filter_project",
