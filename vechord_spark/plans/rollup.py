@@ -53,6 +53,13 @@ def write_rollup(
     ``aggs`` maps column -> aggregate names (subset of count/sum/min/
     max; pass column ``"*"`` with ``["count"]`` for the row count).
     One aggregation scan; written as parquet at ``path``.
+
+    Concurrency note: ``mode("overwrite")`` on a plain parquet
+    directory is delete-then-write — a reader racing the rebuild can
+    see a partial table. Single-writer refresh (the scheduled-job
+    norm for summary tables) is safe; for concurrent readers put the
+    rollup under a registry table with ``concurrency="optimistic"``
+    (plans/commitlog.py) so the rebuild is one atomic snapshot swap.
     """
     if not dims:
         raise ValueError("rollup needs at least one dimension")
