@@ -73,3 +73,70 @@ def test_plan_has_no_scale_killers(name, spark):
             f"{name}: unexpected BroadcastNestedLoopJoin — fix the plan or "
             "justify an allowlist entry"
         )
+
+
+# ---------------------------------------------------------------------------
+# Targeted plan-shape pins for the flagship queries: these assert the
+# SPECIFIC physical strategy PLANS.md promises, not just the absence of
+# scale-killers — a silent Catalyst regression (a lost pushdown, a
+# flipped join side, a lost semi-join) fails here before it costs a
+# round.
+# ---------------------------------------------------------------------------
+
+
+def _plan(name, spark):
+    return (
+        QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_order_priority_is_semi_join_with_pushed_filters(spark):
+    plan = _plan("order_priority_exists", spark)
+    assert "LeftSemi" in plan
+    # both filters reach the scans
+    assert "PushedFilters" in plan
+    assert plan.count("EqualTo(l_returnflag,R)") >= 1
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_knn_filtered_pushes_predicate_to_scan(spark):
+    plan = _plan("knn_filtered", spark)
+    assert "TakeOrderedAndProject" in plan
+    # the label predicate is evaluated at/next to the scan, not post-rank
+    assert plan.index("label") < plan.index("TakeOrderedAndProject") or (
+        "PushedFilters: [IsNotNull(label)]" in plan
+    )
+
+
+def test_tpch_shapes_carry_no_forced_broadcast_hints(spark):
+    """The round-4 regression class: a forced F.broadcast() on a fact
+    table. AQE broadcasting a runtime-tiny filtered side is fine (and
+    happens at sf0.001) — what must never reappear is a HINT, which
+    would force the choice at 100x too. The analyzed plan shows hints
+    as ResolvedHint before the optimizer consumes them."""
+    # large_orders keeps ONE deliberate hint: broadcast(big), the
+    # HAVING-survivor aggregate (selective threshold over order
+    # totals) — the small-side broadcast the round-4 review prescribed.
+    allowed_hints = {"large_orders": 1}
+    for name in ("shipping_priority", "large_orders", "promo_revenue",
+                 "late_shipments", "order_priority_exists"):
+        analyzed = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert analyzed.count("ResolvedHint") <= allowed_hints.get(name, 0), (
+            f"{name}: forced join hint in the plan — let AQE decide"
+        )
+
+
+def test_matryoshka_estimate_stage_is_bounded_heap(spark):
+    plan = _plan("knn_matryoshka", spark)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_query_scans_rollup_not_facts(spark):
+    plan = _plan("events_rollup_daily", spark)
+    assert "rollup_events" in plan
+    assert "events.parquet" not in plan
