@@ -1,0 +1,122 @@
+"""The day-2 story: an incremental batch flows through bloom dedup ->
+quality gate -> registry append -> assignment-only index extension ->
+search, without touching day-1 data. Each piece is tested elsewhere;
+this pins that they compose."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from vechord_spark.registry import VechordRegistry
+from vechord_spark.spec import Column, TableSpec, Vector
+
+
+def _rows(ids, seed=0):
+    rng = random.Random(seed)
+    return [
+        {"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]} for i in ids
+    ]
+
+
+@pytest.fixture()
+def reg(spark, tmp_path):
+    r = VechordRegistry("day2", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    return r
+
+
+def test_extend_vector_index_plain(reg, spark):
+    reg.insert_rows("emb", _rows(range(100), seed=1))
+    reg.build_vector_index("emb", lists=4)
+    # day 2: 20 new rows appended AFTER the index build
+    reg.insert_rows("emb", _rows(range(100, 120), seed=2))
+    n = reg.extend_vector_index("emb")
+    assert n == 20
+    # idempotent: nothing new on a second call
+    assert reg.extend_vector_index("emb") == 0
+    # a day-2 vector is findable through the persisted index
+    probe = reg.load("emb").filter(F.col("uid") == 110).collect()[0]
+    hit = reg.search_by_vector("emb", list(probe.vec), topk=1, probes=4)
+    assert hit.collect()[0].uid == 110
+    # day-1 results unchanged: full-probe search equals brute force
+    q = [0.2] * 8
+    exact = [r.uid for r in reg.search_by_vector("emb", q, topk=5).collect()]
+    via = [
+        r.uid for r in reg.search_by_vector("emb", q, topk=5, probes=4).collect()
+    ]
+    assert via == exact
+
+
+def test_extend_vector_index_pq_encodes_new_rows(reg, spark):
+    reg.insert_rows("emb", _rows(range(200), seed=3))
+    reg.build_vector_index("emb", lists=4, pq_m=4)
+    reg.insert_rows("emb", _rows(range(200, 230), seed=4))
+    assert reg.extend_vector_index("emb") == 30
+    # the appended layout carries codes: estimate->refine search works
+    probe = reg.load("emb").filter(F.col("uid") == 215).collect()[0]
+    hit = reg.search_by_vector(
+        "emb", list(probe.vec), topk=1, probes=4, refine=50
+    ).collect()[0]
+    assert hit.uid == 215
+
+
+def test_extend_requires_index(reg):
+    from vechord_spark.errors import SchemaError
+
+    reg.insert_rows("emb", _rows(range(10)))
+    with pytest.raises(SchemaError, match="no IVF index"):
+        reg.extend_vector_index("emb")
+
+
+def test_day2_batch_dedups_then_indexes(spark, tmp_path):
+    """Full incremental flow on documents: bloom-exact dedup vs the
+    seen corpus -> quality floor -> append -> extend index."""
+    from vechord_spark.functions.text import fingerprint
+    from vechord_spark.operators.bloom import bloom_anti_join
+
+    rng = random.Random(7)
+
+    def doc(i, text):
+        return {
+            "uid": i,
+            "text": text,
+            "vec": [rng.uniform(-1, 1) for _ in range(8)],
+        }
+
+    day1 = [doc(i, f"document number {i} with unique content") for i in range(50)]
+    reg = VechordRegistry("inc", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "docs",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("text", "string"),
+                Column("vec", Vector(8)),
+            ],
+        )
+    )
+    reg.insert_rows("docs", day1)
+    reg.build_vector_index("docs", lists=2)
+
+    # day 2: 10 genuinely new docs + 5 re-crawls of day-1 content
+    day2 = [doc(100 + i, f"fresh day two doc {i}") for i in range(10)] + [
+        doc(200 + i, f"document number {i} with unique content")
+        for i in range(5)
+    ]
+    batch = spark.createDataFrame(day2).withColumn("fp", fingerprint("text"))
+    seen = reg.load("docs").select(fingerprint("text").alias("fp"))
+    new = bloom_anti_join(batch, seen, "fp").drop("fp")
+    got_ids = sorted(r.uid for r in new.select("uid").collect())
+    assert got_ids == [100 + i for i in range(10)]  # re-crawls dropped, exactly
+
+    reg.insert_rows("docs", [r.asDict() for r in new.collect()])
+    assert reg.extend_vector_index("docs") == 10
+    probe = reg.load("docs").filter(F.col("uid") == 105).collect()[0]
+    hit = reg.search_by_vector("docs", list(probe.vec), topk=1, probes=2)
+    assert hit.collect()[0].uid == 105

@@ -908,6 +908,70 @@ class VechordRegistry:
         cents.write.parquet(str(ipath / "centroids"))
         return n_lists
 
+    def extend_vector_index(self, name: str) -> int:
+        """Assignment-only index maintenance after appends — the
+        reference's INSERT-time IVF update (vchordrq assigns new tuples
+        to existing lists; re-clustering is an explicit REINDEX, here
+        build_vector_index).
+
+        Rows present in the table but not yet in the clustered layout
+        (anti-join on the primary key) are assigned to the EXISTING
+        centroids (IvfIndex.add semantics) and appended into the same
+        ``partitionBy(centroid_id)`` directory — probe pruning keeps
+        working unchanged, existing rows never move, and the cost is
+        one scan of the NEW rows only. With a PQ index the new rows are
+        encoded with the EXISTING codebooks. Returns the number of
+        newly indexed rows. Centroids (and codebooks) drift from
+        optimal as appends accumulate — rebuild periodically.
+        """
+        import numpy as np
+
+        from vechord_spark.operators.ivf import assign_centroids
+
+        spec = self._spec(name)
+        vec_col = spec.vector_column
+        if vec_col is None:
+            raise SchemaError(f"table {name} has no vector column")
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError(f"extend_vector_index needs a primary key")
+        ipath = self._index_path(name)
+        if not (ipath / "data").exists():
+            raise SchemaError(
+                f"no IVF index for {name}; call build_vector_index first"
+            )
+        rows = (
+            self.spark.read.parquet(str(ipath / "centroids"))
+            .orderBy("centroid_id")
+            .collect()
+        )
+        centroids = np.array([r.vec for r in rows])
+        indexed = self.spark.read.parquet(str(ipath / "data")).select(pk.name)
+        new = self.load(name).join(indexed, pk.name, "left_anti")
+        n_new = new.count()
+        if n_new == 0:
+            return 0
+        fresh = assign_centroids(new, vec_col.name, centroids)
+        if (ipath / "codebooks").exists():
+            from vechord_spark.operators.pq import PqCodebook, encode_pq
+
+            crows = (
+                self.spark.read.parquet(str(ipath / "codebooks"))
+                .orderBy("subspace", "code")
+                .collect()
+            )
+            m = max(r.subspace for r in crows) + 1
+            ksub = max(r.code for r in crows) + 1
+            dsub = len(crows[0].vec)
+            books = np.zeros((m, ksub, dsub))
+            for r in crows:
+                books[r.subspace, r.code] = r.vec
+            fresh = encode_pq(fresh, vec_col.name, PqCodebook(books))
+        fresh.write.mode("append").partitionBy("centroid_id").parquet(
+            str(ipath / "data")
+        )
+        return n_new
+
     def _mv_index_path(self, name: str) -> Path:
         return self.base_path / f"{self.namespace}_{name}.mvivf"
 
