@@ -120,3 +120,37 @@ def test_day2_batch_dedups_then_indexes(spark, tmp_path):
     probe = reg.load("docs").filter(F.col("uid") == 105).collect()[0]
     hit = reg.search_by_vector("docs", list(probe.vec), topk=1, probes=2)
     assert hit.collect()[0].uid == 105
+
+
+def test_extend_multivec_index(spark, tmp_path):
+    from vechord_spark.spec import MultiVector
+
+    reg = VechordRegistry("mvday2", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "late",
+            [Column("uid", "int", primary_key=True), Column("mv", MultiVector(4))],
+        )
+    )
+    rng = random.Random(13)
+
+    def mv_rows(ids):
+        return [
+            {
+                "uid": i,
+                "mv": [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(3)],
+            }
+            for i in ids
+        ]
+
+    reg.insert_rows("late", mv_rows(range(60)))
+    reg.build_multivec_index("late", lists=2)
+    reg.insert_rows("late", mv_rows(range(60, 75)))
+    assert reg.extend_multivec_index("late") == 15
+    assert reg.extend_multivec_index("late") == 0
+    # a day-2 row is findable via the persisted multivec index
+    probe = reg.load("late").filter(F.col("uid") == 70).collect()[0]
+    hit = reg.search_by_multivec(
+        "late", [list(v) for v in probe.mv], topk=1, probes=2
+    ).collect()[0]
+    assert hit.uid == 70

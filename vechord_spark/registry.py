@@ -972,6 +972,65 @@ class VechordRegistry:
         )
         return n_new
 
+    def extend_multivec_index(self, name: str) -> int:
+        """Assignment-only maintenance for the multivector index —
+        the multivector twin of :meth:`extend_vector_index`: new rows'
+        MEAN vectors are assigned to the existing mean-space centroids
+        (plus token-centroid sets when the PLAID-style estimate was
+        built) and appended into the clustered layout. Returns the
+        number of newly indexed rows."""
+        import numpy as np
+
+        from vechord_spark.operators.ivf import (
+            assign_centroids,
+            token_centroid_ids,
+        )
+        from vechord_spark.operators.maxsim import mean_vector
+
+        spec = self._spec(name)
+        mv_col = spec.multivec_column
+        if mv_col is None:
+            raise SchemaError(f"table {name} has no multivector column")
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError("extend_multivec_index needs a primary key")
+        ipath = self._mv_index_path(name)
+        if not (ipath / "data").exists():
+            raise SchemaError(
+                f"no multivector IVF index for {name}; "
+                "call build_multivec_index first"
+            )
+        rows = (
+            self.spark.read.parquet(str(ipath / "centroids"))
+            .orderBy("centroid_id")
+            .collect()
+        )
+        centroids = np.array([r.vec for r in rows])
+        indexed = self.spark.read.parquet(str(ipath / "data")).select(pk.name)
+        new = self.load(name).join(indexed, pk.name, "left_anti")
+        n_new = new.count()
+        if n_new == 0:
+            return 0
+        fresh = assign_centroids(
+            new.withColumn("__mean", mean_vector(mv_col.name)),
+            "__mean",
+            centroids,
+        )
+        if (ipath / "token_centroids").exists():
+            trows = (
+                self.spark.read.parquet(str(ipath / "token_centroids"))
+                .orderBy("centroid_id")
+                .collect()
+            )
+            tok = np.array([r.vec for r in trows])
+            fresh = fresh.withColumn(
+                "__centroid_ids", token_centroid_ids(mv_col.name, tok)
+            )
+        fresh.write.mode("append").partitionBy("centroid_id").parquet(
+            str(ipath / "data")
+        )
+        return n_new
+
     def _mv_index_path(self, name: str) -> Path:
         return self.base_path / f"{self.namespace}_{name}.mvivf"
 
