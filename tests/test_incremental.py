@@ -154,3 +154,70 @@ def test_extend_multivec_index(spark, tmp_path):
         "late", [list(v) for v in probe.mv], topk=1, probes=2
     ).collect()[0]
     assert hit.uid == 70
+
+
+def test_extend_keyword_index_matches_full_rebuild(spark, tmp_path):
+    """Incremental postings + exact stat merge == full rebuild: every
+    doc's idf reflects the grown corpus, old and new alike."""
+    from vechord_spark.spec import Keyword
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rng = random.Random(21)
+
+    def doc_rows(ids):
+        return [
+            {
+                "uid": i,
+                "body": " ".join(rng.choices(words, k=rng.randrange(3, 12))),
+            }
+            for i in ids
+        ]
+
+    def make(ns):
+        r = VechordRegistry(ns, str(tmp_path), spark)
+        r.register(
+            TableSpec(
+                "doc",
+                [
+                    Column("uid", "int", primary_key=True),
+                    Column("body", Keyword()),
+                ],
+            )
+        )
+        return r
+
+    day1, day2 = doc_rows(range(40)), doc_rows(range(40, 60))
+
+    inc = make("kwinc")
+    inc.insert_rows("doc", day1)
+    inc.build_keyword_index("doc")
+    inc.insert_rows("doc", day2)
+    assert inc.extend_keyword_index("doc") == 20
+    assert inc.extend_keyword_index("doc") == 0
+
+    full = make("kwfull")
+    full.insert_rows("doc", day1 + day2)
+    full.build_keyword_index("doc")
+
+    for q in ("alpha beta", "zeta", "gamma delta epsilon"):
+        got = inc.search_by_keyword("doc", q, topk=10).collect()
+        want = full.search_by_keyword("doc", q, topk=10).collect()
+        assert [r.uid for r in got] == [r.uid for r in want], q
+        for g, w in zip(got, want):
+            assert abs(g.score - w.score) < 1e-6, (q, g, w)
+
+
+def test_extend_keyword_index_requires_index(spark, tmp_path):
+    from vechord_spark.errors import SchemaError
+    from vechord_spark.spec import Keyword
+
+    r = VechordRegistry("kwno", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("body", Keyword())],
+        )
+    )
+    r.insert_rows("doc", [{"uid": 1, "body": "hello"}])
+    with pytest.raises(SchemaError, match="no BM25 index"):
+        r.extend_keyword_index("doc")

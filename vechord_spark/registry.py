@@ -1369,6 +1369,86 @@ class VechordRegistry:
         (ipath / "meta.json").write_text(json.dumps(meta))
         return self.spark.read.parquet(str(ipath / "postings")).count()
 
+    def extend_keyword_index(self, name: str) -> int:
+        """Incremental BM25 index maintenance — the keyword twin of
+        :meth:`extend_vector_index`: docs appended since the index
+        build are tokenized (with the PERSISTED tokenizer config, so
+        query/corpus tokenization stays aligned) and their postings
+        appended; the derived tables merge EXACTLY because the old and
+        new doc sets are disjoint:
+
+        - ``docfreq``: df(term) adds across disjoint doc sets;
+        - ``stats``: n_docs adds, avgdl is the dl-weighted mean.
+
+        Every doc's idf — old and new — then reflects the grown corpus,
+        byte-identical to a full rebuild (pinned by tests). Cost: one
+        tokenize scan of the NEW docs plus a vocab-sized merge; the old
+        postings are never re-read beyond the derived-table rewrite.
+        Returns the number of newly indexed docs.
+        """
+        from vechord_spark.operators.bm25 import Bm25Index
+
+        spec = self._spec(name)
+        kw_col = spec.keyword_column
+        if kw_col is None:
+            raise SchemaError(f"table {name} has no keyword column")
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError(f"table {name} needs a primary key for BM25")
+        old = self._load_keyword_index(name)
+        if old is None:
+            raise SchemaError(
+                f"no BM25 index for {name}; call build_keyword_index first"
+            )
+        ipath = self.base_path / f"{self.namespace}_{name}.bm25"
+        indexed = old.postings.select(F.col("doc_id").alias(pk.name)).distinct()
+        new = self.load(name).join(indexed, pk.name, "left_anti")
+        n_new = new.count()
+        if n_new == 0:
+            return 0
+        delta = Bm25Index(new, pk.name, kw_col.name, tokenizer=old.tokenizer)
+        delta.postings.write.mode("append").parquet(str(ipath / "postings"))
+        delta.doclen.write.mode("append").parquet(str(ipath / "doclen"))
+        # merged derived tables: materialize BEFORE overwriting the
+        # directories they derive from (localCheckpoint cuts the lineage
+        # back to the input files)
+        merged_df = (
+            old.docfreq.withColumnRenamed("df", "df_old")
+            .join(
+                delta.docfreq.withColumnRenamed("df", "df_new"),
+                "term",
+                "full_outer",
+            )
+            .select(
+                "term",
+                (
+                    F.coalesce("df_old", F.lit(0)) + F.coalesce("df_new", F.lit(0))
+                ).alias("df"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged_stats = (
+            old.stats.select(
+                F.col("n_docs").alias("n_a"), F.col("avgdl").alias("avg_a")
+            )
+            .crossJoin(
+                delta.stats.select(
+                    F.col("n_docs").alias("n_b"), F.col("avgdl").alias("avg_b")
+                )
+            )
+            .select(
+                (F.col("n_a") + F.col("n_b")).alias("n_docs"),
+                (
+                    (F.col("n_a") * F.col("avg_a") + F.col("n_b") * F.col("avg_b"))
+                    / (F.col("n_a") + F.col("n_b"))
+                ).alias("avgdl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged_df.write.mode("overwrite").parquet(str(ipath / "docfreq"))
+        merged_stats.write.mode("overwrite").parquet(str(ipath / "stats"))
+        return n_new
+
     def _load_keyword_index(self, name: str):
         import json
 
@@ -1445,6 +1525,9 @@ class VechordRegistry:
                     hits.withColumnRenamed("doc_id", "__hit_id")
                     .join(payload, F.col("__hit_id") == F.col(pk.name), "inner")
                     .select(*fields, "score", "rank")
+                    # the payload join reorders rows; callers expect
+                    # ranked output (matching search_by_vector)
+                    .orderBy("rank")
                 )
         idx = kw_col.index
         hits = bm25_topk(
@@ -1458,4 +1541,4 @@ class VechordRegistry:
             select=fields,
             candidates=cand,
         )
-        return hits
+        return hits.orderBy("rank")
