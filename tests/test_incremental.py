@@ -221,3 +221,33 @@ def test_extend_keyword_index_requires_index(spark, tmp_path):
     r.insert_rows("doc", [{"uid": 1, "body": "hello"}])
     with pytest.raises(SchemaError, match="no BM25 index"):
         r.extend_keyword_index("doc")
+
+
+def test_file_ledger_fast_path_and_fallback(reg, spark):
+    """The extend discovery is O(appended data) via the file ledger;
+    a rewrite (DELETE) invalidates the ledger and falls back to the
+    pk anti-join instead of trusting stale file history."""
+    import json
+
+    reg.insert_rows("emb", _rows(range(50), seed=5))
+    reg.build_vector_index("emb", lists=2)
+    ipath = reg._index_path("emb")
+    assert (ipath / "files.json").exists()
+
+    reg.insert_rows("emb", _rows(range(50, 60), seed=6))
+    delta = reg._new_rows_since_index("emb", ipath)
+    assert delta is not None and delta.count() == 10
+    # fast path reads ONLY the appended files, not the whole table
+    ledger = set(json.loads((ipath / "files.json").read_text()))
+    assert set(delta.inputFiles()).isdisjoint(ledger)
+    assert reg.extend_vector_index("emb") == 10
+    # ledger refreshed: nothing new now
+    assert reg._new_rows_since_index("emb", ipath).count() == 0
+
+    # a rewrite invalidates the ledger -> anti-join fallback still works
+    reg.remove_by("emb", {"uid": 0}, cascade=False)
+    assert reg._new_rows_since_index("emb", ipath) is None
+    reg.insert_rows("emb", _rows(range(100, 105), seed=7))
+    assert reg.extend_vector_index("emb") == 5
+    # and the ledger is re-adopted afterwards
+    assert reg._new_rows_since_index("emb", ipath).count() == 0

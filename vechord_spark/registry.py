@@ -835,6 +835,38 @@ class VechordRegistry:
 
     # --------------------------------------------------------------- search
     # ---------------------------------------------------------------- index
+    # ------------------------------------------------- index maintenance
+    def _record_index_files(self, name: str, ipath: Path) -> None:
+        """Snapshot the table's data-file set at index (re)build or
+        extension time — the append-only delta source for the extend_*
+        methods (new files = new rows; a parquet append never rewrites
+        existing files)."""
+        import json
+
+        files = sorted(self.load(name).inputFiles())
+        (ipath / "files.json").write_text(json.dumps(files))
+
+    def _new_rows_since_index(self, name: str, ipath: Path):
+        """Rows appended since the index last saw the table, or None
+        when the file ledger can't prove append-only history (no ledger
+        from an older index; a DELETE/compact rewrote files) — callers
+        then fall back to the pk anti-join. File-diff reads ONLY the
+        new files: extension cost is O(appended data), independent of
+        table or index size."""
+        import json
+
+        ledger = ipath / "files.json"
+        if not ledger.exists():
+            return None
+        seen = set(json.loads(ledger.read_text()))
+        cur = set(self.load(name).inputFiles())
+        if not seen <= cur:
+            return None  # files were rewritten/removed: ledger invalid
+        fresh = sorted(cur - seen)
+        if not fresh:
+            return self.load(name).limit(0)
+        return self.spark.read.schema(self.load(name).schema).parquet(*fresh)
+
     def _index_path(self, name: str) -> Path:
         return self.base_path / f"{self.namespace}_{name}.ivf"
 
@@ -906,6 +938,7 @@ class VechordRegistry:
             "centroid_id int, vec array<double>",
         )
         cents.write.parquet(str(ipath / "centroids"))
+        self._record_index_files(name, ipath)
         return n_lists
 
     def extend_vector_index(self, name: str) -> int:
@@ -946,10 +979,16 @@ class VechordRegistry:
             .collect()
         )
         centroids = np.array([r.vec for r in rows])
-        indexed = self.spark.read.parquet(str(ipath / "data")).select(pk.name)
-        new = self.load(name).join(indexed, pk.name, "left_anti")
+        # file-ledger fast path: read ONLY files appended since the
+        # index last saw the table (O(new data)); fall back to the pk
+        # anti-join when the ledger cannot prove append-only history
+        new = self._new_rows_since_index(name, ipath)
+        if new is None:
+            indexed = self.spark.read.parquet(str(ipath / "data")).select(pk.name)
+            new = self.load(name).join(indexed, pk.name, "left_anti")
         n_new = new.count()
         if n_new == 0:
+            self._record_index_files(name, ipath)
             return 0
         fresh = assign_centroids(new, vec_col.name, centroids)
         if (ipath / "codebooks").exists():
@@ -970,6 +1009,7 @@ class VechordRegistry:
         fresh.write.mode("append").partitionBy("centroid_id").parquet(
             str(ipath / "data")
         )
+        self._record_index_files(name, ipath)
         return n_new
 
     def extend_multivec_index(self, name: str) -> int:
@@ -1006,10 +1046,13 @@ class VechordRegistry:
             .collect()
         )
         centroids = np.array([r.vec for r in rows])
-        indexed = self.spark.read.parquet(str(ipath / "data")).select(pk.name)
-        new = self.load(name).join(indexed, pk.name, "left_anti")
+        new = self._new_rows_since_index(name, ipath)
+        if new is None:
+            indexed = self.spark.read.parquet(str(ipath / "data")).select(pk.name)
+            new = self.load(name).join(indexed, pk.name, "left_anti")
         n_new = new.count()
         if n_new == 0:
+            self._record_index_files(name, ipath)
             return 0
         fresh = assign_centroids(
             new.withColumn("__mean", mean_vector(mv_col.name)),
@@ -1029,6 +1072,7 @@ class VechordRegistry:
         fresh.write.mode("append").partitionBy("centroid_id").parquet(
             str(ipath / "data")
         )
+        self._record_index_files(name, ipath)
         return n_new
 
     def _mv_index_path(self, name: str) -> Path:
@@ -1078,6 +1122,7 @@ class VechordRegistry:
                 "centroid_id int, vec array<double>",
             )
             tok.write.parquet(str(ipath / "token_centroids"))
+        self._record_index_files(name, ipath)
         return n_lists
 
     def _load_multivec_index(self, name: str):
@@ -1367,6 +1412,7 @@ class VechordRegistry:
                 "max_input_chars_per_word": tokenizer.max_input_chars_per_word,
             }
         (ipath / "meta.json").write_text(json.dumps(meta))
+        self._record_index_files(name, ipath)
         return self.spark.read.parquet(str(ipath / "postings")).count()
 
     def extend_keyword_index(self, name: str) -> int:
@@ -1401,10 +1447,17 @@ class VechordRegistry:
                 f"no BM25 index for {name}; call build_keyword_index first"
             )
         ipath = self.base_path / f"{self.namespace}_{name}.bm25"
-        indexed = old.postings.select(F.col("doc_id").alias(pk.name)).distinct()
-        new = self.load(name).join(indexed, pk.name, "left_anti")
+        # file-ledger fast path (O(new data)); anti-join fallback when
+        # the ledger cannot prove append-only history
+        new = self._new_rows_since_index(name, ipath)
+        if new is None:
+            indexed = (
+                old.postings.select(F.col("doc_id").alias(pk.name)).distinct()
+            )
+            new = self.load(name).join(indexed, pk.name, "left_anti")
         n_new = new.count()
         if n_new == 0:
+            self._record_index_files(name, ipath)
             return 0
         delta = Bm25Index(new, pk.name, kw_col.name, tokenizer=old.tokenizer)
         delta.postings.write.mode("append").parquet(str(ipath / "postings"))
@@ -1447,6 +1500,7 @@ class VechordRegistry:
         )
         merged_df.write.mode("overwrite").parquet(str(ipath / "docfreq"))
         merged_stats.write.mode("overwrite").parquet(str(ipath / "stats"))
+        self._record_index_files(name, ipath)
         return n_new
 
     def _load_keyword_index(self, name: str):
