@@ -139,7 +139,7 @@ class Bm25Index:
         matched = self.postings.join(F.broadcast(qterms), "term")
         if "dl" not in self.postings.columns:
             # compat: postings persisted before dl folding — pay the
-            # doclen join (rebuild_keyword_index to upgrade the layout)
+            # doclen join (build_keyword_index again to upgrade the layout)
             matched = matched.join(self.doclen, "doc_id")
         # docfreq pruned to the query terms BEFORE broadcasting: the
         # full per-term table grows with the vocabulary, the pruned one
