@@ -76,3 +76,37 @@ def test_rollup_rejects_non_mergeable_and_missing(spark, rolled):
         rollup_query(spark, path, ["event_type"], {"value": ["count"]})
     with pytest.raises(ValueError, match="at least one dimension"):
         write_rollup(events, [], {"*": ["count"]}, path + "_y")
+
+
+def test_merge_rollup_equals_full_rebuild(spark, tmp_path):
+    from vechord_spark.plans.rollup import merge_rollup
+
+    events = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    day1 = events.filter(F.col("event_id") % 5 != 0)
+    day2 = events.filter(F.col("event_id") % 5 == 0)
+    dims = ["day", "event_type"]
+    aggs = {"*": ["count"], "value": ["sum", "min", "max"]}
+
+    inc_path = str(tmp_path / "inc")
+    write_rollup(day1, dims, aggs, inc_path)
+    merge_rollup(spark, inc_path, day2, dims, aggs)
+
+    full_path = str(tmp_path / "full")
+    write_rollup(events, dims, aggs, full_path)
+
+    cols = sorted(spark.read.parquet(full_path).columns)
+    got = _norm(spark.read.parquet(inc_path).select(*cols).collect())
+    want = _norm(spark.read.parquet(full_path).select(*cols).collect())
+    assert got == want
+
+
+def test_merge_rollup_validates_shape(spark, tmp_path):
+    from vechord_spark.plans.rollup import merge_rollup
+
+    events = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "r")
+    write_rollup(events, ["event_type"], {"*": ["count"]}, path)
+    with pytest.raises(ValueError, match="does not store"):
+        merge_rollup(spark, path, events, ["event_type"], {"value": ["sum"]})
+    with pytest.raises(ValueError, match="cover the stored"):
+        merge_rollup(spark, path, events, [], {"*": ["count"]})

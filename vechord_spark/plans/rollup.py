@@ -81,6 +81,69 @@ def write_rollup(
     facts.groupBy(*dims).agg(*exprs).write.mode("overwrite").parquet(path)
 
 
+def merge_rollup(
+    spark: SparkSession,
+    path: str,
+    new_facts: DataFrame,
+    dims: Sequence[str],
+    aggs: Mapping[str, Sequence[str]],
+) -> None:
+    """Incremental rollup refresh — the materialized-view maintenance
+    step: aggregate ONLY the new facts at the stored grain and merge
+    into the existing partials. Correct because every stored aggregate
+    is mergeable: counts and sums add, min/max combine — the refresh
+    never re-reads old facts, so a day's update costs one scan of the
+    day's data (plus the rollup-sized merge). The caller supplies the
+    APPENDED facts only (pair with the registry's file-ledger pattern
+    or a commitlog snapshot diff); feeding already-rolled rows double
+    counts, exactly like any summary table.
+
+    ``dims``/``aggs`` must match the build (validated against the
+    stored columns). The merged table is localCheckpoint'd before
+    overwriting the directory it derives from.
+    """
+    old = spark.read.parquet(path)
+    want_cols = set(old.columns)
+    delta_cols: list = []
+    delta_names: list[str] = []
+    for col, fns in aggs.items():
+        for fn in fns:
+            part = _partial_name(fn, col.strip("*") or "rows")
+            if part not in want_cols:
+                raise ValueError(
+                    f"rollup at {path} does not store {fn}({col}) "
+                    f"(stored: {sorted(want_cols)})"
+                )
+            target = F.lit(1) if col == "*" else F.col(col)
+            expr = getattr(F, fn)(target)
+            if fn == "count":
+                expr = expr.cast("bigint")
+            delta_cols.append(expr.alias(part))
+            delta_names.append(part)
+    if set(list(dims) + delta_names) != want_cols:
+        raise ValueError(
+            f"dims+aggs must cover the stored rollup columns exactly "
+            f"(stored: {sorted(want_cols)})"
+        )
+    delta = new_facts.groupBy(*dims).agg(*delta_cols)
+    merged = (
+        old.unionByName(delta)
+        .groupBy(*dims)
+        .agg(
+            *[
+                _REMERGE[part.split("_", 1)[0]](F.col(part)).cast(
+                    "bigint"
+                ).alias(part)
+                if part.startswith("count_")
+                else _REMERGE[part.split("_", 1)[0]](F.col(part)).alias(part)
+                for part in sorted(want_cols - set(dims))
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(path)
+
+
 def rollup_query(
     spark: SparkSession,
     path: str,
