@@ -110,3 +110,38 @@ def test_merge_rollup_validates_shape(spark, tmp_path):
         merge_rollup(spark, path, events, ["event_type"], {"value": ["sum"]})
     with pytest.raises(ValueError, match="cover the stored"):
         merge_rollup(spark, path, events, [], {"*": ["count"]})
+
+
+def test_stream_to_rollup_matches_batch(spark, tmp_path):
+    """Micro-batch rollup maintenance: streaming the events in two
+    file-batches yields the same summary as one batch build."""
+    from vechord_spark.streaming.ingest import stream_to_rollup
+
+    events = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    src = str(tmp_path / "src")
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(src + "/b0")
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(src + "/b1")
+    dims = ["day", "event_type"]
+    aggs = {"*": ["count"], "value": ["sum", "min", "max"]}
+    roll_path = str(tmp_path / "roll")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_to_rollup(
+        stream, roll_path, dims, aggs, checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    try:
+        assert q.awaitTermination(300) or not q.isActive
+    finally:
+        q.stop()
+
+    full_path = str(tmp_path / "full")
+    write_rollup(events, dims, aggs, full_path)
+    cols = sorted(spark.read.parquet(full_path).columns)
+    got = _norm(spark.read.parquet(roll_path).select(*cols).collect())
+    want = _norm(spark.read.parquet(full_path).select(*cols).collect())
+    assert got == want

@@ -205,6 +205,58 @@ def stream_dedup_first(
     )
 
 
+def stream_to_rollup(
+    stream_df: DataFrame,
+    path: str,
+    dims,
+    aggs,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Micro-batch materialized-view maintenance: each micro-batch
+    merges into the stored rollup (plans/rollup.merge_rollup — counts
+    and sums add, min/max combine), so the dashboard summary is
+    continuously fresh while only ever scanning each fact once.
+
+    Idempotence: foreachBatch re-delivers a failed epoch (at-least-once)
+    and a rollup merge is NOT naturally idempotent, so the last merged
+    batch id is recorded next to the rollup (``<path>.batchmeta``) and
+    re-delivered epochs are skipped — at-least-once delivery +
+    already-merged skip = effectively-once, single-writer (same
+    contract as stream_to_registry).
+    """
+    import json as _json
+    from pathlib import Path as _Path
+
+    from vechord_spark.plans.rollup import merge_rollup, write_rollup
+
+    meta = _Path(path + ".batchmeta")
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if meta.exists():
+            last = _json.loads(meta.read_text()).get("last_epoch", -1)
+            if epoch_id <= last:
+                return  # re-delivered epoch: already merged
+        if batch_df.isEmpty():
+            return
+        if _Path(path).exists():
+            merge_rollup(batch_df.sparkSession, path, batch_df, dims, aggs)
+        else:
+            write_rollup(batch_df, dims, aggs, path)
+        meta.write_text(_json.dumps({"last_epoch": epoch_id}))
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        # run-to-completion backfill: process everything already on
+        # disk, then terminate (a trigger-less stream polls forever)
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_to_registry(
     stream_df: DataFrame,
     registry,
