@@ -223,7 +223,11 @@ def stream_to_rollup(
     batch id is recorded next to the rollup (``<path>.batchmeta``) and
     re-delivered epochs are skipped — at-least-once delivery +
     already-merged skip = effectively-once, single-writer (same
-    contract as stream_to_registry).
+    contract as stream_to_registry). One honest caveat: a crash in the
+    instant between the merge write and the batch-id record replays
+    that epoch (double count); closing it needs the rollup and ledger
+    in one atomic commit (plans/commitlog.py is the tool) — acceptable
+    for dashboard summaries, not for billing.
     """
     import json as _json
     from pathlib import Path as _Path
