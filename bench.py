@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "maxsim_topk_docs",
     "lsh_knn",
     "approx_distinct_users",
+    "ngram_diversity",
     "quantile_sketch_gate",
     # -- Python-worker path --
     "heavy_hitter_users",

@@ -3795,6 +3795,37 @@ def approx_distinct_users(spark, sf_dir):
 
 
 @_q(
+    "ngram_diversity",
+    f"""
+    WITH sh AS (
+      SELECT source, unnest({_SHINGLES}) AS g FROM documents
+    )
+    SELECT source,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_exact,
+           TRUE AS within_tol
+    FROM sh GROUP BY source
+    """,
+)
+def ngram_diversity(spark, sf_dir):
+    """Corpus diversity dashboard: distinct word-3-gram count per
+    source — the dedup-health / template-collapse signal (a source
+    whose n-gram diversity flatlines while volume grows is pumping
+    boilerplate). Exact count + HLL++ estimate with the within-5%%
+    gate, same contract as approx_distinct_users: at 100 TB only the
+    fixed-register HLL half survives (one map-side pass, no
+    (source, shingle) shuffle)."""
+    from vechord_spark.functions.text import word_ngrams
+    from vechord_spark.operators.sketch import approx_distinct_gate
+    from vechord_spark.parallel import spread
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = spread(docs).select(
+        "source", F.explode(word_ngrams("text", 3)).alias("g")
+    )
+    return approx_distinct_gate(sh, "source", "g")
+
+
+@_q(
     "heavy_hitter_users",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_occurrences
