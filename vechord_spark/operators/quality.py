@@ -332,40 +332,65 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signals (repetition_stats, unigram_logprob), which cannot see
     sub-token noise.
 
-    Entropy from two count aggregates, no probability column:
+    Entropy without a probability column:
     H = log2(N) - (1/N) * sum_c n_c*log2(n_c). Empty docs keep a row
     with entropy 0.0 (corpus accounting never loses rows).
 
-    Scale shape: one char explode -> (doc, char) count -> doc
-    aggregate, both keyed on doc_id so the second reuses the first's
-    partitioning; state per doc is O(alphabet), never O(text).
+    Scale shape: MAP-ONLY — the statistic is purely per-document, so
+    instead of exploding |text| (doc, char) rows through two shuffles,
+    each doc's characters are ``array_sort``-ed in place and ONE
+    ``F.aggregate`` fold accumulates Σ n_c*ln(n_c) over the
+    equal-adjacent runs (the same zero-shuffle trick as the Gopher
+    char-repetition fold above). Zero exchanges, whole-stage codegen;
+    per-doc cost O(L log L).
     """
     from vechord_spark.parallel import spread
 
-    chars = (
-        spread(df)
-        .select(
-            F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("c")
-        )
-        .filter(F.col("c") != "")
+    chars = F.array_sort(
+        F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
     )
-    counts = chars.groupBy(id_col, "c").agg(F.count(F.lit(1)).alias("n"))
-    ent = counts.groupBy(id_col).agg(
-        F.sum("n").cast("bigint").alias("n_chars"),
-        F.round(
-            F.log2(F.sum("n"))
-            - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
-            6,
-        ).alias("entropy_bits"),
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),  # sum of n_c * ln(n_c) over flushed runs
+        F.lit(0).cast("long").alias("n"),
     )
-    return (
-        df.select(id_col)
-        .join(ent, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_chars", F.lit(0)).cast("bigint").alias("n_chars"),
-            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+
+    def _flush(acc):
+        return F.when(
+            acc["run"] > 0, acc["run"] * F.log(acc["run"].cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    def merge(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["s"]).otherwise(acc["s"] + _flush(acc)).alias("s"),
+            (acc["n"] + 1).alias("n"),
         )
+
+    def finish(acc):
+        n = acc["n"]
+        s = acc["s"] + _flush(acc)
+        ln2 = 0.6931471805599453
+        return F.struct(
+            n.alias("n_chars"),
+            F.when(
+                n > 0,
+                F.round(
+                    (F.log(n.cast("double")) - s / n) / F.lit(ln2), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("entropy_bits"),
+        )
+
+    stats = F.aggregate(chars, zero, merge, finish)
+    return spread(df).select(
+        F.col(id_col),
+        stats["n_chars"].cast("bigint").alias("n_chars"),
+        stats["entropy_bits"].alias("entropy_bits"),
     )
 
 
