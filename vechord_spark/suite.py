@@ -4491,7 +4491,15 @@ def corpus_funnel_report(spark, sf_dir):
         start=1,
     ):
         out = out.unionByName(stage(i, nm, df))
-    return out
+    # the report is 5 rows: materialize it eagerly so the per-call
+    # persisted intermediates can be RELEASED here — without this,
+    # repeated funnel runs in a long-lived session accumulate orphaned
+    # cache blocks (the leak class the round-5 review flagged on
+    # pagerank)
+    rows = out.collect()
+    exact.unpersist()
+    surv.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 _LINE_DEDUP_NOTICE = "copyright notice all rights reserved"
