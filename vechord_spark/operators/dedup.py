@@ -585,6 +585,11 @@ def connected_components(
     edges = half.filter(F.col("u") != F.col("v")).select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct().localCheckpoint(eager=True)
+    if local_edge_threshold:
+        # the size-gate persist is no longer needed once the canonical
+        # edge set is checkpointed — release it on the distributed path
+        # too (the local path already does)
+        half.unpersist()
 
     def _signature(e):
         row = e.agg(
