@@ -1395,10 +1395,19 @@ class VechordRegistry:
         ipath = self.base_path / f"{self.namespace}_{name}.bm25"
         if ipath.exists():
             shutil.rmtree(ipath)
-        index.postings.write.parquet(str(ipath / "postings"))
-        index.doclen.write.parquet(str(ipath / "doclen"))
-        index.docfreq.write.parquet(str(ipath / "docfreq"))
-        index.stats.write.parquet(str(ipath / "stats"))
+        # persist for the build: all four persisted tables derive from
+        # the postings; without the cache each write re-tokenizes the
+        # corpus. Released before returning - the queries read parquet.
+        index.persist(eager=True)
+        try:
+            index.postings.write.parquet(str(ipath / "postings"))
+            index.doclen.write.parquet(str(ipath / "doclen"))
+            index.docfreq.write.parquet(str(ipath / "docfreq"))
+            index.stats.write.parquet(str(ipath / "stats"))
+        finally:
+            index.postings.unpersist()
+            index.doclen.unpersist()
+            index.docfreq.unpersist()
         if tokenizer is None:
             meta = {"tokenizer": "simple"}
         else:
