@@ -235,19 +235,21 @@ def test_file_ledger_fast_path_and_fallback(reg, spark):
     assert (ipath / "files.json").exists()
 
     reg.insert_rows("emb", _rows(range(50, 60), seed=6))
-    delta = reg._new_rows_since_index("emb", ipath)
+    delta, covered = reg._new_rows_since_index("emb", ipath)
     assert delta is not None and delta.count() == 10
     # fast path reads ONLY the appended files, not the whole table
     ledger = set(json.loads((ipath / "files.json").read_text()))
     assert set(delta.inputFiles()).isdisjoint(ledger)
+    # the to-be-recorded set is exactly ledger + the fresh files
+    assert set(covered) == ledger | set(delta.inputFiles())
     assert reg.extend_vector_index("emb") == 10
     # ledger refreshed: nothing new now
-    assert reg._new_rows_since_index("emb", ipath).count() == 0
+    assert reg._new_rows_since_index("emb", ipath)[0].count() == 0
 
     # a rewrite invalidates the ledger -> anti-join fallback still works
     reg.remove_by("emb", {"uid": 0}, cascade=False)
-    assert reg._new_rows_since_index("emb", ipath) is None
+    assert reg._new_rows_since_index("emb", ipath) == (None, None)
     reg.insert_rows("emb", _rows(range(100, 105), seed=7))
     assert reg.extend_vector_index("emb") == 5
     # and the ledger is re-adopted afterwards
-    assert reg._new_rows_since_index("emb", ipath).count() == 0
+    assert reg._new_rows_since_index("emb", ipath)[0].count() == 0

@@ -836,36 +836,49 @@ class VechordRegistry:
     # --------------------------------------------------------------- search
     # ---------------------------------------------------------------- index
     # ------------------------------------------------- index maintenance
-    def _record_index_files(self, name: str, ipath: Path) -> None:
-        """Snapshot the table's data-file set at index (re)build or
-        extension time — the append-only delta source for the extend_*
-        methods (new files = new rows; a parquet append never rewrites
-        existing files)."""
+    def _record_index_files(
+        self, name: str, ipath: Path, files: list[str] | None = None
+    ) -> None:
+        """Snapshot the data-file set the index has SEEN — the
+        append-only delta source for the extend_* methods (new files =
+        new rows; a parquet append never rewrites existing files).
+
+        Pass ``files`` explicitly from the extend paths: re-listing the
+        table here would also swallow files a CONCURRENT writer
+        appended after discovery (optimistic mode), silently excluding
+        those rows from every future delta. The ledger must only ever
+        contain files whose rows are actually in the index."""
         import json
 
-        files = sorted(self.load(name).inputFiles())
-        (ipath / "files.json").write_text(json.dumps(files))
+        if files is None:
+            files = sorted(self.load(name).inputFiles())
+        (ipath / "files.json").write_text(json.dumps(sorted(files)))
 
     def _new_rows_since_index(self, name: str, ipath: Path):
-        """Rows appended since the index last saw the table, or None
-        when the file ledger can't prove append-only history (no ledger
-        from an older index; a DELETE/compact rewrote files) — callers
-        then fall back to the pk anti-join. File-diff reads ONLY the
-        new files: extension cost is O(appended data), independent of
-        table or index size."""
+        """(new_rows, files_covered) — the rows appended since the
+        index last saw the table plus the exact file set the extended
+        index will cover, or (None, None) when the file ledger can't
+        prove append-only history (no ledger from an older index; a
+        DELETE/compact rewrote files) — callers then fall back to the
+        pk anti-join. File-diff reads ONLY the new files: extension
+        cost is O(appended data), independent of table or index
+        size."""
         import json
 
         ledger = ipath / "files.json"
         if not ledger.exists():
-            return None
+            return None, None
         seen = set(json.loads(ledger.read_text()))
         cur = set(self.load(name).inputFiles())
         if not seen <= cur:
-            return None  # files were rewritten/removed: ledger invalid
+            return None, None  # files were rewritten/removed: ledger invalid
         fresh = sorted(cur - seen)
         if not fresh:
-            return self.load(name).limit(0)
-        return self.spark.read.schema(self.load(name).schema).parquet(*fresh)
+            return self.load(name).limit(0), sorted(seen)
+        return (
+            self.spark.read.schema(self.load(name).schema).parquet(*fresh),
+            sorted(seen | set(fresh)),
+        )
 
     def _index_path(self, name: str) -> Path:
         return self.base_path / f"{self.namespace}_{name}.ivf"
@@ -982,13 +995,15 @@ class VechordRegistry:
         # file-ledger fast path: read ONLY files appended since the
         # index last saw the table (O(new data)); fall back to the pk
         # anti-join when the ledger cannot prove append-only history
-        new = self._new_rows_since_index(name, ipath)
+        new, covered = self._new_rows_since_index(name, ipath)
         if new is None:
+            base = self.load(name)
+            covered = sorted(base.inputFiles())
             indexed = self.spark.read.parquet(str(ipath / "data")).select(pk.name)
-            new = self.load(name).join(indexed, pk.name, "left_anti")
+            new = base.join(indexed, pk.name, "left_anti")
         n_new = new.count()
         if n_new == 0:
-            self._record_index_files(name, ipath)
+            self._record_index_files(name, ipath, files=covered)
             return 0
         fresh = assign_centroids(new, vec_col.name, centroids)
         if (ipath / "codebooks").exists():
@@ -1009,7 +1024,7 @@ class VechordRegistry:
         fresh.write.mode("append").partitionBy("centroid_id").parquet(
             str(ipath / "data")
         )
-        self._record_index_files(name, ipath)
+        self._record_index_files(name, ipath, files=covered)
         return n_new
 
     def extend_multivec_index(self, name: str) -> int:
@@ -1046,13 +1061,15 @@ class VechordRegistry:
             .collect()
         )
         centroids = np.array([r.vec for r in rows])
-        new = self._new_rows_since_index(name, ipath)
+        new, covered = self._new_rows_since_index(name, ipath)
         if new is None:
+            base = self.load(name)
+            covered = sorted(base.inputFiles())
             indexed = self.spark.read.parquet(str(ipath / "data")).select(pk.name)
-            new = self.load(name).join(indexed, pk.name, "left_anti")
+            new = base.join(indexed, pk.name, "left_anti")
         n_new = new.count()
         if n_new == 0:
-            self._record_index_files(name, ipath)
+            self._record_index_files(name, ipath, files=covered)
             return 0
         fresh = assign_centroids(
             new.withColumn("__mean", mean_vector(mv_col.name)),
@@ -1072,7 +1089,7 @@ class VechordRegistry:
         fresh.write.mode("append").partitionBy("centroid_id").parquet(
             str(ipath / "data")
         )
-        self._record_index_files(name, ipath)
+        self._record_index_files(name, ipath, files=covered)
         return n_new
 
     def _mv_index_path(self, name: str) -> Path:
@@ -1458,15 +1475,17 @@ class VechordRegistry:
         ipath = self.base_path / f"{self.namespace}_{name}.bm25"
         # file-ledger fast path (O(new data)); anti-join fallback when
         # the ledger cannot prove append-only history
-        new = self._new_rows_since_index(name, ipath)
+        new, covered = self._new_rows_since_index(name, ipath)
         if new is None:
+            base = self.load(name)
+            covered = sorted(base.inputFiles())
             indexed = (
                 old.postings.select(F.col("doc_id").alias(pk.name)).distinct()
             )
-            new = self.load(name).join(indexed, pk.name, "left_anti")
+            new = base.join(indexed, pk.name, "left_anti")
         n_new = new.count()
         if n_new == 0:
-            self._record_index_files(name, ipath)
+            self._record_index_files(name, ipath, files=covered)
             return 0
         delta = Bm25Index(new, pk.name, kw_col.name, tokenizer=old.tokenizer)
         delta.postings.write.mode("append").parquet(str(ipath / "postings"))
@@ -1509,7 +1528,7 @@ class VechordRegistry:
         )
         merged_df.write.mode("overwrite").parquet(str(ipath / "docfreq"))
         merged_stats.write.mode("overwrite").parquet(str(ipath / "stats"))
-        self._record_index_files(name, ipath)
+        self._record_index_files(name, ipath, files=covered)
         return n_new
 
     def _load_keyword_index(self, name: str):
