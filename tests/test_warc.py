@@ -109,3 +109,31 @@ def test_gzip_parse_is_streaming(archive, monkeypatch):
     assert [r["target_uri"] for r in got] == [
         r["target_uri"] for r in parse_warc_bytes(archive)
     ]
+
+
+def test_wet_conversion_records_to_documents(spark, tmp_path):
+    from vechord_spark.sources.warc import wet_to_documents
+
+    wet = (
+        _record("warcinfo", "", b"software: test-crawler\r\n")
+        + _record(
+            "conversion",
+            "http://a.example/",
+            b"alpha beta gamma extracted text",
+            extra="Content-Type: text/plain\r\n",
+        )
+        + _record(
+            "conversion",
+            "http://b.example/",
+            b"   ",  # whitespace-only page -> dropped
+            extra="Content-Type: text/plain\r\n",
+        )
+        + _record("response", "http://c.example/", _http_html("C", "ignored"))
+    )
+    p = tmp_path / "crawl.wet.gz"
+    p.write_bytes(gzip.compress(wet))
+    docs = wet_to_documents(read_warc(spark, str(p))).collect()
+    assert len(docs) == 1
+    assert docs[0].url == "http://a.example/"
+    assert docs[0].text == "alpha beta gamma extracted text"
+    assert docs[0].fetched_at == "2024-01-01T00:00:00Z"

@@ -171,3 +171,25 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
     return responses.mapInPandas(
         _extract, "url string, fetched_at string, text string"
     )
+
+
+def wet_to_documents(records: DataFrame) -> DataFrame:
+    """WET ``conversion`` records -> (url, fetched_at, text).
+
+    Common Crawl ships three containers per crawl: WARC (raw HTTP),
+    WAT (metadata), and WET — the pre-extracted PLAIN TEXT, one
+    ``WARC-Type: conversion`` record per page with the text as the
+    payload (no HTTP envelope, no HTML). Most text pipelines start
+    from WET because it skips the HTML strip entirely; the parser is
+    the same length-prefixed record reader (``read_warc``), so this
+    is a pure Column program — decode the payload, keep non-empty
+    text — with no Python extraction step at all."""
+    return (
+        records.filter(F.col("warc_type") == "conversion")
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("fetched_at"),
+            F.col("payload").cast("string").alias("text"),
+        )
+        .filter(F.trim(F.col("text")) != "")
+    )
