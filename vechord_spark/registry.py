@@ -847,7 +847,16 @@ class VechordRegistry:
         table here would also swallow files a CONCURRENT writer
         appended after discovery (optimistic mode), silently excluding
         those rows from every future delta. The ledger must only ever
-        contain files whose rows are actually in the index."""
+        contain files whose rows are actually in the index.
+
+        Crash contract (single-writer maintenance): the index append
+        lands BEFORE this record, so a crash in between leaves the
+        ledger stale and the next ledger-path extend would re-append
+        that delta (duplicate index rows). Recovery after a crashed
+        extend: delete ``files.json`` — the next extend then takes the
+        pk anti-join path, which is idempotent, and re-adopts the
+        ledger. (The reverse order would silently LOSE rows on the
+        mirror crash, which is worse than duplicating.)"""
         import json
 
         if files is None:
