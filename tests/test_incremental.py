@@ -253,3 +253,46 @@ def test_file_ledger_fast_path_and_fallback(reg, spark):
     assert reg.extend_vector_index("emb") == 5
     # and the ledger is re-adopted afterwards
     assert reg._new_rows_since_index("emb", ipath)[0].count() == 0
+
+
+def test_extend_intent_forces_idempotent_retry(reg, spark):
+    """A crash between the index append and the ledger record leaves an
+    intent marker; the next extend then refuses the file-diff fast path
+    and retries through the idempotent anti-join (no double-append)."""
+    reg.insert_rows("emb", _rows(range(40), seed=9))
+    reg.build_vector_index("emb", lists=2)
+    ipath = reg._index_path("emb")
+    reg.insert_rows("emb", _rows(range(40, 50), seed=10))
+
+    # simulate the crash: marker written, append landed, record never ran
+    reg._mark_extend_intent(ipath)
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(str(ipath / "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    from vechord_spark.operators.ivf import assign_centroids
+
+    delta, _ = None, None
+    new = reg.load("emb").join(
+        spark.read.parquet(str(ipath / "data")).select("uid"), "uid", "left_anti"
+    )
+    assign_centroids(new, "vec", np.array([r.vec for r in rows])).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(str(ipath / "data"))
+
+    # intent present -> fast path refused
+    assert reg._new_rows_since_index("emb", ipath) == (None, None)
+    # retry is a no-op (rows already indexed), and clears the intent
+    assert reg.extend_vector_index("emb") == 0
+    assert not (ipath / "extend.intent").exists()
+    # index has each row exactly once
+    ids = [r.uid for r in spark.read.parquet(str(ipath / "data")).collect()]
+    assert len(ids) == len(set(ids)) == 50
+    # back on the fast path afterwards
+    reg.insert_rows("emb", _rows(range(100, 104), seed=11))
+    delta, covered = reg._new_rows_since_index("emb", ipath)
+    assert delta is not None and delta.count() == 4
+    assert reg.extend_vector_index("emb") == 4

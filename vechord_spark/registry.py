@@ -850,18 +850,27 @@ class VechordRegistry:
         contain files whose rows are actually in the index.
 
         Crash contract (single-writer maintenance): the index append
-        lands BEFORE this record, so a crash in between leaves the
-        ledger stale and the next ledger-path extend would re-append
-        that delta (duplicate index rows). Recovery after a crashed
-        extend: delete ``files.json`` — the next extend then takes the
-        pk anti-join path, which is idempotent, and re-adopts the
-        ledger. (The reverse order would silently LOSE rows on the
-        mirror crash, which is worse than duplicating.)"""
+        lands BEFORE this record; the window between them is covered by
+        the ``extend.intent`` marker (_mark_extend_intent), which
+        forces the next extend through the idempotent anti-join path —
+        recovery is automatic."""
         import json
 
         if files is None:
             files = sorted(self.load(name).inputFiles())
         (ipath / "files.json").write_text(json.dumps(sorted(files)))
+        # the extend that just recorded is fully landed: clear its
+        # crash-recovery marker (see _mark_extend_intent)
+        (ipath / "extend.intent").unlink(missing_ok=True)
+
+    def _mark_extend_intent(self, ipath: Path) -> None:
+        """Crash self-healing for the extend_* ledger path: written
+        just before the index append, cleared by _record_index_files
+        after the ledger lands. While present, _new_rows_since_index
+        refuses the file-diff fast path, so an extend that crashed
+        between append and record is retried through the IDEMPOTENT pk
+        anti-join instead of double-appending its delta."""
+        (ipath / "extend.intent").write_text("")
 
     def _new_rows_since_index(self, name: str, ipath: Path):
         """(new_rows, files_covered) — the rows appended since the
@@ -875,6 +884,10 @@ class VechordRegistry:
         import json
 
         ledger = ipath / "files.json"
+        if (ipath / "extend.intent").exists():
+            # a previous extend may have appended without recording —
+            # only the anti-join path is safe (idempotent)
+            return None, None
         if not ledger.exists():
             return None, None
         seen = set(json.loads(ledger.read_text()))
@@ -1030,6 +1043,7 @@ class VechordRegistry:
             for r in crows:
                 books[r.subspace, r.code] = r.vec
             fresh = encode_pq(fresh, vec_col.name, PqCodebook(books))
+        self._mark_extend_intent(ipath)
         fresh.write.mode("append").partitionBy("centroid_id").parquet(
             str(ipath / "data")
         )
@@ -1095,6 +1109,7 @@ class VechordRegistry:
             fresh = fresh.withColumn(
                 "__centroid_ids", token_centroid_ids(mv_col.name, tok)
             )
+        self._mark_extend_intent(ipath)
         fresh.write.mode("append").partitionBy("centroid_id").parquet(
             str(ipath / "data")
         )
@@ -1497,6 +1512,7 @@ class VechordRegistry:
             self._record_index_files(name, ipath, files=covered)
             return 0
         delta = Bm25Index(new, pk.name, kw_col.name, tokenizer=old.tokenizer)
+        self._mark_extend_intent(ipath)
         delta.postings.write.mode("append").parquet(str(ipath / "postings"))
         delta.doclen.write.mode("append").parquet(str(ipath / "doclen"))
         # merged derived tables: materialize BEFORE overwriting the
