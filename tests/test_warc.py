@@ -137,3 +137,42 @@ def test_wet_conversion_records_to_documents(spark, tmp_path):
     assert docs[0].url == "http://a.example/"
     assert docs[0].text == "alpha beta gamma extracted text"
     assert docs[0].fetched_at == "2024-01-01T00:00:00Z"
+
+
+def test_wat_metadata_records(spark, tmp_path):
+    import json as _json
+
+    from vechord_spark.sources.warc import wat_to_metadata
+
+    envelope = {
+        "Envelope": {
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "Response-Message": {"Status": "200"},
+                    "HTML-Metadata": {
+                        "Head": {"Title": "A Page"},
+                        "Links": [
+                            {"url": "http://x.example/1"},
+                            {"url": "http://x.example/2"},
+                        ],
+                    },
+                }
+            }
+        }
+    }
+    wat = _record("warcinfo", "", b"software: test\r\n") + _record(
+        "metadata",
+        "http://a.example/",
+        _json.dumps(envelope).encode(),
+        extra="Content-Type: application/json\r\n",
+    )
+    p = tmp_path / "crawl.wat.gz"
+    p.write_bytes(gzip.compress(wat))
+    rows = wat_to_metadata(read_warc(spark, str(p))).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.url == "http://a.example/"
+    assert r.title == "A Page"
+    assert r.http_status == "200"
+    assert r.n_links == 2
+    assert '"Links"' in r.wat_json

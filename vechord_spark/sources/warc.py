@@ -173,6 +173,50 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
     )
 
 
+def wat_to_metadata(records: DataFrame) -> DataFrame:
+    """WAT ``metadata`` records -> per-page crawl metadata.
+
+    WAT is Common Crawl's third container: one ``WARC-Type: metadata``
+    record per page whose payload is a JSON envelope
+    (``Envelope.Payload-Metadata.HTTP-Response-Metadata``) describing
+    the fetch — headers, detected MIME, title, outgoing links. The
+    heavy fields stay as the raw JSON string (parse what you need with
+    ``get_json_object`` — Catalyst prunes the rest); the commonly
+    filtered-on scalars (title, detected MIME, link count) are lifted
+    into columns here, all with built-in JSON functions — no Python.
+    """
+    meta = records.filter(F.col("warc_type") == "metadata").select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        F.col("payload").cast("string").alias("wat_json"),
+    )
+    resp = (
+        "Envelope.Payload-Metadata.HTTP-Response-Metadata"
+    )
+    return meta.select(
+        "url",
+        "fetched_at",
+        F.get_json_object(
+            "wat_json", f"$.{resp}.HTML-Metadata.Head.Title"
+        ).alias("title"),
+        F.get_json_object(
+            "wat_json", f"$.{resp}.Entity-Type"  # may be absent
+        ).alias("entity_type"),
+        F.get_json_object("wat_json", f"$.{resp}.Response-Message.Status").alias(
+            "http_status"
+        ),
+        F.coalesce(
+            F.json_array_length(
+                F.get_json_object(
+                    "wat_json", f"$.{resp}.HTML-Metadata.Links"
+                )
+            ),
+            F.lit(0),
+        ).alias("n_links"),
+        "wat_json",
+    )
+
+
 def wet_to_documents(records: DataFrame) -> DataFrame:
     """WET ``conversion`` records -> (url, fetched_at, text).
 
