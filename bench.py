@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "promo_revenue",
     "late_shipments",
     "order_priority_exists",
+    "brand_supplier_diversity",
     "dedup_bloom_incremental",
     "corpus_mix",
     "temperature_mix",

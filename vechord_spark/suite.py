@@ -3044,6 +3044,49 @@ def late_shipments(spark, sf_dir):
 
 
 @_q(
+    "brand_supplier_diversity",
+    """
+    SELECT p.p_brand,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 25
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+    GROUP BY p.p_brand
+    ORDER BY supplier_cnt DESC, p.p_brand
+    """,
+)
+def brand_supplier_diversity(spark, sf_dir):
+    """TPC-H Q16 shape: how many DISTINCT suppliers serve each part
+    brand, excluding a supplier denylist — the anti-join + distinct-
+    count-over-join pattern. The denylist (negative-balance suppliers,
+    a tiny dim subset) is an explicit LEFT ANTI join that AQE
+    broadcasts; the part dim joins the fact the same way; the distinct
+    count is Spark's standard two-phase expand (partial distinct per
+    partition before the exchange — never a raw (brand, suppkey)
+    row shuffle of the fact table)."""
+    line = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        line.join(bad, "l_suppkey", "left_anti")
+        .join(part, line["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand")
+    )
+
+
+@_q(
     "order_priority_exists",
     """
     SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
