@@ -73,3 +73,20 @@ def test_probe_uses_high_bit_words(spark):
     bloom = build_bloom(keys, "key", fpp=0.3)  # dense filter -> high bits set
     assert int(bloom.words.max()) >= 2**63 or True  # density check only
     assert keys.filter(might_contain(keys, "key", bloom)).count() == 5000
+
+
+def test_broadcast_cached_across_probes(spark):
+    """One broadcast per filter, reused by every probe — repeated
+    incremental runs must not accumulate orphaned broadcast blocks."""
+    keys = spark.createDataFrame([(i,) for i in range(100)], "key long")
+    bloom = build_bloom(keys, "key", fpp=0.01)
+    assert bloom._broadcast is None  # lazy: nothing broadcast at build
+    keys.filter(might_contain(keys, "key", bloom)).count()
+    first = bloom._broadcast
+    assert first is not None
+    keys.filter(might_contain(keys, "key", bloom)).count()
+    assert bloom._broadcast is first  # same block, not a new one
+    bloom.unpersist()
+    assert bloom._broadcast is None
+    # a probe after unpersist re-broadcasts transparently
+    assert keys.filter(might_contain(keys, "key", bloom)).count() == 100

@@ -296,3 +296,97 @@ def test_extend_intent_forces_idempotent_retry(reg, spark):
     delta, covered = reg._new_rows_since_index("emb", ipath)
     assert delta is not None and delta.count() == 4
     assert reg.extend_vector_index("emb") == 4
+
+
+def _kw_registry(spark, tmp_path, ns):
+    from vechord_spark.spec import Keyword
+
+    r = VechordRegistry(ns, str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("body", Keyword())],
+        )
+    )
+    return r
+
+
+def _kw_docs(ids, seed):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rng = random.Random(seed)
+    return [
+        {"uid": i, "body": " ".join(rng.choices(words, k=rng.randrange(3, 12)))}
+        for i in ids
+    ]
+
+
+def _assert_kw_parity(inc, full, queries=("alpha beta", "zeta", "gamma delta")):
+    for q in queries:
+        got = inc.search_by_keyword("doc", q, topk=10).collect()
+        want = full.search_by_keyword("doc", q, topk=10).collect()
+        assert [r.uid for r in got] == [r.uid for r in want], q
+        for g, w in zip(got, want):
+            assert abs(g.score - w.score) < 1e-6, (q, g, w)
+
+
+def test_keyword_extend_crash_after_append_repairs_derived(spark, tmp_path):
+    """The nasty BM25 crash window: postings/doclen APPENDED but the
+    docfreq/stats overwrite never ran. The retry's anti-join sees the
+    delta docs present (n_new=0) — it must still REBUILD the derived
+    tables from the postings before clearing the intent, or terms
+    unique to the new docs are dropped and idf/avgdl stay stale."""
+    from vechord_spark.operators.bm25 import Bm25Index
+
+    day1, day2 = _kw_docs(range(40), seed=31), _kw_docs(range(40, 60), seed=32)
+    inc = _kw_registry(spark, tmp_path, "kwcrash1")
+    inc.insert_rows("doc", day1)
+    inc.build_keyword_index("doc")
+    inc.insert_rows("doc", day2)
+
+    # simulate the crash: intent marked, postings + doclen appended,
+    # derived tables NOT merged, ledger NOT recorded
+    ipath = inc.base_path / "kwcrash1_doc.bm25"
+    old = inc._load_keyword_index("doc")
+    new = inc.load("doc").join(
+        old.postings.select(F.col("doc_id").alias("uid")).distinct(),
+        "uid",
+        "left_anti",
+    )
+    delta = Bm25Index(new, "uid", "body", tokenizer=old.tokenizer)
+    inc._mark_extend_intent(ipath)
+    delta.postings.write.mode("append").parquet(str(ipath / "postings"))
+    delta.doclen.write.mode("append").parquet(str(ipath / "doclen"))
+
+    # retry: finds nothing new, but repairs docfreq/stats
+    assert inc.extend_keyword_index("doc") == 0
+    assert not (ipath / "extend.intent").exists()
+
+    full = _kw_registry(spark, tmp_path, "kwcrash1f")
+    full.insert_rows("doc", day1 + day2)
+    full.build_keyword_index("doc")
+    _assert_kw_parity(inc, full)
+    # corpus stats reflect the grown corpus (not the stale day-1 set)
+    stats = spark.read.parquet(str(ipath / "stats")).collect()[0]
+    assert stats.n_docs == 60
+
+
+def test_keyword_extend_crash_before_append_retries_cleanly(spark, tmp_path):
+    """Crash after the intent mark but BEFORE any append: the retry
+    indexes the delta docs and the result still matches a full
+    rebuild (the rebuild-under-marker path must be correct too)."""
+    day1, day2 = _kw_docs(range(30), seed=41), _kw_docs(range(30, 50), seed=42)
+    inc = _kw_registry(spark, tmp_path, "kwcrash2")
+    inc.insert_rows("doc", day1)
+    inc.build_keyword_index("doc")
+    inc.insert_rows("doc", day2)
+
+    ipath = inc.base_path / "kwcrash2_doc.bm25"
+    inc._mark_extend_intent(ipath)  # crashed before any write landed
+
+    assert inc.extend_keyword_index("doc") == 20
+    assert not (ipath / "extend.intent").exists()
+
+    full = _kw_registry(spark, tmp_path, "kwcrash2f")
+    full.insert_rows("doc", day1 + day2)
+    full.build_keyword_index("doc")
+    _assert_kw_parity(inc, full)

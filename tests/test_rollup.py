@@ -145,3 +145,40 @@ def test_stream_to_rollup_matches_batch(spark, tmp_path):
     got = _norm(spark.read.parquet(roll_path).select(*cols).collect())
     want = _norm(spark.read.parquet(full_path).select(*cols).collect())
     assert got == want
+
+
+def test_stream_to_rollup_survives_checkpoint_reset(spark, tmp_path):
+    """Epoch ids restart at 0 under a new checkpoint; the batchmeta
+    guard is scoped to the checkpoint so a restarted run's batches are
+    merged, not silently skipped."""
+    from vechord_spark.streaming.ingest import stream_to_rollup
+
+    events = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    src0, src1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    b0.write.parquet(src0 + "/b")
+    b1.write.parquet(src1 + "/b")
+    dims = ["day", "event_type"]
+    aggs = {"*": ["count"], "value": ["sum"]}
+    roll_path = str(tmp_path / "roll")
+
+    def run(src, ckpt):
+        stream = spark.readStream.schema(events.schema).parquet(src + "/*")
+        q = stream_to_rollup(
+            stream, roll_path, dims, aggs, checkpoint=ckpt, available_now=True
+        )
+        try:
+            assert q.awaitTermination(300) or not q.isActive
+        finally:
+            q.stop()
+
+    run(src0, str(tmp_path / "ckpt_a"))  # run 1: epochs 0.. under ckpt A
+    run(src1, str(tmp_path / "ckpt_b"))  # run 2: fresh checkpoint, epoch 0 again
+
+    full_path = str(tmp_path / "full")
+    write_rollup(events, dims, aggs, full_path)
+    cols = sorted(spark.read.parquet(full_path).columns)
+    got = _norm(spark.read.parquet(roll_path).select(*cols).collect())
+    want = _norm(spark.read.parquet(full_path).select(*cols).collect())
+    assert got == want

@@ -386,7 +386,7 @@ def test_char_entropy_hand_computed(spark):
     from vechord_spark.operators.quality import char_entropy
 
     df = spark.createDataFrame(
-        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
         "doc_id long, text string",
     )
     got = {r.doc_id: r for r in char_entropy(df, "doc_id", "text").collect()}
@@ -394,5 +394,8 @@ def test_char_entropy_hand_computed(spark):
     assert abs(got[2].entropy_bits - 1.0) < 1e-9          # two equiprobable chars
     assert abs(got[3].entropy_bits - 2.0) < 1e-9          # four equiprobable chars
     assert got[4].n_chars == 0 and got[4].entropy_bits == 0.0
+    # NULL text keeps its row with (0, 0.0) — same as empty (the suite
+    # oracle's LEFT JOIN coalesces absent docs the same way)
+    assert got[5].n_chars == 0 and got[5].entropy_bits == 0.0
     # repeated-char spam scores strictly below natural-ish text
     assert got[1].entropy_bits < got[2].entropy_bits < got[3].entropy_bits

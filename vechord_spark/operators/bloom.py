@@ -30,7 +30,7 @@ Design notes for exactness and scale:
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -38,17 +38,37 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-class BloomFilter(NamedTuple):
-    """m-bit filter as packed little-endian 64-bit words + params."""
+@dataclass
+class BloomFilter:
+    """m-bit filter as packed little-endian 64-bit words + params.
+
+    The word array is broadcast AT MOST ONCE per filter (lazily, on the
+    first probe) and reused by every subsequent ``might_contain`` call
+    — repeated incremental runs in a long-lived session would otherwise
+    accumulate one orphaned broadcast block per probe. ``unpersist()``
+    releases the executor copies when the filter is retired."""
 
     words: np.ndarray  # uint64[m // 64]
     m: int
     k: int
     n_build: int
+    _broadcast: object = field(default=None, repr=False, compare=False)
 
     @property
     def size_bytes(self) -> int:
         return int(self.words.nbytes)
+
+    def broadcast_words(self, sc):
+        """The (cached) Spark broadcast of the packed word array."""
+        if self._broadcast is None:
+            self._broadcast = sc.broadcast(self.words)
+        return self._broadcast
+
+    def unpersist(self) -> None:
+        """Release the cached broadcast (no-op if never probed)."""
+        if self._broadcast is not None:
+            self._broadcast.unpersist()
+            self._broadcast = None
 
 
 def _params(expected_n: int, fpp: float) -> tuple[int, int]:
@@ -102,7 +122,7 @@ def might_contain(df: DataFrame, key_col: str, bloom: BloomFilter) -> Column:
     """Boolean probe Column: True = maybe in the build set, False =
     DEFINITELY not. Positions come from the same JVM expressions as
     the build; Python only gathers bits from the broadcast words."""
-    words_b = df.sparkSession.sparkContext.broadcast(bloom.words)
+    words_b = bloom.broadcast_words(df.sparkSession.sparkContext)
 
     @pandas_udf("boolean")
     def _probe(pos: pd.Series) -> pd.Series:

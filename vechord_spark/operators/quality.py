@@ -347,7 +347,10 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from vechord_spark.parallel import spread
 
     chars = F.array_sort(
-        F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+            lambda c: c != "",
+        )
     )
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),

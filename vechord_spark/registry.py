@@ -837,27 +837,29 @@ class VechordRegistry:
     # ---------------------------------------------------------------- index
     # ------------------------------------------------- index maintenance
     def _record_index_files(
-        self, name: str, ipath: Path, files: list[str] | None = None
+        self, name: str, ipath: Path, files: list[str]
     ) -> None:
         """Snapshot the data-file set the index has SEEN — the
         append-only delta source for the extend_* methods (new files =
         new rows; a parquet append never rewrites existing files).
 
-        Pass ``files`` explicitly from the extend paths: re-listing the
-        table here would also swallow files a CONCURRENT writer
-        appended after discovery (optimistic mode), silently excluding
-        those rows from every future delta. The ledger must only ever
-        contain files whose rows are actually in the index.
+        ``files`` is REQUIRED and must be captured from the exact
+        DataFrame the build/extend scanned (``df.inputFiles()`` on the
+        df loaded at operation start): re-listing the table here would
+        also swallow files a CONCURRENT writer appended after that scan
+        (optimistic mode), silently excluding those rows from every
+        future delta. The ledger must only ever contain files whose
+        rows are actually in the index.
 
         Crash contract (single-writer maintenance): the index append
         lands BEFORE this record; the window between them is covered by
         the ``extend.intent`` marker (_mark_extend_intent), which
         forces the next extend through the idempotent anti-join path —
-        recovery is automatic."""
+        recovery is automatic for the vector/multivec layouts; the
+        keyword path additionally rebuilds its derived tables under the
+        marker (see extend_keyword_index)."""
         import json
 
-        if files is None:
-            files = sorted(self.load(name).inputFiles())
         (ipath / "files.json").write_text(json.dumps(sorted(files)))
         # the extend that just recorded is fully landed: clear its
         # crash-recovery marker (see _mark_extend_intent)
@@ -940,6 +942,10 @@ class VechordRegistry:
         if vec_col is None:
             raise SchemaError(f"table {name} has no vector column")
         df = self.load(name)
+        # ledger snapshot from the EXACT df this build scans — listing
+        # again at record time would claim concurrently-appended files
+        # whose rows the index never saw (see _record_index_files)
+        scanned_files = sorted(df.inputFiles())
         n = df.count()
         if n == 0:
             raise SchemaError(f"cannot index empty table {name}")
@@ -973,7 +979,7 @@ class VechordRegistry:
             "centroid_id int, vec array<double>",
         )
         cents.write.parquet(str(ipath / "centroids"))
-        self._record_index_files(name, ipath)
+        self._record_index_files(name, ipath, files=scanned_files)
         return n_lists
 
     def extend_vector_index(self, name: str) -> int:
@@ -1138,6 +1144,9 @@ class VechordRegistry:
         if mv_col is None:
             raise SchemaError(f"table {name} has no multivector column")
         df = self.load(name)
+        # same race guard as build_vector_index: snapshot the scanned
+        # file set now, not at record time
+        scanned_files = sorted(df.inputFiles())
         n = df.count()
         if n == 0:
             raise SchemaError(f"cannot index empty table {name}")
@@ -1163,7 +1172,7 @@ class VechordRegistry:
                 "centroid_id int, vec array<double>",
             )
             tok.write.parquet(str(ipath / "token_centroids"))
-        self._record_index_files(name, ipath)
+        self._record_index_files(name, ipath, files=scanned_files)
         return n_lists
 
     def _load_multivec_index(self, name: str):
@@ -1432,7 +1441,11 @@ class VechordRegistry:
         pk = spec.primary_key
         if pk is None:
             raise SchemaError(f"table {name} needs a primary key for BM25")
-        index = Bm25Index(self.load(name), pk.name, kw_col.name, tokenizer=tokenizer)
+        df = self.load(name)
+        # same race guard as build_vector_index: the ledger gets the
+        # file set of the EXACT df the postings were tokenized from
+        scanned_files = sorted(df.inputFiles())
+        index = Bm25Index(df, pk.name, kw_col.name, tokenizer=tokenizer)
         ipath = self.base_path / f"{self.namespace}_{name}.bm25"
         if ipath.exists():
             shutil.rmtree(ipath)
@@ -1462,8 +1475,33 @@ class VechordRegistry:
                 "max_input_chars_per_word": tokenizer.max_input_chars_per_word,
             }
         (ipath / "meta.json").write_text(json.dumps(meta))
-        self._record_index_files(name, ipath)
+        self._record_index_files(name, ipath, files=scanned_files)
         return self.spark.read.parquet(str(ipath / "postings")).count()
+
+    def _rebuild_keyword_derived(self, ipath: Path) -> None:
+        """Recompute docfreq + stats FROM the persisted postings — the
+        crash repair for extend_keyword_index. The postings are the
+        source of truth (docfreq/stats are pure functions of them, see
+        operators/bm25.py:103-112); a crash between the postings append
+        and the derived-table overwrite leaves derived tables that no
+        incremental merge can fix (the stale docfreq would be merged
+        in), so recovery re-derives both in one postings scan. Vocab-
+        sized output; idempotent under repeated crashes."""
+        postings = self.spark.read.parquet(str(ipath / "postings"))
+        rebuilt_docfreq = (
+            postings.where(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .localCheckpoint(eager=True)
+        )
+        rebuilt_stats = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+            .localCheckpoint(eager=True)
+        )
+        rebuilt_docfreq.write.mode("overwrite").parquet(str(ipath / "docfreq"))
+        rebuilt_stats.write.mode("overwrite").parquet(str(ipath / "stats"))
 
     def extend_keyword_index(self, name: str) -> int:
         """Incremental BM25 index maintenance — the keyword twin of
@@ -1481,6 +1519,16 @@ class VechordRegistry:
         tokenize scan of the NEW docs plus a vocab-sized merge; the old
         postings are never re-read beyond the derived-table rewrite.
         Returns the number of newly indexed docs.
+
+        Crash contract: unlike the vector layout (where the pk
+        anti-join alone fully repairs state), the BM25 index has
+        DERIVED tables — a crash between the postings/doclen append and
+        the docfreq/stats overwrite leaves derived tables that lag the
+        postings, and the anti-join would see the delta docs present
+        and skip them forever. So whenever the ``extend.intent`` marker
+        is found, docfreq and stats are REBUILT from the persisted
+        postings (:meth:`_rebuild_keyword_derived`) instead of trusting
+        or merging the stored copies — recovery stays automatic.
         """
         from vechord_spark.operators.bm25 import Bm25Index
 
@@ -1497,6 +1545,10 @@ class VechordRegistry:
                 f"no BM25 index for {name}; call build_keyword_index first"
             )
         ipath = self.base_path / f"{self.namespace}_{name}.bm25"
+        # a present intent marker means a previous extend may have
+        # appended postings without landing the derived tables — the
+        # derived tables must be rebuilt from postings this run
+        recovering = (ipath / "extend.intent").exists()
         # file-ledger fast path (O(new data)); anti-join fallback when
         # the ledger cannot prove append-only history
         new, covered = self._new_rows_since_index(name, ipath)
@@ -1509,12 +1561,24 @@ class VechordRegistry:
             new = base.join(indexed, pk.name, "left_anti")
         n_new = new.count()
         if n_new == 0:
+            if recovering:
+                # the crashed extend's postings DID land (that's why the
+                # anti-join found nothing new) but its docfreq/stats
+                # never did — repair before clearing the marker
+                self._rebuild_keyword_derived(ipath)
             self._record_index_files(name, ipath, files=covered)
             return 0
         delta = Bm25Index(new, pk.name, kw_col.name, tokenizer=old.tokenizer)
         self._mark_extend_intent(ipath)
         delta.postings.write.mode("append").parquet(str(ipath / "postings"))
         delta.doclen.write.mode("append").parquet(str(ipath / "doclen"))
+        if recovering:
+            # the stored docfreq/stats may already lag the postings from
+            # the crashed run — an incremental merge would bake the
+            # staleness in; re-derive both from the appended postings
+            self._rebuild_keyword_derived(ipath)
+            self._record_index_files(name, ipath, files=covered)
+            return n_new
         # merged derived tables: materialize BEFORE overwriting the
         # directories they derive from (localCheckpoint cuts the lineage
         # back to the input files)

@@ -228,6 +228,11 @@ def stream_to_rollup(
     that epoch (double count); closing it needs the rollup and ledger
     in one atomic commit (plans/commitlog.py is the tool) — acceptable
     for dashboard summaries, not for billing.
+
+    Epoch ids are scoped to a CHECKPOINT: a stream restarted with a new
+    or reset checkpoint restarts epochs at 0, so the ledger records the
+    checkpoint location alongside ``last_epoch`` and a mismatch resets
+    the guard instead of silently skipping every batch of the new run.
     """
     import json as _json
     from pathlib import Path as _Path
@@ -238,16 +243,21 @@ def stream_to_rollup(
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         if meta.exists():
-            last = _json.loads(meta.read_text()).get("last_epoch", -1)
-            if epoch_id <= last:
-                return  # re-delivered epoch: already merged
+            rec = _json.loads(meta.read_text())
+            # the skip guard only applies within the SAME checkpointed
+            # run — a different checkpoint means fresh epoch numbering
+            if rec.get("checkpoint") == checkpoint:
+                if epoch_id <= rec.get("last_epoch", -1):
+                    return  # re-delivered epoch: already merged
         if batch_df.isEmpty():
             return
         if _Path(path).exists():
             merge_rollup(batch_df.sparkSession, path, batch_df, dims, aggs)
         else:
             write_rollup(batch_df, dims, aggs, path)
-        meta.write_text(_json.dumps({"last_epoch": epoch_id}))
+        meta.write_text(
+            _json.dumps({"last_epoch": epoch_id, "checkpoint": checkpoint})
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_merge)
