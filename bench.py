@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_embedding_bucketed",
     "semdedup_survivors",
+    "semdedup_ivf_survivors",
+    "semdedup_ivf_recall",
     "embedding_quantize",
     "text_stats",
     "text_repetition",

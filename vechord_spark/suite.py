@@ -807,11 +807,14 @@ def semdedup_survivors(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space
     — within-CLUSTER cosine pairs above threshold, connected
     components, keep one min-id representative per semantic-duplicate
-    group. The cluster column (``label``, standing in for an IVF
-    centroid assignment — build_ivf is the production bucketer) bounds
-    comparisons to bucket-local joins, never all-pairs; the component
-    and survivor steps are the same scale-safe machinery as the text
-    path (dedup_survivors). Summarized to hash-stable scalars."""
+    group. VERIFICATION-SCALE shape: the bucketer here is the synthetic
+    ``label`` column — a CONSTANT ~10 buckets, so the within-bucket
+    self-join is O(n²/10) as the corpus grows. Its value is the exact
+    SQL oracle; the production shape is ``semdedup_ivf_survivors``,
+    whose IVF bucket count grows with the corpus (13.9 s vs 34.8 s at
+    10x, BASELINE.md round-6c). The component and survivor steps are
+    the same scale-safe machinery as the text path (dedup_survivors).
+    Summarized to hash-stable scalars."""
     emb = _t(spark, sf_dir, "embeddings")
     bucketer = emb.select("vec_id", F.col("label").alias("bucket"))
     pairs = DD.embedding_near_duplicates(
@@ -823,6 +826,86 @@ def semdedup_survivors(spark, sf_dir):
         F.sum("vec_id").cast("bigint").alias("id_sum"),
         F.min("vec_id").cast("bigint").alias("id_min"),
         F.max("vec_id").cast("bigint").alias("id_max"),
+    )
+
+
+@_q("semdedup_ivf_survivors")  # rows-only: KMeans bucketing not SQL-expressible
+def semdedup_ivf_survivors(spark, sf_dir):
+    """SemDeDup with the PRODUCTION bucketer — IVF centroid assignment
+    (operators/ivf.build_ivf, lists=16, the memoized suite index) in
+    place of the constant-cardinality ``label`` column. Bucket count
+    grows with the corpus (lists ~ sqrt(n) in the registry default), so
+    the within-bucket cosine self-join stays bucket-local at any scale
+    — the label-bucketed ``semdedup_survivors`` keeps ~10 buckets
+    forever and is the O(n²/10) verification-scale oracle twin.
+    Measured at 10x/20k vectors: 13.9 s (IVF) vs 34.8 s (labels), see
+    BASELINE.md round-6c. Deterministic (seeded, hash-ordered KMeans
+    sample) but not SQL-expressible -> rows-only, gated by the green
+    ``semdedup_ivf_recall`` scalar."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ivf16(spark, sf_dir)
+    bucketer = index.assigned.select(
+        "vec_id", F.col("centroid_id").alias("bucket")
+    )
+    pairs = DD.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    kept = DD.drop_near_duplicates(emb, "vec_id", pairs)
+    return kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("vec_id").cast("bigint").alias("id_sum"),
+        F.min("vec_id").cast("bigint").alias("id_min"),
+        F.max("vec_id").cast("bigint").alias("id_max"),
+    )
+
+
+@_q(
+    "semdedup_ivf_recall",
+    """
+    SELECT CAST(0.35 AS DOUBLE) AS threshold, CAST(16 AS INT) AS lists,
+           CAST(0.15 AS DOUBLE) AS recall_floor,
+           CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS beats_label
+    """,
+)
+def semdedup_ivf_recall(spark, sf_dir):
+    """Deterministic gate for the rows-only semdedup_ivf_survivors:
+    pair recall of the IVF-bucketed candidate generator vs the exact
+    all-pairs ground truth (computable at verification scale only —
+    same contract as ivf_recall). A bucketed pair set is a SUBSET of
+    the exact set by construction (same threshold, restricted
+    comparisons), so recall = |bucketed| / |exact| — three counts, no
+    pair join. Asserts (a) IVF recall >= 0.15 (measured 0.30 at sf0.01,
+    0.25 at sf0.1) and (b) the IVF bucketer strictly beats the
+    constant-10-bucket label bucketer (measured ~0.10) — bucket
+    granularity must grow with the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ivf16(spark, sf_dir)
+
+    def n_pairs(bucketer, name):
+        return DD.embedding_near_duplicates(
+            emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
+        ).agg(F.count(F.lit(1)).cast("double").alias(name))
+
+    exact = n_pairs(None, "n_exact")
+    ivf = n_pairs(
+        index.assigned.select("vec_id", F.col("centroid_id").alias("bucket")),
+        "n_ivf",
+    )
+    lab = n_pairs(
+        emb.select("vec_id", F.col("label").alias("bucket")), "n_label"
+    )
+    return (
+        exact.crossJoin(ivf)
+        .crossJoin(lab)
+        .select(
+            F.lit(0.35).alias("threshold"),
+            F.lit(16).alias("lists"),
+            F.lit(0.15).alias("recall_floor"),
+            (F.col("n_ivf") / F.col("n_exact") >= F.lit(0.15))
+            .cast("int")
+            .alias("recall_ok"),
+            (F.col("n_ivf") > F.col("n_label")).cast("int").alias("beats_label"),
+        )
     )
 
 
@@ -5136,8 +5219,11 @@ _WINDOW_PRIORITY = [
     "gopher_quality_flags",
     "dedup_lines_c4",
     "knn_binary_refine",
-    # round-5c parked entries, rotated in as promised
-    "doc_tfidf_terms",
+    # round-7: the SemDeDup scale-path gate (IVF bucketer vs exact
+    # all-pairs + vs the constant-10-label demo bucketer) rotates in
+    # for doc_tfidf_terms, which had its green round in r6 and stays
+    # hash-verified by tests/test_oracle_parity.py.
+    "semdedup_ivf_recall",
     "text_repetition_chars",
     "corpus_health_by_source",
     "quality_top_fraction",
