@@ -176,3 +176,98 @@ def test_wat_metadata_records(spark, tmp_path):
     assert r.http_status == "200"
     assert r.n_links == 2
     assert '"Links"' in r.wat_json
+
+
+# ---------------------------------------------------------------- fuzz
+# Property-based hardening: the parser must never raise on hostile
+# bytes, and truncation must only ever drop the broken tail (prefix
+# consistency), at both the record layer and the gzip layer.
+
+from hypothesis import given, settings, strategies as st
+
+
+def _key(r):
+    return (r["record_offset"], r["warc_type"], r["target_uri"], r["payload"])
+
+
+@st.composite
+def _archives(draw):
+    """A syntactically valid multi-record archive with CRLF/LF variants
+    and optional extra headers."""
+    nl = draw(st.sampled_from(["\r\n", "\n"]))
+    recs = []
+    for _ in range(draw(st.integers(1, 5))):
+        payload = draw(st.binary(max_size=64))
+        wtype = draw(st.sampled_from(["response", "metadata", "conversion"]))
+        headers = [
+            "WARC/1.0",
+            f"WARC-Type: {wtype}",
+            "WARC-Target-URI: http://f.example/",
+        ]
+        if draw(st.booleans()):
+            headers.append("WARC-Date: 2024-01-01T00:00:00Z")
+        if draw(st.booleans()):
+            headers.append("X-Junk: " + draw(st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=20)))
+        headers.append(f"Content-Length: {len(payload)}")
+        recs.append(nl.join(headers).encode() + nl.encode() * 2
+                    + payload + nl.encode() * 2)
+    return b"".join(recs), len(recs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_archives())
+def test_fuzz_valid_archives_roundtrip(arch):
+    data, n = arch
+    got = list(parse_warc_bytes(data, path="p"))
+    assert len(got) == n
+    assert all(r["target_uri"] == "http://f.example/" for r in got)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=512))
+def test_fuzz_garbage_never_raises(data):
+    list(parse_warc_bytes(data))
+    list(parse_warc_bytes(gzip.compress(data)))
+    # gzip magic followed by garbage must not raise either
+    list(parse_warc_bytes(b"\x1f\x8b" + data))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_archives(), st.data())
+def test_fuzz_truncation_prefix_consistent(arch, data):
+    raw, _ = arch
+    full = [_key(r) for r in parse_warc_bytes(raw)]
+    cut = data.draw(st.integers(0, len(raw)))
+    got = [_key(r) for r in parse_warc_bytes(raw[:cut])]
+    assert got == full[: len(got)]
+
+
+@settings(max_examples=40, deadline=None)
+@given(_archives(), st.data())
+def test_fuzz_gzip_truncation_prefix_consistent(arch, data):
+    """A truncated/corrupt .warc.gz drops only the broken tail — a
+    crashed crawler mid-write must not poison the whole archive."""
+    raw, _ = arch
+    gz = gzip.compress(raw)
+    full = [_key(r) for r in parse_warc_bytes(gz)]
+    cut = data.draw(st.integers(0, len(gz)))
+    got = [_key(r) for r in parse_warc_bytes(gz[:cut])]
+    assert got == full[: len(got)]
+
+
+@settings(max_examples=30, deadline=None)
+@given(_archives())
+def test_fuzz_multimember_gzip_equals_single(arch):
+    """Per-record gzip members (the Common Crawl convention) parse to
+    the same records as one single-member archive — offsets included,
+    since both decompress to the same byte stream."""
+    raw, _ = arch
+    single = [_key(r) for r in parse_warc_bytes(gzip.compress(raw))]
+    # split the raw stream at arbitrary-ish fixed points into members
+    third = max(1, len(raw) // 3)
+    multi = b"".join(
+        gzip.compress(raw[i : i + third]) for i in range(0, len(raw), third)
+    )
+    assert [_key(r) for r in parse_warc_bytes(multi)] == single

@@ -46,14 +46,30 @@ def parse_warc_bytes(data: bytes, path: str = "") -> Iterator[dict]:
 
     Tolerant of trailing junk and truncated final records (a crashed
     crawler mid-write must not poison the whole archive — only the
-    broken tail is dropped). ``record_offset`` is the offset in the
+    broken tail is dropped). That tolerance covers the COMPRESSED layer
+    too: a truncated or corrupt gzip tail surfaces as
+    EOFError/BadGzipFile/zlib.error mid-read, which ends the iteration
+    after the last complete record instead of propagating (fuzz-pinned
+    in tests/test_warc.py). ``record_offset`` is the offset in the
     DECOMPRESSED stream.
     """
+    import zlib
+
     if data[:2] == b"\x1f\x8b":
         # handles concatenated members, one streaming pass
         buf = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(data)))
     else:
         buf = io.BufferedReader(io.BytesIO(data))
+    try:
+        yield from _iter_warc_records(buf, path)
+    except (EOFError, OSError, zlib.error):
+        # gzip.BadGzipFile is OSError; the stream is in-memory, so any
+        # OSError here is a decompression failure, not real I/O —
+        # drop the broken tail, keep everything parsed before it
+        return
+
+
+def _iter_warc_records(buf: io.BufferedReader, path: str) -> Iterator[dict]:
     while True:
         offset = buf.tell()
         line = buf.readline()
@@ -179,38 +195,85 @@ def wat_to_metadata(records: DataFrame) -> DataFrame:
     WAT is Common Crawl's third container: one ``WARC-Type: metadata``
     record per page whose payload is a JSON envelope
     (``Envelope.Payload-Metadata.HTTP-Response-Metadata``) describing
-    the fetch — headers, detected MIME, title, outgoing links. The
-    heavy fields stay as the raw JSON string (parse what you need with
-    ``get_json_object`` — Catalyst prunes the rest); the commonly
-    filtered-on scalars (title, detected MIME, link count) are lifted
-    into columns here, all with built-in JSON functions — no Python.
+    the fetch — headers, detected MIME, title, outgoing links.
+
+    The envelope is parsed ONCE per row with ``from_json`` against a
+    pinned PARTIAL schema — parse-once-then-dispatch, the same pattern
+    as the reference's extract dispatch (vechord/extract.py:52-62).
+    WAT payloads are kilobytes of nested JSON; per-field
+    ``get_json_object`` re-parses the blob for every extracted column,
+    which multiplies CPU on the biggest input at crawl scale. Fields
+    outside the partial schema are skipped by the Jackson parser at
+    token level (never materialized), and the raw string is kept as
+    ``wat_json`` for ad-hoc ``get_json_object`` digs into the long
+    tail.
     """
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    link = StructType([StructField("url", StringType())])
+    resp_schema = StructType(
+        [
+            StructField("Entity-Type", StringType()),  # may be absent
+            StructField(
+                "Response-Message",
+                StructType([StructField("Status", StringType())]),
+            ),
+            StructField(
+                "HTML-Metadata",
+                StructType(
+                    [
+                        StructField(
+                            "Head",
+                            StructType([StructField("Title", StringType())]),
+                        ),
+                        StructField("Links", ArrayType(link)),
+                    ]
+                ),
+            ),
+        ]
+    )
+    wat_schema = StructType(
+        [
+            StructField(
+                "Envelope",
+                StructType(
+                    [
+                        StructField(
+                            "Payload-Metadata",
+                            StructType(
+                                [
+                                    StructField(
+                                        "HTTP-Response-Metadata", resp_schema
+                                    )
+                                ]
+                            ),
+                        )
+                    ]
+                ),
+            )
+        ]
+    )
     meta = records.filter(F.col("warc_type") == "metadata").select(
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("fetched_at"),
         F.col("payload").cast("string").alias("wat_json"),
     )
-    resp = (
-        "Envelope.Payload-Metadata.HTTP-Response-Metadata"
-    )
+    resp = F.from_json("wat_json", wat_schema)["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"
+    ]
     return meta.select(
         "url",
         "fetched_at",
-        F.get_json_object(
-            "wat_json", f"$.{resp}.HTML-Metadata.Head.Title"
-        ).alias("title"),
-        F.get_json_object(
-            "wat_json", f"$.{resp}.Entity-Type"  # may be absent
-        ).alias("entity_type"),
-        F.get_json_object("wat_json", f"$.{resp}.Response-Message.Status").alias(
-            "http_status"
-        ),
-        F.coalesce(
-            F.json_array_length(
-                F.get_json_object(
-                    "wat_json", f"$.{resp}.HTML-Metadata.Links"
-                )
-            ),
+        resp["HTML-Metadata"]["Head"]["Title"].alias("title"),
+        resp["Entity-Type"].alias("entity_type"),
+        resp["Response-Message"]["Status"].alias("http_status"),
+        F.greatest(
+            F.coalesce(F.size(resp["HTML-Metadata"]["Links"]), F.lit(0)),
             F.lit(0),
         ).alias("n_links"),
         "wat_json",
