@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "split_shards",
     "leakage_safe_split",
     "corpus_funnel_report",
+    "corpus_funnel_incremental",
     "nb_quality",
     "dsir_importance",
     "rerank_reorder",

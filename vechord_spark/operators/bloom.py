@@ -145,6 +145,7 @@ def bloom_anti_join(
     key_col: str,
     fpp: float = 0.01,
     expected_n: int | None = None,
+    bloom: BloomFilter | None = None,
 ) -> DataFrame:
     """EXACT ``new LEFT ANTI JOIN seen ON key`` with bloom-pruned
     shuffle: definitely-unseen rows (bloom says no) never shuffle;
@@ -154,8 +155,14 @@ def bloom_anti_join(
     new batch instead of 100% — on an incremental crawl where most
     content is new, that is the difference between re-shuffling the
     whole day's data and shuffling a percent of it.
+
+    ``bloom``: pass the PERSISTED filter of the seen set (built once at
+    curation time, ``build_bloom``) to skip the seen-side scan — the
+    per-batch cost is then O(new batch + confirm join); only exactness
+    requires ``seen`` at all (the confirm anti-join probes it).
     """
-    bloom = build_bloom(seen.select(key_col), key_col, expected_n, fpp)
+    if bloom is None:
+        bloom = build_bloom(seen.select(key_col), key_col, expected_n, fpp)
     flagged = new.withColumn("__maybe_seen", might_contain(new, key_col, bloom))
     definite = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     candidates = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")

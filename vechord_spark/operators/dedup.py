@@ -194,6 +194,57 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_candidate_pairs_cross(
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    seen_bands: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Incremental near-dup candidates: pairs within the NEW batch plus
+    pairs between the new batch and the SEEN corpus, with cost
+    O(new batch + matched buckets) — the seen corpus is never re-banded
+    or re-shingled.
+
+    ``seen_bands`` is the PERSISTED signature table of the seen corpus
+    (``minhash_bands`` output, written once at curation time and
+    appended as waves land — the incremental twin of the postings/IVF
+    file ledgers in registry extend_*). The new batch is banded fresh
+    (one scan of the new docs), self-joined for within-batch pairs, and
+    joined against the seen bands for cross pairs. The band/sig keys
+    are identical on both sides by construction, so the union of the
+    two joins equals banding ``new UNION seen`` and keeping every pair
+    that touches a new doc — same shape as the reference's insert-time
+    index probe (new rows query the persisted index, never rebuild it).
+
+    Returns ``(doc_a, doc_b)`` with doc_a < doc_b; new-new and new-seen
+    pairs only (seen-seen pairs were handled when the seen corpus was
+    curated). Ids must be unique across the two sets.
+    """
+    nb = minhash_bands(
+        new, id_col, text_col, num_hashes, band_size, ngram
+    ).persist()
+    na = nb.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    nb_side = nb.select("band", "sig", F.col("doc_id").alias("doc_b"))
+    within = na.join(nb_side, ["band", "sig"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    sb = seen_bands.select("band", "sig", F.col("doc_id").alias("doc_s"))
+    cross = (
+        na.withColumnRenamed("doc_a", "doc_n")
+        .join(sb, ["band", "sig"])
+        .select(
+            F.least("doc_n", "doc_s").alias("doc_a"),
+            F.greatest("doc_n", "doc_s").alias("doc_b"),
+        )
+    )
+    return (
+        within.select("doc_a", "doc_b").union(cross).distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
