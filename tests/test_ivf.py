@@ -165,3 +165,80 @@ def test_incremental_add_finds_new_and_keeps_old(ivf, spark):
         for r in assign_centroids(new, "embedding", index.centroids).collect()
     }
     assert fresh == want
+
+
+def test_spherical_build_and_probe(spark):
+    """Spherical IVF: cells fit/assigned on unit-norm vectors; a query
+    and its scaled copy probe the SAME cells (cosine cannot see
+    magnitude), and search results match the raw index's exact scores
+    (stored rows stay raw)."""
+    import random
+
+    from vechord_spark.operators.ivf import build_ivf
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) * (1 + 9 * (i % 2)) for _ in range(8)])
+        for i in range(200)
+    ]  # alternating small/large magnitudes: raw-L2 cells would split on norm
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_ivf(df, "embedding", lists=4, seed=7, spherical=True)
+    assert idx.spherical
+    q = [0.3] * 8
+    big_q = [x * 100 for x in q]
+    assert idx.nearest_centroids(q, 2) == idx.nearest_centroids(big_q, 2)
+    # full-probe spherical search == exact brute force (probe covers all)
+    from vechord_spark.operators.knn import knn
+
+    exact = [r.vec_id for r in knn(
+        df, "embedding", q, k=5, distance="cos",
+        select=["vec_id"], tie_break="vec_id").collect()]
+    got = [r.vec_id for r in idx.search(
+        q, k=5, probes=4, distance="cos",
+        select=["vec_id"], tie_break="vec_id").collect()]
+    assert got == exact
+    # add() keeps the spherical assignment for appended rows
+    extra = spark.createDataFrame(
+        [(1000, [0.2] * 8)], "vec_id long, embedding array<double>"
+    )
+    grown = idx.add(extra)
+    assert grown.spherical
+    assert grown.assigned.filter("vec_id = 1000").count() == 1
+
+
+def test_registry_spherical_index_persists_flag(spark, tmp_path):
+    """build_vector_index(spherical=True) persists the flag; a fresh
+    load probes spherically and extend assigns spherically."""
+    import random
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec, Vector
+
+    rng = random.Random(11)
+    reg = VechordRegistry("sph", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    reg.insert_rows(
+        "emb",
+        [{"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]}
+         for i in range(100)],
+    )
+    reg.build_vector_index("emb", lists=4, spherical=True)
+    idx = reg._load_vector_index("emb")
+    assert idx.spherical
+    # day-2 extend uses the persisted flag (normalized assignment)
+    reg.insert_rows(
+        "emb",
+        [{"uid": 100 + i, "vec": [rng.uniform(-1, 1) * 50 for _ in range(8)]}
+         for i in range(20)],
+    )
+    assert reg.extend_vector_index("emb") == 20
+    probe = reg.load("emb").filter("uid = 110").collect()[0]
+    hit = reg.search_by_vector(
+        "emb", list(probe.vec), topk=1, probes=4, distance="cos"
+    )
+    assert hit.collect()[0].uid == 110

@@ -61,10 +61,21 @@ def with_int8_quantization(df: DataFrame, vec_col: str) -> DataFrame:
 class IvfIndex:
     """KMeans-IVF layout over one table's vector column."""
 
-    def __init__(self, centroids: np.ndarray, assigned: DataFrame, vec_col: str):
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        assigned: DataFrame,
+        vec_col: str,
+        spherical: bool = False,
+    ):
         self.centroids = centroids  # (lists, dim) float64
         self.assigned = assigned  # original columns + centroid_id
         self.vec_col = vec_col
+        # spherical: cells were fit/assigned on UNIT-NORM vectors (the
+        # correct coarse quantizer for cosine/dot search — L2 cells on
+        # raw vectors split by magnitude, which cosine cannot see);
+        # probing then normalizes the query the same way
+        self.spherical = spherical
 
     @property
     def lists(self) -> int:
@@ -88,13 +99,20 @@ class IvfIndex:
         on INSERT the same way (assignment only, refit is an explicit
         REINDEX).
         """
-        fresh = assign_centroids(new_rows, self.vec_col, self.centroids)
+        fresh = assign_centroids(
+            new_rows, self.vec_col, self.centroids, normalize=self.spherical
+        )
         return IvfIndex(
-            self.centroids, self.assigned.unionByName(fresh), self.vec_col
+            self.centroids,
+            self.assigned.unionByName(fresh),
+            self.vec_col,
+            spherical=self.spherical,
         )
 
     def nearest_centroids(self, query: Sequence[float], probes: int) -> list[int]:
         q = np.asarray(query, dtype=np.float64)
+        if self.spherical:
+            q = q / max(float(np.linalg.norm(q)), 1e-30)
         d = np.linalg.norm(self.centroids - q, axis=1)
         order = np.argsort(d, kind="stable")
         return [int(i) for i in order[:probes]]
@@ -200,6 +218,7 @@ def build_ivf(
     max_iter: int = 8,
     fit_method: str = "sample",
     max_train_points: int = 100_000,
+    spherical: bool = False,
 ) -> IvfIndex:
     """Fit ``lists`` KMeans centroids and assign every row.
 
@@ -238,6 +257,8 @@ def build_ivf(
     convergence).
     """
     train = df.select(F.col(vec_col).alias("__vec"))
+    if spherical and fit_method != "sample":
+        raise ValueError("spherical fit is only supported with fit_method='sample'")
     if sample_fraction and sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
     if fit_method == "sample":
@@ -258,6 +279,15 @@ def build_ivf(
         )
         if x.shape[0] == 0:
             raise ValueError("cannot build an IVF index on an empty DataFrame")
+        if spherical:
+            # unit-normalize the collected sample DRIVER-side: the
+            # hash-ordered sample is taken on the RAW vectors, so the
+            # training set is identical to a non-spherical build and
+            # only the geometry changes; the stored rows stay raw
+            # (cosine scoring is norm-invariant, layout byte-compatible)
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+            )
         # driver-side fitting is ~free at bounded sample sizes, so buy
         # quality with restarts: best-of-3 seedings by inertia (kmeans++
         # can seed badly on small k) and a deeper Lloyd run than the
@@ -296,8 +326,10 @@ def build_ivf(
     # deterministic for a given file layout.
     from vechord_spark.parallel import spread
 
-    assigned = assign_centroids(spread(df), vec_col, centroids)
-    return IvfIndex(centroids, assigned, vec_col)
+    assigned = assign_centroids(
+        spread(df), vec_col, centroids, normalize=spherical
+    )
+    return IvfIndex(centroids, assigned, vec_col, spherical=spherical)
 
 
 class MultiVecIvfIndex:
@@ -455,12 +487,21 @@ def token_centroid_ids(mv_col: str, centroids: np.ndarray):
     return _ids(F.col(mv_col))
 
 
-def assign_centroids(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+def assign_centroids(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    normalize: bool = False,
+) -> DataFrame:
     """Attach ``centroid_id`` = argmin_c L2(vec, centroid_c).
 
     The centroid matrix rides into executors inside the UDF closure
     (broadcast); per batch the argmin is one matmul:
     ||x-c||^2 = |x|^2 - 2 x.c + |c|^2 (|x|^2 constant per row -> drop).
+
+    ``normalize``: unit-normalize each row before the distance (the
+    spherical-IVF assignment — centroids were fit on normalized
+    vectors, see ``build_ivf(spherical=True)``).
     """
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
@@ -471,6 +512,8 @@ def assign_centroids(df: DataFrame, vec_col: str, centroids: np.ndarray) -> Data
     @pandas_udf(T.IntegerType())
     def _assign(vecs: pd.Series) -> pd.Series:
         x = np.array(vecs.tolist(), dtype=np.float64)
+        if normalize:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         scores = x @ c.T * -2.0 + c_sq[None, :]
         return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
 

@@ -914,6 +914,7 @@ class VechordRegistry:
         max_iter: int = 8,
         pq_m: int | None = None,
         pq_ksub: int = 256,
+        spherical: bool = False,
     ) -> int:
         """Build + persist the IVF index for the table's vector column —
         the engine's ``CREATE INDEX`` (reference vchordrq index DDL,
@@ -951,7 +952,13 @@ class VechordRegistry:
             raise SchemaError(f"cannot index empty table {name}")
         declared = vec_col.index.lists if vec_col.index else None
         n_lists = lists or declared or max(2, int(round(n**0.5)))
-        index = build_ivf(df, vec_col.name, n_lists, max_iter=max_iter)
+        # spherical: unit-norm cells — the correct coarse quantizer for
+        # cosine/dot distance (raw-L2 cells split by magnitude, which
+        # cosine cannot see); persisted in meta.json so probe + extend
+        # normalize the same way in any later session
+        index = build_ivf(
+            df, vec_col.name, n_lists, max_iter=max_iter, spherical=spherical
+        )
         ipath = self._index_path(name)
         if ipath.exists():
             shutil.rmtree(ipath)
@@ -979,8 +986,17 @@ class VechordRegistry:
             "centroid_id int, vec array<double>",
         )
         cents.write.parquet(str(ipath / "centroids"))
+        import json
+
+        (ipath / "meta.json").write_text(json.dumps({"spherical": spherical}))
         self._record_index_files(name, ipath, files=scanned_files)
         return n_lists
+
+    def _vector_index_meta(self, ipath: Path) -> dict:
+        import json
+
+        mp = ipath / "meta.json"
+        return json.loads(mp.read_text()) if mp.exists() else {}
 
     def extend_vector_index(self, name: str) -> int:
         """Assignment-only index maintenance after appends — the
@@ -1033,7 +1049,12 @@ class VechordRegistry:
         if n_new == 0:
             self._record_index_files(name, ipath, files=covered)
             return 0
-        fresh = assign_centroids(new, vec_col.name, centroids)
+        fresh = assign_centroids(
+            new,
+            vec_col.name,
+            centroids,
+            normalize=bool(self._vector_index_meta(ipath).get("spherical")),
+        )
         if (ipath / "codebooks").exists():
             from vechord_spark.operators.pq import PqCodebook, encode_pq
 
@@ -1221,7 +1242,12 @@ class VechordRegistry:
         )
         centroids = np.array([r.vec for r in rows])
         assigned = self.spark.read.parquet(str(ipath / "data"))
-        ivf = IvfIndex(centroids, assigned, spec.vector_column.name)
+        ivf = IvfIndex(
+            centroids,
+            assigned,
+            spec.vector_column.name,
+            spherical=bool(self._vector_index_meta(ipath).get("spherical")),
+        )
         if (ipath / "codebooks").exists():
             from vechord_spark.operators.pq import IvfPqIndex, PqCodebook
 
