@@ -390,3 +390,77 @@ def test_keyword_extend_crash_before_append_retries_cleanly(spark, tmp_path):
     full.insert_rows("doc", day1 + day2)
     full.build_keyword_index("doc")
     _assert_kw_parity(inc, full)
+
+
+def test_compact_readopts_vector_ledger(reg, spark):
+    """build -> extend -> compact -> extend: the post-compact extend
+    must use the file-ledger fast path (never the O(table) anti-join)
+    and search results must equal the uncompacted index's."""
+    reg.insert_rows("emb", _rows(range(60), seed=51))
+    reg.build_vector_index("emb", lists=2)
+    reg.insert_rows("emb", _rows(range(60, 80), seed=52))
+    assert reg.extend_vector_index("emb") == 20
+    q = [0.1] * 8
+    before = [
+        r.uid for r in reg.search_by_vector("emb", q, topk=5, probes=2).collect()
+    ]
+
+    stats = reg.compact("emb")
+    assert stats["files_after"] <= stats["files_before"]
+    ipath = reg._index_path("emb")
+    # ledger re-adopted: it matches the compacted file set exactly
+    import json
+
+    ledger = set(json.loads((ipath / "files.json").read_text()))
+    assert ledger == set(reg.load("emb").inputFiles())
+
+    # results identical across the compaction: the index rows never
+    # changed (checked BEFORE any day-N append changes the corpus)
+    after = [
+        r.uid for r in reg.search_by_vector("emb", q, topk=5, probes=2).collect()
+    ]
+    assert after == before
+
+    # day-N append goes through the FAST path (ledger valid, delta
+    # reads only the fresh files), not the anti-join fallback
+    reg.insert_rows("emb", _rows(range(100, 110), seed=53))
+    delta, covered = reg._new_rows_since_index("emb", ipath)
+    assert delta is not None, "ledger fast path must survive compaction"
+    assert delta.count() == 10
+    assert set(delta.inputFiles()).isdisjoint(ledger)
+    assert reg.extend_vector_index("emb") == 10
+
+
+def test_compact_extends_pending_rows_first(reg, spark):
+    """Rows appended but NOT yet extended when compact runs must not be
+    lost: compact extends first, then snapshots."""
+    reg.insert_rows("emb", _rows(range(40), seed=61))
+    reg.build_vector_index("emb", lists=2)
+    reg.insert_rows("emb", _rows(range(40, 55), seed=62))  # pending
+    reg.compact("emb")
+    # the pending rows were indexed by compact's extend-first step
+    ipath = reg._index_path("emb")
+    ids = [r.uid for r in spark.read.parquet(str(ipath / "data")).collect()]
+    assert len(ids) == len(set(ids)) == 55
+    # and nothing is considered new afterwards
+    assert reg.extend_vector_index("emb") == 0
+
+
+def test_compact_readopts_keyword_ledger(spark, tmp_path):
+    """The BM25 twin: compact -> fresh ledger -> fast-path extend with
+    rebuild-identical scores."""
+    day1, day2 = _kw_docs(range(30), seed=71), _kw_docs(range(30, 45), seed=72)
+    inc = _kw_registry(spark, tmp_path, "kwcomp")
+    inc.insert_rows("doc", day1)
+    inc.build_keyword_index("doc")
+    inc.compact("doc")
+    ipath = inc.base_path / "kwcomp_doc.bm25"
+    inc.insert_rows("doc", day2)
+    delta, _ = inc._new_rows_since_index("doc", ipath)
+    assert delta is not None and delta.count() == 15
+    assert inc.extend_keyword_index("doc") == 15
+
+    full = _kw_registry(spark, tmp_path, "kwcompf")
+    full.insert_rows("doc", day1 + day2)
+    full.build_keyword_index("doc")
+    _assert_kw_parity(inc, full)

@@ -704,10 +704,22 @@ class VechordRegistry:
         journal. Pass ``shuffle=True`` to ``repartition`` instead when
         the batches were skewed and merged files must come out even.
 
+        Index-ledger contract: a rewrite invalidates every index's
+        files.json (the ledger can no longer prove append-only
+        history), which would push the NEXT extend_* through the
+        O(table) pk anti-join. Compaction therefore (a) runs each
+        existing index's extend_* FIRST — O(appended data) while the
+        old ledger is still valid, bringing coverage current — then
+        (b) snapshots a fresh files.json against the compacted file
+        set (row-identical to the pre-compact table, so coverage is
+        unchanged by construction). Day-N extends stay O(appended
+        data) across any number of compactions.
+
         Returns ``{"files_before", "files_after", "bytes"}``. No-op
         (zeros) for an empty table.
         """
         self._spec(name)
+        ledgered = self._extend_indexes_for_rewrite(name)
         live = Path(self.table_path(name))
         if self.concurrency == "optimistic" and live.exists():
             stats: dict[str, int] = {}
@@ -728,6 +740,12 @@ class VechordRegistry:
 
             final = self._optimistic_rewrite(name, build, op="compact")
             stats["files_after"] = len(final.files) if stats.get("bytes") else 0
+            # snapshot from the COMMITTED snapshot's own df, not a
+            # re-list (a concurrent append after the commit must not be
+            # claimed as covered — same race as _record_index_files)
+            self._snapshot_index_ledgers(
+                name, ledgered, self._read_snapshot(name, final)
+            )
             return {
                 "files_before": stats.get("files_before", 0),
                 "files_after": stats.get("files_after", 0),
@@ -744,11 +762,44 @@ class VechordRegistry:
         df = df.repartition(n_out) if shuffle else df.coalesce(n_out)
         self._rewrite(name, df)
         after = sum(1 for p in live.rglob("*.parquet") if p.is_file())
+        self._snapshot_index_ledgers(name, ledgered, self.load(name))
         return {
             "files_before": len(files),
             "files_after": after,
             "bytes": total,
         }
+
+    def _extend_indexes_for_rewrite(self, name: str) -> list[Path]:
+        """Bring every existing index of ``name`` current (O(appended
+        data) via each index's own ledger) and return their paths —
+        the pre-rewrite half of compact()'s ledger re-adoption."""
+        ledgered: list[Path] = []
+        for ipath, extend in (
+            (self._index_path(name), self.extend_vector_index),
+            (self._mv_index_path(name), self.extend_multivec_index),
+            (
+                self.base_path / f"{self.namespace}_{name}.bm25",
+                self.extend_keyword_index,
+            ),
+        ):
+            if ipath.exists():
+                extend(name)
+                ledgered.append(ipath)
+        return ledgered
+
+    def _snapshot_index_ledgers(
+        self, name: str, ledgered: list[Path], df: DataFrame
+    ) -> None:
+        """Re-adopt each index ledger after a row-preserving rewrite:
+        the indexes were brought current BEFORE the rewrite
+        (_extend_indexes_for_rewrite) and the rewrite changed files,
+        not rows, so the rewritten file set is exactly what each index
+        covers."""
+        if not ledgered:
+            return
+        files = sorted(df.inputFiles())
+        for ipath in ledgered:
+            self._record_index_files(name, ipath, files=files)
 
     def optimize_zorder(
         self,
