@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "dedup_exact_fingerprint",
     "dedup_incremental",
     "dedup_embedding_bucketed",
+    "grouping_sets_pricing",
+    "disjunctive_part_revenue",
     "semdedup_survivors",
     "semdedup_ivf_survivors",
     "semdedup_ivf_recall",

@@ -50,6 +50,9 @@ BNLJ_ALLOWED = {
     "dsir_importance",  # same 1-row totals scalar crossJoin as nb_quality
     "quantile_sketch_gate",
     "dedup_embedding_pairs",
+    # exact all-pairs ground truth (verification-scale by contract,
+    # like ivf_recall) + three 1-row claim-scalar crossJoins
+    "semdedup_ivf_recall",
     "knn_batch",
     "eval_recall_knn",
     "eval_ndcg_knn",
@@ -140,3 +143,25 @@ def test_rollup_query_scans_rollup_not_facts(spark):
     plan = _plan("events_rollup_daily", spark)
     assert "rollup_events" in plan
     assert "events.parquet" not in plan
+
+
+def test_grouping_sets_is_single_expand_single_exchange(spark):
+    """GROUPING SETS must compile to one Expand feeding a partial
+    HashAggregate before the ONE exchange — the shuffle carries
+    combined groups, never n_sets copies of the fact table."""
+    plan = _plan("grouping_sets_pricing", spark)
+    assert plan.count("Expand") == 1
+    # partial aggregate sits between Expand and the exchange
+    assert plan.index("Expand") > plan.index("Exchange")  # bottom-up string
+    assert plan.count("Exchange") <= 2  # agg exchange (+AQE coalesce read)
+
+
+def test_disjunctive_predicate_pushes_to_both_scans(spark):
+    """Q19 shape: the OR-of-ANDs must reach BOTH parquet scans as a
+    pushed disjunction (per-table residue extraction), not run only as
+    a post-join filter."""
+    plan = _plan("disjunctive_part_revenue", spark)
+    # (the plan string elides long filter lists with "..." — assert the
+    # stable prefixes of each scan's pushed disjunction)
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan

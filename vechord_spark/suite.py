@@ -3177,6 +3177,96 @@ def brand_supplier_diversity(spark, sf_dir):
 
 
 @_q(
+    "grouping_sets_pricing",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+           coalesce(l_linestatus, 'ALL') AS line_status,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_pricing(spark, sf_dir):
+    """GROUPING SETS — the remaining grouping shape next to rollup/cube
+    (rollup_order_stats, cube variants): revenue at the (flag, status)
+    grain, the flag grain, and the grand total in ONE pass.
+    DataFrame ``groupingSets`` compiles to a single Expand + one
+    HashAggregate exchange — the expand replicates each input row once
+    per set BEFORE the partial aggregate, so the shuffle carries
+    partially-combined groups, never n_sets copies of the fact table.
+    ``grouping()`` flags (one 0/1 bit per dimension — portable across
+    engines, unlike the engine-specific ``grouping_id`` bit order)
+    distinguish 'aggregated-away' from a literal NULL value."""
+    line = _t(spark, sf_dir, "lineitem")
+    return (
+        line.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .select("return_flag", "line_status", "g_rf", "g_ls", "n_lines", "revenue")
+    )
+
+
+@_q(
+    "disjunctive_part_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_part_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    both tables' columns — the disjunctive-pushdown exercise. Catalyst
+    extracts the per-table residue of the disjunction and pushes it
+    INTO each scan (lineitem reads only l_quantity IN [1,30] row
+    groups; part reads only the three brands x size ranges — visible
+    as PushedFilters Or(...) in the plan, pinned in
+    tests/test_plan_audit.py), then re-checks the full cross-table OR
+    after the join. Declared as one filter expression — no manual
+    union-of-three-joins, which would scan the fact three times."""
+    line = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#11") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#22") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#25") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        line.join(part, line["l_partkey"] == part["p_partkey"])
+        .filter(pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@_q(
     "order_priority_exists",
     """
     SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
