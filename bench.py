@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "dedup_embedding_bucketed",
     "grouping_sets_pricing",
     "disjunctive_part_revenue",
+    "customer_order_distribution",
+    "lost_customers_by_nation",
+    "sole_late_supplier",
     "semdedup_survivors",
     "semdedup_ivf_survivors",
     "semdedup_ivf_recall",

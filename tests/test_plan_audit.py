@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "corpus_mix",
     "temperature_mix",  # 1-row n_min aggregate crossJoined into the rate table
     "promo_revenue",  # 1-row revenue-total aggregate crossJoined for shares
+    "lost_customers_by_nation",  # 1-row avg-balance cutoff crossJoin (Q22)
     "doc_unigram_logprob",
     "doc_bigram_logprob",  # same 1-row vocab-total scalar crossJoin
     "ccnet_buckets",  # composes unigram_logprob's vocab-total scalar crossJoin

@@ -3267,6 +3267,184 @@ def disjunctive_part_revenue(spark, sf_dir):
 
 
 @_q(
+    "customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the order-count histogram over ALL customers —
+    zero-order customers included, which forces the OUTER join (an
+    inner join would silently drop the most interesting bucket). The
+    non-join predicate (priority exclusion) lives in the JOIN condition,
+    not a WHERE — in the WHERE it would turn the outer join back into
+    an inner one. Two aggregations, both map-side combinable; the
+    second input is |customers| rows of (custkey, count), never the
+    fact table."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_q(
+    "lost_customers_by_nation",
+    """
+    WITH cutoff AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def lost_customers_by_nation(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers with no URGENT orders —
+    per-nation count and balance of customers above the global
+    positive-balance average whose order history contains nothing
+    urgent. Three classic pieces in one plan: a 1-row scalar aggregate
+    (broadcast, never a shuffle key), an anti-join against a FILTERED
+    projection of the fact (the priority predicate is pushed to the
+    orders scan; only surviving custkeys shuffle), and a small-dim
+    broadcast join for the nation name."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    cutoff = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(cutoff)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "sole_late_supplier",
+    """
+    WITH lines AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT s.s_name,
+           CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS numwait
+    FROM lines a
+    JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    WHERE a.is_late
+      AND EXISTS (SELECT 1 FROM lines b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines c
+                      WHERE c.l_orderkey = a.l_orderkey
+                        AND c.l_suppkey <> a.l_suppkey AND c.is_late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers SOLELY responsible for late
+    multi-supplier orders — the correlated EXISTS + NOT EXISTS pair
+    over the same relation ("another supplier participated" / "no
+    other supplier was late"). Late = shipped >60 days after the order
+    date (the testdata has no receipt/commit dates). Both correlations
+    compile to semi/anti joins on l_orderkey against PROJECTIONS of
+    the lines relation (orderkey, suppkey, late-bit — never the full
+    fact width); the lines frame derives once from a single
+    lineitem-orders join. The distinct-count shuffles (s_name,
+    orderkey) pairs only from the doubly-filtered survivor set."""
+    line = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = _t(spark, sf_dir, "supplier")
+    lines = line.join(
+        orders, line["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias(
+            "is_late"
+        ),
+    )
+    a = lines.filter("is_late").alias("a")
+    others = lines.select(
+        F.col("l_orderkey").alias("b_orderkey"),
+        F.col("l_suppkey").alias("b_suppkey"),
+        "is_late",
+    )
+    has_other = others.select("b_orderkey", "b_suppkey").alias("b")
+    other_late = others.filter("is_late").select(
+        "b_orderkey", "b_suppkey"
+    ).alias("c")
+    survivors = (
+        a.join(
+            has_other,
+            (F.col("a.l_orderkey") == F.col("b.b_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.b_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("a.l_orderkey") == F.col("c.b_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("c.b_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        survivors.join(
+            supplier, F.col("l_suppkey") == supplier["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@_q(
     "order_priority_exists",
     """
     SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
