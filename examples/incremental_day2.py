@@ -7,6 +7,8 @@ indexed; today's crawl arrives and flows through
     extend_vector_index    assignment-only IVF maintenance (file-ledger
     extend_keyword_index   delta discovery: cost is O(today's data))
     merge_rollup           materialized-view refresh from today's facts only
+    compact                small-file hygiene that re-adopts the index
+                           ledgers, keeping day-N extends O(new data)
 
 No step re-reads or rewrites day-1 data; the searches at the end hit
 both days through the persisted indexes.
@@ -89,6 +91,16 @@ def main() -> None:
     print(f"index extension: +{reg.extend_vector_index('docs')} vectors, "
           f"+{reg.extend_keyword_index('docs')} docs of postings")
     merge_rollup(spark, roll, new, ["source"], {"*": ["count"]})
+
+    # ---- day-N hygiene: compact the accumulated small files ------------
+    # compact() extends every index first (pending rows get indexed, not
+    # lost), rewrites the table into ~128 MB files, then re-snapshots
+    # each index's file ledger — so the NEXT day's extend_* stays an
+    # O(appended data) file diff instead of falling back to a full
+    # pk anti-join.
+    st = reg.compact("docs")
+    print(f"compact: {st['files_before']} -> {st['files_after']} files; "
+          "index ledgers re-adopted")
 
     # ---- both days are live through the persisted indexes --------------
     probe = reg.load("docs").filter(F.col("uid") == 1010).first()

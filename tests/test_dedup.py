@@ -316,3 +316,24 @@ def test_line_dedup_return_text(spark):
         for r in line_dedup(docs, "id", "body", return_text=True).collect()
     }
     assert rows == {1: "keep one\nshared", 2: "keep two"}
+
+
+def test_embedding_pair_count_matches_join_path(spark):
+    """The blocked-matmul pair counter is count-identical to the JVM
+    fold-expression all-pairs join at every block granularity."""
+    import random
+
+    from vechord_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_pair_count,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = embedding_near_duplicates(df, "vec_id", "embedding", 0.2).count()
+    for nb in (1, 4, 8):
+        got = embedding_pair_count(
+            df, "vec_id", "embedding", 0.2, n_blocks=nb
+        ).collect()[0].n_pairs
+        assert got == want, (nb, got, want)
