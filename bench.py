@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "grouping_sets_pricing",
     "disjunctive_part_revenue",
     "customer_order_distribution",
+    "small_quantity_revenue",
+    "customer_value_deciles",
     "lost_customers_by_nation",
     "sole_late_supplier",
     "semdedup_survivors",

@@ -3272,6 +3272,96 @@ def disjunctive_part_revenue(spark, sf_dir):
 
 
 @_q(
+    "small_quantity_revenue",
+    """
+    WITH thresh AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thresh t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND l.l_quantity < t.qty_thresh
+    """,
+)
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from below-average-quantity lines of
+    one brand — the correlated-average-threshold pattern. The per-part
+    threshold is a PRE-AGGREGATION of the fact on its own join key
+    (map-side combined, then a co-partitioned join: the fact's shuffle
+    on l_partkey is shared by the aggregate and the join under AQE);
+    the brand filter reaches the part scan and the tiny surviving dim
+    broadcasts. Never a per-row correlated subquery rescan."""
+    line = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    thresh = line.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        line.join(part, line["l_partkey"] == part["p_partkey"])
+        .join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "customer_value_deciles",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ntile(10) OVER w AS decile,
+             round(cume_dist() OVER w, 6) AS cum_frac
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_mktsegment, CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(min(c_acctbal), 2) AS bal_floor,
+           round(max(c_acctbal), 2) AS bal_ceil,
+           round(max(cum_frac), 6) AS cum_frac_ceil
+    FROM ranked
+    GROUP BY c_mktsegment, decile
+    ORDER BY c_mktsegment, decile
+    """,
+)
+def customer_value_deciles(spark, sf_dir):
+    """Window-function breadth: per-segment customer-value deciles
+    (ntile) with the cumulative-distribution boundary (cume_dist) —
+    the banding step of every LTV / quality-tier analysis. ONE window
+    spec serves both functions, so the plan is a single
+    partition-by-segment exchange + sort feeding one Window operator;
+    the decile summary then re-aggregates (segment, decile) — mergeable
+    partials, no second full sort. Deterministic tie-break on custkey
+    keeps the oracle hash-stable."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_frac"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.round(F.min("c_acctbal"), 2).alias("bal_floor"),
+            F.round(F.max("c_acctbal"), 2).alias("bal_ceil"),
+            F.round(F.max("cum_frac"), 6).alias("cum_frac_ceil"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+@_q(
     "customer_order_distribution",
     """
     WITH per_cust AS (
