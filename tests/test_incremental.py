@@ -464,3 +464,25 @@ def test_compact_readopts_keyword_ledger(spark, tmp_path):
     full.insert_rows("doc", day1 + day2)
     full.build_keyword_index("doc")
     _assert_kw_parity(inc, full)
+
+
+def test_zorder_readopts_vector_ledger(reg, spark):
+    """optimize_zorder rewrites files like compact — the ledger must be
+    re-adopted there too (same extend-first/snapshot-after bracket)."""
+    import json
+
+    reg.insert_rows("emb", _rows(range(50), seed=81))
+    reg.build_vector_index("emb", lists=2)
+    reg.insert_rows("emb", _rows(range(50, 60), seed=82))  # pending
+    reg.optimize_zorder("emb", "uid", "uid", n_files=2)
+    ipath = reg._index_path("emb")
+    ledger = set(json.loads((ipath / "files.json").read_text()))
+    assert ledger == set(reg.load("emb").inputFiles())
+    # pending rows were indexed by the extend-first step
+    ids = [r.uid for r in spark.read.parquet(str(ipath / "data")).collect()]
+    assert len(ids) == len(set(ids)) == 60
+    # day-N extend stays on the fast path
+    reg.insert_rows("emb", _rows(range(100, 105), seed=83))
+    delta, _ = reg._new_rows_since_index("emb", ipath)
+    assert delta is not None and delta.count() == 5
+    assert reg.extend_vector_index("emb") == 5

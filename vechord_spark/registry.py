@@ -813,8 +813,12 @@ class VechordRegistry:
         (col_a, col_b) — the lakehouse ``OPTIMIZE ZORDER BY``: after
         the rewrite, parquet min-max stats prune scans filtered on
         EITHER column (plans/zorder.py has the layout argument). Runs
-        through the same crash-recoverable publish as compact();
-        snapshot-atomic under ``concurrency="optimistic"``.
+        through the same crash-recoverable publish as compact(), with
+        the SAME index-ledger bracket (extend every index first, then
+        snapshot fresh files.json against the rewritten layout — a
+        row-preserving rewrite must not push the next extend_* through
+        the O(table) anti-join); snapshot-atomic under
+        ``concurrency="optimistic"``.
 
         Returns ``{"files_after", "rows"}``; zeros for an empty table.
         """
@@ -823,6 +827,7 @@ class VechordRegistry:
         spec.column(col_b)
         from vechord_spark.plans.zorder import zorder_key
 
+        ledgered = self._extend_indexes_for_rewrite(name)
         live = Path(self.table_path(name))
 
         def build(df: DataFrame) -> DataFrame:
@@ -835,6 +840,9 @@ class VechordRegistry:
 
         if self.concurrency == "optimistic" and live.exists():
             final = self._optimistic_rewrite(name, build, op="zorder")
+            self._snapshot_index_ledgers(
+                name, ledgered, self._read_snapshot(name, final)
+            )
             n_rows = self.load(name).count()
             return {"files_after": len(final.files), "rows": n_rows}
         if not live.exists():
@@ -844,6 +852,7 @@ class VechordRegistry:
         df = self.load(name)
         self._rewrite(name, build(df))
         after = sum(1 for p in live.rglob("*.parquet") if p.is_file())
+        self._snapshot_index_ledgers(name, ledgered, self.load(name))
         return {"files_after": after, "rows": self.load(name).count()}
 
     def _cascade_from(self, parent: TableSpec) -> None:
