@@ -566,6 +566,77 @@ def gopher_quality(
     when used as a predicate); the expensive token-distribution
     signals live in ``repetition_stats``.
     """
+    e = _gopher_exprs(
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_frac=max_bullet_frac,
+        max_ellipsis_frac=max_ellipsis_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_required_words=min_required_words,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        e["n_words"].cast("int").alias("n_words"),
+        e["mean_word_len"].alias("mean_word_len"),
+        e["symbol_ratio"].alias("symbol_ratio"),
+        e["bullet_line_frac"].alias("bullet_line_frac"),
+        e["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        e["alpha_word_frac"].alias("alpha_word_frac"),
+        e["n_required_words"].cast("int").alias("n_required_words"),
+        e["passes"].alias("passes_gopher"),
+    )
+
+
+def gopher_pass_filter(
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> Column:
+    """The combined Gopher verdict as ONE boolean Column — usable as a
+    stateless filter on batch AND streaming frames (streaming cannot
+    join a side-computed flags table back without state). Same
+    expressions as :func:`gopher_quality`'s ``passes_gopher``, by
+    construction (shared ``_gopher_exprs``)."""
+    return _gopher_exprs(
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_frac=max_bullet_frac,
+        max_ellipsis_frac=max_ellipsis_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_required_words=min_required_words,
+    )["passes"]
+
+
+def _gopher_exprs(
+    text_col: str,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_alpha_word_frac: float,
+    min_required_words: int,
+) -> dict:
+    """The Gopher signal Columns, shared by the report (gopher_quality)
+    and the filter form (gopher_pass_filter)."""
+
     text = F.col(text_col)
     words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
@@ -612,17 +683,16 @@ def gopher_quality(
         & (alpha_frac >= min_alpha_word_frac)
         & (n_req >= min_required_words)
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_words.cast("int").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_req.cast("int").alias("n_required_words"),
-        passes.alias("passes_gopher"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_required_words": n_req,
+        "passes": passes,
+    }
 
 
 def top_tfidf_terms(

@@ -687,3 +687,52 @@ def stream_new_docs(
         seen.select(key_col).distinct(), key_col, "left_anti"
     )
     return definite.unionByName(confirmed)
+
+
+def stream_corpus_funnel(
+    stream: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    fpp: float = 0.01,
+    expected_n: int | None = None,
+    state_ttl_ms: int = 30 * 60 * 1000,
+    gate_kwargs: dict | None = None,
+) -> DataFrame:
+    """The corpus funnel's STREAMING face — the continuously-ingesting
+    twin of the batch ``corpus_funnel_incremental``: every arriving doc
+    flows through
+
+        stream_new_docs      exact "never seen" vs the persisted corpus
+                             fingerprints (bloom-negative rows map-only,
+                             candidates confirmed per micro-batch)
+        -> Gopher gate       stateless boolean Column
+                             (quality.gopher_pass_filter — streaming
+                             cannot join a side-computed flags table
+                             back without state, so the verdict IS the
+                             filter expression)
+        -> stream_dedup_first  stateful intra-stream exact dedup
+                             (first content arrival wins; TTL-bounded
+                             state)
+
+    ``seen_fps``: one-column frame of the established corpus's content
+    fingerprints (``functions/text.fingerprint``) — the same persisted
+    fingerprint table the batch incremental funnel probes. Near-dup
+    (MinHash) filtering stays a batch step over the committed survivors
+    (stream-side banding would need unbounded signature state); this
+    stream handles the exact layers, which remove the bulk.
+
+    Output: the surviving rows, unchanged schema. State: one boolean
+    per distinct new fingerprint (TTL-bounded; ``state_ttl_ms <= 0``
+    for availableNow backfills). Batch equivalence is test-pinned.
+    """
+    from vechord_spark.functions.text import fingerprint
+    from vechord_spark.operators.quality import gopher_pass_filter
+
+    fp_col = seen_fps.columns[0]
+    seen = seen_fps.select(F.col(fp_col).alias("__fp"))
+    keyed = stream.withColumn("__fp", fingerprint(text_col))
+    new = stream_new_docs(
+        keyed, seen, "__fp", fpp=fpp, expected_n=expected_n
+    ).drop("__fp")
+    gated = new.filter(gopher_pass_filter(text_col, **(gate_kwargs or {})))
+    return stream_dedup_first(gated, text_col=text_col, state_ttl_ms=state_ttl_ms)
