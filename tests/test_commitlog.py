@@ -294,3 +294,42 @@ def test_concurrent_upserts_converge(reg):
     assert len(got) == 10
     assert all(got[i] == f"left {i}" for i in range(5))
     assert all(got[i] == f"right {i}" for i in range(5, 10))
+
+
+def test_optimistic_compact_defers_ledger_readoption(spark, tmp_path):
+    """Under optimistic concurrency, compact() must NOT snapshot the
+    index ledgers (a lost version race can fold a concurrent writer's
+    appends into the compacted files — rows no index has seen). The
+    next extend pays one anti-join and re-adopts the ledger safely."""
+    import json
+    import random
+
+    from vechord_spark.spec import Vector
+
+    rng = random.Random(23)
+    r = VechordRegistry("occ_cl", str(tmp_path), spark, concurrency="optimistic")
+    r.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    rows = lambda ids: [
+        {"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]} for i in ids
+    ]
+    r.insert_rows("emb", rows(range(40)))
+    r.build_vector_index("emb", lists=2)
+    r.insert_rows("emb", rows(range(40, 50)))
+    r.compact("emb")
+    ipath = r._index_path("emb")
+    # pending rows were indexed by compact's extend-first step...
+    ids = [x.uid for x in spark.read.parquet(str(ipath / "data")).collect()]
+    assert len(ids) == len(set(ids)) == 50
+    # ...but the ledger was NOT re-pointed at the compacted files
+    ledger = set(json.loads((ipath / "files.json").read_text()))
+    assert ledger != set(r.load("emb").inputFiles())
+    # day-N extend: anti-join fallback indexes the new rows and
+    # re-adopts the ledger
+    r.insert_rows("emb", rows(range(100, 106)))
+    assert r.extend_vector_index("emb") == 6
+    assert r._new_rows_since_index("emb", ipath)[0].count() == 0

@@ -242,3 +242,45 @@ def test_registry_spherical_index_persists_flag(spark, tmp_path):
         "emb", list(probe.vec), topk=1, probes=4, distance="cos"
     )
     assert hit.collect()[0].uid == 110
+
+
+def test_registry_spherical_conditions_keeps_probe_geometry(spark, tmp_path):
+    """The conditions= path rebuilds the IvfIndex around a filtered
+    frame — it must keep the spherical flag, or filtered searches probe
+    unit-norm centroids with an unnormalized query."""
+    import random
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec, Vector
+
+    rng = random.Random(17)
+    reg = VechordRegistry("sphc", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "emb",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("vec", Vector(8)),
+                Column("grp", "int"),
+            ],
+        )
+    )
+    reg.insert_rows(
+        "emb",
+        [
+            {
+                "uid": i,
+                "vec": [rng.uniform(-1, 1) * (1 + 9 * (i % 2)) for _ in range(8)],
+                "grp": i % 2,
+            }
+            for i in range(120)
+        ],
+    )
+    reg.build_vector_index("emb", lists=4, spherical=True)
+    probe = reg.load("emb").filter("uid = 55").collect()[0]
+    big_q = [x * 500 for x in probe.vec]  # magnitude must not matter
+    hit = reg.search_by_vector(
+        "emb", big_q, topk=1, probes=4, distance="cos",
+        conditions={"grp": 55 % 2},
+    ).collect()
+    assert hit and hit[0].uid == 55, hit

@@ -182,3 +182,35 @@ def test_stream_to_rollup_survives_checkpoint_reset(spark, tmp_path):
     got = _norm(spark.read.parquet(roll_path).select(*cols).collect())
     want = _norm(spark.read.parquet(full_path).select(*cols).collect())
     assert got == want
+
+
+def test_stream_to_rollup_legacy_batchmeta_keeps_skip_guard(spark, tmp_path):
+    """A pre-upgrade .batchmeta (no checkpoint field) must keep its
+    legacy UNSCOPED skip semantics: treating it as a foreign run would
+    bypass the re-delivery guard once and double-merge an epoch."""
+    import json
+
+    from vechord_spark.streaming.ingest import stream_to_rollup
+
+    events = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    src = str(tmp_path / "src")
+    events.write.parquet(src + "/b0")
+    roll = str(tmp_path / "roll")
+    meta = tmp_path / "roll.batchmeta"
+    # legacy record claiming this epoch range was already merged
+    meta.write_text(json.dumps({"last_epoch": 10_000}))
+
+    stream = spark.readStream.schema(events.schema).parquet(src + "/*")
+    q = stream_to_rollup(
+        stream, roll, ["day", "event_type"], {"*": ["count"]},
+        checkpoint=str(tmp_path / "ck"), available_now=True,
+    )
+    try:
+        assert q.awaitTermination(300) or not q.isActive
+    finally:
+        q.stop()
+    # every epoch id <= the legacy last_epoch -> all batches skipped,
+    # exactly the legacy behavior (no double merge on upgrade)
+    import os
+
+    assert not os.path.exists(roll)

@@ -271,3 +271,38 @@ def test_fuzz_multimember_gzip_equals_single(arch):
         gzip.compress(raw[i : i + third]) for i in range(0, len(raw), third)
     )
     assert [_key(r) for r in parse_warc_bytes(multi)] == single
+
+
+def test_wat_metadata_degrades_per_field(spark, tmp_path):
+    """A record whose Links field mismatches the pinned schema (object,
+    not array) must not take title/status down with it: each lifted
+    column falls back to a targeted get_json_object re-parse."""
+    import json as _json
+
+    from vechord_spark.sources.warc import wat_to_metadata
+
+    envelope = {
+        "Envelope": {
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "Response-Message": {"Status": "301"},
+                    "HTML-Metadata": {
+                        "Head": {"Title": "Odd Page"},
+                        "Links": {"not": "an array"},
+                    },
+                }
+            }
+        }
+    }
+    wat = _record(
+        "metadata",
+        "http://odd.example/",
+        _json.dumps(envelope).encode(),
+        extra="Content-Type: application/json\r\n",
+    )
+    p = tmp_path / "odd.wat.gz"
+    p.write_bytes(gzip.compress(wat))
+    r = wat_to_metadata(read_warc(spark, str(p))).collect()[0]
+    assert r.title == "Odd Page"
+    assert r.http_status == "301"
+    assert r.n_links == 0  # non-array Links counts as zero, not poison

@@ -158,8 +158,13 @@ def bloom_anti_join(
 
     ``bloom``: pass the PERSISTED filter of the seen set (built once at
     curation time, ``build_bloom``) to skip the seen-side scan — the
-    per-batch cost is then O(new batch + confirm join); only exactness
-    requires ``seen`` at all (the confirm anti-join probes it).
+    per-batch cost is then O(new batch + confirm join). EXACTNESS
+    CONTRACT: the bloom must have been built from a SUPERSET of
+    ``seen``'s keys. A bloom has no false negatives only for keys it
+    was built with — probing a STALE bloom (seen grew since the build)
+    routes the new keys' duplicates to the definitely-new path and the
+    confirm join never sees them. Rebuild (or extend) the filter
+    whenever the seen set grows.
     """
     if bloom is None:
         bloom = build_bloom(seen.select(key_col), key_col, expected_n, fpp)

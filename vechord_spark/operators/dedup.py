@@ -223,9 +223,12 @@ def minhash_candidate_pairs_cross(
     pairs only (seen-seen pairs were handled when the seen corpus was
     curated). Ids must be unique across the two sets.
     """
-    nb = minhash_bands(
-        new, id_col, text_col, num_hashes, band_size, ngram
-    ).persist()
+    # NOT persisted: the new batch is the SMALL side by contract, so
+    # recomputing its bands for the second join is one extra O(batch)
+    # scan — cheaper than an unreleased cache block accumulating per
+    # incremental run in a long-lived session (the caller has no handle
+    # to unpersist a function-local frame)
+    nb = minhash_bands(new, id_col, text_col, num_hashes, band_size, ngram)
     na = nb.select("band", "sig", F.col("doc_id").alias("doc_a"))
     nb_side = nb.select("band", "sig", F.col("doc_id").alias("doc_b"))
     within = na.join(nb_side, ["band", "sig"]).filter(

@@ -710,10 +710,15 @@ class VechordRegistry:
         O(table) pk anti-join. Compaction therefore (a) runs each
         existing index's extend_* FIRST — O(appended data) while the
         old ledger is still valid, bringing coverage current — then
-        (b) snapshots a fresh files.json against the compacted file
-        set (row-identical to the pre-compact table, so coverage is
-        unchanged by construction). Day-N extends stay O(appended
-        data) across any number of compactions.
+        (b) under the single-writer contract, snapshots a fresh
+        files.json against the compacted file set (row-identical to
+        the pre-compact table, so coverage is unchanged by
+        construction). Day-N extends stay O(appended data) across any
+        number of compactions. Under ``concurrency="optimistic"`` step
+        (b) is SKIPPED: a lost version race re-runs the rewrite on a
+        concurrent writer's snapshot, so the compacted files may hold
+        rows no index has seen — the next extend's anti-join re-adopts
+        the ledger safely instead.
 
         Returns ``{"files_before", "files_after", "bytes"}``. No-op
         (zeros) for an empty table.
@@ -740,12 +745,13 @@ class VechordRegistry:
 
             final = self._optimistic_rewrite(name, build, op="compact")
             stats["files_after"] = len(final.files) if stats.get("bytes") else 0
-            # snapshot from the COMMITTED snapshot's own df, not a
-            # re-list (a concurrent append after the commit must not be
-            # claimed as covered — same race as _record_index_files)
-            self._snapshot_index_ledgers(
-                name, ledgered, self._read_snapshot(name, final)
-            )
+            # NO ledger snapshot in optimistic mode: a lost version race
+            # re-runs build on the WINNER's snapshot, folding rows a
+            # concurrent writer appended AFTER the pre-rewrite extends
+            # into the compacted files — snapshotting would claim those
+            # never-indexed rows as covered forever. The ledger is left
+            # invalid; the next extend_* pays one pk anti-join, indexes
+            # whatever is new, and re-adopts the ledger safely.
             return {
                 "files_before": stats.get("files_before", 0),
                 "files_after": stats.get("files_after", 0),
@@ -840,9 +846,9 @@ class VechordRegistry:
 
         if self.concurrency == "optimistic" and live.exists():
             final = self._optimistic_rewrite(name, build, op="zorder")
-            self._snapshot_index_ledgers(
-                name, ledgered, self._read_snapshot(name, final)
-            )
+            # no ledger snapshot in optimistic mode — see compact():
+            # a lost version race can fold concurrent appends into the
+            # rewrite; the next extend's anti-join re-adopts safely
             n_rows = self.load(name).count()
             return {"files_after": len(final.files), "rows": n_rows}
         if not live.exists():
@@ -1409,6 +1415,9 @@ class VechordRegistry:
                         build_predicate(index.assigned, conditions)
                     ),
                     index.vec_col,
+                    # keep the probe geometry: a spherical index must
+                    # normalize the query on the filtered path too
+                    spherical=index.spherical,
                 )
             return index.search(
                 list(vector),

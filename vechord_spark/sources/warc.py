@@ -266,14 +266,35 @@ def wat_to_metadata(records: DataFrame) -> DataFrame:
     resp = F.from_json("wat_json", wat_schema)["Envelope"]["Payload-Metadata"][
         "HTTP-Response-Metadata"
     ]
+    # per-field degradation: from_json (PERMISSIVE) nulls the WHOLE
+    # struct when ANY field mismatches its pinned type, so each lifted
+    # column coalesces to a targeted get_json_object re-parse — only
+    # schema-mismatched records pay it (Coalesce short-circuits), and a
+    # bad Links shape can no longer take title/status down with it
+    jp = "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
     return meta.select(
         "url",
         "fetched_at",
-        resp["HTML-Metadata"]["Head"]["Title"].alias("title"),
-        resp["Entity-Type"].alias("entity_type"),
-        resp["Response-Message"]["Status"].alias("http_status"),
+        F.coalesce(
+            resp["HTML-Metadata"]["Head"]["Title"],
+            F.get_json_object("wat_json", f"{jp}.HTML-Metadata.Head.Title"),
+        ).alias("title"),
+        F.coalesce(
+            resp["Entity-Type"],
+            F.get_json_object("wat_json", f"{jp}.Entity-Type"),
+        ).alias("entity_type"),
+        F.coalesce(
+            resp["Response-Message"]["Status"],
+            F.get_json_object("wat_json", f"{jp}.Response-Message.Status"),
+        ).alias("http_status"),
         F.greatest(
-            F.coalesce(F.size(resp["HTML-Metadata"]["Links"]), F.lit(0)),
+            F.coalesce(
+                F.size(resp["HTML-Metadata"]["Links"]),
+                F.json_array_length(
+                    F.get_json_object("wat_json", f"{jp}.HTML-Metadata.Links")
+                ),
+                F.lit(0),
+            ),
             F.lit(0),
         ).alias("n_links"),
         "wat_json",

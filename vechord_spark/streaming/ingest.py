@@ -245,8 +245,12 @@ def stream_to_rollup(
         if meta.exists():
             rec = _json.loads(meta.read_text())
             # the skip guard only applies within the SAME checkpointed
-            # run — a different checkpoint means fresh epoch numbering
-            if rec.get("checkpoint") == checkpoint:
+            # run — a different checkpoint means fresh epoch numbering.
+            # A legacy record (written before the checkpoint field
+            # existed) keeps the unscoped legacy semantics: treating it
+            # as a different run would bypass the skip exactly once and
+            # double-merge a re-delivered epoch on upgrade.
+            if rec.get("checkpoint") in (None, checkpoint):
                 if epoch_id <= rec.get("last_epoch", -1):
                     return  # re-delivered epoch: already merged
         if batch_df.isEmpty():
