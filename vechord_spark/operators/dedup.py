@@ -202,6 +202,7 @@ def minhash_candidate_pairs_cross(
     num_hashes: int = 16,
     band_size: int = 4,
     ngram: int = 3,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup candidates: pairs within the NEW batch plus
     pairs between the new batch and the SEEN corpus, with cost
@@ -223,12 +224,18 @@ def minhash_candidate_pairs_cross(
     pairs only (seen-seen pairs were handled when the seen corpus was
     curated). Ids must be unique across the two sets.
     """
-    # NOT persisted: the new batch is the SMALL side by contract, so
-    # recomputing its bands for the second join is one extra O(batch)
-    # scan — cheaper than an unreleased cache block accumulating per
-    # incremental run in a long-lived session (the caller has no handle
-    # to unpersist a function-local frame)
-    nb = minhash_bands(new, id_col, text_col, num_hashes, band_size, ngram)
+    # ``new_bands``: pass a PERSISTED minhash_bands(new, ...) frame and
+    # release it after materializing downstream — the pair frame is
+    # read several times (within-join, cross-join, then the Jaccard
+    # verifier's needed-ids derivation), and each evaluation would
+    # otherwise re-run the md5-heavy banding (measured 2x wall on the
+    # 10x funnel). Without it the bands are derived inline, unpersisted
+    # (no caller-releasable handle -> no cache block left behind).
+    nb = (
+        new_bands
+        if new_bands is not None
+        else minhash_bands(new, id_col, text_col, num_hashes, band_size, ngram)
+    )
     na = nb.select("band", "sig", F.col("doc_id").alias("doc_a"))
     nb_side = nb.select("band", "sig", F.col("doc_id").alias("doc_b"))
     within = na.join(nb_side, ["band", "sig"]).filter(

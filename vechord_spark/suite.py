@@ -5169,8 +5169,12 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     gated = newb.join(keep, "doc_id").persist()
 
     exact = DD.drop_exact_duplicates(gated, "doc_id", "text").persist()
+    # batch bands persisted HERE (not inside the operator) so the
+    # cleanup loop below can release them — the pair frame is evaluated
+    # several times downstream and each eval would re-run the banding
+    batch_bands = DD.minhash_bands(exact, "doc_id", "text").persist()
     cands = DD.minhash_candidate_pairs_cross(
-        exact, "doc_id", "text", seen_bands=seen_bands
+        exact, "doc_id", "text", seen_bands=seen_bands, new_bands=batch_bands
     )
     jac = DD.ngram_jaccard(
         docs, "doc_id", "text", threshold=0.35, candidates=cands
