@@ -486,3 +486,79 @@ def test_zorder_readopts_vector_ledger(reg, spark):
     delta, _ = reg._new_rows_since_index("emb", ipath)
     assert delta is not None and delta.count() == 5
     assert reg.extend_vector_index("emb") == 5
+
+
+def test_compact_index_shrinks_files_and_keeps_scores(spark, tmp_path):
+    """Daily extends fragment the index layouts; compact_index rewrites
+    them in place — fewer files, identical search results, table ledger
+    untouched."""
+    import json
+
+    from vechord_spark.spec import Keyword
+
+    rng = random.Random(91)
+    reg = VechordRegistry("idxc", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "doc",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("vec", Vector(8)),
+                Column("body", Keyword()),
+            ],
+        )
+    )
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+    def rows(ids):
+        return [
+            {
+                "uid": i,
+                "vec": [rng.uniform(-1, 1) for _ in range(8)],
+                "body": " ".join(rng.choices(words, k=6)),
+            }
+            for i in ids
+        ]
+
+    reg.insert_rows("doc", rows(range(60)))
+    reg.build_vector_index("doc", lists=2)
+    reg.build_keyword_index("doc")
+    for day in range(4):  # four daily extends -> file sprawl
+        reg.insert_rows("doc", rows(range(100 + day * 10, 110 + day * 10)))
+        assert reg.extend_vector_index("doc") == 10
+        assert reg.extend_keyword_index("doc") == 10
+
+    q = [0.2] * 8
+    knn_before = [
+        r.uid for r in reg.search_by_vector("doc", q, topk=5, probes=2).collect()
+    ]
+    kw_before = [
+        (r.uid, r.score)
+        for r in reg.search_by_keyword("doc", "alpha beta", topk=5).collect()
+    ]
+    ipath = reg._index_path("doc")
+    kpath = reg.base_path / "idxc_doc.bm25"
+    files_before = sum(1 for p in (ipath / "data").rglob("*.parquet"))
+    postings_before = sum(1 for p in (kpath / "postings").rglob("*.parquet"))
+    ledger_before = (ipath / "files.json").read_text()
+
+    out = reg.compact_index("doc")
+    assert out["ivf_data_files"] < files_before
+    assert out["bm25_postings_files"] < postings_before
+    # table ledger untouched: extends keep their O(appended) fast path
+    assert (ipath / "files.json").read_text() == ledger_before
+    assert reg._new_rows_since_index("doc", ipath)[0].count() == 0
+
+    knn_after = [
+        r.uid for r in reg.search_by_vector("doc", q, topk=5, probes=2).collect()
+    ]
+    kw_after = [
+        (r.uid, r.score)
+        for r in reg.search_by_keyword("doc", "alpha beta", topk=5).collect()
+    ]
+    assert knn_after == knn_before
+    assert kw_after == kw_before
+    # and the next extend still works end to end
+    reg.insert_rows("doc", rows(range(500, 505)))
+    assert reg.extend_vector_index("doc") == 5
+    assert reg.extend_keyword_index("doc") == 5

@@ -775,6 +775,60 @@ class VechordRegistry:
             "bytes": total,
         }
 
+    def compact_index(self, name: str) -> dict[str, int]:
+        """Small-file hygiene for the INDEX layouts — the index-side
+        twin of :meth:`compact`: every ``extend_*`` appends one file
+        set per day (postings/doclen for BM25; per-centroid-partition
+        appends for the clustered IVF copies), so a year of daily
+        extends leaves the index scan paying thousands of file opens.
+
+        Each existing index directory is rewritten in place with the
+        SAME layout (the IVF/multivec data keeps ``partitionBy(
+        centroid_id)`` — probe pruning untouched; BM25 postings/doclen
+        coalesce flat), via a staged write + directory swap. Row sets
+        are unchanged, so search results are identical (test-pinned)
+        and the TABLE file ledger is untouched (files.json tracks the
+        table's files, not the index's). Single-writer maintenance,
+        like the extends. Returns per-index file counts after."""
+        import uuid
+
+        out: dict[str, int] = {}
+
+        def _rewrite_dir(d: Path, partition: str | None) -> int:
+            df = self.spark.read.parquet(str(d))
+            tmp = d.parent / f".{d.name}.compact-{uuid.uuid4().hex}"
+            if partition:
+                # one file per partition value: coalesce within the
+                # partitioned write by repartitioning on the key
+                (
+                    df.repartition(F.col(partition))
+                    .write.partitionBy(partition)
+                    .parquet(str(tmp))
+                )
+            else:
+                total = sum(
+                    p.stat().st_size for p in d.rglob("*.parquet") if p.is_file()
+                )
+                n_out = max(1, -(-total // (128 << 20)))
+                df.coalesce(n_out).write.parquet(str(tmp))
+            old = d.parent / f".{d.name}.old-{uuid.uuid4().hex}"
+            d.rename(old)
+            tmp.rename(d)
+            shutil.rmtree(old)
+            return sum(1 for p in d.rglob("*.parquet") if p.is_file())
+
+        ipath = self._index_path(name)
+        if (ipath / "data").exists():
+            out["ivf_data_files"] = _rewrite_dir(ipath / "data", "centroid_id")
+        mpath = self._mv_index_path(name)
+        if (mpath / "data").exists():
+            out["mvivf_data_files"] = _rewrite_dir(mpath / "data", "centroid_id")
+        kpath = self.base_path / f"{self.namespace}_{name}.bm25"
+        if (kpath / "postings").exists():
+            out["bm25_postings_files"] = _rewrite_dir(kpath / "postings", None)
+            out["bm25_doclen_files"] = _rewrite_dir(kpath / "doclen", None)
+        return out
+
     def _extend_indexes_for_rewrite(self, name: str) -> list[Path]:
         """Bring every existing index of ``name`` current (O(appended
         data) via each index's own ledger) and return their paths —
