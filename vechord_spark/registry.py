@@ -519,6 +519,17 @@ class VechordRegistry:
                 return [[float(x) for x in inner] for inner in v]
             if col.spark_type.typeName() in ("double", "float"):
                 return float(v)
+            if (
+                isinstance(col.dtype, str)
+                and col.dtype.lower() == "json"
+                and isinstance(v, (dict, list))
+            ):
+                # the reference accepts Jsonb(dict) (test_table.py:172-178);
+                # without this a dict lands as Python repr — single
+                # quotes, unreadable by get_json_object/from_json
+                import json
+
+                return json.dumps(v, sort_keys=True)
             return v
 
         rows = list(rows)
