@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "text_redact_pii",
     "dedup_spans",
     "gopher_quality_flags",
+    "blocklist_report",
     "text_repetition_chars",
     "corpus_health_by_source",
     "quality_top_fraction",

@@ -399,3 +399,27 @@ def test_char_entropy_hand_computed(spark):
     assert got[5].n_chars == 0 and got[5].entropy_bits == 0.0
     # repeated-char spam scores strictly below natural-ish text
     assert got[1].entropy_bits < got[2].entropy_bits < got[3].entropy_bits
+
+
+def test_blocklist_stats(spark):
+    from vechord_spark.operators.quality import blocklist_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text only here"),
+            (2, "this has one BAD word"),
+            (3, "bad bad bad"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in blocklist_stats(df, "doc_id", "text", ["bad"]).collect()}
+    assert not got[1].has_blocked and got[1].blocked_ratio == 0.0
+    assert got[2].has_blocked and got[2].n_blocked == 1  # case-folded
+    assert got[3].blocked_ratio == 1.0
+    assert got[4].n_tokens == 0 and got[4].blocked_ratio == 0.0
+    assert got[5].n_tokens == 0 and not got[5].has_blocked  # NULL-safe
+    import pytest as _p
+    with _p.raises(ValueError):
+        blocklist_stats(df, "doc_id", "text", [])

@@ -16,6 +16,8 @@ State per doc is O(distinct tokens), never O(text²).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 from vechord_spark.functions.text import tokenize, word_ngrams
@@ -898,4 +900,44 @@ def repetition_char_fractions(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("dup_ngram_char_frac"),
+    )
+
+
+def blocklist_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: Sequence[str],
+) -> DataFrame:
+    """Per-document blocklist exposure — the C4-style "bad words"
+    filter signal (C4 dropped any page containing a listed word; most
+    modern pipelines threshold on the RATIO instead, which is why both
+    come back):
+
+    - ``n_tokens`` / ``n_blocked`` — token counts (engine tokenizer)
+    - ``blocked_ratio`` — n_blocked / n_tokens (0.0 for empty docs)
+    - ``has_blocked`` — the strict C4 verdict bit
+
+    Scale shape: the blocklist compiles into the filter lambda as an
+    ``isin`` literal — pure Column expressions, one scan, zero
+    shuffles, whole-stage codegen (same shape as the Gopher rules).
+    For blocklists beyond a few thousand entries, broadcast-join a
+    terms table against the exploded token stream instead.
+    """
+    if not blocklist:
+        raise ValueError("blocklist must not be empty")
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    blocked = F.filter(toks, lambda t: t.isin(*[w.lower() for w in blocklist]))
+    n_tokens = F.size(toks)
+    n_blocked = F.size(blocked)
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_blocked.cast("bigint").alias("n_blocked"),
+        F.when(
+            n_tokens > 0, F.round(n_blocked / n_tokens.cast("double"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("blocked_ratio"),
+        (n_blocked > 0).alias("has_blocked"),
     )

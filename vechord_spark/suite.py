@@ -914,6 +914,55 @@ def semdedup_ivf_recall(spark, sf_dir):
     )
 
 
+_BLOCKLIST = ("slow", "broken", "error")
+
+
+@_q(
+    "blocklist_report",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOK.format(col='text')} AS toks FROM documents
+    ),
+    per AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('slow', 'broken', 'error'))) AS n_blocked
+      FROM t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(avg(CASE WHEN n_tokens > 0
+                          THEN round(n_blocked / CAST(n_tokens AS DOUBLE), 6)
+                          ELSE 0.0 END), 6) AS mean_blocked_ratio
+    FROM per
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def blocklist_report(spark, sf_dir):
+    """Blocklist exposure per language — the C4 "bad words" filter
+    signal, aggregated the way a corpus card reports it (strict C4
+    dropped any page with a hit; modern pipelines threshold the
+    ratio). The blocklist compiles into the token-filter lambda as an
+    ``isin`` literal: one scan, zero shuffles before the per-language
+    aggregate (operators/quality.blocklist_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = QL.blocklist_stats(docs, "doc_id", "text", _BLOCKLIST)
+    return (
+        stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("has_blocked").cast("int"))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(F.avg("blocked_ratio"), 6).alias("mean_blocked_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 @_q(
     "dedup_exact_fingerprint",
     f"""
