@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dedup_spans",
     "gopher_quality_flags",
     "blocklist_report",
+    "url_dedup_report",
     "text_repetition_chars",
     "corpus_health_by_source",
     "quality_top_fraction",

@@ -914,6 +914,104 @@ def semdedup_ivf_recall(spark, sf_dir):
     )
 
 
+@_q(
+    "url_dedup_report",
+    """
+    WITH raw AS (
+      SELECT doc_id, source,
+             'HTTP://' || upper(source) || '.Example.com'
+             || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+             || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+                     WHEN doc_id % 3 = 1
+                     THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=y'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, source, url,
+        -- the normalize_url chain, RE2-safe (no lookahead: the
+        -- default-port strip splits into followed-by and end-anchored)
+        CASE WHEN regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) = ''
+             THEN trim(url)
+             ELSE
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+              || regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1),
+            '#.*$', ''),
+            '^(http://[^/?#]*):80([/?])', '\\1\\2'),
+            '^(http://[^/?#]*):80$', '\\1'),
+            '^(https://[^/?#]*):443([/?])', '\\1\\2'),
+            '^(https://[^/?#]*):443$', '\\1'),
+            '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\\1'),
+            '\\?&+', '?'),
+            '&&+', '&'),
+            '[?&]+$', ''),
+            '/\\?', '?')
+        END AS canon_pre
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, source, regexp_replace(canon_pre, '/$', '') AS canonical
+      FROM norm
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           min(canonical) AS sample_canonical
+    FROM canon
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def url_dedup_report(spark, sf_dir):
+    """Crawl-hygiene URL canonicalization (functions/url.normalize_url)
+    as a dedup report: synthetic per-doc URLs carrying the classic
+    noise — uppercased scheme/host, default :80 ports, tracking params
+    in both positions, fragments — collapse to canonical dedup keys,
+    counted per source. Pure Column regexps, one scan + one aggregate
+    exchange; the oracle replicates the chain with RE2-safe regexes
+    (DuckDB has no lookahead — the default-port strip splits into a
+    followed-by form and an end-anchored form)."""
+    from vechord_spark.functions.url import normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://"),
+        F.upper("source"),
+        F.lit(".Example.com"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (d % 50).cast("string"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("?utm_source=x&id="), (d % 7).cast("string")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("?id="), (d % 7).cast("string"), F.lit("&utm_campaign=y")),
+        )
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", "source", url.alias("url"))
+        .select("source", normalize_url("url").alias("canonical"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("canonical").cast("bigint").alias("n_canonical"),
+            F.min("canonical").alias("sample_canonical"),
+        )
+        .orderBy("source")
+    )
+
+
 _BLOCKLIST = ("slow", "broken", "error")
 
 
