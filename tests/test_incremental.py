@@ -562,3 +562,45 @@ def test_compact_index_shrinks_files_and_keeps_scores(spark, tmp_path):
     reg.insert_rows("doc", rows(range(500, 505)))
     assert reg.extend_vector_index("doc") == 5
     assert reg.extend_keyword_index("doc") == 5
+
+
+def test_compact_index_swap_crash_recovers(reg, spark):
+    """A crash inside compact_index's directory swap must never lose
+    the index: the journal rolls forward (replacement complete) or
+    back (original preserved) on the next load."""
+    import json as _json
+    import shutil as _shutil
+
+    reg.insert_rows("emb", _rows(range(50), seed=95))
+    reg.build_vector_index("emb", lists=2)
+    ipath = reg._index_path("emb")
+    d = ipath / "data"
+    q = [0.3] * 8
+    want = [r.uid for r in reg.search_by_vector("emb", q, topk=5, probes=2).collect()]
+
+    # --- crash AFTER the live dir was renamed away, BEFORE the
+    # replacement was renamed in (worst window): forward recovery
+    tmp = d.parent / ".data.compact-deadbeef"
+    old = d.parent / ".data.old-deadbeef"
+    _shutil.copytree(d, tmp)  # the completed replacement write
+    (d.parent / ".data.swapintent.json").write_text(
+        _json.dumps({"tmp": str(tmp), "old": str(old)})
+    )
+    d.rename(old)
+    assert not d.exists()
+    got = [r.uid for r in reg.search_by_vector("emb", q, topk=5, probes=2).collect()]
+    assert got == want  # load recovered the swap transparently
+    assert d.exists() and not tmp.exists() and not old.exists()
+    assert not (d.parent / ".data.swapintent.json").exists()
+
+    # --- crash BEFORE any rename (journal written, nothing moved):
+    # recovery is a no-op cleanup of the leftovers
+    tmp2 = d.parent / ".data.compact-cafebabe"
+    _shutil.copytree(d, tmp2)
+    (d.parent / ".data.swapintent.json").write_text(
+        _json.dumps({"tmp": str(tmp2), "old": str(d.parent / '.data.old-cafebabe')})
+    )
+    got = [r.uid for r in reg.search_by_vector("emb", q, topk=5, probes=2).collect()]
+    assert got == want
+    assert not tmp2.exists()
+    assert not (d.parent / ".data.swapintent.json").exists()

@@ -800,12 +800,21 @@ class VechordRegistry:
         are unchanged, so search results are identical (test-pinned)
         and the TABLE file ledger is untouched (files.json tracks the
         table's files, not the index's). Single-writer maintenance,
-        like the extends. Returns per-index file counts after."""
+        like the extends. Returns per-index file counts after.
+
+        Crash contract: the directory swap (live renamed away,
+        replacement renamed in) is journaled — a crash inside the
+        window leaves a ``.<dir>.swapintent.json`` next to the
+        directory, and :meth:`_recover_index_swap` (run here and by
+        every index load when the live dir is missing) rolls FORWARD
+        from the completed replacement or BACK from the preserved
+        original; the index is never silently lost."""
         import uuid
 
         out: dict[str, int] = {}
 
         def _rewrite_dir(d: Path, partition: str | None) -> int:
+            self._recover_index_swap(d)
             df = self.spark.read.parquet(str(d))
             tmp = d.parent / f".{d.name}.compact-{uuid.uuid4().hex}"
             if partition:
@@ -823,9 +832,14 @@ class VechordRegistry:
                 n_out = max(1, -(-total // (128 << 20)))
                 df.coalesce(n_out).write.parquet(str(tmp))
             old = d.parent / f".{d.name}.old-{uuid.uuid4().hex}"
+            import json
+
+            intent = d.parent / f".{d.name}.swapintent.json"
+            intent.write_text(json.dumps({"tmp": str(tmp), "old": str(old)}))
             d.rename(old)
             tmp.rename(d)
             shutil.rmtree(old)
+            intent.unlink(missing_ok=True)
             return sum(1 for p in d.rglob("*.parquet") if p.is_file())
 
         ipath = self._index_path(name)
@@ -839,6 +853,29 @@ class VechordRegistry:
             out["bm25_postings_files"] = _rewrite_dir(kpath / "postings", None)
             out["bm25_doclen_files"] = _rewrite_dir(kpath / "doclen", None)
         return out
+
+    def _recover_index_swap(self, d: Path) -> None:
+        """Repair a compact_index swap that crashed mid-window (journal
+        ``.<dir>.swapintent.json`` present). Roll FORWARD when the
+        completed replacement exists (its write finished before the
+        journal was written), else BACK from the preserved original;
+        leftovers are removed either way. No-op without a journal."""
+        import json
+
+        intent = d.parent / f".{d.name}.swapintent.json"
+        if not intent.exists():
+            return
+        rec = json.loads(intent.read_text())
+        tmp, old = Path(rec["tmp"]), Path(rec["old"])
+        if not d.exists():
+            if tmp.exists():
+                tmp.rename(d)  # forward: replacement is complete
+            elif old.exists():
+                old.rename(d)  # back: original preserved
+        for leftover in (tmp, old):
+            if leftover.exists():
+                shutil.rmtree(leftover)
+        intent.unlink(missing_ok=True)
 
     def _extend_indexes_for_rewrite(self, name: str) -> list[Path]:
         """Bring every existing index of ``name`` current (O(appended
@@ -1231,6 +1268,7 @@ class VechordRegistry:
         if pk is None:
             raise SchemaError("extend_multivec_index needs a primary key")
         ipath = self._mv_index_path(name)
+        self._recover_index_swap(ipath / "data")
         if not (ipath / "data").exists():
             raise SchemaError(
                 f"no multivector IVF index for {name}; "
@@ -1333,6 +1371,7 @@ class VechordRegistry:
         from vechord_spark.operators.ivf import IvfIndex, MultiVecIvfIndex
 
         ipath = self._mv_index_path(name)
+        self._recover_index_swap(ipath / "data")
         if not (ipath / "data").exists():
             return None
         spec = self._spec(name)
@@ -1363,6 +1402,7 @@ class VechordRegistry:
         import numpy as np
 
         ipath = self._index_path(name)
+        self._recover_index_swap(ipath / "data")
         if not (ipath / "data").exists():
             return None
         spec = self._spec(name)
@@ -1786,6 +1826,8 @@ class VechordRegistry:
         from vechord_spark.operators.bm25 import Bm25Index
 
         ipath = self.base_path / f"{self.namespace}_{name}.bm25"
+        self._recover_index_swap(ipath / "postings")
+        self._recover_index_swap(ipath / "doclen")
         if not (ipath / "postings").exists():
             return None
         spec = self._spec(name)
