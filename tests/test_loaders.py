@@ -116,3 +116,28 @@ def test_events_loader_micros_and_nanos(spark, tmp_path):
     df_ns = load_table(spark, str(nanos_dir), "events")
     got_ns = sorted(r.ts for r in df_ns.select("ts").collect())
     assert got_ns == stamps
+
+
+# ---------------------------------------------------------------- fuzz
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=st.lists(st.dictionaries(
+    st.sampled_from(["id", "text", "extra"]),
+    st.one_of(st.integers(-1000, 1000), st.text(max_size=30), st.none()),
+    max_size=3,
+), min_size=1, max_size=6))
+def test_fuzz_jsonl_roundtrip(spark, tmp_path_factory, rows):
+    """read_jsonl never raises on arbitrary JSONL content and returns
+    one row per input line."""
+    import json
+
+    from vechord_spark.sources.loaders import read_jsonl
+
+    p = tmp_path_factory.mktemp("jl") / "data.jsonl"
+    p.write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n", encoding="utf-8"
+    )
+    got = read_jsonl(spark, str(p))
+    assert got.count() == len(rows)
