@@ -208,3 +208,48 @@ def test_cli_history_and_vacuum(spark, tmp_path, capsys):
 
     # no commit log -> exit 2 (single-writer tables keep no manifest)
     assert main(["history", "--base-path", str(tmp_path), "--namespace", "cli", "nope"]) == 2
+
+
+def test_cli_compact_with_indexes(spark, tmp_path, capsys):
+    """--indexes also rewrites the index layouts; an inferred spec that
+    cannot extend an index skips it instead of crashing."""
+    import json
+    import random
+
+    from vechord_spark.cli import main
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec, Vector
+
+    rng = random.Random(3)
+    reg = VechordRegistry("cli", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "vt",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    for b in range(3):
+        reg.insert_rows(
+            "vt",
+            [{"uid": b * 10 + i, "vec": [rng.uniform(-1, 1) for _ in range(8)]}
+             for i in range(10)],
+        )
+    reg.build_vector_index("vt", lists=2)
+
+    rc = main(["compact", "--base-path", str(tmp_path), "--namespace", "cli",
+               "vt", "--indexes"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_after"] == 1
+    assert "ivf_data_files" in stats
+    # table + index still serve searches through a fresh registry
+    fresh = VechordRegistry("cli", str(tmp_path), spark)
+    fresh.register(
+        TableSpec(
+            "vt",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    probe = fresh.load("vt").filter("uid = 15").collect()[0]
+    hit = fresh.search_by_vector("vt", list(probe.vec), topk=1, probes=2)
+    assert hit.collect()[0].uid == 15

@@ -57,6 +57,11 @@ def build_parser() -> ArgumentParser:
         "--shuffle", action="store_true",
         help="repartition (even output files) instead of coalesce",
     )
+    compact.add_argument(
+        "--indexes", action="store_true",
+        help="also rewrite the table's index layouts (postings/doclen, "
+        "clustered IVF copies) — compact_index()",
+    )
 
     hist = sub.add_parser(
         "history", help="print a table's commit log (manifest versions)"
@@ -147,6 +152,8 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_file_mb << 20,
             shuffle=args.shuffle,
         )
+        if args.indexes:
+            stats.update(registry.compact_index(args.table))
         print(json.dumps(stats))
         return 0
 

@@ -880,7 +880,13 @@ class VechordRegistry:
     def _extend_indexes_for_rewrite(self, name: str) -> list[Path]:
         """Bring every existing index of ``name`` current (O(appended
         data) via each index's own ledger) and return their paths —
-        the pre-rewrite half of compact()'s ledger re-adoption."""
+        the pre-rewrite half of compact()'s ledger re-adoption.
+
+        A registry whose spec cannot drive an index's extend (e.g. a
+        maintenance CLI that inferred the columns from parquet and so
+        lost the Vector/Keyword metadata) skips that index: its ledger
+        is NOT snapshotted after the rewrite, and the next extend from
+        a fully-specified registry re-adopts it via the anti-join."""
         ledgered: list[Path] = []
         for ipath, extend in (
             (self._index_path(name), self.extend_vector_index),
@@ -891,7 +897,12 @@ class VechordRegistry:
             ),
         ):
             if ipath.exists():
-                extend(name)
+                try:
+                    extend(name)
+                except SchemaError:
+                    continue  # spec can't extend this index: leave its
+                    # ledger alone (snapshotting would claim unindexed
+                    # rows as covered)
                 ledgered.append(ipath)
         return ledgered
 
