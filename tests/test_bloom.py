@@ -75,9 +75,36 @@ def test_probe_uses_high_bit_words(spark):
     assert keys.filter(might_contain(keys, "key", bloom)).count() == 5000
 
 
-def test_broadcast_cached_across_probes(spark):
+def test_literal_path_matches_udf_path(spark, monkeypatch):
+    """The small-filter JVM literal probe and the broadcast-UDF probe
+    are the same function: identical verdict on every key (same hash
+    positions by construction, same bits either way)."""
+    import vechord_spark.operators.bloom as B
+
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(3000)], "key string"
+    )
+    inside = spark.createDataFrame([(f"k{i}",) for i in range(0, 3000, 3)], "key string")
+    bloom = build_bloom(inside, "key", fpp=0.05)
+    assert bloom.words.size <= B._LITERAL_WORDS_MAX  # literal path active
+    lit = keys.filter(might_contain(keys, "key", bloom)).collect()
+    monkeypatch.setattr(B, "_LITERAL_WORDS_MAX", 0)  # force UDF path
+    udf = keys.filter(might_contain(keys, "key", bloom)).collect()
+    assert sorted(r["key"] for r in lit) == sorted(r["key"] for r in udf)
+    # and no false negatives on the literal path
+    hits = set(r["key"] for r in lit)
+    assert all(f"k{i}" in hits for i in range(0, 3000, 3))
+    bloom.unpersist()
+
+
+def test_broadcast_cached_across_probes(spark, monkeypatch):
     """One broadcast per filter, reused by every probe — repeated
-    incremental runs must not accumulate orphaned broadcast blocks."""
+    incremental runs must not accumulate orphaned broadcast blocks.
+    (Forced onto the UDF path: small filters normally probe via the
+    JVM literal expression and never broadcast at all.)"""
+    import vechord_spark.operators.bloom as B
+
+    monkeypatch.setattr(B, "_LITERAL_WORDS_MAX", 0)
     keys = spark.createDataFrame([(i,) for i in range(100)], "key long")
     bloom = build_bloom(keys, "key", fpp=0.01)
     assert bloom._broadcast is None  # lazy: nothing broadcast at build

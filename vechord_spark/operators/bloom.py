@@ -71,6 +71,42 @@ class BloomFilter:
             self._broadcast = None
 
 
+def write_bloom(bloom: BloomFilter, path) -> None:
+    """Persist the filter as raw little-endian words + a params sidecar
+    — the day-1 curation artifact ``bloom_anti_join`` reloads on day 2
+    (see plans/artifacts.py). Bytes, not pickle: the layout stays
+    readable across Python/numpy versions."""
+    import json
+    from pathlib import Path
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "words.bin").write_bytes(
+        np.ascontiguousarray(bloom.words, dtype="<u8").tobytes()
+    )
+    (path / "bloom.json").write_text(
+        json.dumps({"m": bloom.m, "k": bloom.k, "n_build": bloom.n_build})
+    )
+
+
+def read_bloom(path) -> BloomFilter:
+    """Load a ``write_bloom`` layout (words are copied out of the
+    read-only buffer so broadcast pickling sees a plain owned array)."""
+    import json
+    from pathlib import Path
+
+    path = Path(path)
+    meta = json.loads((path / "bloom.json").read_text())
+    words = np.frombuffer((path / "words.bin").read_bytes(), dtype="<u8").copy()
+    if words.size != meta["m"] // 64:
+        raise ValueError(
+            f"bloom words length {words.size} != m/64 = {meta['m'] // 64}"
+        )
+    return BloomFilter(
+        words=words, m=meta["m"], k=meta["k"], n_build=meta["n_build"]
+    )
+
+
 def _params(expected_n: int, fpp: float) -> tuple[int, int]:
     """Standard sizing: m = -n ln p / ln²2 bits (rounded up to whole
     words), k = (m/n) ln 2 hashes, capped at 16."""
@@ -118,10 +154,47 @@ def build_bloom(
     return BloomFilter(words=arr, m=m, k=k, n_build=expected_n)
 
 
+# Bit masks 1<<0 .. 1<<63 as SIGNED longs (1<<63 wraps negative): a
+# literal lookup array because pyspark's shiftleft() only takes a
+# literal shift count, while element_at() happily takes a computed
+# index — same bits either way.
+_POW2 = [(1 << b) - ((1 << 64) if b == 63 else 0) for b in range(64)]
+
+# Filters up to this many 64-bit words (256 KiB of bits ≈ 180k keys at
+# 1% fpp) are probed by a PURE-JVM literal-array expression instead of
+# the pandas-UDF broadcast path: the words become a plan literal and
+# the bit test stays inside whole-stage codegen — no Python worker
+# spin-up, no Arrow hop. Larger filters fall back to the broadcast UDF
+# (a multi-MB plan literal would bloat codegen and the plan cache).
+_LITERAL_WORDS_MAX = 32768
+
+
+def _might_contain_literal(key: Column, bloom: BloomFilter) -> Column:
+    """JVM-only probe: unrolled AND over the k bit tests, each an
+    element_at into the literal word array. Signed reinterpretation of
+    the uint64 words preserves every bit."""
+    words_lit = F.lit(
+        [int(w) - ((1 << 64) if int(w) >= (1 << 63) else 0) for w in bloom.words]
+    )
+    pow2_lit = F.lit(_POW2)
+    return F.forall(
+        _positions(key, bloom.m, bloom.k),
+        lambda p: F.element_at(words_lit, F.shiftright(p, 6).cast("int") + F.lit(1))
+        .bitwiseAND(
+            F.element_at(pow2_lit, p.bitwiseAND(F.lit(63)).cast("int") + F.lit(1))
+        )
+        != F.lit(0),
+    )
+
+
 def might_contain(df: DataFrame, key_col: str, bloom: BloomFilter) -> Column:
     """Boolean probe Column: True = maybe in the build set, False =
     DEFINITELY not. Positions come from the same JVM expressions as
-    the build; Python only gathers bits from the broadcast words."""
+    the build; small filters are probed entirely JVM-side (literal
+    word array, whole-stage codegen), large ones gather bits from the
+    broadcast words in an Arrow-batched pandas UDF."""
+    if bloom.words.size <= _LITERAL_WORDS_MAX:
+        return _might_contain_literal(F.col(key_col), bloom)
     words_b = bloom.broadcast_words(df.sparkSession.sparkContext)
 
     @pandas_udf("boolean")

@@ -597,9 +597,12 @@ def connected_components(
     # the union-find path, both directions for label propagation)
     half = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).distinct()
     if local_edge_threshold:
-        half = half.persist()
-        n_edges = half.count()
-        if n_edges <= local_edge_threshold:
+        # the size gate IS the collect: pull at most threshold+1 edges
+        # in one job — if the limit wasn't hit, these are all the edges
+        # and the count job + persist of the two-job form are saved
+        # (one action instead of two on the common small-edge-set path)
+        edges = half.limit(local_edge_threshold + 1).collect()
+        if len(edges) <= local_edge_threshold:
             parent: dict = {}
 
             def find(x):
@@ -610,7 +613,7 @@ def connected_components(
                     parent[x], x = root, parent[x]
                 return root
 
-            for u, v in ((r[0], r[1]) for r in half.collect()):
+            for u, v in ((r[0], r[1]) for r in edges):
                 parent.setdefault(u, u)
                 parent.setdefault(v, v)
                 ru, rv = find(u), find(v)
@@ -621,7 +624,6 @@ def connected_components(
                     parent[rv] = ru
             rows = [(n, find(n)) for n in parent]
             id_type = half.schema["u"].dataType
-            half.unpersist()
             schema = T.StructType(
                 [
                     T.StructField("doc_id", id_type, False),
@@ -629,6 +631,7 @@ def connected_components(
                 ]
             )
             return spark.createDataFrame(rows, schema)
+        half = half.persist()  # distributed rounds re-read the edges
     # Distributed path: alternating large-star / small-star (Kiveris et
     # al., "Connected Components in MapReduce and Beyond") — converges
     # in O(log n) rounds, and each half-round is ONE groupBy(u) min

@@ -1,0 +1,129 @@
+"""Disk-persisted derived-artifact layouts: build once, load in any
+later session, rebuild only when the source data (or build params)
+change.
+
+This is the suite-side twin of the registry's index ledgers
+(registry.py:_record_index_files): an artifact directory carries a
+``meta.json`` recording the exact source-file set (path, size,
+mtime_ns) plus the build parameters, and ``is_valid`` accepts the
+layout only when both still match. The write is atomic — the build
+lands in a ``.tmp.{pid}`` sibling and a single ``os.replace`` publishes
+it — so a crashed build can never be mistaken for a finished one, and
+two racing builders resolve to one winner (the loser's tmp dir is
+discarded).
+
+The first user is the incremental corpus funnel (suite.py ``_inc_seen``):
+its day-1 artifacts — seen-corpus fingerprint table, MinHash band
+table, bloom bits — are exactly what a production curation wave
+persists at day-1 close so the day-2 batch pays O(batch), not
+O(corpus). Mirrors the reference's insert-time contract where new rows
+probe persisted indexes rather than rebuilding them
+(vechord/pipeline.py:394-442).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import SparkSession
+
+_META = "meta.json"
+
+
+def warehouse_root(spark: SparkSession) -> Path:
+    """The session warehouse dir as a local path — the engine's one
+    writable, session-independent scratch root (bucketed tables and
+    rollups already live here)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return Path(wh.removeprefix("file:"))
+
+
+def source_ledger(paths: Sequence[str | Path]) -> dict[str, list[int]]:
+    """``{file: [size, mtime_ns]}`` over every data file under the
+    given files/dirs — a cheap (listing-only, no scan) identity of the
+    source data. mtime_ns is included deliberately: a rewritten file
+    with an identical size must invalidate the artifact."""
+    out: dict[str, list[int]] = {}
+    for p in paths:
+        p = Path(p)
+        files = sorted(x for x in p.rglob("*") if x.is_file()) if p.is_dir() else [p]
+        for f in files:
+            if f.name.startswith(("_", ".")):
+                continue  # _SUCCESS / .crc markers churn without data change
+            st = f.stat()
+            out[str(f)] = [st.st_size, st.st_mtime_ns]
+    return out
+
+
+class ArtifactStore:
+    """Named artifact directories under a root, each published
+    atomically with a source+params ledger.
+
+    ``load_or_build(name, sources, params, build)``: if ``{root}/{name}``
+    exists and its ledger matches, return its path without building;
+    otherwise call ``build(tmp_path)`` (which writes the artifact
+    content into ``tmp_path``), stamp the ledger, and atomically publish.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | Path | None = None):
+        self.spark = spark
+        self.root = Path(root) if root is not None else warehouse_root(spark)
+
+    def path(self, name: str) -> Path:
+        return self.root / name
+
+    def is_valid(
+        self,
+        name: str,
+        sources: Mapping[str, list[int]],
+        params: Mapping[str, object],
+    ) -> bool:
+        mp = self.path(name) / _META
+        if not mp.exists():
+            return False
+        try:
+            meta = json.loads(mp.read_text())
+        except (OSError, json.JSONDecodeError):
+            return False
+        return meta.get("sources") == dict(sources) and meta.get("params") == dict(
+            params
+        )
+
+    def load_or_build(
+        self,
+        name: str,
+        source_paths: Sequence[str | Path],
+        params: Mapping[str, object],
+        build: Callable[[Path], None],
+    ) -> Path:
+        final = self.path(name)
+        sources = source_ledger(source_paths)
+        if self.is_valid(name, sources, params):
+            return final
+        tmp = final.with_name(f"{final.name}.tmp.{os.getpid()}")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        try:
+            build(tmp)
+            # ledger last: a crash before this line leaves no meta.json,
+            # so the half-built tmp can never validate
+            (tmp / _META).write_text(
+                json.dumps({"sources": sources, "params": dict(params)})
+            )
+            if final.exists():
+                # stale (ledger-mismatched) prior build, or a racing
+                # builder published first — either way replace wholesale
+                stale = final.with_name(f"{final.name}.stale.{os.getpid()}")
+                os.replace(final, stale)
+                os.replace(tmp, final)
+                shutil.rmtree(stale, ignore_errors=True)
+            else:
+                os.replace(tmp, final)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return final

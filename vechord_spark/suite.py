@@ -5080,24 +5080,44 @@ def corpus_funnel_report(spark, sf_dir):
     from vechord_spark.functions.text import tokenize
     from vechord_spark.operators.sample import split_assign
 
+    from vechord_spark.parallel import spread as _spread
+
     docs = _t(spark, sf_dir, "documents")
     body = _gopher_multiline_body(F.col("doc_id"), tokenize("text"))
-    # The per-doc quality report is the funnel's ONE materialization
-    # point (a production wave writes it anyway): checkpointing it (a)
-    # computes the heavy gate expressions once instead of once per
-    # downstream stage, and (b) stops Catalyst pushing the gate filter
-    # through the spread exchange back onto the single-split scan,
-    # which would serialize the whole rule set onto one core
-    # (measured: 19 s -> ~7 s cold at sf0.1).
-    flags = QL.gopher_quality(
-        docs.select("doc_id", body.alias("text")), "doc_id", "text"
-    ).localCheckpoint(eager=True)
-    keep = flags.filter(
-        F.col("n_words").between(50, 100000)
-        & (F.col("symbol_ratio") <= 0.1)
-        & (F.col("ellipsis_line_frac") <= 0.3)
-    ).select("doc_id")
-    pass1 = docs.join(keep, "doc_id")
+    # The gated corpus is the funnel's ONE materialization point (a
+    # production wave writes it anyway): the Gopher verdict rides as an
+    # attached column on a spread-then-checkpoint of the docs (same
+    # fusion as corpus_funnel_incremental) — (a) the heavy gate
+    # expressions run once, distributed across the spread partitions
+    # instead of the single parquet split, and (b) the eager checkpoint
+    # is the plan boundary no later stage can push work back through
+    # (the round-5 pushdown serialized the whole rule set onto one
+    # core; measured 19 s -> ~7 s cold at sf0.1).
+    ge = QL._gopher_exprs(
+        "__gbody",
+        min_words=50,
+        max_words=100_000,
+        min_mean_word_len=3.0,
+        max_mean_word_len=10.0,
+        max_symbol_ratio=0.1,
+        max_bullet_frac=0.9,
+        max_ellipsis_frac=0.3,
+        min_alpha_word_frac=0.8,
+        min_required_words=2,
+    )
+    docsf = (
+        _spread(docs)
+        .withColumn("__gbody", body)
+        .withColumn(
+            "__gate",
+            ge["n_words"].cast("int").between(50, 100000)
+            & (ge["symbol_ratio"] <= 0.1)
+            & (ge["ellipsis_line_frac"] <= 0.3),
+        )
+        .drop("__gbody")
+        .localCheckpoint(eager=True)
+    )
+    pass1 = docsf.filter(F.col("__gate")).drop("__gate")
     exact = DD.drop_exact_duplicates(pass1, "doc_id", "text").persist()
     cands = DD.minhash_candidate_pairs(exact, "doc_id", "text")
     pairs = DD.ngram_jaccard(
@@ -5145,11 +5165,15 @@ def corpus_funnel_report(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
-# The incremental funnel's SEEN-side artifacts — fingerprint bloom +
-# MinHash signature table — memoized per (session, corpus), mirroring
-# what a production wave PERSISTS at curation time (the day-2 batch
-# then only scans itself plus the matched buckets). Same build-once/
-# query-many contract as _ivf16/_dedup_stage.
+# The incremental funnel's SEEN-side artifacts — fingerprint table +
+# bloom bits + MinHash band table — PERSISTED ON DISK as an
+# ArtifactStore layout (plans/artifacts.py): built once per corpus (in
+# whichever session first touches it), then loaded by every later
+# session, mirroring what a production wave persists at day-1 close.
+# Same build-once/extend ledger contract as the registry's
+# .bm25/.ivf index layouts (registry.py:_record_index_files); the
+# in-process memo below only avoids re-reading the parquet within one
+# session.
 _INC_SEEN_CACHE: dict = {}
 
 
@@ -5158,19 +5182,39 @@ def _inc_seen(spark, sf_dir, modulus: int = 3):
     ent = _INC_SEEN_CACHE.get(key)
     if ent is not None and ent[0] is spark:
         return ent[1], ent[2], ent[3]
-    from vechord_spark.operators.bloom import build_bloom
+    import re as _re
 
-    docs = _t(spark, sf_dir, "documents")
-    seen = docs.filter(F.col("doc_id") % modulus != 0)
-    bands = DD.minhash_bands(seen, "doc_id", "text").persist()
-    # the persisted fingerprint TABLE (distinct 32 B keys) — the
-    # bloom's exact confirm side; without it every batch re-tokenizes
-    # and re-hashes the whole seen corpus (measured: the warm floor at
-    # a 5% batch was dominated by exactly that re-derivation)
-    fps = (
-        seen.select(TX.fingerprint("text").alias("__fp")).distinct().persist()
+    from vechord_spark.operators.bloom import build_bloom, read_bloom, write_bloom
+    from vechord_spark.plans.artifacts import ArtifactStore
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+
+    def _build(tmp):
+        docs = _t(spark, sf_dir, "documents")
+        seen = docs.filter(F.col("doc_id") % modulus != 0)
+        DD.minhash_bands(seen, "doc_id", "text").write.parquet(str(tmp / "bands"))
+        # the persisted fingerprint TABLE (distinct 32 B keys) — the
+        # bloom's exact confirm side; without it every batch
+        # re-tokenizes and re-hashes the whole seen corpus (measured:
+        # the warm floor at a 5% batch was dominated by that)
+        seen.select(TX.fingerprint("text").alias("__fp")).distinct().write.parquet(
+            str(tmp / "fps")
+        )
+        # bloom built FROM the just-written fps layout, so bits and
+        # table can never drift (the no-false-negative contract in
+        # bloom_anti_join requires the bloom to cover fps exactly)
+        write_bloom(
+            build_bloom(spark.read.parquet(str(tmp / "fps")), "__fp"),
+            tmp / "bloom",
+        )
+
+    path = ArtifactStore(spark).load_or_build(
+        f"inc_seen_{tag}_m{modulus}", [src], {"modulus": modulus, "v": 1}, _build
     )
-    bloom = build_bloom(fps, "__fp")
+    fps = spark.read.parquet(str(path / "fps")).persist()
+    bands = spark.read.parquet(str(path / "bands")).persist()
+    bloom = read_bloom(path / "bloom")
     _INC_SEEN_CACHE[key] = (spark, fps, bands, bloom)
     return fps, bands, bloom
 
@@ -5265,7 +5309,9 @@ def _inc_seen(spark, sf_dir, modulus: int = 3):
 def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     """The funnel's DAY-2 shape: yesterday's corpus is curated and its
     artifacts persisted (fingerprint bloom, MinHash signature table —
-    here the memoized ``_inc_seen``); today's batch (doc_id % 3 == 0
+    here the disk-backed ``_inc_seen`` ArtifactStore layout, loaded
+    not rebuilt in every session after the first); today's batch
+    (doc_id % 3 == 0
     standing in for the new crawl) flows through
 
         bloom anti-join vs seen fingerprints  (exact; definitely-new
@@ -5293,27 +5339,47 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     seen_fps, seen_bands, seen_bloom = _inc_seen(spark, sf_dir, modulus)
 
     fp = TX.fingerprint("text")
-    newb = bloom_anti_join(
-        batch.withColumn("__fp", fp),
-        seen_fps,
-        "__fp",
-        bloom=seen_bloom,
-    ).drop("__fp")
-
     body = _gopher_multiline_body(F.col("doc_id"), tokenize("text"))
-    # checkpointed for the same two reasons as the full funnel's flags
-    # (suite.py corpus_funnel_report): compute the heavy gate
-    # expressions once, and stop Catalyst pushing the gate back through
-    # the bloom-probe stage onto a single core
-    flags = QL.gopher_quality(
-        newb.select("doc_id", body.alias("text")), "doc_id", "text"
-    ).localCheckpoint(eager=True)
-    keep = flags.filter(
-        F.col("n_words").between(50, 100000)
-        & (F.col("symbol_ratio") <= 0.1)
-        & (F.col("ellipsis_line_frac") <= 0.3)
-    ).select("doc_id")
-    gated = newb.join(keep, "doc_id").persist()
+    # ONE eager checkpoint materializes the whole admission front:
+    # bloom probe + confirm anti-join + the Gopher gate verdict as an
+    # attached column (pure projection — quality._gopher_exprs, the
+    # same expressions the oracle's _FUNNEL_GATE_SQL pins). The
+    # round-7 shape paid three separate evaluations of the probe chain
+    # (gate-flags checkpoint, gated join, stage-1 aggregate) plus a
+    # join back; fusing them halves the day-2 action count. The
+    # checkpoint is also the plan boundary that keeps the gate
+    # expressions from being pushed into the bloom-probe stage.
+    ge = QL._gopher_exprs(
+        "__gbody",
+        min_words=50,
+        max_words=100_000,
+        min_mean_word_len=3.0,
+        max_mean_word_len=10.0,
+        max_symbol_ratio=0.1,
+        max_bullet_frac=0.9,
+        max_ellipsis_frac=0.3,
+        min_alpha_word_frac=0.8,
+        min_required_words=2,
+    )
+    newb = (
+        bloom_anti_join(
+            batch.withColumn("__fp", fp),
+            seen_fps,
+            "__fp",
+            bloom=seen_bloom,
+        )
+        .drop("__fp")
+        .withColumn("__gbody", body)
+        .withColumn(
+            "__gate",
+            ge["n_words"].cast("int").between(50, 100000)
+            & (ge["symbol_ratio"] <= 0.1)
+            & (ge["ellipsis_line_frac"] <= 0.3),
+        )
+        .drop("__gbody")
+        .localCheckpoint(eager=True)
+    )
+    gated = newb.filter(F.col("__gate")).drop("__gate")
 
     exact = DD.drop_exact_duplicates(gated, "doc_id", "text").persist()
     # batch bands persisted HERE (not inside the operator) so the
@@ -5343,7 +5409,8 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     # checkpointed: connected_components evaluates its pair input
     # several times (edge count gate + label rounds), and each re-eval
     # of this two-semi-join plan pays seconds of planning/codegen even
-    # on cached inputs (profiled at the 10x corpus)
+    # on cached inputs (profiled at the 10x corpus; re-confirmed in
+    # round 9 — dropping this checkpoint cost +2 s warm)
     wpairs = (
         jac.filter(is_batch_a & is_batch_b)
         .join(rest_ids_a, "doc_a", "left_semi")
@@ -5380,7 +5447,7 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     ):
         out = out.unionByName(stage(i, nm, df))
     rows = out.collect()
-    for cached in (gated, exact, jac, rest):
+    for cached in (exact, batch_bands, jac, rest):
         cached.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
