@@ -284,3 +284,48 @@ def test_registry_spherical_conditions_keeps_probe_geometry(spark, tmp_path):
         conditions={"grp": 55 % 2},
     ).collect()
     assert hit and hit[0].uid == 55, hit
+
+
+def test_assign_centroids_multi(spark):
+    """Top-2 assignment: first element agrees with single assignment,
+    ids are distinct, and multi-assignment bucketing recovers
+    boundary pairs single assignment loses."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vechord_spark.operators.ivf import (
+        assign_centroids,
+        assign_centroids_multi,
+    )
+
+    rng = np.random.default_rng(7)
+    cents = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    rows = [
+        (i, [float(x) for x in cents[i % 3] + rng.normal(0, 1.0, 2)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "uid int, vec array<double>")
+    single = assign_centroids(df, "vec", cents)
+    multi = assign_centroids_multi(df, "vec", cents, n_assign=2)
+    joined = single.select("uid", "centroid_id").join(
+        multi.select("uid", "centroid_ids"), "uid"
+    )
+    for r in joined.collect():
+        assert r["centroid_ids"][0] == r["centroid_id"]  # nearest first
+        assert len(r["centroid_ids"]) == 2
+        assert r["centroid_ids"][0] != r["centroid_ids"][1]
+    # a boundary pair: two points straddling the midpoint of c0-c1
+    bdf = spark.createDataFrame(
+        [(1000, [4.9, 0.0]), (1001, [5.1, 0.0])], "uid int, vec array<double>"
+    )
+    s = {r["uid"]: r["centroid_id"] for r in assign_centroids(bdf, "vec", cents).collect()}
+    assert s[1000] != s[1001]  # single assignment splits the pair
+    m = {
+        r["uid"]: set(r["centroid_ids"])
+        for r in assign_centroids_multi(bdf, "vec", cents, n_assign=2).collect()
+    }
+    assert m[1000] & m[1001]  # top-2 shares a bucket
+
+    # n_assign capped at the centroid count
+    capped = assign_centroids_multi(bdf, "vec", cents, n_assign=9)
+    assert all(len(r["centroid_ids"]) == 3 for r in capped.collect())

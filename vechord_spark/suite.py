@@ -839,14 +839,14 @@ def semdedup_ivf_survivors(spark, sf_dir):
     — the label-bucketed ``semdedup_survivors`` keeps ~10 buckets
     forever and is the O(n²/10) verification-scale oracle twin.
     Measured at 10x/20k vectors: 13.9 s (IVF) vs 34.8 s (labels), see
-    BASELINE.md round-6c. Deterministic (seeded, hash-ordered KMeans
-    sample) but not SQL-expressible -> rows-only, gated by the green
+    BASELINE.md round-6c. Round 9: the bucketer is TOP-2
+    multi-assignment (``_ivf16_buckets2``) — candidate pair recall
+    0.61-0.67 vs 0.25-0.30 single-assignment, at ≤2x bucket rows.
+    Deterministic (seeded, hash-ordered KMeans sample) but not
+    SQL-expressible -> rows-only, gated by the green
     ``semdedup_ivf_recall`` scalar."""
     emb = _t(spark, sf_dir, "embeddings")
-    index = _ivf16(spark, sf_dir)
-    bucketer = index.assigned.select(
-        "vec_id", F.col("centroid_id").alias("bucket")
-    )
+    bucketer = _ivf16_buckets2(spark, sf_dir)
     pairs = DD.embedding_near_duplicates(
         emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
@@ -863,8 +863,8 @@ def semdedup_ivf_survivors(spark, sf_dir):
     "semdedup_ivf_recall",
     """
     SELECT CAST(0.35 AS DOUBLE) AS threshold, CAST(16 AS INT) AS lists,
-           CAST(0.15 AS DOUBLE) AS recall_floor,
-           CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS beats_label
+           CAST(0.4 AS DOUBLE) AS recall_floor,
+           CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS beats_single
     """,
 )
 def semdedup_ivf_recall(spark, sf_dir):
@@ -874,10 +874,11 @@ def semdedup_ivf_recall(spark, sf_dir):
     same contract as ivf_recall). A bucketed pair set is a SUBSET of
     the exact set by construction (same threshold, restricted
     comparisons), so recall = |bucketed| / |exact| — three counts, no
-    pair join. Asserts (a) IVF recall >= 0.15 (measured 0.30 at sf0.01,
-    0.25 at sf0.1) and (b) the IVF bucketer strictly beats the
-    constant-10-bucket label bucketer (measured ~0.10) — bucket
-    granularity must grow with the corpus."""
+    pair join. Asserts (a) TOP-2 multi-assignment recall >= 0.4
+    (measured 0.67 at sf0.01, 0.61 at sf0.1) and (b) multi-assignment
+    strictly beats single assignment (measured 0.30/0.25) — the
+    boundary-pair recovery must actually pay for its ≤2x bucket
+    rows."""
     emb = _t(spark, sf_dir, "embeddings")
     index = _ivf16(spark, sf_dir)
 
@@ -892,24 +893,22 @@ def semdedup_ivf_recall(spark, sf_dir):
     exact = DD.embedding_pair_count(
         emb, "vec_id", "embedding", threshold=0.35
     ).select(F.col("n_pairs").cast("double").alias("n_exact"))
-    ivf = n_pairs(
+    ivf = n_pairs(_ivf16_buckets2(spark, sf_dir), "n_ivf")
+    single = n_pairs(
         index.assigned.select("vec_id", F.col("centroid_id").alias("bucket")),
-        "n_ivf",
-    )
-    lab = n_pairs(
-        emb.select("vec_id", F.col("label").alias("bucket")), "n_label"
+        "n_single",
     )
     return (
         exact.crossJoin(ivf)
-        .crossJoin(lab)
+        .crossJoin(single)
         .select(
             F.lit(0.35).alias("threshold"),
             F.lit(16).alias("lists"),
-            F.lit(0.15).alias("recall_floor"),
-            (F.col("n_ivf") / F.col("n_exact") >= F.lit(0.15))
+            F.lit(0.4).alias("recall_floor"),
+            (F.col("n_ivf") / F.col("n_exact") >= F.lit(0.4))
             .cast("int")
             .alias("recall_ok"),
-            (F.col("n_ivf") > F.col("n_label")).cast("int").alias("beats_label"),
+            (F.col("n_ivf") > F.col("n_single")).cast("int").alias("beats_single"),
         )
     )
 
@@ -2024,6 +2023,38 @@ def _ivf16(spark, sf_dir):
     index.assigned = index.assigned.persist()
     _IVF_CACHE[key] = (spark, index)
     return index
+
+
+def _ivf16_buckets2(spark, sf_dir):
+    """(vec_id, bucket) with TOP-2 spherical centroid assignment over
+    the memoized ``_ivf16`` centroids — the SemDeDup candidate
+    bucketer (operators/ivf.assign_centroids_multi). Two rows per
+    vector: boundary pairs split by the Voronoi edge — the dominant
+    recall loss of single assignment at lists=16 (measured 0.25-0.30
+    pair recall) — land in a shared bucket, lifting candidate pair
+    recall to 0.61-0.67 at ≤2x bucket rows (BASELINE.md round-9).
+    The build-side analog of query-time ``probes``."""
+    key = (sf_dir, 16, 42, "b2")
+    ent = _IVF_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    from vechord_spark.operators.ivf import assign_centroids_multi
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ivf16(spark, sf_dir)
+    b = (
+        assign_centroids_multi(
+            emb.select("vec_id", "embedding"),
+            "embedding",
+            index.centroids,
+            n_assign=2,
+            normalize=index.spherical,
+        )
+        .select("vec_id", F.explode("centroid_ids").alias("bucket"))
+        .persist()
+    )
+    _IVF_CACHE[key] = (spark, b)
+    return b
 
 
 @_q("ivf_knn")  # rows-only: IVF probe search is approximate by design
