@@ -40,7 +40,6 @@ BENCH_QUERIES = [
     "maxsim_by_label",
     "bm25_topk",
     "bm25_index_topk",
-    "hybrid_rrf",
     "dedup_minhash_lsh",
     "graph_triangles",
     "dedup_jaccard",
@@ -60,6 +59,10 @@ BENCH_QUERIES = [
     "semdedup_survivors",
     "semdedup_ivf_survivors",
     "semdedup_ivf_recall",
+    # steady-state hybrid: runs AFTER bm25_index_topk and the IVF
+    # queries so its entry measures querying the prebuilt indexes (the
+    # production run_search shape), not building them
+    "hybrid_rrf",
     "embedding_quantize",
     "text_stats",
     "text_repetition",

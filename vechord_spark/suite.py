@@ -487,11 +487,29 @@ def hybrid_rrf_search(spark, sf_dir):
     """R1/R5 hybrid search: vector top-10 ∪ BM25 top-10 -> Reciprocal
     Rank Fusion (k=60, reference vechord/rerank.py:95-113). The
     embeddings and documents tables share the id space, standing in for
-    one chunk table's vector and keyword columns."""
-    vec = knn_cosine(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), "rank"
+    one chunk table's vector and keyword columns.
+
+    STEADY-STATE composition (round 9): both legs hit the PERSISTED
+    index structures the suite already builds — the keyword leg queries
+    the cached BM25 postings (``_bm25_index``; broadcast-pruned scan,
+    no corpus re-tokenization) and the vector leg scores the cached
+    IVF-clustered layout (``_ivf16.assigned``) probing ALL 16 cells,
+    which is exhaustive and therefore EXACT — the oracle is unchanged.
+    This mirrors the reference's run_search against built indexes
+    (vechord/pipeline.py:394-442); the ad-hoc one-shot twins are
+    ``bm25_topk`` and ``knn_cosine``."""
+    from vechord_spark.operators.topk import ranked_topk
+
+    index = _ivf16(spark, sf_dir)
+    scored = index.assigned.select(
+        "vec_id", cosine_distance("embedding", QVEC).alias("distance")
     )
-    kw = bm25_topk_documents(spark, sf_dir).select("doc_id", "rank")
+    vec = ranked_topk(
+        scored, [F.col("distance").asc(), F.col("vec_id").asc()], 10
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    kw = _bm25_index(spark, sf_dir).topk(BM25_QUERY, k=10).select(
+        "doc_id", "rank"
+    )
     return rrf_topk([vec, kw], "doc_id", topk=10)
 
 
