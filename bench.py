@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "customer_value_deciles",
     "lost_customers_by_nation",
     "sole_late_supplier",
+    "min_cost_supplier",
+    "partsupp_value_share",
+    "excess_inventory_suppliers",
     "semdedup_survivors",
     "semdedup_ivf_survivors",
     "semdedup_ivf_recall",

@@ -50,6 +50,12 @@ BNLJ_ALLOWED = {
     "nb_quality",
     "dsir_importance",  # same 1-row totals scalar crossJoin as nb_quality
     "quantile_sketch_gate",
+    # the partsupp derivation crossJoins a 1-row supplier-count scalar
+    # (suite._partsupp); partsupp_value_share adds the 1-row Q11
+    # HAVING-threshold scalar on top
+    "min_cost_supplier",
+    "partsupp_value_share",
+    "excess_inventory_suppliers",
     "dedup_embedding_pairs",
     # exact all-pairs ground truth (verification-scale by contract,
     # like ivf_recall) + three 1-row claim-scalar crossJoins

@@ -3735,6 +3735,312 @@ def sole_late_supplier(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Derived partsupp: the driver testdata ships no partsupp table, so the
+# Q2/Q11/Q20 shapes derive one DETERMINISTICALLY — identical arithmetic
+# in the Spark helper (_partsupp) and the oracle CTE (_PARTSUPP_SQL):
+# each part gets 4 suppliers by modular assignment over the supplier
+# count, availqty/cost are md5-hash-assigned (md5 is bit-identical in
+# both engines; cost carried as exact integer CENTS so every aggregate
+# is integer-exact — the ps_supplycost double is a single identical
+# division on both sides).
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    psk AS (
+      SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+             (CAST(p_partkey AS BIGINT) * 7 + g.i * 13)
+               % (SELECT count(*) FROM supplier) AS ps_suppkey
+      FROM part CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             CAST(CAST(('0x' || substr(md5('aq:' || CAST(ps_partkey AS VARCHAR)
+               || ':' || CAST(ps_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 9999 + 1 AS INT) AS ps_availqty,
+             CAST(('0x' || substr(md5('sc:' || CAST(ps_partkey AS VARCHAR)
+               || ':' || CAST(ps_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100000 AS ps_cost_cents
+      FROM psk
+    ),
+    partsupp2 AS (
+      SELECT *, ps_cost_cents / 100.0 AS ps_supplycost FROM partsupp
+    )
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """The derived partsupp DataFrame — 4 suppliers per part, hash
+    -assigned availqty (1..9999) and cost cents (0..99999); see the
+    section comment. One narrow projection over part x a 4-element
+    explode; the supplier count rides in as a broadcast 1-row
+    aggregate, so the derivation is shuffle-free."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("ps_partkey")
+    )
+    ns = _t(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ns")
+    )
+    psk = (
+        part.crossJoin(F.broadcast(ns))
+        .select(
+            "ps_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__i"),
+            "__ns",
+        )
+        .select(
+            "ps_partkey",
+            F.pmod(
+                F.col("ps_partkey") * 7 + F.col("__i").cast("bigint") * 13,
+                F.col("__ns"),
+            ).alias("ps_suppkey"),
+        )
+    )
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(tag),
+                        F.col("ps_partkey").cast("string"),
+                        F.col("ps_suppkey").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    return psk.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (h("aq") % 9999 + 1).cast("int").alias("ps_availqty"),
+        (h("sc") % 100000).alias("ps_cost_cents"),
+    ).withColumn("ps_supplycost", F.col("ps_cost_cents") / F.lit(100.0))
+
+
+@_q(
+    "min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp2 ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT ps_partkey, min(ps_supplycost) AS min_cost
+      FROM eligible GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, e.ps_partkey AS p_partkey,
+           p.p_type, e.ps_supplycost
+    FROM eligible e
+    JOIN best b ON b.ps_partkey = e.ps_partkey AND e.ps_supplycost = b.min_cost
+    JOIN part p ON CAST(p.p_partkey AS BIGINT) = e.ps_partkey
+               AND p.p_size <= 15 AND p.p_type = 'LARGE'
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier
+    offering the minimum supply cost — the correlated min-subquery,
+    expressed as a per-part window min over the region-eligible rows
+    (Catalyst plans the same aggregation; the window runs AFTER the
+    part filter, so only qualifying parts' rows shuffle). Supplier/
+    nation/region and the filtered part list are broadcast — the only
+    exchange is the window's ps_partkey hash, sized by the filtered
+    eligible rows, which is the plan that survives a billion-row
+    partsupp."""
+    from pyspark.sql import Window
+
+    ps = _partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select(F.col("p_partkey").cast("bigint").alias("ps_partkey"), "p_type")
+    )
+    eligible = (
+        ps.join(F.broadcast(parts), "ps_partkey")
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eligible.withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_type",
+            "ps_supplycost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "partsupp_value_share",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    ps_n AS (
+      SELECT ps_partkey, ps_cost_cents * ps_availqty AS val_cents
+      FROM partsupp JOIN supplier s ON s.s_suppkey = ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+    )
+    SELECT ps_partkey, CAST(sum(val_cents) AS BIGINT) AS value_cents
+    FROM ps_n GROUP BY ps_partkey
+    HAVING sum(val_cents) >
+      (SELECT 2.0 * sum(val_cents) / count(DISTINCT ps_partkey) FROM ps_n)
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+)
+def partsupp_value_share(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose ASIA-held inventory value exceeds a
+    threshold of the total — group-HAVING against a scalar from the
+    same filtered relation. The threshold is 2x the per-part average
+    (TPC-H's fixed fraction degenerates as part count grows; the
+    average form is scale-free). Value is summed in integer CENTS so
+    both engines aggregate exactly — no float-order drift can touch
+    the HAVING boundary. Plan: broadcast dims, one ps_partkey
+    aggregate exchange, and the 1-row total crossJoined back."""
+    ps = _partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ps_n = (
+        ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("val_cents"),
+        )
+    )
+    grouped = ps_n.groupBy("ps_partkey").agg(
+        F.sum("val_cents").cast("bigint").alias("value_cents")
+    )
+    thresh = ps_n.agg(
+        (
+            F.lit(2.0) * F.sum("val_cents") / F.count_distinct("ps_partkey")
+        ).alias("__thresh")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value_cents") > F.col("__thresh"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+    )
+
+
+@_q(
+    "excess_inventory_suppliers",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    lq AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    qualified AS (
+      SELECT DISTINCT ps_suppkey FROM partsupp
+      JOIN lq ON CAST(lq.l_partkey AS BIGINT) = ps_partkey
+             AND CAST(lq.l_suppkey AS BIGINT) = ps_suppkey
+      WHERE ps_partkey IN
+          (SELECT CAST(p_partkey AS BIGINT) FROM part WHERE p_name LIKE 'small%')
+        AND ps_availqty > 0.5 * qty
+    )
+    SELECT s.s_name, n.n_name FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'AMERICA'
+    WHERE s.s_suppkey IN (SELECT ps_suppkey FROM qualified)
+    ORDER BY s.s_name
+    """,
+)
+def excess_inventory_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: AMERICA suppliers holding excess stock of
+    'small%' parts — availqty above half the 1996-97 shipped quantity
+    for that (part, supplier), then the semi-join chain back to
+    supplier/nation. Quantity sums are whole-number doubles (exact in
+    IEEE), so the 0.5x comparison cannot drift between engines. Plan:
+    lineitem aggregates once on (partkey, suppkey); the part-name
+    filter is a broadcast semi-join BEFORE that join; the final
+    suppliers list is a left-semi against the distinct qualifying
+    keys — no fact-table row ever widens."""
+    ps = _partsupp(spark, sf_dir)
+    line = _t(spark, sf_dir, "lineitem")
+    lq = (
+        line.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").cast("bigint").alias("ps_partkey"),
+            F.col("l_suppkey").cast("bigint").alias("ps_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("__qty"))
+    )
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").cast("bigint").alias("ps_partkey"))
+    )
+    qualified = (
+        ps.join(F.broadcast(small_parts), "ps_partkey", "left_semi")
+        .join(lq, ["ps_partkey", "ps_suppkey"])
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("__qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        sup.join(
+            qualified,
+            F.col("s_suppkey").cast("bigint") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 @_q(
     "order_priority_exists",
     """
