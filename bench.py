@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "ivf_knn",
     "ivf_knn_refined",
     "ivf_recall",
+    "ivf_recall_expanded",
     "ivf_recall_refined",
     "ivf_pq_recall",
     "maxsim_ivf_recall",

@@ -329,3 +329,30 @@ def test_assign_centroids_multi(spark):
     # n_assign capped at the centroid count
     capped = assign_centroids_multi(bdf, "vec", cents, n_assign=9)
     assert all(len(r["centroid_ids"]) == 3 for r in capped.collect())
+
+
+def test_nearest_centroids_expand_margin(spark):
+    """Soft expansion admits exactly the near-tie cells: margin 0 is
+    the plain top-probes list; a margin admits a cell just past the
+    probes-th distance and nothing farther."""
+    import numpy as np
+
+    from vechord_spark.operators.ivf import IvfIndex
+
+    cents = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.02, 0.0], [5.0, 0.0], [9.0, 0.0]]
+    )
+    dummy = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0)], "uid int, vec array<double>, centroid_id int"
+    )
+    idx = IvfIndex(cents, dummy, "vec")
+    q = [0.0, 0.0]
+    assert idx.nearest_centroids(q, 2) == [0, 1]
+    # cell 2 is within 3% of cell 1's distance (1.02 <= 1.0 * 1.03);
+    # cell 3 (5.0) is not
+    assert idx.nearest_centroids(q, 2, expand_margin=0.03) == [0, 1, 2]
+    assert idx.nearest_centroids(q, 2, expand_margin=0.0) == [0, 1]
+    # margin large enough to take everything
+    assert idx.nearest_centroids(q, 2, expand_margin=10.0) == [0, 1, 2, 3, 4]
+    # probes >= n_cells: expansion is a no-op
+    assert idx.nearest_centroids(q, 5, expand_margin=0.5) == [0, 1, 2, 3, 4]

@@ -61,6 +61,7 @@ BNLJ_ALLOWED = {
     # like ivf_recall) + three 1-row claim-scalar crossJoins
     "semdedup_ivf_recall",
     "knn_batch",
+    "ivf_recall_expanded",  # exact side is the knn_join batch broadcast
     "eval_recall_knn",
     "eval_ndcg_knn",
     "eval_mrr_knn",

@@ -109,13 +109,39 @@ class IvfIndex:
             spherical=self.spherical,
         )
 
-    def nearest_centroids(self, query: Sequence[float], probes: int) -> list[int]:
+    def nearest_centroids(
+        self,
+        query: Sequence[float],
+        probes: int,
+        expand_margin: float = 0.0,
+    ) -> list[int]:
+        """The probe cell ids, nearest centroid first.
+
+        ``expand_margin`` > 0 enables SOFT EXPANSION (default off):
+        beyond the top-``probes`` cells, any cell whose centroid
+        distance is within ``(1 + expand_margin)`` of the probes-th
+        cell's distance is probed too. A query landing near a Voronoi
+        boundary has several nearly-equidistant cells — the fixed
+        probe count cuts them off arbitrarily, which is the dominant
+        recall loss at small ``probes``; the margin admits exactly
+        those near-ties and nothing else, so the extra scanned
+        fraction is bounded and data-dependent (measured ≤2x at
+        margin 0.2, BASELINE.md round-9) rather than a blanket
+        probes-doubling."""
         q = np.asarray(query, dtype=np.float64)
         if self.spherical:
             q = q / max(float(np.linalg.norm(q)), 1e-30)
         d = np.linalg.norm(self.centroids - q, axis=1)
         order = np.argsort(d, kind="stable")
-        return [int(i) for i in order[:probes]]
+        n = min(probes, len(order))
+        ids = list(order[:n])
+        if expand_margin > 0.0 and n < len(order):
+            cutoff = float(d[ids[-1]]) * (1.0 + expand_margin)
+            for i in order[n:]:
+                if float(d[i]) > cutoff:
+                    break  # order is sorted: nothing further qualifies
+                ids.append(i)
+        return [int(i) for i in ids]
 
     def search(
         self,
@@ -125,17 +151,19 @@ class IvfIndex:
         distance: str = "cos",
         select: Sequence[str] | None = None,
         tie_break: str | None = None,
+        expand_margin: float = 0.0,
     ) -> DataFrame:
         """Probe-pruned approximate k-NN.
 
         The ``centroid_id.isin(...)`` filter is the probe: with the
         table written ``partitionBy("centroid_id")`` it becomes
         Catalyst partition pruning and only probes/lists of the data is
-        read at all.
+        read at all. ``expand_margin`` opts into soft expansion of
+        near-tie cells (see ``nearest_centroids``).
         """
         if probes is None:
             probes = default_probes(self.lists)
-        probe_ids = self.nearest_centroids(query, probes)
+        probe_ids = self.nearest_centroids(query, probes, expand_margin)
         pruned = self.assigned.filter(F.col("centroid_id").isin(probe_ids))
         scored = pruned.withColumn(
             "distance", vector_distance(distance, self.vec_col, list(query))
@@ -157,6 +185,7 @@ class IvfIndex:
         distance: str = "cos",
         select: Sequence[str] | None = None,
         tie_break: str | None = None,
+        expand_margin: float = 0.0,
     ) -> DataFrame:
         """Two-phase probe search: int8-quantized ESTIMATE pass picks
         ``refine`` candidates, exact distances rerank them to top-k —
@@ -165,10 +194,12 @@ class IvfIndex:
         (reference default 1000, vechord/registry.py:233).
 
         With ``refine`` >= the probed row count this equals ``search``.
+        ``expand_margin``: near-tie soft expansion, see
+        ``nearest_centroids``.
         """
         if probes is None:
             probes = default_probes(self.lists)
-        probe_ids = self.nearest_centroids(query, probes)
+        probe_ids = self.nearest_centroids(query, probes, expand_margin)
         pruned = with_int8_quantization(
             self.assigned.filter(F.col("centroid_id").isin(probe_ids)), self.vec_col
         )

@@ -2773,6 +2773,79 @@ def ivf_recall(spark, sf_dir):
     return _ivf_recall_frame(spark, sf_dir, refined=False)
 
 
+@_q(
+    "ivf_recall_expanded",
+    """
+    SELECT CAST(10 AS INT) AS k, CAST(4 AS INT) AS probes,
+           CAST(0.03 AS DOUBLE) AS expand_margin,
+           CAST(0.6 AS DOUBLE) AS recall_floor, CAST(1 AS INT) AS recall_ok
+    """,
+)
+def ivf_recall_expanded(spark, sf_dir):
+    """Recall gate for query-time SOFT EXPANSION
+    (IvfIndex.nearest_centroids ``expand_margin``, round 9): beyond
+    the top-``probes`` cells, cells whose centroid distance is within
+    3% of the probes-th cell's are probed too — near-tie boundary
+    cells are the dominant recall loss at probes=4/lists=16. Averaged
+    over the 8 lowest-id embedding vectors as queries (single-query
+    recall is 0.1-granular and noisy): measured 0.86/0.81/0.85 at
+    sf0.001/0.01/0.1 vs 0.69/0.56/0.73 unexpanded, at 1.8-2.2x the
+    scanned fraction (BASELINE.md round-9). Floor 0.6 (the unexpanded
+    average dips to 0.56; expansion clears 0.6 with slack at every
+    SF). Plan: exact
+    side is the knn_join batch (broadcast queries, WindowGroupLimit
+    pre-reduction); expanded side joins the assignment on the
+    (query, probed-cell) pair table — equi-key on centroid_id, so at
+    scale it prunes partitions exactly like a plain probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ivf16(spark, sf_dir)
+    from pyspark.sql import Window
+
+    from vechord_spark.functions.vector import vector_distance
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = knn_join(
+        queries, emb, "qv", "embedding", "query_id", "vec_id",
+        k=10, distance="cos",
+    ).select("query_id", "vec_id")
+    probe_rows = [
+        (
+            int(r["query_id"]),
+            int(cid),
+            [float(x) for x in r["qv"]],
+        )
+        for r in queries.collect()
+        for cid in index.nearest_centroids(r["qv"], 4, expand_margin=0.03)
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_id bigint, centroid_id int, __qvec array<double>"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        index.assigned.join(F.broadcast(probe_df), "centroid_id")
+        .withColumn(
+            "distance", vector_distance("cos", "embedding", F.col("__qvec"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    n_queries = probe_df.select("query_id").distinct().count()
+    return approx.join(exact, ["query_id", "vec_id"]).agg(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("probes"),
+        F.lit(0.03).alias("expand_margin"),
+        F.lit(0.6).alias("recall_floor"),
+        (F.count(F.lit(1)) / F.lit(float(10 * n_queries)) >= F.lit(0.6))
+        .cast("int")
+        .alias("recall_ok"),
+    )
+
+
 _MV_IVF_CACHE: dict = {}
 
 
