@@ -333,3 +333,69 @@ def test_optimistic_compact_defers_ledger_readoption(spark, tmp_path):
     r.insert_rows("emb", rows(range(100, 106)))
     assert r.extend_vector_index("emb") == 6
     assert r._new_rows_since_index("emb", ipath)[0].count() == 0
+
+
+def test_compact_survives_interleaved_append(spark, tmp_path, monkeypatch):
+    """The commit-version CAS race, forced deterministically: a second
+    writer appends BETWEEN compact's snapshot and its manifest commit.
+    Compact must lose the version race, re-run against the winner's
+    snapshot, and publish a table that contains BOTH the original rows
+    and the interleaved batch — no lost rows, and the index ledger
+    stays safe (next extend re-adopts via the anti-join)."""
+    import random
+    from pathlib import Path
+
+    from vechord_spark.spec import Vector
+
+    rng = random.Random(31)
+    rows = lambda ids: [
+        {"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]} for i in ids
+    ]
+    r1 = VechordRegistry("occ_race", str(tmp_path), spark, concurrency="optimistic")
+    spec = TableSpec(
+        "emb", [Column("uid", "int", primary_key=True), Column("vec", Vector(8))]
+    )
+    r1.register(spec)
+    for b in range(3):
+        r1.insert_rows("emb", rows(range(b * 10, b * 10 + 10)))
+    r1.build_vector_index("emb", lists=2)
+
+    # an independent writer over the same storage
+    r2 = VechordRegistry("occ_race", str(tmp_path), spark, concurrency="optimistic")
+    r2.register(spec)
+
+    # _ensure_log builds a fresh TableLog per call, so the hook must
+    # live on the class: EVERY commit (r1's and r2's) flows through it
+    from vechord_spark.plans.commitlog import TableLog
+
+    orig = TableLog.try_commit
+    raced = {"n": 0}
+
+    def racy_commit(self, version, add=(), remove=(), op="append"):
+        if op == "compact" and raced["n"] == 0:
+            raced["n"] += 1
+            # the interleaved append lands FIRST and takes the version
+            r2.insert_rows("emb", rows(range(100, 105)))
+        return orig(self, version, add=add, remove=remove, op=op)
+
+    monkeypatch.setattr(TableLog, "try_commit", racy_commit)
+    stats = r1.compact("emb", target_file_bytes=1 << 30)
+    assert raced["n"] == 1  # the race actually fired
+    # no lost rows: 30 originals + 5 interleaved
+    got = sorted(x.uid for x in r1.load("emb").collect())
+    assert got == sorted(list(range(30)) + list(range(100, 105)))
+    assert stats["files_before"] >= 3
+    # the manifest is consistent: every snapshot file exists on disk
+    snap = r1._ensure_log("emb").snapshot()
+    live = Path(r1.table_path("emb"))
+    assert snap.files and all((live / f).exists() for f in snap.files)
+    # ledger not corrupted: it was left un-readopted (compacted files
+    # hold the raced rows no index saw), and the next extend indexes
+    # exactly the 5 raced rows via the anti-join fallback
+    ipath = r1._index_path("emb")
+    assert (ipath / "files.json").exists()
+    assert r1.extend_vector_index("emb") == 5
+    ids = [x.uid for x in spark.read.parquet(str(ipath / "data")).collect()]
+    assert sorted(ids) == sorted(list(range(30)) + list(range(100, 105)))
+    # ledger re-adopted: nothing pending afterwards
+    assert r1._new_rows_since_index("emb", ipath)[0].count() == 0
