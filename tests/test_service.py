@@ -253,3 +253,67 @@ def test_cli_compact_with_indexes(spark, tmp_path, capsys):
     probe = fresh.load("vt").filter("uid = 15").collect()[0]
     hit = fresh.search_by_vector("vt", list(probe.vec), topk=1, probes=2)
     assert hit.collect()[0].uid == 15
+
+
+def test_live_service_ingest_search_rrf(svc):
+    """The reference examples/beir.py flow against a LIVE server: boot
+    serve() on a real port, ingest documents through POST /api/run
+    (chunk -> hash-embed -> BM25 keyword index), then search over the
+    socket and check the RRF-fused ranking (vector ∪ keyword legs,
+    operators/fusion.rrf_topk) — scores descending, ranks dense, and
+    the doc holding the query's distinctive term on top."""
+    server = serve(svc, host="127.0.0.1", port=0)
+    try:
+        port = server.server_address[1]
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                method="POST",
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+
+        steps = RUN_STEPS + [{"kind": "keyword", "provider": "bm25"}]
+        texts = [
+            "spark is a distributed engine for large scale data",
+            "the zeppelin floats above the harbor in the morning",
+            "ducks are birds that swim in the park pond",
+        ]
+        uids = {}
+        for t in texts:
+            status, ack = post(
+                "/api/run",
+                {"name": "live1", "data": t,
+                 "steps": steps + [{"kind": "index", "provider": "local"}]},
+            )
+            assert status == 200 and ack["type"] == "ingest"
+            assert ack["chunk"] >= 1
+            uids[t] = ack["uid"]
+
+        status, res = post(
+            "/api/run",
+            {"name": "live1", "data": "zeppelin floats harbor",
+             "steps": steps
+             + [{"kind": "search", "provider": "local", "args": {"topk": 5}}]},
+        )
+        assert status == 200 and res["type"] == "search"
+        chunks = res["chunks"]
+        assert chunks, "fused search returned nothing"
+        # RRF contract: fused score present, descending, dense ranks
+        scores = [c["rrf_score"] for c in chunks]
+        assert scores == sorted(scores, reverse=True)
+        assert [c["rank"] for c in chunks] == list(range(1, len(chunks) + 1))
+        # relevance: the top fused chunk comes from the zeppelin doc
+        reg = svc._run_registries["live1"]
+        top_text = (
+            reg.load("chunk")
+            .filter(f"uid = '{chunks[0]['uid']}'")
+            .collect()[0]
+            .text
+        )
+        assert "zeppelin" in top_text
+    finally:
+        server.shutdown()
