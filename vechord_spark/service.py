@@ -145,6 +145,37 @@ class VechordService:
         path: str,
         params: Mapping[str, str] | None = None,
         body: bytes | None = None,
+        headers: Mapping[str, str] | None = None,
+    ) -> tuple[int, str, bytes]:
+        """Dispatch with CONTENT NEGOTIATION at the boundary (reference
+        service.py:132-138 registers JSON + msgpack falcon media
+        handlers): a ``Content-Type: application/(x-)msgpack`` request
+        body is transcoded to JSON bytes before dispatch — every
+        internal route stays JSON-native — and an ``Accept`` preferring
+        msgpack gets JSON responses re-encoded on the way out. Without
+        headers the behavior is exactly the JSON-only round-7 surface.
+        """
+        hdrs = {k.lower(): v for k, v in (headers or {}).items()}
+        if body is not None and _is_msgpack(hdrs.get("content-type", "")):
+            from vechord_spark.msgpack_lite import unpackb
+
+            try:
+                body = json.dumps(_json_value(unpackb(body))).encode()
+            except (ValueError, TypeError, OverflowError) as err:
+                return 422, "text/plain", f"Malformed msgpack body: {err}".encode()
+        status, ctype, payload = self._handle(method, path, params, body)
+        if ctype == "application/json" and _accepts_msgpack(hdrs.get("accept", "")):
+            from vechord_spark.msgpack_lite import packb
+
+            return status, "application/msgpack", packb(json.loads(payload))
+        return status, ctype, payload
+
+    def _handle(
+        self,
+        method: str,
+        path: str,
+        params: Mapping[str, str] | None = None,
+        body: bytes | None = None,
     ) -> tuple[int, str, bytes]:
         params = dict(params or {})
         try:
@@ -310,6 +341,27 @@ class VechordService:
         )
 
 
+_MSGPACK_TYPES = ("application/msgpack", "application/x-msgpack")
+
+
+def _is_msgpack(content_type: str) -> bool:
+    return content_type.split(";", 1)[0].strip().lower() in _MSGPACK_TYPES
+
+
+def _accepts_msgpack(accept: str) -> bool:
+    """True when the Accept header PREFERS msgpack: any msgpack media
+    type listed before (or without) a JSON alternative. ``*/*`` and
+    absent headers keep JSON — the negotiation never surprises a plain
+    client."""
+    for part in accept.split(","):
+        mt = part.split(";", 1)[0].strip().lower()
+        if mt in _MSGPACK_TYPES:
+            return True
+        if mt in ("application/json", "*/*"):
+            return False
+    return False
+
+
 def _decode_json(body: bytes | None) -> Any:
     if not body:
         raise ServiceError(422, "empty request body")
@@ -333,7 +385,11 @@ class _Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length) if length else None
         status, ctype, payload = self.service.handle(
-            self.command, split.path.rstrip("/") or "/", params, body
+            self.command,
+            split.path.rstrip("/") or "/",
+            params,
+            body,
+            headers=dict(self.headers.items()),
         )
         self.send_response(status)
         self.send_header("Content-Type", ctype)
