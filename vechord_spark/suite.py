@@ -6407,6 +6407,29 @@ def quality_top_fraction(spark, sf_dir):
 # leakage_safe_split, order_priority_exists, semdedup_survivors,
 # knn_filtered, knn_matryoshka, dsir_importance, char_entropy,
 # events_rollup_daily).
+# Round-9 rotation (policy: ~10 green entries out, new/changed plans
+# + parked entries in; everything rotated out stays hash-verified on
+# every pytest run by tests/test_oracle_parity.py).
+# IN — new round-9 queries: min_cost_supplier, partsupp_value_share,
+# excess_inventory_suppliers (the derived-partsupp Q2/Q11/Q20 shapes),
+# ivf_recall_expanded (soft-expansion gate). Plans that CHANGED this
+# round were already in-window and stay: hybrid_rrf (persisted-index
+# legs), corpus_funnel_report/_incremental (fused gate checkpoint +
+# disk artifacts), semdedup_ivf_recall (top-2 bucketer, floor 0.4),
+# dedup_components/dedup_survivors/dedup_bloom_incremental
+# (limit-collect gate / literal bloom probe).
+# IN — parked re-checks: eval_mrr_knn (for eval_ndcg_knn),
+# events_sessionize (events family re-check, out since r6),
+# knn_filtered (never driver-checked), text_stats (out since r6),
+# dedup_embedding_bucketed (out since r6), skew_salted_revenue (out
+# since r6).
+# OUT (all green in CORRECTNESS_r08, family still represented):
+# promo_revenue + late_shipments (three new TPC-H shapes +
+# rollup/agg stay), lang_id + token_vocab_topk (gopher/corpus_health/
+# doc_length keep text), approx_distinct_users + heavy_hitter_users
+# (quantile_sketch_gate keeps sketches), embedding_pca_gate (green
+# since r5b), eval_ndcg_knn (eval_mrr_knn replaces), decontaminate_
+# report (green since r5), table_profile (green since r6).
 _WINDOW_PRIORITY = [
     # relational / OLAP core
     "filter_project",
@@ -6414,13 +6437,18 @@ _WINDOW_PRIORITY = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "rollup_order_stats",
-    "promo_revenue",
-    "late_shipments",
+    # round-9: derived-partsupp TPC-H shapes
+    "min_cost_supplier",
+    "partsupp_value_share",
+    "excess_inventory_suppliers",
+    "skew_salted_revenue",
     # vector / ANN
     "knn_cosine",
+    "knn_filtered",
     "maxsim_by_label",
     "ivf_knn",
     "ivf_recall",
+    "ivf_recall_expanded",
     # keyword / hybrid search
     "bm25_topk",
     "sparse_knn",
@@ -6435,56 +6463,45 @@ _WINDOW_PRIORITY = [
     "delete_cascade",
     "multimodal_meta",
     # evaluation
-    "eval_ndcg_knn",
+    "eval_mrr_knn",
     # events / time-series
     "events_interval_join",
     "events_sliding_counts",
+    "events_sessionize",
     "bucketed_customer_revenue",
     # dedup suite
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_survivors",
     "dedup_bloom_incremental",
+    "dedup_embedding_bucketed",
     # text analysis / training-data ops
-    "lang_id",
+    "text_stats",
     "doc_length_quantiles",
-    "token_vocab_topk",
     "temperature_mix",
     # ccnet_buckets composes unigram_logprob -> per-lang quantile tiers,
     # so it supersedes doc_unigram_logprob in the window (the plain
     # score stays hash-verified by tests/test_oracle_parity.py).
     "ccnet_buckets",
-    # round-5 training-data additions
-    "decontaminate_report",
     # corpus_funnel_report (round 6) subsumes split_shards: the funnel's
     # last stage IS the md5 split (split_shards stays parity-tested)
     "corpus_funnel_report",
-    # round-7: the funnel's day-2 shape (O(new batch) via persisted
-    # seen-side artifacts) rotates in for text_repetition_chars, which
-    # had its green rounds in r5c/r6 and stays hash-verified by
-    # tests/test_oracle_parity.py.
+    # round-7/9: the funnel's day-2 shape — O(new batch) against the
+    # round-9 disk-persisted seen-side ArtifactStore layout
     "corpus_funnel_incremental",
     "nb_quality",
     "source_cap_sample",
-    # sketch gates (late round-5)
-    "approx_distinct_users",
-    "heavy_hitter_users",
+    # sketch gates
     "quantile_sketch_gate",
-    # round-5b analytics gates
-    "embedding_pca_gate",
     # round-5c training-data additions
     "gopher_quality_flags",
     "dedup_lines_c4",
     "knn_binary_refine",
-    # round-7: the SemDeDup scale-path gate (IVF bucketer vs exact
-    # all-pairs + vs the constant-10-label demo bucketer) rotates in
-    # for doc_tfidf_terms, which had its green round in r6 and stays
-    # hash-verified by tests/test_oracle_parity.py.
+    # round-7/9: the SemDeDup scale-path gate — round-9 top-2
+    # multi-assignment bucketer, floor 0.4, beats-single assertion
     "semdedup_ivf_recall",
     "corpus_health_by_source",
     "quality_top_fraction",
-    # round-6 additions
-    "table_profile",
 ]
 
 
