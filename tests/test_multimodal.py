@@ -118,15 +118,21 @@ def test_resize_nearest_neighbor_downscale_and_upscale():
     assert (down.width, down.height, down.pixels) == (1, 1, bytes([255, 0, 0]))
 
 
-def test_non_png_without_pillow_raises_not_implemented():
+def test_unsupported_format_without_pillow_raises_not_implemented():
+    """Formats beyond PNG + baseline JPEG (round 9: JPEG decodes with
+    the dependency-free sources/jpeg.py codec) still honestly
+    env-gate on Pillow."""
     pytest.importorskip_reason = None
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("Pillow installed; non-PNG path is real here")
+        pytest.skip("Pillow installed; the fallback path is real here")
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a" + b"\x00" * 16)
+    # malformed JPEG is a decode ERROR now, not a missing dependency
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
 

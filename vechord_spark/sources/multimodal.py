@@ -213,16 +213,27 @@ def _png_encode(img: DecodedImage) -> bytes:
 def decode_image(data: bytes) -> DecodedImage:
     """Decode an image payload to an 8-bit pixel buffer.
 
-    PNG decodes with the pure-stdlib path above (no third-party
-    dependency); other formats go through Pillow when installed and
-    raise ``NotImplementedError`` otherwise."""
+    PNG decodes with the pure-stdlib path above; baseline JPEG decodes
+    with the dependency-free spec codec (sources/jpeg.py, round 9 —
+    this was the "JPEG-heavy corpora need Pillow" gap). Remaining
+    formats (GIF/WebP/progressive JPEG, ...) go through Pillow when
+    installed and raise ``NotImplementedError`` otherwise."""
     if data[:8] == _PNG_MAGIC:
         return _png_decode(data)
+    if data[:2] == b"\xff\xd8":
+        try:
+            from vechord_spark.sources.jpeg import decode_jpeg
+
+            w, h, ch, raw = decode_jpeg(data)
+            return DecodedImage(w, h, ch, raw)
+        except NotImplementedError:
+            pass  # progressive/arithmetic: fall through to Pillow
     try:
         from PIL import Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "non-PNG image decode requires Pillow (not installed)"
+            "image decode beyond PNG + baseline JPEG requires Pillow "
+            "(not installed)"
         ) from None
     import io
 
