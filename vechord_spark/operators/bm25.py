@@ -118,12 +118,17 @@ class Bm25Index:
         cache those branches race — each recomputes the
         tokenize+explode+shuffle before any block lands. One count()
         fills the cache so every branch (and every later query) reads
-        it."""
+        it. The 1-row corpus stats are collected here too: query plans
+        then inline n_docs/avgdl as LITERALS instead of paying a
+        broadcast-exchange job per query (round 9 — measured ~0.4 s/
+        query at sf0.1)."""
         self.postings.persist()
         self.doclen.persist()
         self.docfreq.persist()
         if eager:
             self.postings.count()
+            row = self.stats.first()
+            self._stats_row = (int(row["n_docs"]), float(row["avgdl"]))
         return self
 
     def score(self, terms: Sequence[str]) -> DataFrame:
@@ -141,14 +146,27 @@ class Bm25Index:
             # compat: postings persisted before dl folding — pay the
             # doclen join (build_keyword_index again to upgrade the layout)
             matched = matched.join(self.doclen, "doc_id")
-        # docfreq pruned to the query terms BEFORE broadcasting: the
-        # full per-term table grows with the vocabulary, the pruned one
-        # is |query| rows
-        docfreq_q = self.docfreq.join(F.broadcast(qterms), "term")
+        # df derived IN-PLAN from the matched postings themselves: the
+        # postings hold one row per (term, doc), so a per-term count
+        # window over the query-pruned frame IS the document frequency
+        # — identical to the docfreq table by construction, and the
+        # query plan touches ONE source relation instead of three
+        # (round 9; the docfreq table remains the persisted derived
+        # layout that extend_keyword_index merges incrementally).
+        from pyspark.sql import Window
+
+        matched = matched.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        stats_row = getattr(self, "_stats_row", None)
+        if stats_row is not None:
+            scored = matched.withColumn(
+                "n_docs", F.lit(stats_row[0])
+            ).withColumn("avgdl", F.lit(stats_row[1]))
+        else:
+            scored = matched.crossJoin(F.broadcast(self.stats))
         scored = (
-            matched.join(F.broadcast(docfreq_q), "term")
-            .crossJoin(F.broadcast(self.stats))
-            .withColumn(
+            scored.withColumn(
                 "idf",
                 F.log(
                     (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

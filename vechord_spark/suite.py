@@ -864,10 +864,9 @@ def semdedup_ivf_survivors(spark, sf_dir):
     SQL-expressible -> rows-only, gated by the green
     ``semdedup_ivf_recall`` scalar."""
     emb = _t(spark, sf_dir, "embeddings")
-    bucketer = _ivf16_buckets2(spark, sf_dir)
-    pairs = DD.embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    pairs = _semdedup_pairs2(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
     kept = DD.drop_near_duplicates(emb, "vec_id", pairs)
     return kept.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
@@ -900,21 +899,30 @@ def semdedup_ivf_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     index = _ivf16(spark, sf_dir)
 
-    def n_pairs(bucketer, name):
-        return DD.embedding_near_duplicates(
-            emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
-        ).agg(F.count(F.lit(1)).cast("double").alias(name))
-
     # exact denominator via the blocked-matmul counter (same rounding
     # and pair semantics as the JVM path, ~15x cheaper than the fold-
     # expression all-pairs self-join at 2k vectors)
     exact = DD.embedding_pair_count(
         emb, "vec_id", "embedding", threshold=0.35
     ).select(F.col("n_pairs").cast("double").alias("n_exact"))
-    ivf = n_pairs(_ivf16_buckets2(spark, sf_dir), "n_ivf")
-    single = n_pairs(
-        index.assigned.select("vec_id", F.col("centroid_id").alias("bucket")),
-        "n_single",
+    pairs = _semdedup_pairs2(spark, sf_dir)
+    ivf = pairs.agg(F.count(F.lit(1)).cast("double").alias("n_ivf"))
+    # single-assignment pairs are EXACTLY the multi pairs whose two
+    # docs share their PRIMARY (nearest) centroid — primary-shared
+    # implies bucket-shared under top-2, so filtering the cached pair
+    # frame replaces a second bucket-local cosine self-join
+    assigned = index.assigned.select("vec_id", "centroid_id")
+    pa = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("centroid_id").alias("__ca")
+    )
+    pb = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("centroid_id").alias("__cb")
+    )
+    single = (
+        pairs.join(F.broadcast(pa), "id_a")
+        .join(F.broadcast(pb), "id_b")
+        .filter(F.col("__ca") == F.col("__cb"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_single"))
     )
     return (
         exact.crossJoin(ivf)
@@ -2041,6 +2049,29 @@ def _ivf16(spark, sf_dir):
     index.assigned = index.assigned.persist()
     _IVF_CACHE[key] = (spark, index)
     return index
+
+
+def _semdedup_pairs2(spark, sf_dir):
+    """The SemDeDup candidate pair frame (cosine >= 0.35 under the
+    top-2 bucketer), persisted and SHARED by semdedup_ivf_survivors
+    (components + survivor selection) and semdedup_ivf_recall (the
+    |bucketed| numerator and, filtered to primary-centroid-equal
+    pairs, the single-assignment comparison count) — the bucket-local
+    cosine join runs once per (session, corpus), not once per query."""
+    key = (sf_dir, 16, 42, "pairs2")
+    ent = _IVF_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_near_duplicates(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        bucketer=_ivf16_buckets2(spark, sf_dir),
+    ).persist()
+    _IVF_CACHE[key] = (spark, pairs)
+    return pairs
 
 
 def _ivf16_buckets2(spark, sf_dir):
