@@ -159,3 +159,63 @@ def test_inc_seen_second_session_reuses_layout(spark, monkeypatch, tmp_path):
     suite._INC_SEEN_CACHE.clear()
     bloom1.unpersist()
     bloom2.unpersist()
+
+
+def test_stale_layout_is_replaced_wholesale(store, tmp_path):
+    """A pre-existing final dir (stale prior build, or a winner that
+    landed before our exists() check) is swapped out atomically —
+    last-writer-wins, never a merge of two layouts."""
+    import json as _json
+
+    src = _src(tmp_path)
+    ledger = source_ledger([src])
+
+    def build_with_preexisting_final(p):
+        (p / "payload.txt").write_text("ours")
+        final = store.path("art")
+        final.mkdir(parents=True)
+        (final / "payload.txt").write_text("theirs")
+        (final / "extra.bin").write_text("leftover")
+        (final / "meta.json").write_text(
+            _json.dumps({"sources": ledger, "params": {"v": 1}})
+        )
+
+    out = store.load_or_build("art", [src], {"v": 1}, build_with_preexisting_final)
+    assert (out / "payload.txt").read_text() == "ours"
+    assert not (out / "extra.bin").exists()  # no layout merging
+    assert not list(store.root.glob("art.tmp.*"))
+    assert not list(store.root.glob("art.stale.*"))
+
+
+def test_lost_publish_race_returns_winner(store, tmp_path, monkeypatch):
+    """The ENOTEMPTY race, forced deterministically: the winner's
+    layout lands between our exists() check and our os.replace. The
+    loser must return the winner's valid layout, not crash (the
+    documented loser-is-discarded outcome)."""
+    import errno
+    import json as _json
+
+    src = _src(tmp_path)
+    ledger = source_ledger([src])
+    winner = store.path("art")
+    real_replace = os.replace
+    raced = {}
+
+    def racy_replace(a, b):
+        if str(b) == str(winner) and "x" not in raced:
+            raced["x"] = True
+            winner.mkdir(parents=True)
+            (winner / "payload.txt").write_text("winner")
+            (winner / "meta.json").write_text(
+                _json.dumps({"sources": ledger, "params": {"v": 1}})
+            )
+            raise OSError(errno.ENOTEMPTY, "Directory not empty")
+        return real_replace(a, b)
+
+    monkeypatch.setattr(os, "replace", racy_replace)
+    out = store.load_or_build(
+        "art", [src], {"v": 1}, lambda p: (p / "payload.txt").write_text("loser")
+    )
+    assert raced == {"x": True}
+    assert (out / "payload.txt").read_text() == "winner"
+    assert not list(store.root.glob("art.tmp.*"))

@@ -356,3 +356,15 @@ def test_nearest_centroids_expand_margin(spark):
     assert idx.nearest_centroids(q, 2, expand_margin=10.0) == [0, 1, 2, 3, 4]
     # probes >= n_cells: expansion is a no-op
     assert idx.nearest_centroids(q, 5, expand_margin=0.5) == [0, 1, 2, 3, 4]
+
+
+def test_expand_margin_with_zero_probes(spark):
+    import numpy as np
+
+    from vechord_spark.operators.ivf import IvfIndex
+
+    dummy = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0)], "uid int, vec array<double>, centroid_id int"
+    )
+    idx = IvfIndex(np.array([[0.0, 0.0], [1.0, 0.0]]), dummy, "vec")
+    assert idx.nearest_centroids([0.0, 0.0], 0, expand_margin=0.5) == []

@@ -142,3 +142,16 @@ def test_multimodal_decode_image_takes_jpeg():
     # resize path: JPEG in -> PNG bytes out
     png = resize_image(data, 8, 8)
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_12bit_precision_raises_not_silently_garbles():
+    import struct
+
+    sof1_12bit = (
+        b"\xff\xd8"
+        + b"\xff\xc1"
+        + struct.pack(">HBHHB", 11, 12, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof1_12bit)

@@ -191,3 +191,30 @@ def test_msgpack_run_search_over_socket(svc):
         assert res["type"] == "search" and len(res["chunks"]) >= 1
     finally:
         server.shutdown()
+
+
+def test_truncated_length_prefixes_raise_valueerror():
+    """bin8/uint8/str8 cut off right after the type byte must raise
+    ValueError (the 422 contract), never IndexError."""
+    for payload in (b"\xc4", b"\xcc", b"\xd9"):
+        with pytest.raises(ValueError):
+            unpackb(payload)
+
+
+def test_accept_q_zero_excludes_msgpack(svc):
+    """RFC 9110: q=0 means 'not acceptable' — a client excluding
+    msgpack keeps JSON even when msgpack is listed first."""
+    svc.handle(
+        "POST", "/api/table/document",
+        body=json.dumps({"uid": 9, "title": "q", "score": 0.0}).encode(),
+    )
+    _, ctype, _ = svc.handle(
+        "GET", "/api/table/document", {"uid": "9"},
+        headers={"Accept": "application/msgpack;q=0, application/json"},
+    )
+    assert ctype == "application/json"
+    _, ctype, _ = svc.handle(
+        "GET", "/api/table/document", {"uid": "9"},
+        headers={"Accept": "application/msgpack;q=0.9, application/json"},
+    )
+    assert ctype == "application/msgpack"

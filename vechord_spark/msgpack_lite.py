@@ -169,7 +169,7 @@ def _unpack_from(buf: memoryview, pos: int) -> tuple[Any, int]:
     if b == 0xC3:
         return True, pos
     if b == 0xC4:
-        return _take_bin(buf, pos + 1, buf[pos])
+        return _take_bin(buf, pos + 1, _u8(buf, pos))
     if b == 0xC5:
         return _take_bin(buf, pos + 2, _u(buf, pos, ">H"))
     if b == 0xC6:
@@ -179,7 +179,7 @@ def _unpack_from(buf: memoryview, pos: int) -> tuple[Any, int]:
     if b == 0xCB:
         return _u(buf, pos, ">d"), pos + 8
     if b == 0xCC:
-        return buf[pos], pos + 1
+        return _u8(buf, pos), pos + 1
     if b == 0xCD:
         return _u(buf, pos, ">H"), pos + 2
     if b == 0xCE:
@@ -195,7 +195,7 @@ def _unpack_from(buf: memoryview, pos: int) -> tuple[Any, int]:
     if b == 0xD3:
         return _u(buf, pos, ">q"), pos + 8
     if b == 0xD9:
-        return _take_str(buf, pos + 1, buf[pos])
+        return _take_str(buf, pos + 1, _u8(buf, pos))
     if b == 0xDA:
         return _take_str(buf, pos + 2, _u(buf, pos, ">H"))
     if b == 0xDB:
@@ -209,6 +209,15 @@ def _unpack_from(buf: memoryview, pos: int) -> tuple[Any, int]:
     if b == 0xDF:
         return _take_map(buf, pos + 4, _u(buf, pos, ">I"))
     raise ValueError(f"unsupported msgpack type byte 0x{b:02x}")
+
+
+def _u8(buf: memoryview, pos: int) -> int:
+    """One length-prefix byte, ValueError (not IndexError) past EOF —
+    the service's 422 contract depends on truncated input raising
+    ValueError everywhere."""
+    if pos >= len(buf):
+        raise ValueError("truncated msgpack data")
+    return buf[pos]
 
 
 def _u(buf: memoryview, pos: int, fmt: str):

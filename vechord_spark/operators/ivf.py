@@ -135,7 +135,7 @@ class IvfIndex:
         order = np.argsort(d, kind="stable")
         n = min(probes, len(order))
         ids = list(order[:n])
-        if expand_margin > 0.0 and n < len(order):
+        if expand_margin > 0.0 and ids and n < len(order):
             cutoff = float(d[ids[-1]]) * (1.0 + expand_margin)
             for i in order[n:]:
                 if float(d[i]) > cutoff:

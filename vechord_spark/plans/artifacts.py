@@ -115,15 +115,27 @@ class ArtifactStore:
             (tmp / _META).write_text(
                 json.dumps({"sources": sources, "params": dict(params)})
             )
-            if final.exists():
-                # stale (ledger-mismatched) prior build, or a racing
-                # builder published first — either way replace wholesale
-                stale = final.with_name(f"{final.name}.stale.{os.getpid()}")
-                os.replace(final, stale)
-                os.replace(tmp, final)
-                shutil.rmtree(stale, ignore_errors=True)
-            else:
-                os.replace(tmp, final)
+            try:
+                if final.exists():
+                    # stale (ledger-mismatched) prior build, or a racing
+                    # builder published first — replace wholesale. A
+                    # crash between the two replaces leaves no final dir
+                    # and no meta.json, so the next call rebuilds —
+                    # self-healing, never a half-valid layout.
+                    stale = final.with_name(f"{final.name}.stale.{os.getpid()}")
+                    os.replace(final, stale)
+                    os.replace(tmp, final)
+                    shutil.rmtree(stale, ignore_errors=True)
+                else:
+                    os.replace(tmp, final)
+            except OSError:
+                # lost the publish race (ENOTEMPTY onto the winner's
+                # dir, or the dir vanished under the exists() check):
+                # if the winner's layout validates, ours is redundant —
+                # the documented loser-is-discarded outcome
+                if self.is_valid(name, sources, params):
+                    return final
+                raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return final

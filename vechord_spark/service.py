@@ -350,14 +350,26 @@ def _is_msgpack(content_type: str) -> bool:
 
 def _accepts_msgpack(accept: str) -> bool:
     """True when the Accept header PREFERS msgpack: any msgpack media
-    type listed before (or without) a JSON alternative. ``*/*`` and
-    absent headers keep JSON — the negotiation never surprises a plain
-    client."""
+    type listed before (or without) a JSON alternative, unless the
+    client excluded it with ``q=0`` (RFC 9110 "not acceptable").
+    ``*/*`` and absent headers keep JSON — the negotiation never
+    surprises a plain client."""
     for part in accept.split(","):
-        mt = part.split(";", 1)[0].strip().lower()
+        mt, _, params = part.partition(";")
+        mt = mt.strip().lower()
+        q = 1.0
+        for p in params.split(";"):
+            k, _, v = p.partition("=")
+            if k.strip().lower() == "q":
+                try:
+                    q = float(v.strip())
+                except ValueError:
+                    q = 1.0
         if mt in _MSGPACK_TYPES:
+            if q <= 0.0:
+                return False
             return True
-        if mt in ("application/json", "*/*"):
+        if mt in ("application/json", "*/*") and q > 0.0:
             return False
     return False
 

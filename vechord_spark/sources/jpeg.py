@@ -298,6 +298,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _HuffTable(bits, huffval)
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline & extended sequential
+            if seg[0] != 8:
+                # 12-bit extended sequential is legal under SOF1; the
+                # 8-bit level shift would decode it to silent garbage
+                raise NotImplementedError(
+                    f"JPEG sample precision {seg[0]} unsupported (8 only)"
+                )
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []

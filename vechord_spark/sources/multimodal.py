@@ -227,7 +227,19 @@ def decode_image(data: bytes) -> DecodedImage:
             w, h, ch, raw = decode_jpeg(data)
             return DecodedImage(w, h, ch, raw)
         except NotImplementedError:
-            pass  # progressive/arithmetic: fall through to Pillow
+            pass  # progressive/arithmetic/12-bit: fall through to Pillow
+        except ValueError:
+            # a stream our marker walk rejects may still be
+            # Pillow-decodable (quirky-but-valid files); only when
+            # Pillow is absent is the decode error final
+            try:
+                import PIL  # noqa: F401
+
+                have_pil = True
+            except ImportError:
+                have_pil = False
+            if not have_pil:
+                raise  # the original ValueError, not the ImportError
     try:
         from PIL import Image  # noqa: F401
     except ImportError:

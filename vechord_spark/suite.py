@@ -2865,7 +2865,7 @@ def ivf_recall_expanded(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id")
     )
-    n_queries = probe_df.select("query_id").distinct().count()
+    n_queries = len({r[0] for r in probe_rows})
     return approx.join(exact, ["query_id", "vec_id"]).agg(
         F.lit(10).alias("k"),
         F.lit(4).alias("probes"),
