@@ -111,6 +111,34 @@ class Bm25Index:
             .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
         )
 
+    @classmethod
+    def from_frames(
+        cls,
+        postings: DataFrame,
+        doclen: DataFrame,
+        docfreq: DataFrame,
+        stats: DataFrame,
+        doc_id: str = "doc_id",
+        k1: float = DEFAULT_K1,
+        b: float = DEFAULT_B,
+        tokenizer=None,
+    ) -> "Bm25Index":
+        """Reconstruct an index from its persisted derived frames
+        (postings/doclen/docfreq/stats parquet written by a prior
+        build) WITHOUT scanning the corpus — the load side of the
+        build-once contract (registry keyword layouts and the suite's
+        ArtifactStore both use this)."""
+        idx = cls.__new__(cls)
+        idx.doc_id = doc_id
+        idx.k1 = k1
+        idx.b = b
+        idx.tokenizer = tokenizer
+        idx.postings = postings
+        idx.doclen = doclen
+        idx.docfreq = docfreq
+        idx.stats = stats
+        return idx
+
     def persist(self, eager: bool = True) -> "Bm25Index":
         """Cache the index frames. ``eager`` materializes the postings
         immediately: a first query's plan references the postings from

@@ -433,13 +433,48 @@ _BM25_TERMS2 = ["sort", "merge", "window", "batch"]
 
 
 def _bm25_index(spark, sf_dir):
+    """The persisted BM25 index as a DISK layout (ArtifactStore, round
+    9): the corpus is tokenized once per CORPUS — by whichever session
+    first touches it — and every later session loads the derived
+    postings/doclen/docfreq/stats parquet (~0.3 s) instead of paying
+    the build shuffle (~2.5 s at sf0.1). Mirrors the registry's
+    .bm25 keyword layout (registry.py:build_keyword_index); in-process
+    memo on top for within-session reuse."""
+    import re as _re
+
     from vechord_spark.operators.bm25 import Bm25Index
+    from vechord_spark.plans.artifacts import ArtifactStore
 
     ent = _BM25_INDEX_CACHE.get(sf_dir)
     if ent is not None and ent[0] is spark:
         return ent[1]
-    docs = _t(spark, sf_dir, "documents")
-    index = Bm25Index(docs, "doc_id", "text").persist()
+    src = f"{sf_dir}/documents.parquet"
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+
+    def _build(tmp):
+        idx = Bm25Index(_t(spark, sf_dir, "documents"), "doc_id", "text")
+        # postings land first (the one tokenize pass); the other three
+        # derived frames re-derive FROM the written postings so the
+        # corpus is scanned once, not four times
+        idx.postings.write.parquet(str(tmp / "postings"))
+        p = spark.read.parquet(str(tmp / "postings"))
+        p.select("doc_id", "dl").distinct().write.parquet(str(tmp / "doclen"))
+        p.where(F.col("term").isNotNull()).groupBy("term").agg(
+            F.count_distinct("doc_id").alias("df")
+        ).write.parquet(str(tmp / "docfreq"))
+        p.select("doc_id", "dl").distinct().agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).write.parquet(str(tmp / "stats"))
+
+    path = ArtifactStore(spark).load_or_build(
+        f"bm25_{tag}", [src], {"v": 1}, _build
+    )
+    index = Bm25Index.from_frames(
+        spark.read.parquet(str(path / "postings")),
+        spark.read.parquet(str(path / "doclen")),
+        spark.read.parquet(str(path / "docfreq")),
+        spark.read.parquet(str(path / "stats")),
+    ).persist()
     _BM25_INDEX_CACHE[sf_dir] = (spark, index)
     return index
 
@@ -2036,17 +2071,59 @@ def _ivf16(spark, sf_dir):
     ent = _IVF_CACHE.get(key)
     if ent is not None and ent[0] is spark:
         return ent[1]
-    from vechord_spark.operators.ivf import build_ivf
+    import json as _json
+    import re as _re
 
-    emb = _t(spark, sf_dir, "embeddings")
+    import numpy as _np
+
+    from vechord_spark.operators.ivf import IvfIndex, build_ivf
+    from vechord_spark.plans.artifacts import ArtifactStore
+
     # spherical (round 7): every consumer of this index ranks by COSINE
     # (ivf_knn, the recall gates, the SemDeDup bucketer), so the cells
     # are fit/assigned on unit-norm vectors — the coarse quantizer that
-    # matches the metric. Measured at probes=4/16 lists: recall@10
-    # 0.4 -> 0.5 at sf0.001/sf0.01, 0.4 flat at sf0.1 (structureless
-    # corpus; 4/16 of the sphere is the honest ceiling there).
-    index = build_ivf(emb, "embedding", lists=16, seed=42, spherical=True)
-    index.assigned = index.assigned.persist()
+    # matches the metric. Round 9: the fit + assignment persist as a
+    # DISK layout (ArtifactStore) — the KMeans runs once per corpus,
+    # later sessions load the clustered assignment parquet + centroid
+    # bytes, mirroring the registry's .ivf layout
+    # (registry.py:build_vector_index). The seeded fit is deterministic
+    # for fixed data, so a loaded index is bit-identical to a rebuilt
+    # one.
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+
+    def _build(tmp):
+        idx = build_ivf(
+            _t(spark, sf_dir, "embeddings"),
+            "embedding",
+            lists=16,
+            seed=42,
+            spherical=True,
+        )
+        idx.assigned.write.parquet(str(tmp / "assigned"))
+        (tmp / "centroids.bin").write_bytes(
+            _np.ascontiguousarray(idx.centroids, dtype="<f8").tobytes()
+        )
+        (tmp / "ivf.json").write_text(
+            _json.dumps({"shape": list(idx.centroids.shape), "spherical": True})
+        )
+
+    path = ArtifactStore(spark).load_or_build(
+        f"ivf16_{tag}",
+        [src],
+        {"lists": 16, "seed": 42, "spherical": True, "v": 1},
+        _build,
+    )
+    meta = _json.loads((path / "ivf.json").read_text())
+    cents = _np.frombuffer(
+        (path / "centroids.bin").read_bytes(), dtype="<f8"
+    ).reshape(meta["shape"])
+    index = IvfIndex(
+        cents,
+        spark.read.parquet(str(path / "assigned")).persist(),
+        "embedding",
+        spherical=meta["spherical"],
+    )
     _IVF_CACHE[key] = (spark, index)
     return index
 
@@ -2087,21 +2164,33 @@ def _ivf16_buckets2(spark, sf_dir):
     ent = _IVF_CACHE.get(key)
     if ent is not None and ent[0] is spark:
         return ent[1]
-    from vechord_spark.operators.ivf import assign_centroids_multi
+    import re as _re
 
-    emb = _t(spark, sf_dir, "embeddings")
-    index = _ivf16(spark, sf_dir)
-    b = (
+    from vechord_spark.operators.ivf import assign_centroids_multi
+    from vechord_spark.plans.artifacts import ArtifactStore
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+
+    def _build(tmp):
+        index = _ivf16(spark, sf_dir)
         assign_centroids_multi(
-            emb.select("vec_id", "embedding"),
+            _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
             "embedding",
             index.centroids,
             n_assign=2,
             normalize=index.spherical,
+        ).select("vec_id", F.explode("centroid_ids").alias("bucket")).write.parquet(
+            str(tmp / "buckets")
         )
-        .select("vec_id", F.explode("centroid_ids").alias("bucket"))
-        .persist()
+
+    path = ArtifactStore(spark).load_or_build(
+        f"ivf16_buckets2_{tag}",
+        [src],
+        {"lists": 16, "seed": 42, "n_assign": 2, "v": 1},
+        _build,
     )
+    b = spark.read.parquet(str(path / "buckets")).persist()
     _IVF_CACHE[key] = (spark, b)
     return b
 
