@@ -104,9 +104,15 @@ def test_decode_errors():
         decode_jpeg(sof2)
 
 
+# CPython's own test-image corpus (Lib/test/imghdrdata in the source
+# tree): python.jpg is libjpeg-encoded and python.png is its lossless
+# twin — an independent-encoder ground truth shipped with the
+# interpreter when the test package is installed.
+import sys as _sys
+
 _IMGHDR = (
-    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
-    "test/imghdrdata"
+    f"{_sys.base_prefix}/lib/python{_sys.version_info[0]}."
+    f"{_sys.version_info[1]}/test/imghdrdata"
 )
 
 
