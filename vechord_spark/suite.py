@@ -5666,8 +5666,20 @@ def corpus_funnel_report(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     pass1 = docsf.filter(F.col("__gate")).drop("__gate")
-    exact = DD.drop_exact_duplicates(pass1, "doc_id", "text").persist()
-    cands = DD.minhash_candidate_pairs(exact, "doc_id", "text")
+    # exact + cands are eager checkpoints, not persists: both frames
+    # are small (post-gate docs; candidate PAIRS), but their logical
+    # plans carry the md5-window and 16-permutation minhash expression
+    # trees, and PySpark re-analyzes the whole accumulated tree on
+    # every downstream compose (ngram_jaccard alone re-embeds the cands
+    # subtree three times). Truncating lineage here cut the warm wall
+    # ~4.9 -> ~3.9 s at sf0.1 — pure driver-side Catalyst analysis, the
+    # executors do the same work (round-9 A/B, identical stage rows).
+    exact = DD.drop_exact_duplicates(pass1, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    cands = DD.minhash_candidate_pairs(exact, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     pairs = DD.ngram_jaccard(
         exact, "doc_id", "text", threshold=0.35, candidates=cands
     ).select("doc_a", "doc_b")
@@ -5708,7 +5720,6 @@ def corpus_funnel_report(spark, sf_dir):
     # cache blocks (the leak class the round-5 review flagged on
     # pagerank)
     rows = out.collect()
-    exact.unpersist()
     surv.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
@@ -5929,17 +5940,28 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     )
     gated = newb.filter(F.col("__gate")).drop("__gate")
 
-    exact = DD.drop_exact_duplicates(gated, "doc_id", "text").persist()
+    # exact / cands / jac are eager checkpoints (lineage truncation),
+    # not persists: all three frames are small, but their logical plans
+    # carry the fingerprint-window, 16-permutation minhash, and shingle
+    # expression trees, and PySpark re-analyzes the full accumulated
+    # tree on every downstream compose (crossdrop, wpairs, surv, stage
+    # aggregates). Truncating at each boundary cut the warm day-2 wall
+    # ~6.4 -> ~4.6 s at sf0.1 — driver-side Catalyst analysis only, the
+    # executor work is unchanged (round-9 A/B, identical stage rows).
+    exact = DD.drop_exact_duplicates(gated, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     # batch bands persisted HERE (not inside the operator) so the
-    # cleanup loop below can release them — the pair frame is evaluated
-    # several times downstream and each eval would re-run the banding
+    # cleanup loop below can release them — the within- and cross-join
+    # sides of the candidate generator both read the banding, and each
+    # would re-run the md5-heavy projection without the cache
     batch_bands = DD.minhash_bands(exact, "doc_id", "text").persist()
     cands = DD.minhash_candidate_pairs_cross(
         exact, "doc_id", "text", seen_bands=seen_bands, new_bands=batch_bands
-    )
+    ).localCheckpoint(eager=True)
     jac = DD.ngram_jaccard(
         docs, "doc_id", "text", threshold=0.35, candidates=cands
-    ).persist()
+    ).localCheckpoint(eager=True)
     is_batch_a = F.col("doc_a") % modulus == 0
     is_batch_b = F.col("doc_b") % modulus == 0
     crossdrop = (
@@ -5995,7 +6017,7 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     ):
         out = out.unionByName(stage(i, nm, df))
     rows = out.collect()
-    for cached in (exact, batch_bands, jac, rest):
+    for cached in (batch_bands, rest):
         cached.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
