@@ -817,11 +817,33 @@ def dedup_embedding_bucketed(spark, sf_dir):
     standing in for an IVF centroid assignment, operators/ivf.py), so
     the join is bucket-local, never all-pairs. Exact cosine is computed
     only inside buckets."""
+    return _label_pairs(spark, sf_dir)
+
+
+_LABEL_PAIRS_CACHE: dict = {}
+
+
+def _label_pairs(spark, sf_dir):
+    """The label-bucketed cosine pair frame (threshold 0.35), computed
+    once per (session, corpus) and SHARED by dedup_embedding_bucketed
+    (returns it verbatim) and semdedup_survivors (components + survivor
+    selection over the same edges) — the same share-the-pair-frame
+    contract as ``_semdedup_pairs2``. Eager checkpoint, not persist:
+    the frame is small (verified duplicate edges) but its plan carries
+    the fold-based cosine expressions, and downstream composes
+    (connected_components' gate, the survivor anti-join) would
+    re-analyze them on every call."""
+    key = (sf_dir, 0.35, "label_pairs")
+    ent = _LABEL_PAIRS_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
     emb = _t(spark, sf_dir, "embeddings")
     bucketer = emb.select("vec_id", F.col("label").alias("bucket"))
-    return DD.embedding_near_duplicates(
+    pairs = DD.embedding_near_duplicates(
         emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
-    )
+    ).localCheckpoint(eager=True)
+    _LABEL_PAIRS_CACHE[key] = (spark, pairs)
+    return pairs
 
 
 @_q(
@@ -869,10 +891,9 @@ def semdedup_survivors(spark, sf_dir):
     the same scale-safe machinery as the text path (dedup_survivors).
     Summarized to hash-stable scalars."""
     emb = _t(spark, sf_dir, "embeddings")
-    bucketer = emb.select("vec_id", F.col("label").alias("bucket"))
-    pairs = DD.embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    pairs = _label_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
     kept = DD.drop_near_duplicates(emb, "vec_id", pairs)
     return kept.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
