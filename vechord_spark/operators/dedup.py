@@ -405,14 +405,21 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     band_bits: int = 15,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + Hamming filter.
 
     Pigeonhole: with 4 bands of 15 bits, any pair within Hamming
     distance 3 shares at least one exact band — the self-join keys on
     band values, avoiding O(n²). Returns (doc_a, doc_b, hamming).
+
+    ``sigs`` = optional precomputed ``simhash(df, ...)`` frame
+    (doc_id, simhash) — pass the persisted signature table when the
+    fingerprints are already materialized (production writes them once
+    per corpus) so the md5 + 60-vote aggregate isn't recomputed here.
     """
-    sigs = simhash(df, id_col, text_col)
+    if sigs is None:
+        sigs = simhash(df, id_col, text_col)
     n_bands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
     bands = sigs.select(

