@@ -337,3 +337,46 @@ def test_embedding_pair_count_matches_join_path(spark):
             df, "vec_id", "embedding", 0.2, n_blocks=nb
         ).collect()[0].n_pairs
         assert got == want, (nb, got, want)
+
+
+def test_bucketed_pairs_matmul_matches_jvm(spark):
+    """The per-bucket matmul pair scorer is pair-for-pair identical
+    (ids AND 6-decimal cosine) to the JVM fold-expression bucketed
+    path, including under a multi-assigning bucketer."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vechord_spark.operators.dedup import (
+        embedding_bucketed_pairs_matmul,
+        embedding_near_duplicates,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # single-assignment bucketer: 5 hash buckets
+    single = df.select(
+        "vec_id", F.pmod(F.hash("vec_id"), F.lit(5)).alias("bucket")
+    )
+    # multi-assignment: every vector ALSO lands in a second bucket, so
+    # boundary pairs appear in two groups and must dedupe to one row
+    multi = single.unionByName(
+        df.select(
+            "vec_id", F.pmod(F.hash("vec_id") + 1, F.lit(5)).alias("bucket")
+        )
+    )
+    for bucketer in (single, multi):
+        want = sorted(
+            tuple(r)
+            for r in embedding_near_duplicates(
+                df, "vec_id", "embedding", 0.2, bucketer=bucketer
+            ).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in embedding_bucketed_pairs_matmul(
+                df, "vec_id", "embedding", 0.2, bucketer=bucketer
+            ).collect()
+        )
+        assert got == want and len(want) > 0

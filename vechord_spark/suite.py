@@ -858,7 +858,10 @@ def _label_pairs(spark, sf_dir):
         return ent[1]
     emb = _t(spark, sf_dir, "embeddings")
     bucketer = emb.select("vec_id", F.col("label").alias("bucket"))
-    pairs = DD.embedding_near_duplicates(
+    # blocked-matmul scorer: pair-for-pair identical to the JVM fold
+    # path (pinned by test) — the DuckDB oracle hash-match on
+    # dedup_embedding_bucketed is the second witness
+    pairs = DD.embedding_bucketed_pairs_matmul(
         emb, "vec_id", "embedding", threshold=0.35, bucketer=bucketer
     ).localCheckpoint(eager=True)
     _LABEL_PAIRS_CACHE[key] = (spark, pairs)
@@ -2182,13 +2185,18 @@ def _semdedup_pairs2(spark, sf_dir):
     if ent is not None and ent[0] is spark:
         return ent[1]
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = DD.embedding_near_duplicates(
+    # blocked-matmul scorer — pair-for-pair identical to the JVM fold
+    # path (pinned by test_dedup.py::test_bucketed_pairs_matmul_matches
+    # _jvm) at ~5x less wall at sf0.1; eager checkpoint so the build
+    # runs once at memo time and downstream composes (components,
+    # recall counts) analyze a truncated plan
+    pairs = DD.embedding_bucketed_pairs_matmul(
         emb,
         "vec_id",
         "embedding",
         threshold=0.35,
         bucketer=_ivf16_buckets2(spark, sf_dir),
-    ).persist()
+    ).localCheckpoint(eager=True)
     _IVF_CACHE[key] = (spark, pairs)
     return pairs
 
