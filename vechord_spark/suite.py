@@ -6633,7 +6633,6 @@ _WINDOW_PRIORITY = [
     "min_cost_supplier",
     "partsupp_value_share",
     "excess_inventory_suppliers",
-    "skew_salted_revenue",
     # vector / ANN
     "knn_cosine",
     "knn_filtered",
@@ -6667,8 +6666,16 @@ _WINDOW_PRIORITY = [
     "dedup_survivors",
     "dedup_bloom_incremental",
     "dedup_embedding_bucketed",
+    # round-9b: plans changed this round (shared pair/signature memos,
+    # matmul scorer) -> rotated in per the window policy; rotated out:
+    # skew_salted_revenue, text_stats, knn_binary_refine (stable greens,
+    # plans untouched, still parity-tested every pytest run).
+    # semdedup_ivf_survivors also changed but is rows-only by design —
+    # its in-window witness stays the semdedup_ivf_recall gate.
+    "semdedup_survivors",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     # text analysis / training-data ops
-    "text_stats",
     "doc_length_quantiles",
     "temperature_mix",
     # ccnet_buckets composes unigram_logprob -> per-lang quantile tiers,
@@ -6688,7 +6695,6 @@ _WINDOW_PRIORITY = [
     # round-5c training-data additions
     "gopher_quality_flags",
     "dedup_lines_c4",
-    "knn_binary_refine",
     # round-7/9: the SemDeDup scale-path gate — round-9 top-2
     # multi-assignment bucketer, floor 0.4, beats-single assertion
     "semdedup_ivf_recall",
