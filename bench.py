@@ -59,6 +59,14 @@ BENCH_QUERIES = [
     "min_cost_supplier",
     "partsupp_value_share",
     "excess_inventory_suppliers",
+    # round-9b: Q5/Q6/Q7/Q8/Q9/Q10/Q15 shapes
+    "local_supplier_revenue",
+    "revenue_forecast",
+    "volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "top_supplier",
     "semdedup_survivors",
     "semdedup_ivf_survivors",
     "semdedup_ivf_recall",

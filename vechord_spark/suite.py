@@ -4285,6 +4285,420 @@ def excess_inventory_suppliers(spark, sf_dir):
 
 
 @_q(
+    "local_supplier_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: revenue from orders where the customer and the
+    line's supplier sit in the SAME nation, per nation of one region
+    and one order year. The two facts (lineitem, orders) join on
+    orderkey — the one real exchange; customer and supplier carry NO
+    forced hint (AQE broadcasts them at bench SF; at SF100 customer is
+    15M rows and must shuffle), and the same-nation constraint rides
+    the supplier join as an extra equality, never a post-join filter
+    over the cross-nation pairs. nation/region (constant 25/5 rows)
+    broadcast explicitly. Revenue sums through DECIMAL(38,6) for order
+    independence."""
+    line = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return (
+        line.join(orders, line["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "revenue_forecast",
+    """
+    SELECT CAST(round(coalesce(sum(CAST(l_extendedprice * l_discount
+                                        AS DECIMAL(38,6))), 0), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: scan-only revenue-change forecast. Every
+    predicate (ship-date range, discount band, quantity cap) pushes
+    into the parquet scan — `.explain` shows all three in
+    PushedFilters and a two-column ReadSchema — and the single global
+    sum is a map-side partial + 1-row merge: the minimal plan any
+    engine could run for this question."""
+    line = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return line.agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(38,6)"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,6)"),
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@_q(
+    "volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two trading nations by
+    supplier-nation/customer-nation direction and ship year. The two
+    nation lookups broadcast (constant 25 rows); customer/supplier are
+    unhinted (AQE broadcasts at bench SF, shuffles at SF100); the
+    fact-fact orderkey join is the only mandatory exchange. The
+    disjunctive pair predicate is applied post-join on the two
+    broadcast nation names — 2 string tests per surviving row, not a
+    join multiplier."""
+    line = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        line.join(orders, line["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "nation_market_share",
+    """
+    WITH allv AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+               AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                               THEN volume ELSE CAST(0 AS DECIMAL(38,6)) END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM allv GROUP BY o_year
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    market for one part type, per order year. The constant dims
+    (nation, region) broadcast explicitly; customer/part/supplier are
+    unhinted — the part-type filter prunes part before AQE sizes it —
+    and prune before the single fact-fact exchange; the
+    share is a conditional-sum / sum over the SAME grouped pass — one
+    aggregation, not a self-join of two period sums. Numerator and
+    denominator both sum through DECIMAL(38,6), so the final double
+    division is order-independent."""
+    line = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_regionkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        line.join(orders, line["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__cn_key"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("__vol"),
+                "supp_nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("__vol"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("__vol").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "product_type_profit",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - (ps.ps_cost_cents / 100.0) * l.l_quantity
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN partsupp2 ps ON l.l_partkey = ps.ps_partkey
+                     AND l.l_suppkey = ps.ps_suppkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue minus supply cost) on one
+    product line, by supplier nation and order year, over the derived
+    partsupp (see the _PARTSUPP_SQL section comment — only lines whose
+    (partkey, suppkey) is one of the part's 4 assigned suppliers carry
+    a cost, exactly like TPC-H's referential closure). The name LIKE
+    prunes part before AQE sizes it; partsupp derives shuffle-free
+    (4 rows per part — 8M at SF100, so no forced broadcast); the
+    orderkey fact-fact join is the one mandatory exchange. The per-row
+    profit is computed in DOUBLE (bit-identical both engines) and
+    summed through DECIMAL(38,6)."""
+    line = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    ps = _partsupp(spark, sf_dir)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - (F.col("ps_cost_cents") / F.lit(100.0)) * F.col("l_quantity")
+    ).cast("decimal(38,6)")
+    return (
+        line.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@_q(
+    "returned_item_customers",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,6))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_custkey, c_name, nation,
+           round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue
+    FROM rev
+    ORDER BY rev DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in a quarter. Both filters (returnflag, quarter) push into their
+    scans before the orderkey exchange; nation broadcasts, customer is
+    unhinted (15M rows at SF100); the
+    top-20 compiles to TakeOrderedAndProject (per-partition heap —
+    never a global sort of the grouped frame). Ties break on custkey;
+    the ORDER is on the exact DECIMAL revenue, so rank is
+    deterministic."""
+    line = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return (
+        line.join(orders, line["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal"
+        )
+        .agg(F.sum(rev).alias("__rev"))
+        .orderBy(F.col("__rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+            F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total = (SELECT max(total) FROM rev)
+    """,
+)
+def top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over a
+    quarter — the correlated MAX-subquery, expressed as the grouped
+    revenue frame crossJoined with its own 1-row max (broadcast by
+    construction) and filtered on exact DECIMAL equality, so the
+    argmax is order-independent and returns ALL tied suppliers, as the
+    spec requires. One shuffle (the suppkey rollup); supplier is a
+    broadcast dim."""
+    line = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        line.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("total")
+        )
+    )
+    mx = rev.agg(F.max("total").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_q(
     "order_priority_exists",
     """
     SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
