@@ -175,6 +175,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     ngram: int = 3,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(doc_a, doc_b)`` (doc_a < doc_b) from
     LSH banding. The self-join keys on (band, sig) buckets — cost is
@@ -182,8 +183,16 @@ def minhash_candidate_pairs(
 
     The band table is persisted before the self-join: without it Spark
     computes the (md5-heavy) signature subtree once per join side. At
-    cluster scale, write the signatures to a table instead."""
-    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, ngram).persist()
+    cluster scale, write the signatures to a table instead. Callers
+    that materialize the pairs and move on should pass their OWN
+    persisted ``bands`` (``minhash_bands(df, ...)``) and release it
+    afterwards — the internal persist has no release handle, so it
+    stays in the cache registry until session end (fine for memoized
+    build-once callers, a leak for per-call pipelines)."""
+    if bands is None:
+        bands = minhash_bands(
+            df, id_col, text_col, num_hashes, band_size, ngram
+        ).persist()
     a = bands.select(F.col("band"), F.col("sig"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band"), F.col("sig"), F.col("doc_id").alias("doc_b"))
     return (

@@ -6141,9 +6141,15 @@ def corpus_funnel_report(spark, sf_dir):
     exact = DD.drop_exact_duplicates(pass1, "doc_id", "text").localCheckpoint(
         eager=True
     )
-    cands = DD.minhash_candidate_pairs(exact, "doc_id", "text").localCheckpoint(
-        eager=True
-    )
+    # bands persisted HERE and released right after the cands
+    # checkpoint materializes — the operator's internal persist has no
+    # release handle and this query runs per-call, not memoized (the
+    # cache-leak class the round-5 review flagged on pagerank)
+    report_bands = DD.minhash_bands(exact, "doc_id", "text").persist()
+    cands = DD.minhash_candidate_pairs(
+        exact, "doc_id", "text", bands=report_bands
+    ).localCheckpoint(eager=True)
+    report_bands.unpersist()
     pairs = DD.ngram_jaccard(
         exact, "doc_id", "text", threshold=0.35, candidates=cands
     ).select("doc_a", "doc_b")
