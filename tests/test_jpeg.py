@@ -91,7 +91,8 @@ def test_flat_color_is_near_exact():
 def test_decode_errors():
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # minimal stream with a progressive SOF2 must raise, not garble
+    # a progressive SOF2 header with no scan is truncated, not garbled
+    # (full progressive decode is covered by test_jpeg_progressive.py)
     import struct
 
     sof2 = (
@@ -100,8 +101,17 @@ def test_decode_errors():
         + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(sof2)
+    # arithmetic-coded (SOF9) stays an explicit NotImplementedError
+    sof9 = (
+        b"\xff\xd8"
+        + b"\xff\xc9"
+        + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof9)
 
 
 # CPython's own test-image corpus (Lib/test/imghdrdata in the source

@@ -1,15 +1,18 @@
-"""Pure-Python + numpy baseline JPEG codec (ITU-T T.81 / JFIF).
+"""Pure-Python + numpy JPEG codec (ITU-T T.81 / JFIF).
 
 The multimodal path (sources/multimodal.py) treated JPEG as an honest
 ``NotImplementedError`` stub because the container ships no Pillow;
-this module implements the baseline sequential DCT process directly
-from the public spec so JPEG-heavy corpora decode with zero optional
-dependencies: marker walk (DQT/DHT/SOF0/SOF1/DRI/SOS), byte-stuffed
-Huffman entropy decode with restart markers, dequantize -> 8x8 IDCT
-(one numpy matmul pair per block), nearest-neighbor chroma upsampling,
-JFIF YCbCr -> RGB. Progressive (SOF2) and arithmetic coding are out of
-scope and raise ``NotImplementedError`` (rare in crawl data; the
-probe_image header walk still reports their dimensions).
+this module implements the DCT processes directly from the public spec
+so JPEG-heavy corpora decode with zero optional dependencies: marker
+walk (DQT/DHT/SOF0/SOF1/SOF2/DRI/SOS), byte-stuffed Huffman entropy
+decode with restart markers, dequantize -> 8x8 IDCT (one numpy matmul
+pair per block), nearest-neighbor chroma upsampling, JFIF YCbCr -> RGB.
+Progressive (SOF2, T.81 Annex G: spectral selection + successive
+approximation, EOB runs) accumulates scans into coefficient buffers
+and reconstructs once at EOI — common in crawl data (~10% of web
+JPEGs). Arithmetic coding and hierarchical/lossless processes are out
+of scope and raise ``NotImplementedError`` (rare; the probe_image
+header walk still reports their dimensions).
 
 The encoder emits baseline 4:4:4 with the spec's example quantization
 and Huffman tables (T.81 Annex K) — enough to produce real fixtures
@@ -252,8 +255,9 @@ class _Component:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode baseline JPEG -> ``(width, height, channels, rgb_bytes)``
-    (channels 1 for grayscale, 3 for YCbCr->RGB)."""
+    """Decode baseline or progressive JPEG -> ``(width, height,
+    channels, rgb_bytes)`` (channels 1 for grayscale, 3 for
+    YCbCr->RGB)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -261,6 +265,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    prog: _ProgressiveState | None = None
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -297,21 +303,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 huffval = list(seg[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _HuffTable(bits, huffval)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline & extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if seg[0] != 8:
                 # 12-bit extended sequential is legal under SOF1; the
                 # 8-bit level shift would decode it to silent garbage
                 raise NotImplementedError(
                     f"JPEG sample precision {seg[0]} unsupported (8 only)"
                 )
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq_id))
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG process SOF{marker - 0xC0} unsupported")
         elif marker == 0xDD:  # DRI
@@ -323,10 +328,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 if c.cid in sel:
                     c.td, c.ta = sel[c.cid] >> 4, sel[c.cid] & 0x0F
             scan_start = pos + 2 + seglen
-            return _decode_scan(
-                data, scan_start, width, height, comps, qt, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, scan_start, width, height, comps, qt, huff,
+                    restart_interval,
+                )
+            if prog is None:
+                prog = _ProgressiveState(width, height, comps)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            scan_comps = [c for c in comps if c.cid in sel]
+            pos = _decode_progressive_scan(
+                data, scan_start, prog, scan_comps, ss, se, a >> 4, a & 0x0F,
+                huff, restart_interval,
             )
+            continue
         pos += 2 + seglen
+    if prog is not None:
+        return _reconstruct_progressive(prog, comps, qt, width, height)
     raise ValueError("JPEG stream without an SOS scan")
 
 
@@ -391,7 +410,12 @@ def _decode_scan(data, pos, width, height, comps, qt, huff, restart_interval):
                         y0 = (my * c.v + by) * 8
                         x0 = (mx * c.h + bx) * 8
                         planes[c.cid][y0 : y0 + 8, x0 : x0 + 8] = pixels
-    # upsample to full resolution (nearest; spec leaves the filter open)
+    return _planes_to_pixels(comps, planes, hmax, vmax, width, height)
+
+
+def _planes_to_pixels(comps, planes, hmax, vmax, width, height):
+    """Upsample to full resolution (nearest; spec leaves the filter
+    open), crop to the frame, and color-convert (JFIF YCbCr->RGB)."""
     full = []
     for c in comps:
         p = planes[c.cid]
@@ -407,6 +431,210 @@ def _decode_scan(data, pos, width, height, comps, qt, huff, restart_interval):
     b = y + 1.772 * cb
     rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
     return width, height, 3, rgb.tobytes()
+
+
+# --------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G, Huffman): each SOS carries one
+# (spectral band, approximation bit) slice of the DCT coefficients; the
+# scans accumulate into per-component coefficient buffers and the image
+# reconstructs once, at EOI.
+# --------------------------------------------------------------------------
+
+
+class _ProgressiveState:
+    """Per-component DCT coefficient buffers (zigzag order) plus the
+    block geometry both scan kinds need: interleaved DC scans walk the
+    MCU-padded grid, non-interleaved scans walk the component's own
+    ceil(size/8) grid (T.81 A.2.2)."""
+
+    def __init__(self, width, height, comps):
+        self.hmax = max(c.h for c in comps)
+        self.vmax = max(c.v for c in comps)
+        self.mcux = -(-width // (8 * self.hmax))
+        self.mcuy = -(-height // (8 * self.vmax))
+        self.coef: dict[int, np.ndarray] = {}
+        self.nblocks: dict[int, tuple[int, int]] = {}
+        for c in comps:
+            bh_pad = self.mcuy * c.v
+            bw_pad = self.mcux * c.h
+            self.coef[c.cid] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
+            cw = -(-width * c.h // self.hmax)
+            ch = -(-height * c.v // self.vmax)
+            self.nblocks[c.cid] = (-(-ch // 8), -(-cw // 8))
+
+
+def _huff_decode(reader, table):
+    p16 = reader.peek16()
+    size = int(table.lut_size[p16])
+    if size == 0:
+        raise ValueError("invalid Huffman code in progressive scan")
+    reader.skip(size)
+    return int(table.lut_value[p16])
+
+
+def _decode_progressive_scan(
+    data, pos, prog, scan_comps, ss, se, ah, al, huff, restart_interval
+):
+    """Decode one progressive SOS into ``prog.coef``; returns the
+    offset of the marker that follows the entropy-coded segment."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        _scan_dc(reader, prog, scan_comps, ah, al, huff, restart_interval)
+    else:
+        _scan_ac(reader, prog, scan_comps[0], ss, se, ah, al, huff,
+                 restart_interval)
+    # the entropy segment ends at the first real marker (stuffed FF 00
+    # and RSTn belong to the segment); the bit reader may have peeked
+    # past it, so re-find it by byte scan from the segment start
+    i = pos
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return len(data)
+
+
+def _scan_dc(reader, prog, scan_comps, ah, al, huff, restart_interval):
+    pred = {c.cid: 0 for c in scan_comps}
+    n_units = 0
+
+    def unit(c, by, bx):
+        blk = prog.coef[c.cid][by, bx]
+        if ah == 0:  # first pass: Huffman diffs in the >>al domain
+            t = _huff_decode(reader, huff[(0, c.td)])
+            pred[c.cid] += _extend(reader.receive(t), t)
+            blk[0] = pred[c.cid] << al
+        else:  # refinement: one correction bit per block
+            if reader.receive(1):
+                blk[0] |= 1 << al
+
+    if len(scan_comps) > 1:  # interleaved: MCU order
+        for my in range(prog.mcuy):
+            for mx in range(prog.mcux):
+                if restart_interval and n_units and n_units % restart_interval == 0:
+                    reader.restart()
+                    pred.update((c.cid, 0) for c in scan_comps)
+                n_units += 1
+                for c in scan_comps:
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            unit(c, my * c.v + by, mx * c.h + bx)
+    else:  # non-interleaved: the component's own block grid
+        c = scan_comps[0]
+        bh, bw = prog.nblocks[c.cid]
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and n_units and n_units % restart_interval == 0:
+                    reader.restart()
+                    pred[c.cid] = 0
+                n_units += 1
+                unit(c, by, bx)
+
+
+def _scan_ac(reader, prog, c, ss, se, ah, al, huff, restart_interval):
+    table = huff[(1, c.ta)]
+    bh, bw = prog.nblocks[c.cid]
+    eobrun = 0
+    n_units = 0
+    p1 = 1 << al
+    m1 = -1 << al
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and n_units and n_units % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            n_units += 1
+            blk = prog.coef[c.cid][by, bx]
+            if ah == 0:  # first pass (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, table)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:  # refinement pass (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(reader, table)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                # unlike the first pass, the run COUNTS
+                                # the current block: its band tail still
+                                # needs correction bits, so it is
+                                # processed under the eobrun branch
+                                # below and decremented there
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            # r == 15: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "AC refinement magnitude must be 1"
+                                )
+                            newval = p1 if reader.receive(1) else m1
+                        # advance past r zero-history coefficients,
+                        # emitting correction bits for nonzero ones
+                        while k <= se:
+                            if blk[k]:
+                                if reader.receive(1) and not (blk[k] & p1):
+                                    blk[k] += p1 if blk[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun:
+                    # EOB: correction bits only, for the band remainder
+                    while k <= se:
+                        if blk[k]:
+                            if reader.receive(1) and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def _reconstruct_progressive(prog, comps, qt, width, height):
+    """Dequantize + IDCT every accumulated block (one vectorized einsum
+    per component) and hand the planes to the shared assembly tail."""
+    mt = _DCT_M
+    planes = {}
+    for c in comps:
+        coef = prog.coef[c.cid].astype(np.float64)  # (bh, bw, 64) zigzag
+        bh, bw = coef.shape[:2]
+        blocks = np.zeros((bh, bw, 64), dtype=np.float64)
+        blocks[:, :, ZIGZAG] = coef
+        blocks = blocks.reshape(bh, bw, 8, 8) * qt[c.tq]
+        pix = np.einsum("ij,yxjk,kl->yxil", mt.T, blocks, mt) + 128.0
+        planes[c.cid] = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _planes_to_pixels(comps, planes, prog.hmax, prog.vmax, width, height)
 
 
 # --------------------------------------------------------------------------

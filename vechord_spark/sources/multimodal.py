@@ -213,11 +213,12 @@ def _png_encode(img: DecodedImage) -> bytes:
 def decode_image(data: bytes) -> DecodedImage:
     """Decode an image payload to an 8-bit pixel buffer.
 
-    PNG decodes with the pure-stdlib path above; baseline JPEG decodes
-    with the dependency-free spec codec (sources/jpeg.py, round 9 —
-    this was the "JPEG-heavy corpora need Pillow" gap). Remaining
-    formats (GIF/WebP/progressive JPEG, ...) go through Pillow when
-    installed and raise ``NotImplementedError`` otherwise."""
+    PNG decodes with the pure-stdlib path above; baseline AND
+    progressive JPEG decode with the dependency-free spec codec
+    (sources/jpeg.py, round 9 — this was the "JPEG-heavy corpora need
+    Pillow" gap). Remaining formats (GIF/WebP/arithmetic-coded JPEG,
+    ...) go through Pillow when installed and raise
+    ``NotImplementedError`` otherwise."""
     if data[:8] == _PNG_MAGIC:
         return _png_decode(data)
     if data[:2] == b"\xff\xd8":
@@ -227,7 +228,7 @@ def decode_image(data: bytes) -> DecodedImage:
             w, h, ch, raw = decode_jpeg(data)
             return DecodedImage(w, h, ch, raw)
         except NotImplementedError:
-            pass  # progressive/arithmetic/12-bit: fall through to Pillow
+            pass  # arithmetic-coded/12-bit: fall through to Pillow
         except ValueError:
             # a stream our marker walk rejects may still be
             # Pillow-decodable (quirky-but-valid files); only when
