@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "min_cost_supplier",
     "partsupp_value_share",
     "excess_inventory_suppliers",
+    "product_type_profit",  # Q9 consumes the same partsupp derivation
     "dedup_embedding_pairs",
     # exact all-pairs ground truth (verification-scale by contract,
     # like ivf_recall) + three 1-row claim-scalar crossJoins
