@@ -294,3 +294,58 @@ def test_audio_features_dataframe(spark):
     # doubled frequency -> roughly doubled zero-crossing rate
     assert out["b"]["zcr"] > 1.5 * out["a"]["zcr"]
     assert out["junk"]["sample_rate"] is None
+
+
+def _mjpeg_avi(jpeg_frames, us_per_frame):
+    """Minimal RIFF/AVI container around pre-encoded JPEG frames
+    (word-aligned chunks, avih carries only the frame clock)."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = chunk(b"avih", struct.pack("<I", us_per_frame) + b"\x00" * 52)
+    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_sample_video_frames_mjpeg_avi():
+    import numpy as np
+
+    from vechord_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from vechord_spark.sources.multimodal import sample_video_frames
+
+    frames = []
+    for i in range(10):
+        img = np.full((16, 16, 3), i * 20, dtype=np.uint8)
+        frames.append(encode_jpeg(16, 16, 3, img.tobytes()))
+    avi = _mjpeg_avi(frames, us_per_frame=40_000)  # 25 fps
+    # every 120 ms at 40 ms/frame -> frames 0, 3, 6, 9
+    kept = sample_video_frames(avi, 120)
+    assert kept == [frames[0], frames[3], frames[6], frames[9]]
+    # every_ms <= 0 keeps everything
+    assert sample_video_frames(avi, 0) == frames
+    # sampled frames decode with the spec codec
+    w, h, ch, raw = decode_jpeg(kept[1])
+    assert (w, h, ch) == (16, 16, 3)
+    assert abs(np.frombuffer(raw, np.uint8).astype(int).mean() - 60) <= 3
+
+
+def test_sample_video_frames_rejects_non_mjpeg():
+    import struct
+
+    import pytest
+
+    from vechord_spark.sources.multimodal import sample_video_frames
+
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00\x00\x18ftypisom....", 100)  # MP4
+    # AVI container whose stream chunks are not JPEG (e.g. raw DIB)
+    body = b"AVI " + b"00db".join([b""])  # malformed-but-AVI header
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(avi, 100)

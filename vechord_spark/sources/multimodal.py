@@ -5,11 +5,14 @@ the pattern a 100 TB training-data pipeline needs: the heavy bytes
 stay columnar (parquet binary, never shuffled unless selected) while
 metadata drives filtering/partitioning.
 
-The decode/feature kernels themselves need codec libraries that are
-not installed in this container, so each kernel is either a
-clearly-marked ``NotImplementedError`` stub or a deterministic fake
-(documented below); the Spark-side plumbing — schema, batch shape,
-``mapInPandas`` signatures, partition sizing — is real and tested.
+Decode paths implemented from the public specs, zero optional deps:
+PNG (stdlib zlib), baseline + progressive JPEG (sources/jpeg.py), PCM
+WAV (stdlib wave), and MJPEG-in-AVI frame sampling (RIFF walk + the
+JPEG decoder). Formats that genuinely need external codec libraries
+(GIF/WebP via Pillow, MP4/H.264 via ffmpeg) raise a clearly-marked
+``NotImplementedError``; the Spark-side plumbing — schema, batch
+shape, ``mapInPandas`` signatures, partition sizing — is real and
+tested either way.
 """
 
 from __future__ import annotations
@@ -276,8 +279,59 @@ def resize_image(data: bytes, width: int, height: int) -> bytes:
 
 
 def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
-    """STUB: frame sampling requires ffmpeg/opencv (not installed)."""
-    raise NotImplementedError("video frame sampling requires ffmpeg (not installed)")
+    """Sample frames from an MJPEG-in-AVI clip, at most one frame per
+    ``every_ms`` milliseconds; returns the kept frames as JPEG bytes
+    (decodable by sources/jpeg.py — baseline or progressive).
+
+    MJPEG-AVI needs no codec beyond the JPEG decoder this repo already
+    carries: the AVI RIFF container is walked directly (LIST recursion,
+    word-aligned chunks), the frame clock comes from the ``avih``
+    header's microseconds-per-frame field, and every ``..dc``/``..db``
+    stream chunk that starts with an SOI marker is a complete JPEG.
+    Every other container/codec (MP4/H.264, VP9, ...) raises
+    ``NotImplementedError`` — that is genuinely ffmpeg territory.
+    Row-local and pure, safe inside any executor UDF; at scale this
+    runs in the same mapInPandas media stage as image decode, with
+    ``arrow.maxRecordsPerBatch`` capped for MB-sized payloads."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only MJPEG-in-AVI is decodable without ffmpeg (not an AVI blob)"
+        )
+    us_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal us_per_frame
+        while off + 8 <= end:
+            cid = data[off : off + 4]
+            size = int.from_bytes(data[off + 4 : off + 8], "little")
+            body = off + 8
+            stop = min(body + size, len(data))
+            if cid == b"LIST":
+                walk(body + 4, stop)  # skip the list-type fourcc
+            elif cid == b"avih" and size >= 4:
+                us_per_frame = int.from_bytes(data[body : body + 4], "little")
+            elif cid[2:4] in (b"dc", b"db") and data[body : body + 2] == b"\xff\xd8":
+                frames.append(bytes(data[body:stop]))
+            off = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    if not frames:
+        raise NotImplementedError(
+            "AVI stream carries no JPEG frames (non-MJPEG codec needs ffmpeg)"
+        )
+    if us_per_frame <= 0:
+        raise ValueError("malformed AVI: no avih frame clock")
+    if every_ms <= 0:
+        return frames
+    kept = []
+    next_keep_ms = 0.0
+    for i, frame in enumerate(frames):
+        t_ms = i * us_per_frame / 1000.0
+        if t_ms >= next_keep_ms:
+            kept.append(frame)
+            next_keep_ms += every_ms
+    return kept
 
 
 # ---------------------------------------------------------------------------
