@@ -119,9 +119,9 @@ def test_resize_nearest_neighbor_downscale_and_upscale():
 
 
 def test_unsupported_format_without_pillow_raises_not_implemented():
-    """Formats beyond PNG + baseline JPEG (round 9: JPEG decodes with
-    the dependency-free sources/jpeg.py codec) still honestly
-    env-gate on Pillow."""
+    """Formats beyond the spec codecs (PNG/JPEG/GIF/BMP/netpbm all
+    decode dependency-free as of round 9) still honestly env-gate on
+    Pillow."""
     pytest.importorskip_reason = None
     try:
         import PIL  # noqa: F401
@@ -130,10 +130,12 @@ def test_unsupported_format_without_pillow_raises_not_implemented():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a" + b"\x00" * 16)
-    # malformed JPEG is a decode ERROR now, not a missing dependency
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # malformed JPEG/GIF are decode ERRORS now, not missing deps
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a" + b"\x00" * 16)
 
 
 def test_media_feature_plumbing_still_deterministic(spark):

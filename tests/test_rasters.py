@@ -1,0 +1,296 @@
+"""GIF/BMP/netpbm decoder tests.
+
+Ground truth comes from two directions: CPython's imghdrdata corpus
+(independent encoders — ImageMagick-produced siblings of a lossless
+python.png twin), and spec-side writers in this file (GIF with a real
+LZW compressor incl. interlace, BMP 8/24-bit, netpbm P1-P6) whose
+output must decode back bit-exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vechord_spark.sources.rasters import decode_bmp, decode_gif, decode_netpbm
+
+_IMGHDR = Path(
+    f"{sys.base_prefix}/lib/python{sys.version_info[0]}."
+    f"{sys.version_info[1]}/test/imghdrdata"
+)
+
+needs_imghdr = pytest.mark.skipif(
+    not (_IMGHDR / "python.png").exists(), reason="imghdrdata corpus not present"
+)
+
+
+def _png_twin():
+    from vechord_spark.sources.multimodal import decode_image
+
+    img = decode_image((_IMGHDR / "python.png").read_bytes())
+    return np.frombuffer(img.pixels, np.uint8).reshape(
+        img.height, img.width, img.channels
+    )[..., :3].astype(int)
+
+
+# ---------------------------------------------------------------------------
+# imghdrdata cross-validation
+# ---------------------------------------------------------------------------
+
+
+@needs_imghdr
+def test_bmp_matches_png_twin_exactly():
+    w, h, ch, px = decode_bmp((_IMGHDR / "python.bmp").read_bytes())
+    got = np.frombuffer(px, np.uint8).reshape(h, w, ch).astype(int)
+    assert (got == _png_twin()).all()
+
+
+@needs_imghdr
+def test_ppm_matches_png_twin_exactly():
+    w, h, ch, px = decode_netpbm((_IMGHDR / "python.ppm").read_bytes())
+    got = np.frombuffer(px, np.uint8).reshape(h, w, ch).astype(int)
+    assert (got == _png_twin()).all()
+
+
+@needs_imghdr
+def test_gif_matches_png_twin_modulo_quantization():
+    """python.gif is ImageMagick-quantized WITH a transparent index
+    (the 0xF9 graphic control block), so pixels can differ two ways:
+    small palette-quantization error, and transparent slots our
+    decoder paints with the palette color. Everything else must sit
+    within quantization distance."""
+    raw = (_IMGHDR / "python.gif").read_bytes()
+    w, h, ch, px = decode_gif(raw)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+    want = _png_twin()
+    diff = np.abs(got - want).max(axis=2)
+    # transparent-index pixels decode to the palette entry (black here);
+    # the logo sits on a fully transparent canvas, so only require that
+    # a solid share of the image is opaque and THOSE pixels match
+    transparent = (got == 0).all(axis=2)
+    assert (diff[~transparent] <= 8).all()
+    assert 0.3 < (~transparent).mean()
+
+
+@needs_imghdr
+def test_pgm_pbm_shapes():
+    for name, maxval in (("python.pgm", 255), ("python.pbm", 255)):
+        w, h, ch, px = decode_netpbm((_IMGHDR / name).read_bytes())
+        assert (w, h, ch) == (16, 16, 1)
+        a = np.frombuffer(px, np.uint8)
+        assert a.min() >= 0 and a.max() <= maxval and len(a) == 256
+
+
+# ---------------------------------------------------------------------------
+# spec-side writers -> exact roundtrip
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Real GIF LZW compressor (dictionary growth + CLEAR at 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12):
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _write_gif(width, height, palette, indices, interlace=False, local=False):
+    """Single-frame GIF89a; ``palette`` is a list of RGB triples sized
+    a power of two, ``indices`` row-major palette indices."""
+    bits = max(1, (len(palette) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    gflags = (0x80 | (bits - 1)) if not local else 0x00
+    out += struct.pack("<HHBBB", width, height, gflags, 0, 0)
+    pal = b"".join(bytes(c) for c in palette)
+    if not local:
+        out += pal
+    iflags = (0x80 | (bits - 1)) if local else 0x00
+    if interlace:
+        iflags |= 0x40
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    if local:
+        out += pal
+    body = bytearray(indices)
+    if interlace:
+        rows = bytearray()
+        for start, step in _INTERLACE:
+            for y in range(start, height, step):
+                rows += indices[y * width : (y + 1) * width]
+        body = rows
+    min_code = max(2, bits)
+    out += bytes([min_code])
+    lzw = _lzw_encode(min_code, bytes(body))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("local", [False, True])
+def test_gif_roundtrip_exact(interlace, local):
+    rng = np.random.default_rng(3 + interlace + 2 * local)
+    w, h, ncolors = 37, 23, 64
+    palette = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(ncolors)]
+    idx = rng.integers(0, ncolors, w * h).astype(np.uint8).tobytes()
+    data = _write_gif(w, h, palette, idx, interlace=interlace, local=local)
+    gw, gh, ch, px = decode_gif(data)
+    assert (gw, gh, ch) == (w, h, 3)
+    want = b"".join(bytes(palette[i]) for i in idx)
+    assert px == want
+
+
+def test_gif_lzw_dictionary_pressure():
+    """Long repetitive index streams push the LZW table through every
+    code width up to 12 bits and across a mid-stream CLEAR."""
+    w, h = 256, 64
+    palette = [(i, 255 - i, i ^ 0x55) for i in range(256)]
+    idx = bytes((x * (y + 1)) % 256 for y in range(h) for x in range(w))
+    data = _write_gif(w, h, palette, idx)
+    gw, gh, ch, px = decode_gif(data)
+    want = b"".join(bytes(palette[i]) for i in idx)
+    assert (gw, gh) == (w, h) and px == want
+
+
+def _write_bmp(width, height, rgb, bpp=24):
+    stride = (width * bpp // 8 + 3) & ~3
+    if bpp == 24:
+        pal = b""
+        rows = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(width):
+                r, g, b = rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+                row += bytes((b, g, r))
+            rows += row.ljust(stride, b"\x00")
+    else:  # 8-bit grayscale palette
+        pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+        rows = bytearray()
+        for y in range(height - 1, -1, -1):
+            row = bytes(rgb[(y * width + x) * 3] for x in range(width))
+            rows += row.ljust(stride, b"\x00")
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(rows), 2835, 2835,
+        256 if pal else 0, 0,
+    )
+    return hdr + dib + pal + bytes(rows)
+
+
+def test_bmp_roundtrip_24bit_exact():
+    rng = np.random.default_rng(7)
+    w, h = 31, 14  # odd width exercises row padding
+    rgb = rng.integers(0, 256, w * h * 3).astype(np.uint8).tobytes()
+    gw, gh, ch, px = decode_bmp(_write_bmp(w, h, rgb))
+    assert (gw, gh, ch) == (w, h, 3) and px == rgb
+
+
+def test_bmp_roundtrip_8bit_palette():
+    rng = np.random.default_rng(8)
+    w, h = 17, 9
+    gray = rng.integers(0, 256, w * h).astype(np.uint8)
+    rgb = np.repeat(gray, 3).tobytes()
+    gw, gh, ch, px = decode_bmp(_write_bmp(w, h, rgb, bpp=8))
+    assert (gw, gh, ch) == (w, h, 3) and px == rgb
+
+
+def test_netpbm_all_six_variants():
+    rng = np.random.default_rng(9)
+    w, h = 13, 7
+    gray = rng.integers(0, 256, w * h).astype(np.uint8)
+    rgb = rng.integers(0, 256, w * h * 3).astype(np.uint8)
+    bits = rng.integers(0, 2, w * h).astype(np.uint8)
+
+    # ASCII variants (with a comment line in the header)
+    p1 = (f"P1\n# c\n{w} {h}\n" + " ".join(map(str, bits))).encode()
+    p2 = (f"P2\n{w} {h}\n255\n" + " ".join(map(str, gray))).encode()
+    p3 = (f"P3\n{w} {h}\n255\n" + " ".join(map(str, rgb))).encode()
+    # raw variants
+    rowbytes = (w + 7) // 8
+    packed = bytearray()
+    for y in range(h):
+        row = 0
+        for x in range(w):
+            row |= int(bits[y * w + x]) << (7 - x % 8 + 8 * (rowbytes - 1 - x // 8))
+        packed += row.to_bytes(rowbytes, "big")
+    p4 = f"P4\n{w} {h}\n".encode() + bytes(packed)
+    p5 = f"P5\n{w} {h}\n255\n".encode() + gray.tobytes()
+    p6 = f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+    bw = bytes(0 if b else 255 for b in bits)
+    for blob, want, ch in (
+        (p1, bw, 1),
+        (p2, gray.tobytes(), 1),
+        (p3, rgb.tobytes(), 3),
+        (p4, bw, 1),
+        (p5, gray.tobytes(), 1),
+        (p6, rgb.tobytes(), 3),
+    ):
+        gw, gh, gch, px = decode_netpbm(blob)
+        assert (gw, gh, gch) == (w, h, ch)
+        assert px == want
+
+
+def test_netpbm_maxval_scaling():
+    data = b"P2\n2 1\n15\n0 15"
+    _, _, _, px = decode_netpbm(data)
+    assert px == bytes((0, 255))
+
+
+def test_decode_image_routes_rasters():
+    from vechord_spark.sources.multimodal import decode_image
+
+    palette = [(255, 0, 0), (0, 255, 0)]
+    gif = _write_gif(2, 1, palette, bytes((0, 1)))
+    img = decode_image(gif)
+    assert (img.width, img.height, img.channels) == (2, 1, 3)
+    assert img.pixels == bytes((255, 0, 0, 0, 255, 0))
+    ppm = b"P6\n1 1\n255\n\x01\x02\x03"
+    assert decode_image(ppm).pixels == b"\x01\x02\x03"

@@ -219,23 +219,35 @@ def decode_image(data: bytes) -> DecodedImage:
     PNG decodes with the pure-stdlib path above; baseline AND
     progressive JPEG decode with the dependency-free spec codec
     (sources/jpeg.py, round 9 — this was the "JPEG-heavy corpora need
-    Pillow" gap). Remaining formats (GIF/WebP/arithmetic-coded JPEG,
-    ...) go through Pillow when installed and raise
-    ``NotImplementedError`` otherwise."""
+    Pillow" gap); GIF/BMP/netpbm decode with sources/rasters.py.
+    Remaining formats (WebP/TIFF/arithmetic-coded JPEG, ...) go
+    through Pillow when installed and raise ``NotImplementedError``
+    otherwise."""
     if data[:8] == _PNG_MAGIC:
         return _png_decode(data)
+    codec = None
     if data[:2] == b"\xff\xd8":
+        from vechord_spark.sources.jpeg import decode_jpeg as codec
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        from vechord_spark.sources.rasters import decode_gif as codec
+    elif data[:2] == b"BM":
+        from vechord_spark.sources.rasters import decode_bmp as codec
+    elif data[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6") and data[
+        2:3
+    ].isspace():
+        from vechord_spark.sources.rasters import decode_netpbm as codec
+    if codec is not None:
         try:
-            from vechord_spark.sources.jpeg import decode_jpeg
-
-            w, h, ch, raw = decode_jpeg(data)
-            return DecodedImage(w, h, ch, raw)
+            return DecodedImage(*codec(data))
         except NotImplementedError:
-            pass  # arithmetic-coded/12-bit: fall through to Pillow
+            # a variant the spec codec scopes out (arithmetic-coded or
+            # 12-bit JPEG, RLE BMP, 16-bit netpbm): fall through to
+            # Pillow
+            pass
         except ValueError:
-            # a stream our marker walk rejects may still be
-            # Pillow-decodable (quirky-but-valid files); only when
-            # Pillow is absent is the decode error final
+            # a stream our parser rejects may still be Pillow-decodable
+            # (quirky-but-valid files); only when Pillow is absent is
+            # the decode error final
             try:
                 import PIL  # noqa: F401
 
@@ -248,7 +260,7 @@ def decode_image(data: bytes) -> DecodedImage:
         from PIL import Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "image decode beyond PNG + baseline JPEG requires Pillow "
+            "image decode beyond PNG/JPEG/GIF/BMP/netpbm requires Pillow "
             "(not installed)"
         ) from None
     import io

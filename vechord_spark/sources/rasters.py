@@ -1,0 +1,266 @@
+"""Pure-Python raster decoders: GIF, BMP, Netpbm (PBM/PGM/PPM).
+
+Together with PNG (multimodal.py) and JPEG (jpeg.py) these cover the
+raster formats that actually occur in crawled corpora without any
+optional codec dependency — each implemented from its public spec
+(GIF89a specification, BITMAPINFOHEADER layout, the netpbm format
+pages) and cross-validated against CPython's imghdrdata corpus, whose
+``python.png`` is the lossless twin of every sibling file.
+
+All decoders return ``(width, height, channels, pixels)`` row-major
+8-bit buffers, matching sources/jpeg.decode_jpeg, and are row-local
+pure functions — safe inside any executor UDF (the mapInPandas media
+stages in multimodal.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["decode_gif", "decode_bmp", "decode_netpbm"]
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): LZW-compressed palette frames; first frame only.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
+    """GIF-variant LZW decompress (LSB-first bit packing, dynamic code
+    width 3..12 bits, CLEAR/EOI codes)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame of a GIF to RGB (transparent pixels take
+    the background/palette color — single-frame corpora semantics; use
+    the 89a graphic-control block yourself for animation logic)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    global_pal = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if not pal:
+            raise ValueError("GIF frame without a color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            n = data[pos]
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = _gif_lzw(min_code, bytes(lzw), w * h)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF image data")
+        # de-interlace row order if flagged
+        if iflags & 0x40:
+            rows = bytearray(w * h)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, h, step):
+                    rows[y * w : (y + 1) * w] = idx[src : src + w]
+                    src += w
+            idx = rows
+        # frame -> full canvas (most single-frame GIFs fill it exactly)
+        out = bytearray(sw * sh * 3)
+        npal = len(pal) // 3
+        for y in range(h):
+            cy = top + y
+            if cy >= sh:
+                break
+            row = y * w
+            base = (cy * sw + left) * 3
+            for x in range(min(w, sw - left)):
+                p = idx[row + x]
+                if p >= npal:
+                    raise ValueError("GIF pixel index outside palette")
+                out[base + 3 * x : base + 3 * x + 3] = pal[3 * p : 3 * p + 3]
+        return sw, sh, 3, bytes(out)
+    raise ValueError("GIF stream without an image descriptor")
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, uncompressed 8/24/32-bit)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an uncompressed BI_RGB BMP (8-bit palette, 24-bit BGR, or
+    32-bit BGRA) to RGB. Top-down and bottom-up row orders both
+    handled; RLE and bitfield compressions raise."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    pix_off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP unsupported")
+    width, height = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression not in (0, 3) or (compression == 3 and bpp not in (32,)):
+        raise NotImplementedError(f"BMP compression {compression} unsupported")
+    bottom_up = height > 0
+    height = abs(height)
+    if bpp == 8:
+        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = data[pal_off : pal_off + 4 * n_colors]  # BGRX quads
+    elif bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bit depth {bpp} unsupported")
+    stride = (width * bpp // 8 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src = pix_off + (height - 1 - y if bottom_up else y) * stride
+        dst = y * width * 3
+        row = data[src : src + stride]
+        if bpp == 8:
+            for x in range(width):
+                p = row[x] * 4
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes(
+                    (pal[p + 2], pal[p + 1], pal[p])
+                )
+        else:
+            step = bpp // 8
+            for x in range(width):
+                b, g, r = row[x * step : x * step + 3]
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
+    return width, height, 3, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Netpbm: P1-P3 (ASCII) and P4-P6 (binary), maxval <= 255
+# ---------------------------------------------------------------------------
+
+
+def _pnm_tokens(data: bytes, pos: int, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII integers, skipping ``#``
+    comments, returning (values, next offset)."""
+    vals: list[int] = []
+    cur = b""
+    while len(vals) < n and pos <= len(data):
+        c = data[pos : pos + 1]
+        pos += 1
+        if c == b"#":
+            while pos < len(data) and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        if c.isdigit():
+            cur += c
+            continue
+        if cur:
+            vals.append(int(cur))
+            cur = b""
+        if not c:
+            break
+    if len(vals) < n:
+        raise ValueError("truncated netpbm header/body")
+    return vals, pos
+
+
+def decode_netpbm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode PBM/PGM/PPM (both ASCII and raw variants). PBM maps
+    1 -> black per the spec. Returns 1 channel for PBM/PGM, 3 for
+    PPM."""
+    magic = data[:2]
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError("not a netpbm stream")
+    kind = magic[1] - 0x30
+    bitmap = kind in (1, 4)
+    (dims, pos) = _pnm_tokens(data, 2, 2 if bitmap else 3)
+    width, height = dims[0], dims[1]
+    maxval = 1 if bitmap else dims[2]
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm unsupported")
+    channels = 3 if kind in (3, 6) else 1
+    n_vals = width * height * channels
+    if kind in (1, 2, 3):  # ASCII
+        vals, _ = _pnm_tokens(data, pos, n_vals)
+    elif kind == 4:  # packed bits, rows padded to whole bytes
+        vals = []
+        rowbytes = (width + 7) // 8
+        for y in range(height):
+            row = data[pos + y * rowbytes : pos + (y + 1) * rowbytes]
+            for x in range(width):
+                vals.append((row[x // 8] >> (7 - x % 8)) & 1)
+    else:  # P5/P6 raw bytes
+        body = data[pos : pos + n_vals]
+        if len(body) < n_vals:
+            raise ValueError("truncated netpbm body")
+        vals = list(body)
+    if bitmap:
+        px = bytes(0 if v else 255 for v in vals)  # 1 = black
+    elif maxval == 255:
+        px = bytes(vals)
+    else:
+        px = bytes(v * 255 // maxval for v in vals)
+    return width, height, channels, px
