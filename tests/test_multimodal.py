@@ -195,6 +195,8 @@ def test_probe_image_all_containers():
     assert probe_image(_fake_gif(31, 17)) == ("gif", 31, 17)
     assert probe_image(_fake_bmp(100, 200)) == ("bmp", 100, 200)  # top-down abs
     assert probe_image(_fake_webp_vp8x(1920, 1080)) == ("webp", 1920, 1080)
+    assert probe_image(b"P6\n# c\n13 7\n255\n") == ("pnm", 13, 7)
+    assert probe_image(b"P1 3 2\n0 1 0 1 0 1") == ("pnm", 3, 2)
     with pytest.raises(ValueError):
         probe_image(b"plainly not an image")
     with pytest.raises(ValueError):

@@ -356,9 +356,9 @@ def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
 def probe_image(data: bytes) -> tuple[str, int, int]:
     """Sniff ``(format, width, height)`` from the container header.
 
-    Pure-stdlib parsers for the five common containers: PNG (IHDR),
+    Pure-stdlib parsers for the six common containers: PNG (IHDR),
     JPEG (SOF marker walk), GIF (logical screen descriptor), BMP
-    (BITMAPINFOHEADER), WEBP (VP8/VP8L/VP8X chunk). Raises
+    (BITMAPINFOHEADER), WEBP (VP8/VP8L/VP8X chunk), netpbm. Raises
     ``ValueError`` on anything else — callers over dirty corpora wrap
     this per-row (see :func:`probe_media`).
     """
@@ -402,6 +402,13 @@ def probe_image(data: bytes) -> tuple[str, int, int]:
             w, h = struct.unpack("<HH", data[26:30])
             return ("webp", w & 0x3FFF, h & 0x3FFF)
         raise ValueError("unrecognized WEBP chunk")
+    if data[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6") and data[
+        2:3
+    ].isspace():
+        from vechord_spark.sources.rasters import _pnm_tokens
+
+        (w, h), _ = _pnm_tokens(data, 2, 2)
+        return ("pnm", w, h)
     raise ValueError("unrecognized image container")
 
 
