@@ -294,3 +294,198 @@ def test_decode_image_routes_rasters():
     assert img.pixels == bytes((255, 0, 0, 0, 255, 0))
     ppm = b"P6\n1 1\n255\n\x01\x02\x03"
     assert decode_image(ppm).pixels == b"\x01\x02\x03"
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+from vechord_spark.sources.rasters import decode_tiff  # noqa: E402
+
+
+@needs_imghdr
+def test_tiff_matches_png_twin_exactly():
+    w, h, ch, px = decode_tiff((_IMGHDR / "python.tiff").read_bytes())
+    assert (w, h, ch) == (16, 16, 4)  # RGBA, uncompressed
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 4)[..., :3].astype(int)
+    assert (got == _png_twin()).all()
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """TIFF LZW compressor: MSB-first, CLEAR=256/EOI=257, early
+    code-width change."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    cur = b""
+    for b in raw:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # encoder bumps a code EARLIER than the decoder table fill
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code >= (1 << 12) - 1:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _write_tiff(width, height, spp, pixels, compression=1, photometric=2,
+                predictor=1, rows_per_strip=None, colormap=None):
+    rows_per_strip = rows_per_strip or height
+    rowbytes = width * spp
+    body = bytearray(pixels)
+    if predictor == 2:
+        diff = bytearray(body)
+        for y in range(height):
+            base = y * rowbytes
+            for x in range(rowbytes - 1, spp - 1, -1):
+                diff[base + x] = (body[base + x] - body[base + x - spp]) & 0xFF
+        body = diff
+    strips = []
+    for s0 in range(0, height, rows_per_strip):
+        nrows = min(rows_per_strip, height - s0)
+        raw = bytes(body[s0 * rowbytes : (s0 + nrows) * rowbytes])
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 32773:  # trivial PackBits: literal runs <= 128
+            pb = bytearray()
+            for i in range(0, len(raw), 128):
+                chunk = raw[i : i + 128]
+                pb += bytes([len(chunk) - 1]) + chunk
+            strips.append(bytes(pb))
+        else:
+            strips.append(raw)
+    entries = []  # (tag, type, count, value_or_offset, extra_bytes)
+    extra = bytearray()
+    data_start = 8
+
+    def entry(tag, typ, vals):
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        fmt = "<" + ("H" if typ == 3 else "I") * len(vals)
+        raw = struct.pack(fmt, *vals)
+        entries.append((tag, typ, len(vals), raw))
+
+    # strip data first, then colormap, then IFD
+    offsets = []
+    pos = data_start
+    for sdat in strips:
+        offsets.append(pos)
+        pos += len(sdat)
+    cmap_off = pos
+    cmap_vals = []
+    if colormap is not None:
+        ncol = len(colormap)
+        cmap_vals = (
+            [c[0] << 8 for c in colormap]
+            + [c[1] << 8 for c in colormap]
+            + [c[2] << 8 for c in colormap]
+        )
+        pos += 2 * len(cmap_vals)
+    ifd_off = pos
+    entry(256, 3, [width])
+    entry(257, 3, [height])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [compression])
+    entry(262, 3, [photometric])
+    entry(273, 4, offsets)
+    entry(277, 3, [spp])
+    entry(278, 3, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    if predictor != 1:
+        entry(317, 3, [predictor])
+    if colormap is not None:
+        entries.append((320, 3, len(cmap_vals), struct.pack("<I", cmap_off)))
+    entries.sort(key=lambda e: e[0])
+    # place oversized entry payloads after the IFD
+    ifd_size = 2 + 12 * len(entries) + 4
+    tail_off = ifd_off + ifd_size
+    ifd = struct.pack("<H", len(entries))
+    tail = bytearray()
+    for tag, typ, cnt, raw in entries:
+        if tag == 320:
+            val = raw  # precomputed offset
+        elif len(raw) <= 4:
+            val = raw.ljust(4, b"\x00")
+        else:
+            val = struct.pack("<I", tail_off + len(tail))
+            tail += raw
+        ifd += struct.pack("<HHI", tag, typ, cnt) + val
+    ifd += b"\x00\x00\x00\x00"
+    out = b"II*\x00" + struct.pack("<I", ifd_off)
+    out += b"".join(strips)
+    if cmap_vals:
+        out += struct.pack("<" + "H" * len(cmap_vals), *cmap_vals)
+    out += ifd + bytes(tail)
+    return out
+
+
+@pytest.mark.parametrize("compression", [1, 5, 32773])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_tiff_roundtrip_rgb(compression, predictor):
+    if compression == 32773 and predictor == 2:
+        pytest.skip("predictor is an LZW/deflate companion")
+    rng = np.random.default_rng(compression + predictor)
+    w, h = 21, 10
+    px = rng.integers(0, 256, w * h * 3).astype(np.uint8).tobytes()
+    blob = _write_tiff(w, h, 3, px, compression=compression,
+                       predictor=predictor if compression == 5 else 1,
+                       rows_per_strip=4)
+    gw, gh, ch, got = decode_tiff(blob)
+    assert (gw, gh, ch) == (w, h, 3) and got == px
+
+
+def test_tiff_gray_and_palette_and_white_is_zero():
+    rng = np.random.default_rng(5)
+    w, h = 9, 6
+    gray = rng.integers(0, 256, w * h).astype(np.uint8).tobytes()
+    # black-is-zero grayscale
+    _, _, ch, got = decode_tiff(_write_tiff(w, h, 1, gray, photometric=1))
+    assert ch == 1 and got == gray
+    # white-is-zero inverts
+    _, _, _, got = decode_tiff(_write_tiff(w, h, 1, gray, photometric=0))
+    assert got == bytes(255 - b for b in gray)
+    # palette
+    cmap = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(256)]
+    _, _, ch, got = decode_tiff(
+        _write_tiff(w, h, 1, gray, photometric=3, colormap=cmap)
+    )
+    want = b"".join(bytes(cmap[p]) for p in gray)
+    assert ch == 3 and got == want
+
+
+def test_tiff_probe_and_route():
+    from vechord_spark.sources.multimodal import decode_image, probe_image
+
+    blob = _write_tiff(4, 3, 3, bytes(range(36)))
+    assert probe_image(blob) == ("tiff", 4, 3)
+    img = decode_image(blob)
+    assert (img.width, img.height, img.channels) == (4, 3, 3)
+    assert img.pixels == bytes(range(36))

@@ -6,13 +6,13 @@ stay columnar (parquet binary, never shuffled unless selected) while
 metadata drives filtering/partitioning.
 
 Decode paths implemented from the public specs, zero optional deps:
-PNG (stdlib zlib), baseline + progressive JPEG (sources/jpeg.py), PCM
-WAV (stdlib wave), and MJPEG-in-AVI frame sampling (RIFF walk + the
-JPEG decoder). Formats that genuinely need external codec libraries
-(GIF/WebP via Pillow, MP4/H.264 via ffmpeg) raise a clearly-marked
-``NotImplementedError``; the Spark-side plumbing — schema, batch
-shape, ``mapInPandas`` signatures, partition sizing — is real and
-tested either way.
+PNG (stdlib zlib), baseline + progressive JPEG (sources/jpeg.py),
+GIF/BMP/netpbm/TIFF (sources/rasters.py), PCM WAV (stdlib wave), and
+MJPEG-in-AVI frame sampling (RIFF walk + the JPEG decoder). Formats
+that genuinely need external codec libraries (WebP via Pillow,
+MP4/H.264 via ffmpeg) raise a clearly-marked ``NotImplementedError``;
+the Spark-side plumbing — schema, batch shape, ``mapInPandas``
+signatures, partition sizing — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -219,8 +219,8 @@ def decode_image(data: bytes) -> DecodedImage:
     PNG decodes with the pure-stdlib path above; baseline AND
     progressive JPEG decode with the dependency-free spec codec
     (sources/jpeg.py, round 9 — this was the "JPEG-heavy corpora need
-    Pillow" gap); GIF/BMP/netpbm decode with sources/rasters.py.
-    Remaining formats (WebP/TIFF/arithmetic-coded JPEG, ...) go
+    Pillow" gap); GIF/BMP/netpbm/TIFF decode with sources/rasters.py.
+    Remaining formats (WebP/arithmetic-coded JPEG, ...) go
     through Pillow when installed and raise ``NotImplementedError``
     otherwise."""
     if data[:8] == _PNG_MAGIC:
@@ -236,6 +236,8 @@ def decode_image(data: bytes) -> DecodedImage:
         2:3
     ].isspace():
         from vechord_spark.sources.rasters import decode_netpbm as codec
+    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+        from vechord_spark.sources.rasters import decode_tiff as codec
     if codec is not None:
         try:
             return DecodedImage(*codec(data))
@@ -260,7 +262,8 @@ def decode_image(data: bytes) -> DecodedImage:
         from PIL import Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "image decode beyond PNG/JPEG/GIF/BMP/netpbm requires Pillow "
+            "image decode beyond PNG/JPEG/GIF/BMP/netpbm/TIFF requires "
+            "Pillow "
             "(not installed)"
         ) from None
     import io
@@ -356,9 +359,10 @@ def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
 def probe_image(data: bytes) -> tuple[str, int, int]:
     """Sniff ``(format, width, height)`` from the container header.
 
-    Pure-stdlib parsers for the six common containers: PNG (IHDR),
-    JPEG (SOF marker walk), GIF (logical screen descriptor), BMP
-    (BITMAPINFOHEADER), WEBP (VP8/VP8L/VP8X chunk), netpbm. Raises
+    Pure-stdlib parsers for the common containers: PNG (IHDR), JPEG
+    (SOF marker walk), GIF (logical screen descriptor), BMP
+    (BITMAPINFOHEADER), WEBP (VP8/VP8L/VP8X chunk), netpbm, TIFF
+    (first-IFD dimension tags). Raises
     ``ValueError`` on anything else — callers over dirty corpora wrap
     this per-row (see :func:`probe_media`).
     """
@@ -409,6 +413,24 @@ def probe_image(data: bytes) -> tuple[str, int, int]:
 
         (w, h), _ = _pnm_tokens(data, 2, 2)
         return ("pnm", w, h)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        bo = "<" if data[:2] == b"II" else ">"
+        ifd = struct.unpack(bo + "I", data[4:8])[0]
+        n = struct.unpack(bo + "H", data[ifd : ifd + 2])[0]
+        w = h = None
+        for i in range(n):
+            e = data[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+            tag, typ = struct.unpack(bo + "HH", e[:4])
+            val = struct.unpack(
+                bo + ("H" if typ == 3 else "I"), e[8 : 10 if typ == 3 else 12]
+            )[0]
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+        if w is not None and h is not None:
+            return ("tiff", w, h)
+        raise ValueError("TIFF without dimensions")
     raise ValueError("unrecognized image container")
 
 

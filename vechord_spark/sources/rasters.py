@@ -1,4 +1,4 @@
-"""Pure-Python raster decoders: GIF, BMP, Netpbm (PBM/PGM/PPM).
+"""Pure-Python raster decoders: GIF, BMP, Netpbm (PBM/PGM/PPM), TIFF.
 
 Together with PNG (multimodal.py) and JPEG (jpeg.py) these cover the
 raster formats that actually occur in crawled corpora without any
@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["decode_gif", "decode_bmp", "decode_netpbm"]
+__all__ = ["decode_gif", "decode_bmp", "decode_netpbm", "decode_tiff"]
 
 
 # ---------------------------------------------------------------------------
@@ -264,3 +264,162 @@ def decode_netpbm(data: bytes) -> tuple[int, int, int, bytes]:
     else:
         px = bytes(v * 255 // maxval for v in vals)
     return width, height, channels, px
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline 8-bit: none / LZW / PackBits compression, strips)
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _tiff_values(data: bytes, bo: str, entry: bytes) -> list[int]:
+    """All integer values of one IFD entry (inline or via offset)."""
+    typ, cnt = struct.unpack(bo + "HI", entry[2:8])
+    size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+    raw = entry[8:12] if size <= 4 else None
+    if raw is None:
+        off = struct.unpack(bo + "I", entry[8:12])[0]
+        raw = data[off : off + size]
+    fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}.get(typ)
+    if fmt is None:
+        return []
+    return list(struct.unpack(bo + fmt * cnt, raw[: _TIFF_TYPE_SIZE[typ] * cnt]))
+
+
+def _tiff_lzw(data: bytes, expected: int) -> bytearray:
+    """TIFF-variant LZW: MSB-first bit packing, CLEAR=256/EOI=257,
+    EARLY code-width change (one code before the GIF convention)."""
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    width = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = fresh()
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF LZW stream")
+            out += entry
+            prev = entry
+            # early change: bump width when ONE slot remains
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return out
+    return out
+
+
+def _packbits(data: bytes, expected: int) -> bytearray:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    return out
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline 8-bit TIFF (first IFD): compression none /
+    LZW (with the horizontal-differencing predictor) / PackBits,
+    photometric gray (0/1), RGB(A) (2), or palette (3), strip layout.
+    Tiled, 16-bit, and planar-separate files raise
+    ``NotImplementedError``."""
+    if data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF stream")
+    bo = "<" if data[:2] == b"II" else ">"
+    if struct.unpack(bo + "H", data[2:4])[0] != 42:
+        raise ValueError("not a TIFF stream (bad magic)")
+    ifd = struct.unpack(bo + "I", data[4:8])[0]
+    n = struct.unpack(bo + "H", data[ifd : ifd + 2])[0]
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        entry = data[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+        tag = struct.unpack(bo + "H", entry[:2])[0]
+        tags[tag] = _tiff_values(data, bo, entry)
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF unsupported")
+    width = tags[256][0]
+    height = tags[257][0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar-separate TIFF unsupported")
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    offsets = tags[273]
+    counts = tags.get(279, [len(data) - offsets[0]])
+    rows_per_strip = tags.get(278, [height])[0] or height
+    rowbytes = width * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = data[off : off + cnt]
+        nrows = min(rows_per_strip, height - si * rows_per_strip)
+        expected = nrows * rowbytes
+        if compression == 1:
+            raw += strip[:expected]
+        elif compression == 5:
+            raw += _tiff_lzw(strip, expected)
+        elif compression == 32773:
+            raw += _packbits(strip, expected)
+        else:
+            raise NotImplementedError(f"TIFF compression {compression} unsupported")
+    if len(raw) < height * rowbytes:
+        raise ValueError("truncated TIFF strips")
+    if predictor == 2:  # horizontal differencing, per sample
+        for y in range(height):
+            base = y * rowbytes
+            for x in range(spp, rowbytes):
+                raw[base + x] = (raw[base + x] + raw[base + x - spp]) & 0xFF
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    if photometric == 3:  # palette: 16-bit colormap, R then G then B
+        cmap = tags.get(320)
+        if not cmap or spp != 1:
+            raise ValueError("palette TIFF without a colormap")
+        ncol = len(cmap) // 3
+        out = bytearray(width * height * 3)
+        for i, p in enumerate(raw[: width * height]):
+            out[3 * i] = cmap[p] >> 8
+            out[3 * i + 1] = cmap[ncol + p] >> 8
+            out[3 * i + 2] = cmap[2 * ncol + p] >> 8
+        return width, height, 3, bytes(out)
+    if photometric == 0 and spp == 1:  # white-is-zero: invert
+        raw = bytearray(255 - b for b in raw)
+    channels = spp if spp in (1, 3, 4) else None
+    if channels is None:
+        raise NotImplementedError(f"TIFF samples-per-pixel {spp} unsupported")
+    return width, height, channels, bytes(raw[: width * height * channels])
