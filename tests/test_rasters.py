@@ -489,3 +489,124 @@ def test_tiff_probe_and_route():
     img = decode_image(blob)
     assert (img.width, img.height, img.channels) == (4, 3, 3)
     assert img.pixels == bytes(range(36))
+
+
+# ---------------------------------------------------------------------------
+# Sun Raster / SGI / XBM
+# ---------------------------------------------------------------------------
+
+from vechord_spark.sources.rasters import (  # noqa: E402
+    decode_ras,
+    decode_sgi,
+    decode_xbm,
+)
+
+
+@needs_imghdr
+def test_ras_matches_png_twin_exactly():
+    w, h, ch, px = decode_ras((_IMGHDR / "python.ras").read_bytes())
+    assert (w, h, ch) == (16, 16, 3)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+    assert (got == _png_twin()).all()
+
+
+@needs_imghdr
+def test_sgi_matches_png_twin_exactly():
+    w, h, ch, px = decode_sgi((_IMGHDR / "python.sgi").read_bytes())
+    assert (w, h, ch) == (16, 16, 4)  # RGBA, RLE storage
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 4)[..., :3].astype(int)
+    assert (got == _png_twin()).all()
+
+
+@needs_imghdr
+def test_xbm_decodes_bilevel():
+    w, h, ch, px = decode_xbm((_IMGHDR / "python.xbm").read_bytes())
+    assert (w, h, ch) == (16, 16, 1)
+    assert set(px) <= {0, 255}
+
+
+def test_ras_roundtrip_synthetic():
+    """Writer-side Sun Raster: standard 24-bit BGR and byte-RLE."""
+    rng = np.random.default_rng(17)
+    w, h = 11, 5
+    rgb = rng.integers(0, 256, w * h * 3).astype(np.uint8).tobytes()
+    rowbytes = (w * 3 + 1) & ~1
+    body = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+            row += bytes((b, g, r))
+        body += row.ljust(rowbytes, b"\x00")
+    hdr = struct.pack(">8I", 0x59A66A95, w, h, 24, len(body), 1, 0, 0)
+    gw, gh, ch, px = decode_ras(hdr + bytes(body))
+    assert (gw, gh, ch) == (w, h, 3) and px == rgb
+    # RLE variant: encode with the trivial no-run form (literal bytes,
+    # 0x80 escaped) — decoder must unescape exactly
+    rle = bytearray()
+    for bb in bytes(body):
+        if bb == 0x80:
+            rle += b"\x80\x00"
+        else:
+            rle.append(bb)
+    hdr2 = struct.pack(">8I", 0x59A66A95, w, h, 24, len(rle), 2, 0, 0)
+    gw, gh, ch, px = decode_ras(hdr2 + bytes(rle))
+    assert px == rgb
+    # and a real run: 20 identical bytes compress to one triple
+    flat = bytes([7]) * (rowbytes * h)
+    runs = bytearray()
+    left = len(flat)
+    while left:
+        n = min(256, left)
+        runs += bytes((0x80, n - 1, 7))
+        left -= n
+    hdr3 = struct.pack(">8I", 0x59A66A95, w, h, 24, len(runs), 2, 0, 0)
+    _, _, _, px = decode_ras(hdr3 + bytes(runs))
+    assert px == bytes([7]) * (w * h * 3)
+
+
+def test_sgi_roundtrip_verbatim():
+    rng = np.random.default_rng(18)
+    w, h, z = 9, 6, 3
+    rgb = rng.integers(0, 256, w * h * z).astype(np.uint8)
+    hdr = struct.pack(">hBBHHHH", 474, 0, 1, 3, w, h, z) + b"\x00" * 500
+    planes = bytearray()
+    for c in range(z):
+        for y in range(h):
+            sy = h - 1 - y  # file stores bottom-up
+            planes += bytes(rgb[(sy * w + x) * z + c] for x in range(w))
+    gw, gh, ch, px = decode_sgi(bytes(hdr) + bytes(planes))
+    assert (gw, gh, ch) == (w, h, 3) and px == rgb.tobytes()
+
+
+def test_xbm_roundtrip_synthetic():
+    bits = [0b00000001, 0b10000000, 0b11111111]  # 3 rows of width 8
+    src = (
+        "#define t_width 8\n#define t_height 3\n"
+        "static char t_bits[] = {" + ", ".join(hex(b) for b in bits) + "};\n"
+    ).encode()
+    w, h, ch, px = decode_xbm(src)
+    assert (w, h, ch) == (8, 3, 1)
+    rows = [px[i * 8 : (i + 1) * 8] for i in range(3)]
+    assert rows[0] == bytes((0, 255, 255, 255, 255, 255, 255, 255))
+    assert rows[1] == bytes((255,) * 7 + (0,))
+    assert rows[2] == bytes((0,) * 8)
+
+
+def test_probe_and_route_ras_sgi_xbm():
+    from vechord_spark.sources.multimodal import decode_image, probe_image
+
+    hdr = struct.pack(">8I", 0x59A66A95, 4, 2, 24, 16, 1, 0, 0)
+    body = bytes(range(24)) + b"\x00" * 0
+    rows = bytearray()
+    for y in range(2):
+        rows += body[y * 12 : (y + 1) * 12]
+    ras = hdr + bytes(rows)
+    assert probe_image(ras) == ("ras", 4, 2)
+    assert decode_image(ras).channels == 3
+    sgi = struct.pack(">hBBHHHH", 474, 0, 1, 3, 2, 2, 1) + b"\x00" * 500 + bytes(4)
+    assert probe_image(sgi) == ("sgi", 2, 2)
+    assert decode_image(sgi).channels == 1
+    xbm = b"#define a_width 8\n#define a_height 1\nstatic char a_bits[] = {0x0f};"
+    assert probe_image(xbm) == ("xbm", 8, 1)
+    assert decode_image(xbm).pixels == bytes((0, 0, 0, 0, 255, 255, 255, 255))

@@ -7,7 +7,8 @@ metadata drives filtering/partitioning.
 
 Decode paths implemented from the public specs, zero optional deps:
 PNG (stdlib zlib), baseline + progressive JPEG (sources/jpeg.py),
-GIF/BMP/netpbm/TIFF (sources/rasters.py), PCM WAV (stdlib wave), and
+GIF/BMP/netpbm/TIFF/Sun-Raster/SGI/XBM (sources/rasters.py), PCM WAV
+(stdlib wave), and
 MJPEG-in-AVI frame sampling (RIFF walk + the JPEG decoder). Formats
 that genuinely need external codec libraries (WebP via Pillow,
 MP4/H.264 via ffmpeg) raise a clearly-marked ``NotImplementedError``;
@@ -219,7 +220,8 @@ def decode_image(data: bytes) -> DecodedImage:
     PNG decodes with the pure-stdlib path above; baseline AND
     progressive JPEG decode with the dependency-free spec codec
     (sources/jpeg.py, round 9 — this was the "JPEG-heavy corpora need
-    Pillow" gap); GIF/BMP/netpbm/TIFF decode with sources/rasters.py.
+    Pillow" gap); GIF/BMP/netpbm/TIFF/Sun-Raster/SGI/XBM decode with
+    sources/rasters.py.
     Remaining formats (WebP/arithmetic-coded JPEG, ...) go
     through Pillow when installed and raise ``NotImplementedError``
     otherwise."""
@@ -238,6 +240,12 @@ def decode_image(data: bytes) -> DecodedImage:
         from vechord_spark.sources.rasters import decode_netpbm as codec
     elif data[:4] in (b"II*\x00", b"MM\x00*"):
         from vechord_spark.sources.rasters import decode_tiff as codec
+    elif data[:4] == b"\x59\xa6\x6a\x95":
+        from vechord_spark.sources.rasters import decode_ras as codec
+    elif data[:2] == b"\x01\xda":
+        from vechord_spark.sources.rasters import decode_sgi as codec
+    elif data[:8] == b"#define ":
+        from vechord_spark.sources.rasters import decode_xbm as codec
     if codec is not None:
         try:
             return DecodedImage(*codec(data))
@@ -262,8 +270,8 @@ def decode_image(data: bytes) -> DecodedImage:
         from PIL import Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "image decode beyond PNG/JPEG/GIF/BMP/netpbm/TIFF requires "
-            "Pillow "
+            "image decode beyond the spec codecs (PNG/JPEG/GIF/BMP/netpbm/"
+            "TIFF/RAS/SGI/XBM) requires Pillow "
             "(not installed)"
         ) from None
     import io
@@ -413,6 +421,21 @@ def probe_image(data: bytes) -> tuple[str, int, int]:
 
         (w, h), _ = _pnm_tokens(data, 2, 2)
         return ("pnm", w, h)
+    if data[:4] == b"\x59\xa6\x6a\x95":
+        w, h = struct.unpack(">II", data[4:12])
+        return ("ras", w, h)
+    if data[:2] == b"\x01\xda" and len(data) >= 12:
+        w, h = struct.unpack(">HH", data[6:10])
+        return ("sgi", w, h)
+    if data[:8] == b"#define ":
+        import re
+
+        text = data[:512].decode("ascii", errors="ignore")
+        mw = re.search(r"#define\s+\w*_?width\s+(\d+)", text)
+        mh = re.search(r"#define\s+\w*_?height\s+(\d+)", text)
+        if mw and mh:
+            return ("xbm", int(mw.group(1)), int(mh.group(1)))
+        raise ValueError("XBM without dimension defines")
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         bo = "<" if data[:2] == b"II" else ">"
         ifd = struct.unpack(bo + "I", data[4:8])[0]

@@ -1,4 +1,5 @@
-"""Pure-Python raster decoders: GIF, BMP, Netpbm (PBM/PGM/PPM), TIFF.
+"""Pure-Python raster decoders: GIF, BMP, Netpbm, TIFF, Sun Raster,
+SGI, XBM.
 
 Together with PNG (multimodal.py) and JPEG (jpeg.py) these cover the
 raster formats that actually occur in crawled corpora without any
@@ -17,7 +18,15 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["decode_gif", "decode_bmp", "decode_netpbm", "decode_tiff"]
+__all__ = [
+    "decode_gif",
+    "decode_bmp",
+    "decode_netpbm",
+    "decode_tiff",
+    "decode_ras",
+    "decode_sgi",
+    "decode_xbm",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -423,3 +432,171 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     if channels is None:
         raise NotImplementedError(f"TIFF samples-per-pixel {spp} unsupported")
     return width, height, channels, bytes(raw[: width * height * channels])
+
+
+# ---------------------------------------------------------------------------
+# Sun Raster (.ras): 8 big-endian header words, optional colormap,
+# 16-bit-padded rows, optional byte RLE
+# ---------------------------------------------------------------------------
+
+_RAS_MAGIC = 0x59A66A95
+
+
+def _ras_unrle(data: bytes, expected: int) -> bytearray:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b != 0x80:
+            out.append(b)
+            continue
+        count = data[i]
+        i += 1
+        if count == 0:  # literal 0x80
+            out.append(0x80)
+        else:
+            out += bytes([data[i]]) * (count + 1)
+            i += 1
+    return out
+
+
+def decode_ras(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a Sun Raster file (depth 8 gray/palette, 24, or 32; old /
+    standard / byte-RLE / RGB-order types) to gray or RGB."""
+    if len(data) < 32 or struct.unpack(">I", data[:4])[0] != _RAS_MAGIC:
+        raise ValueError("not a Sun Raster stream")
+    _, width, height, depth, _length, rtype, maptype, maplen = struct.unpack(
+        ">8I", data[:32]
+    )
+    if rtype not in (0, 1, 2, 3):
+        raise NotImplementedError(f"Sun Raster type {rtype} unsupported")
+    if depth not in (8, 24, 32):
+        raise NotImplementedError(f"Sun Raster depth {depth} unsupported")
+    pos = 32
+    cmap = data[pos : pos + maplen] if maptype else b""
+    pos += maplen
+    rowbytes = (width * depth // 8 + 1) & ~1  # rows pad to 16 bits
+    body = data[pos:]
+    if rtype == 2:
+        body = _ras_unrle(body, rowbytes * height)
+    if len(body) < rowbytes * height:
+        raise ValueError("truncated Sun Raster data")
+    rgb_order = rtype == 3
+    if depth == 8:
+        if cmap and maptype == 1:
+            n = maplen // 3
+            out = bytearray(width * height * 3)
+            for y in range(height):
+                row = body[y * rowbytes :]
+                for x in range(width):
+                    p = row[x]
+                    out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes(
+                        (cmap[p], cmap[n + p], cmap[2 * n + p])
+                    )
+            return width, height, 3, bytes(out)
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = body[
+                y * rowbytes : y * rowbytes + width
+            ]
+        return width, height, 1, bytes(out)
+    step = depth // 8
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        row = body[y * rowbytes :]
+        for x in range(width):
+            px = row[x * step : (x + 1) * step]
+            c = px[step - 3 :]  # skip the 32-bit pad/alpha byte
+            r, g, b = (c[0], c[1], c[2]) if rgb_order else (c[2], c[1], c[0])
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
+    return width, height, 3, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# SGI image (.sgi/.rgb): bottom-up planar channels, verbatim or RLE
+# ---------------------------------------------------------------------------
+
+
+def decode_sgi(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an SGI image (8-bit channels, verbatim or RLE storage,
+    1-4 planar channels stored bottom-up) to interleaved rows."""
+    if len(data) < 512 or struct.unpack(">h", data[:2])[0] != 474:
+        raise ValueError("not an SGI image stream")
+    storage, bpc = data[2], data[3]
+    _dim, xsize, ysize, zsize = struct.unpack(">HHHH", data[4:12])
+    if bpc != 1:
+        raise NotImplementedError("16-bit SGI unsupported")
+    if zsize not in (1, 2, 3, 4):
+        raise NotImplementedError(f"SGI zsize {zsize} unsupported")
+    planes = [bytearray(xsize * ysize) for _ in range(zsize)]
+    if storage == 0:  # verbatim: z planes of y rows
+        pos = 512
+        for z in range(zsize):
+            for y in range(ysize):
+                planes[z][y * xsize : (y + 1) * xsize] = data[pos : pos + xsize]
+                pos += xsize
+    elif storage == 1:  # RLE: offset/length tables per (row, channel)
+        n = ysize * zsize
+        offs = struct.unpack(f">{n}I", data[512 : 512 + 4 * n])
+        lens = struct.unpack(f">{n}I", data[512 + 4 * n : 512 + 8 * n])
+        for z in range(zsize):
+            for y in range(ysize):
+                off = offs[z * ysize + y]
+                row = data[off : off + lens[z * ysize + y]]
+                out = bytearray()
+                i = 0
+                while i < len(row):
+                    b = row[i]
+                    i += 1
+                    count = b & 0x7F
+                    if count == 0:
+                        break
+                    if b & 0x80:  # literal run
+                        out += row[i : i + count]
+                        i += count
+                    else:  # replicate
+                        out += bytes([row[i]]) * count
+                        i += 1
+                planes[z][y * xsize : y * xsize + xsize] = out[:xsize]
+    else:
+        raise NotImplementedError(f"SGI storage {storage} unsupported")
+    channels = zsize if zsize != 2 else 1  # gray+alpha -> keep gray
+    out = bytearray(xsize * ysize * channels)
+    for y in range(ysize):
+        sy = ysize - 1 - y  # bottom-up
+        for c in range(channels):
+            row = planes[c][sy * xsize : (sy + 1) * xsize]
+            base = y * xsize * channels + c
+            out[base : base + xsize * channels : channels] = row
+    return xsize, ysize, channels, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# XBM: C-source monochrome bitmap (LSB-first bits, 1 = foreground)
+# ---------------------------------------------------------------------------
+
+
+def decode_xbm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an X BitMap (the C-source text format) to 8-bit gray
+    (foreground bits -> 0/black, background -> 255, matching PBM's
+    1-is-black convention)."""
+    import re
+
+    text = data.decode("ascii", errors="strict") if isinstance(data, bytes) else data
+    mw = re.search(r"#define\s+\w*_?width\s+(\d+)", text)
+    mh = re.search(r"#define\s+\w*_?height\s+(\d+)", text)
+    mb = re.search(r"_bits\s*\[\s*\]\s*=\s*\{([^}]*)\}", text, re.S)
+    if not (mw and mh and mb):
+        raise ValueError("not an XBM stream")
+    width, height = int(mw.group(1)), int(mh.group(1))
+    vals = [int(v.strip(), 0) for v in mb.group(1).split(",") if v.strip()]
+    rowbytes = (width + 7) // 8
+    if len(vals) < rowbytes * height:
+        raise ValueError("truncated XBM bits")
+    out = bytearray(width * height)
+    for y in range(height):
+        for x in range(width):
+            bit = (vals[y * rowbytes + x // 8] >> (x % 8)) & 1
+            out[y * width + x] = 0 if bit else 255
+    return width, height, 1, bytes(out)
