@@ -610,3 +610,23 @@ def test_probe_and_route_ras_sgi_xbm():
     xbm = b"#define a_width 8\n#define a_height 1\nstatic char a_bits[] = {0x0f};"
     assert probe_image(xbm) == ("xbm", 8, 1)
     assert decode_image(xbm).pixels == bytes((0, 0, 0, 0, 255, 255, 255, 255))
+
+
+def test_bmp_bitfields_masks():
+    """BI_BITFIELDS 32-bit: the standard BGRA mask layout decodes;
+    any other mask layout must raise, never silently misdecode."""
+    import struct as _s
+
+    def bmp32(masks):
+        w, h = 2, 1
+        rows = bytes((3, 2, 1, 0, 6, 5, 4, 0))  # two BGRA pixels
+        off = 14 + 40 + 12
+        hdr = b"BM" + _s.pack("<IHHI", off + len(rows), 0, 0, off)
+        dib = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3, len(rows), 0, 0, 0, 0)
+        return hdr + dib + _s.pack("<III", *masks) + rows
+
+    std = bmp32((0x00FF0000, 0x0000FF00, 0x000000FF))
+    w, h, ch, px = decode_bmp(std)
+    assert (w, h, ch) == (2, 1, 3) and px == bytes((1, 2, 3, 4, 5, 6))
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bmp32((0x000000FF, 0x0000FF00, 0x00FF0000)))  # RGBA order

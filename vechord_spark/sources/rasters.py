@@ -176,7 +176,17 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     width, height = struct.unpack("<ii", data[18:26])
     bpp = struct.unpack("<H", data[28:30])[0]
     compression = struct.unpack("<I", data[30:34])[0]
-    if compression not in (0, 3) or (compression == 3 and bpp not in (32,)):
+    if compression == 3 and bpp == 32 and len(data) >= 66:
+        # BI_BITFIELDS: only the standard BGRA layout decodes here —
+        # decoding any other mask layout as BGR would be silent garbage.
+        # The three masks sit at offset 54 both for the size-40 header
+        # (appended DWORDs) and for V4/V5 (in-header fields).
+        masks = struct.unpack("<III", data[54:66])
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                f"BMP bitfield masks {tuple(hex(m) for m in masks)} unsupported"
+            )
+    elif compression != 0:
         raise NotImplementedError(f"BMP compression {compression} unsupported")
     bottom_up = height > 0
     height = abs(height)
