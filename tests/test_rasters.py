@@ -146,7 +146,8 @@ def _write_gif(width, height, palette, indices, interlace=False, local=False):
     out = bytearray(b"GIF89a")
     gflags = (0x80 | (bits - 1)) if not local else 0x00
     out += struct.pack("<HHBBB", width, height, gflags, 0, 0)
-    pal = b"".join(bytes(c) for c in palette)
+    # pad to the declared 2^bits color-table size
+    pal = b"".join(bytes(c) for c in palette).ljust((2 << (bits - 1)) * 3, b"\x00")
     if not local:
         out += pal
     iflags = (0x80 | (bits - 1)) if local else 0x00
@@ -630,3 +631,99 @@ def test_bmp_bitfields_masks():
     assert (w, h, ch) == (2, 1, 3) and px == bytes((1, 2, 3, 4, 5, 6))
     with pytest.raises(NotImplementedError):
         decode_bmp(bmp32((0x000000FF, 0x0000FF00, 0x00FF0000)))  # RGBA order
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF: compositing + frame sampling
+# ---------------------------------------------------------------------------
+
+from vechord_spark.sources.rasters import gif_frames  # noqa: E402
+
+
+def _write_animated_gif(width, height, palette, frames):
+    """``frames``: list of dicts with keys idx (full-canvas or rect
+    indices), rect (left, top, w, h), delay_cs, transparent (index or
+    None), disposal."""
+    bits = max(1, (len(palette) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += b"".join(bytes(c) for c in palette).ljust((2 << (bits - 1)) * 3, b"\x00")
+    min_code = max(2, bits)
+    for f in frames:
+        left, top, w, h = f.get("rect", (0, 0, width, height))
+        gflags = (f.get("disposal", 0) << 2) | (
+            1 if f.get("transparent") is not None else 0
+        )
+        out += b"\x21\xf9\x04" + bytes(
+            (gflags,)
+        ) + struct.pack("<H", f.get("delay_cs", 0)) + bytes(
+            (f.get("transparent") or 0,)
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out += bytes([min_code])
+        lzw = _lzw_encode(min_code, bytes(f["idx"]))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing():
+    """Transparency keeps the previous canvas; disposal 2 clears the
+    frame rect; disposal 3 restores the pre-frame canvas."""
+    pal = [(10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+    w = h = 4
+    base = bytes([1] * 16)  # all red
+    # frame 2: a 2x2 green patch at (1,1), transparent elsewhere-in-rect
+    patch = bytes([2, 0, 0, 2])  # transparent=0 -> diagonal green
+    # frame 3 (after disposal 3 on frame 2): full blue
+    blue = bytes([3] * 16)
+    data = _write_animated_gif(w, h, pal, [
+        {"idx": base, "delay_cs": 5},
+        {"idx": patch, "rect": (1, 1, 2, 2), "delay_cs": 10,
+         "transparent": 0, "disposal": 3},
+        {"idx": blue, "delay_cs": 5},
+    ])
+    gw, gh, frames = gif_frames(data)
+    assert (gw, gh) == (w, h) and len(frames) == 3
+    assert frames[0] == (50, bytes(bytearray(b"".join([bytes(pal[1])] * 16))))
+    f1 = np.frombuffer(frames[1][1], np.uint8).reshape(h, w, 3)
+    assert frames[1][0] == 100
+    assert tuple(f1[1, 1]) == pal[2] and tuple(f1[2, 2]) == pal[2]  # drawn
+    assert tuple(f1[1, 2]) == pal[1] and tuple(f1[2, 1]) == pal[1]  # kept
+    # disposal 3 restored all-red before frame 3 drew all-blue
+    f2 = np.frombuffer(frames[2][1], np.uint8).reshape(h, w, 3)
+    assert (f2 == np.array(pal[3])).all()
+
+
+def test_gif_disposal_background_clears_rect():
+    pal = [(9, 9, 9), (255, 255, 255)]
+    data = _write_animated_gif(2, 2, pal, [
+        {"idx": bytes([1, 1, 1, 1]), "disposal": 2, "delay_cs": 1},
+        {"idx": bytes([1]), "rect": (0, 0, 1, 1), "delay_cs": 1},
+    ])
+    _, _, frames = gif_frames(data)
+    f1 = np.frombuffer(frames[1][1], np.uint8).reshape(2, 2, 3)
+    assert tuple(f1[0, 0]) == pal[1]  # redrawn
+    assert tuple(f1[1, 1]) == (0, 0, 0)  # cleared to background
+
+
+def test_sample_video_frames_animated_gif():
+    from vechord_spark.sources.multimodal import decode_image, sample_video_frames
+
+    pal = [(i, i, i) for i in range(8)]
+    # 6 frames, 80 ms each
+    data = _write_animated_gif(3, 3, pal, [
+        {"idx": bytes([i] * 9), "delay_cs": 8} for i in range(6)
+    ])
+    kept = sample_video_frames(data, 200)  # keep t=0, 240, 480 -> frames 0, 3, 6->last
+    assert len(kept) == 3
+    imgs = [decode_image(k) for k in kept]
+    assert all((im.width, im.height, im.channels) == (3, 3, 3) for im in imgs)
+    assert imgs[0].pixels == bytes([0] * 27)
+    assert imgs[1].pixels == bytes([3] * 27)
+    assert imgs[2].pixels == bytes([5] * 27)
+    # every_ms <= 0 keeps all frames
+    assert len(sample_video_frames(data, 0)) == 6

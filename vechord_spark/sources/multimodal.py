@@ -302,23 +302,40 @@ def resize_image(data: bytes, width: int, height: int) -> bytes:
 
 
 def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
-    """Sample frames from an MJPEG-in-AVI clip, at most one frame per
-    ``every_ms`` milliseconds; returns the kept frames as JPEG bytes
-    (decodable by sources/jpeg.py — baseline or progressive).
+    """Sample frames from an MJPEG-in-AVI clip or an animated GIF, at
+    most one frame per ``every_ms`` milliseconds; returns the kept
+    frames as image bytes ``decode_image`` can read back (JPEG for
+    AVI streams, PNG-encoded composited frames for GIF).
 
-    MJPEG-AVI needs no codec beyond the JPEG decoder this repo already
-    carries: the AVI RIFF container is walked directly (LIST recursion,
-    word-aligned chunks), the frame clock comes from the ``avih``
-    header's microseconds-per-frame field, and every ``..dc``/``..db``
-    stream chunk that starts with an SOI marker is a complete JPEG.
-    Every other container/codec (MP4/H.264, VP9, ...) raises
+    Neither container needs a codec beyond what this repo already
+    carries: the AVI RIFF structure is walked directly (LIST
+    recursion, word-aligned chunks; frame clock from ``avih``, every
+    ``..dc``/``..db`` chunk starting with SOI is a complete JPEG), and
+    animated GIFs composite through :func:`rasters.gif_frames` with
+    per-frame graphic-control delays as the clock. Every other
+    container/codec (MP4/H.264, VP9, ...) raises
     ``NotImplementedError`` — that is genuinely ffmpeg territory.
     Row-local and pure, safe inside any executor UDF; at scale this
     runs in the same mapInPandas media stage as image decode, with
     ``arrow.maxRecordsPerBatch`` capped for MB-sized payloads."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from vechord_spark.sources.rasters import gif_frames
+
+        w, h, gframes = gif_frames(data)
+        kept_png: list[bytes] = []
+        t_ms = 0.0
+        next_keep_ms = 0.0
+        for delay, rgb in gframes:
+            if every_ms <= 0 or t_ms >= next_keep_ms:
+                kept_png.append(_png_encode(DecodedImage(w, h, 3, rgb)))
+                next_keep_ms += every_ms
+            # GCE delay is the time this frame STAYS on screen
+            t_ms += delay if delay > 0 else 100.0  # browsers' 10 fps default
+        return kept_png
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise NotImplementedError(
-            "only MJPEG-in-AVI is decodable without ffmpeg (not an AVI blob)"
+            "only MJPEG-in-AVI and animated GIF are decodable without "
+            "ffmpeg (unrecognized container)"
         )
     us_per_frame = 0
     frames: list[bytes] = []

@@ -85,10 +85,18 @@ def _gif_lzw(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the FIRST frame of a GIF to RGB (transparent pixels take
-    the background/palette color — single-frame corpora semantics; use
-    the 89a graphic-control block yourself for animation logic)."""
+def gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Composite every frame of a GIF: ``(width, height,
+    [(delay_ms, rgb_bytes), ...])``.
+
+    The 89a animation semantics handled: graphic-control delay and
+    transparency index (transparent pixels keep the canvas — the
+    composited previous frames), and disposal methods 1 (leave), 2
+    (restore the frame rect to background) and 3 (restore the previous
+    canvas). ``max_frames`` stops the walk early (header-cheap frame
+    counting / first-frame decode)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
@@ -98,13 +106,24 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         n = 2 << (flags & 0x07)
         global_pal = data[pos : pos + 3 * n]
         pos += 3 * n
+    canvas = bytearray(sw * sh * 3)
+    frames: list[tuple[int, bytes]] = []
+    delay_ms = 0
+    transparent = -1
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gflags = data[pos + 1]
+                delay_ms = struct.unpack("<H", data[pos + 2 : pos + 4])[0] * 10
+                transparent = data[pos + 4] if gflags & 0x01 else -1
+                disposal = (gflags >> 2) & 0x07
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -140,8 +159,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
                     rows[y * w : (y + 1) * w] = idx[src : src + w]
                     src += w
             idx = rows
-        # frame -> full canvas (most single-frame GIFs fill it exactly)
-        out = bytearray(sw * sh * 3)
+        before = bytes(canvas) if disposal == 3 else None
         npal = len(pal) // 3
         for y in range(h):
             cy = top + y
@@ -151,11 +169,37 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             base = (cy * sw + left) * 3
             for x in range(min(w, sw - left)):
                 p = idx[row + x]
+                if p == transparent:
+                    continue  # keep the composited canvas
                 if p >= npal:
                     raise ValueError("GIF pixel index outside palette")
-                out[base + 3 * x : base + 3 * x + 3] = pal[3 * p : 3 * p + 3]
-        return sw, sh, 3, bytes(out)
-    raise ValueError("GIF stream without an image descriptor")
+                canvas[base + 3 * x : base + 3 * x + 3] = pal[3 * p : 3 * p + 3]
+        frames.append((delay_ms, bytes(canvas)))
+        if max_frames is not None and len(frames) >= max_frames:
+            return sw, sh, frames
+        if disposal == 2:  # restore the frame rect to background
+            for y in range(h):
+                cy = top + y
+                if cy >= sh:
+                    break
+                base = (cy * sw + left) * 3
+                span = min(w, sw - left) * 3
+                canvas[base : base + span] = bytes(span)
+        elif disposal == 3 and before is not None:
+            canvas = bytearray(before)
+        delay_ms = 0
+        transparent = -1
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF stream without an image descriptor")
+    return sw, sh, frames
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame of a GIF to RGB (transparent pixels keep
+    the empty black canvas — use :func:`gif_frames` for animation)."""
+    sw, sh, frames = gif_frames(data, max_frames=1)
+    return sw, sh, 3, frames[0][1]
 
 
 # ---------------------------------------------------------------------------
