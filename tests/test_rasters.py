@@ -727,3 +727,74 @@ def test_sample_video_frames_animated_gif():
     assert imgs[2].pixels == bytes([5] * 27)
     # every_ms <= 0 keeps all frames
     assert len(sample_video_frames(data, 0)) == 6
+
+
+# ---------------------------------------------------------------------------
+# Dirty-corpus contract: corrupt bytes -> ValueError/NotImplementedError
+# ---------------------------------------------------------------------------
+
+
+def test_corrupt_streams_raise_only_decode_errors():
+    """Truncations, byte flips, and garbage splices over every format
+    must surface as ValueError or NotImplementedError — never a stray
+    IndexError/struct.error (which would escape probe_media's per-row
+    net) — and must fail fast (no multi-GB allocations from corrupt
+    headers; see rasters.MAX_PIXELS)."""
+    import random
+
+    from vechord_spark.sources.jpeg import encode_jpeg
+    from vechord_spark.sources.multimodal import (
+        DecodedImage,
+        _png_encode,
+        decode_image,
+        probe_image,
+    )
+
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, 16 * 12 * 3).astype(np.uint8).tobytes()
+    seeds = {
+        "jpeg": encode_jpeg(16, 12, 3, px),
+        "png": _png_encode(DecodedImage(16, 12, 3, px)),
+        "gif": _write_gif(
+            16, 12, [(i, i, i) for i in range(16)],
+            rng.integers(0, 16, 192).astype(np.uint8).tobytes(),
+        ),
+        "bmp": _write_bmp(16, 12, px),
+        "tiff": _write_tiff(16, 12, 3, px, compression=5, predictor=2),
+        "ppm": b"P6\n16 12\n255\n" + px,
+    }
+    random.seed(1)
+    for name, blob in seeds.items():
+        for trial in range(60):
+            b = bytearray(blob)
+            op = trial % 3
+            if op == 0:
+                b = b[: random.randrange(1, len(b))]
+            elif op == 1:
+                for _ in range(random.randrange(1, 8)):
+                    b[random.randrange(len(b))] = random.randrange(256)
+            else:
+                i = random.randrange(len(b))
+                b[i:i] = bytes(
+                    random.randrange(256) for _ in range(random.randrange(1, 16))
+                )
+            for fn in (decode_image, probe_image):
+                try:
+                    fn(bytes(b))
+                except (ValueError, NotImplementedError):
+                    pass  # the two classes the dirty-corpus nets catch
+
+
+def test_hostile_dimensions_rejected_before_allocation():
+    from vechord_spark.sources.rasters import check_dims
+
+    with pytest.raises(ValueError):
+        check_dims(65535, 65535)
+    with pytest.raises(ValueError):
+        check_dims(0, 5)
+    # a GIF header claiming a 65535x65535 canvas fails fast
+    giant = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
+    from vechord_spark.sources.rasters import gif_frames
+
+    with pytest.raises(ValueError):
+        gif_frames(giant)

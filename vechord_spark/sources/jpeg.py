@@ -312,6 +312,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
+            from vechord_spark.sources.rasters import check_dims
+
+            check_dims(width, height, "JPEG")
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):

@@ -93,6 +93,22 @@ def extract_media_features(df: DataFrame, dim: int = 64) -> DataFrame:
 # and friends still require Pillow and raise NotImplementedError with a
 # clear message when it is absent.
 
+import struct as _struct
+import zlib as _zlib
+
+# exception classes a corrupt byte stream can surface from the spec
+# decoders; normalized to ValueError at the decode_image/probe_image
+# boundary so per-row error handling stays two-exception simple
+_MALFORMED = (
+    IndexError,
+    KeyError,
+    OverflowError,
+    UnicodeDecodeError,
+    _struct.error,
+    _zlib.error,
+    EOFError,
+)
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # color type -> raw channels in the filtered stream
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -109,6 +125,11 @@ class DecodedImage:
         self.height = height
         self.channels = channels
         self.pixels = pixels
+
+
+def _png_decode_tuple(data: bytes) -> tuple[int, int, int, bytes]:
+    img = _png_decode(data)
+    return img.width, img.height, img.channels, img.pixels
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -143,6 +164,9 @@ def _png_decode(data: bytes) -> DecodedImage:
             idat.extend(body)
         elif ctype == b"IEND":
             break
+    from vechord_spark.sources.rasters import check_dims
+
+    check_dims(width, height, "PNG")
     if bit_depth != 8:
         raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported (8 only)")
     if interlace:
@@ -225,10 +249,10 @@ def decode_image(data: bytes) -> DecodedImage:
     Remaining formats (WebP/arithmetic-coded JPEG, ...) go
     through Pillow when installed and raise ``NotImplementedError``
     otherwise."""
-    if data[:8] == _PNG_MAGIC:
-        return _png_decode(data)
     codec = None
-    if data[:2] == b"\xff\xd8":
+    if data[:8] == _PNG_MAGIC:
+        codec = _png_decode_tuple
+    elif data[:2] == b"\xff\xd8":
         from vechord_spark.sources.jpeg import decode_jpeg as codec
     elif data[:6] in (b"GIF87a", b"GIF89a"):
         from vechord_spark.sources.rasters import decode_gif as codec
@@ -249,6 +273,11 @@ def decode_image(data: bytes) -> DecodedImage:
     if codec is not None:
         try:
             return DecodedImage(*codec(data))
+        except _MALFORMED as exc:
+            # a corrupt container must surface as a per-row decode
+            # ERROR the dirty-corpus nets catch, never a stray
+            # IndexError/struct.error that fails the whole job
+            raise ValueError(f"malformed image stream: {exc}") from exc
         except NotImplementedError:
             # a variant the spec codec scopes out (arithmetic-coded or
             # 12-bit JPEG, RLE BMP, 16-bit netpbm): fall through to
@@ -382,6 +411,16 @@ def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
 
 
 def probe_image(data: bytes) -> tuple[str, int, int]:
+    """Sniff ``(format, width, height)`` from the container header —
+    corrupt headers surface as ValueError (see _MALFORMED), never as
+    stray low-level exceptions."""
+    try:
+        return _probe_image_raw(data)
+    except _MALFORMED as exc:
+        raise ValueError(f"malformed image header: {exc}") from exc
+
+
+def _probe_image_raw(data: bytes) -> tuple[str, int, int]:
     """Sniff ``(format, width, height)`` from the container header.
 
     Pure-stdlib parsers for the common containers: PNG (IHDR), JPEG

@@ -28,6 +28,23 @@ __all__ = [
     "decode_xbm",
 ]
 
+# Dimension sanity cap shared by every decoder here and by the JPEG/PNG
+# paths: a corrupt or hostile header that claims 65535x65535 would
+# otherwise make the decoder allocate a multi-GB canvas BEFORE any
+# pixel data is validated — an executor OOM a single dirty row could
+# trigger. 2^26 pixels (= 8192x8192 RGB at 192 MB) is far above real
+# crawl imagery; raise it deliberately if a corpus truly needs more.
+MAX_PIXELS = 1 << 26
+
+
+def check_dims(width: int, height: int, what: str = "image") -> None:
+    """Reject implausible header dimensions BEFORE allocating."""
+    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+        raise ValueError(
+            f"implausible {what} dimensions {width}x{height} "
+            f"(cap {MAX_PIXELS} pixels)"
+        )
+
 
 # ---------------------------------------------------------------------------
 # GIF (87a/89a): LZW-compressed palette frames; first frame only.
@@ -100,6 +117,7 @@ def gif_frames(
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    check_dims(sw, sh, "GIF")
     pos = 13
     global_pal = b""
     if flags & 0x80:
@@ -131,6 +149,7 @@ def gif_frames(
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        check_dims(w, h, "GIF frame")
         pos += 9
         pal = global_pal
         if iflags & 0x80:
@@ -234,6 +253,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(f"BMP compression {compression} unsupported")
     bottom_up = height > 0
     height = abs(height)
+    check_dims(width, height, "BMP")
     if bpp == 8:
         n_colors = struct.unpack("<I", data[46:50])[0] or 256
         pal_off = 14 + hdr_size
@@ -301,6 +321,7 @@ def decode_netpbm(data: bytes) -> tuple[int, int, int, bytes]:
     bitmap = kind in (1, 4)
     (dims, pos) = _pnm_tokens(data, 2, 2 if bitmap else 3)
     width, height = dims[0], dims[1]
+    check_dims(width, height, "netpbm")
     maxval = 1 if bitmap else dims[2]
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm unsupported")
@@ -340,6 +361,10 @@ def _tiff_values(data: bytes, bo: str, entry: bytes) -> list[int]:
     """All integer values of one IFD entry (inline or via offset)."""
     typ, cnt = struct.unpack(bo + "HI", entry[2:8])
     size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+    if size > len(data):
+        # a corrupt count would otherwise build a gigabyte struct
+        # format string before any byte is read
+        raise ValueError("TIFF IFD entry count exceeds the file")
     raw = entry[8:12] if size <= 4 else None
     if raw is None:
         off = struct.unpack(bo + "I", entry[8:12])[0]
@@ -434,6 +459,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError("tiled TIFF unsupported")
     width = tags[256][0]
     height = tags[257][0]
+    check_dims(width, height, "TIFF")
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):
@@ -523,6 +549,7 @@ def decode_ras(data: bytes) -> tuple[int, int, int, bytes]:
     _, width, height, depth, _length, rtype, maptype, maplen = struct.unpack(
         ">8I", data[:32]
     )
+    check_dims(width, height, "Sun Raster")
     if rtype not in (0, 1, 2, 3):
         raise NotImplementedError(f"Sun Raster type {rtype} unsupported")
     if depth not in (8, 24, 32):
@@ -579,6 +606,7 @@ def decode_sgi(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not an SGI image stream")
     storage, bpc = data[2], data[3]
     _dim, xsize, ysize, zsize = struct.unpack(">HHHH", data[4:12])
+    check_dims(xsize, ysize, "SGI")
     if bpc != 1:
         raise NotImplementedError("16-bit SGI unsupported")
     if zsize not in (1, 2, 3, 4):
@@ -644,6 +672,7 @@ def decode_xbm(data: bytes) -> tuple[int, int, int, bytes]:
     if not (mw and mh and mb):
         raise ValueError("not an XBM stream")
     width, height = int(mw.group(1)), int(mh.group(1))
+    check_dims(width, height, "XBM")
     vals = [int(v.strip(), 0) for v in mb.group(1).split(",") if v.strip()]
     rowbytes = (width + 7) // 8
     if len(vals) < rowbytes * height:
