@@ -313,21 +313,19 @@ def decode_image(data: bytes) -> DecodedImage:
 def resize_image(data: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize; returns PNG bytes (the one encoder the
     stdlib path supports). Row-local and pure — safe inside any
-    executor UDF."""
+    executor UDF. One vectorized numpy gather, not a per-pixel Python
+    loop (thumbnailing is the hot step of a media ingest stage)."""
+    import numpy as np
+
     img = decode_image(data)
     ch = img.channels
-    src_stride = img.width * ch
-    out = bytearray(width * height * ch)
-    for y in range(height):
-        sy = min(img.height - 1, (y * img.height) // height)
-        base = sy * src_stride
-        dst = y * width * ch
-        for x in range(width):
-            sx = min(img.width - 1, (x * img.width) // width)
-            out[dst + x * ch : dst + (x + 1) * ch] = img.pixels[
-                base + sx * ch : base + (sx + 1) * ch
-            ]
-    return _png_encode(DecodedImage(width, height, ch, bytes(out)))
+    src = np.frombuffer(img.pixels, np.uint8).reshape(img.height, img.width, ch)
+    sy = np.minimum(img.height - 1, (np.arange(height) * img.height) // height)
+    sx = np.minimum(img.width - 1, (np.arange(width) * img.width) // width)
+    out = src[sy[:, None], sx[None, :]]
+    return _png_encode(
+        DecodedImage(width, height, ch, np.ascontiguousarray(out).tobytes())
+    )
 
 
 def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
