@@ -341,10 +341,13 @@ def _tiff_lzw_encode(raw: bytes) -> bytes:
         emit(table[cur], width)
         table[nxt] = next_code
         next_code += 1
-        # encoder bumps a code EARLIER than the decoder table fill
-        if next_code == (1 << width) - 1 and width < 12:
+        # TIFF early change: the decoder widens after ADDING entry
+        # 2^w - 2 (spec: entry 510 -> 10 bits), and the decoder's table
+        # lags the encoder's by one entry, so the encoder widens after
+        # ASSIGNING code 2^w - 1
+        if next_code == (1 << width) and width < 12:
             width += 1
-        elif next_code >= (1 << 12) - 1:
+        elif next_code >= (1 << 12) - 2:
             emit(CLEAR, width)
             table = {bytes([i]): i for i in range(256)}
             next_code = 258
@@ -798,3 +801,20 @@ def test_hostile_dimensions_rejected_before_allocation():
 
     with pytest.raises(ValueError):
         gif_frames(giant)
+
+
+def test_tiff_lzw_dictionary_pressure():
+    """Incompressible data pushes the LZW table across every width
+    boundary (the TIFF early change: widen after entry 2^w - 2) and
+    through a mid-stream CLEAR reset — the round-trip must be exact at
+    the exact boundary lengths and far beyond them."""
+    from vechord_spark.sources.rasters import _tiff_lzw
+
+    raw_full = np.random.default_rng(1).integers(0, 256, 12000).astype(
+        np.uint8
+    ).tobytes()
+    for n in (253, 254, 255, 765, 766, 767, 1789, 1790, 1791, 3837, 3838,
+              3839, 5000, 12000):
+        raw = raw_full[:n]
+        enc = _tiff_lzw_encode(raw)
+        assert bytes(_tiff_lzw(enc, len(raw))) == raw, n

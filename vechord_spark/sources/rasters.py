@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 __all__ = [
     "decode_gif",
     "decode_bmp",
@@ -124,7 +126,7 @@ def gif_frames(
         n = 2 << (flags & 0x07)
         global_pal = data[pos : pos + 3 * n]
         pos += 3 * n
-    canvas = bytearray(sw * sh * 3)
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
     frames: list[tuple[int, bytes]] = []
     delay_ms = 0
     transparent = -1
@@ -178,34 +180,28 @@ def gif_frames(
                     rows[y * w : (y + 1) * w] = idx[src : src + w]
                     src += w
             idx = rows
-        before = bytes(canvas) if disposal == 3 else None
+        before = canvas.copy() if disposal == 3 else None
         npal = len(pal) // 3
-        for y in range(h):
-            cy = top + y
-            if cy >= sh:
-                break
-            row = y * w
-            base = (cy * sw + left) * 3
-            for x in range(min(w, sw - left)):
-                p = idx[row + x]
-                if p == transparent:
-                    continue  # keep the composited canvas
-                if p >= npal:
-                    raise ValueError("GIF pixel index outside palette")
-                canvas[base + 3 * x : base + 3 * x + 3] = pal[3 * p : 3 * p + 3]
-        frames.append((delay_ms, bytes(canvas)))
+        vh = min(h, sh - top)
+        vw = min(w, sw - left)
+        if vh > 0 and vw > 0:
+            sub = np.frombuffer(bytes(idx), np.uint8).reshape(h, w)[:vh, :vw]
+            if int(sub.max(initial=0)) >= npal:
+                raise ValueError("GIF pixel index outside palette")
+            colors = np.frombuffer(pal, np.uint8).reshape(-1, 3)[sub]
+            view = canvas[top : top + vh, left : left + vw]
+            if transparent >= 0:
+                opaque = sub != transparent
+                view[opaque] = colors[opaque]
+            else:
+                view[:] = colors
+        frames.append((delay_ms, canvas.tobytes()))
         if max_frames is not None and len(frames) >= max_frames:
             return sw, sh, frames
         if disposal == 2:  # restore the frame rect to background
-            for y in range(h):
-                cy = top + y
-                if cy >= sh:
-                    break
-                base = (cy * sw + left) * 3
-                span = min(w, sw - left) * 3
-                canvas[base : base + span] = bytes(span)
+            canvas[top : top + vh, left : left + vw] = 0
         elif disposal == 3 and before is not None:
-            canvas = bytearray(before)
+            canvas = before
         delay_ms = 0
         transparent = -1
         disposal = 0
@@ -261,23 +257,20 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     elif bpp not in (24, 32):
         raise NotImplementedError(f"BMP bit depth {bpp} unsupported")
     stride = (width * bpp // 8 + 3) & ~3
-    out = bytearray(width * height * 3)
-    for y in range(height):
-        src = pix_off + (height - 1 - y if bottom_up else y) * stride
-        dst = y * width * 3
-        row = data[src : src + stride]
-        if bpp == 8:
-            for x in range(width):
-                p = row[x] * 4
-                out[dst + 3 * x : dst + 3 * x + 3] = bytes(
-                    (pal[p + 2], pal[p + 1], pal[p])
-                )
-        else:
-            step = bpp // 8
-            for x in range(width):
-                b, g, r = row[x * step : x * step + 3]
-                out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
-    return width, height, 3, bytes(out)
+    if pix_off + height * stride > len(data):
+        raise ValueError("truncated BMP pixel data")
+    arr = np.frombuffer(data, np.uint8, count=height * stride, offset=pix_off)
+    rows = arr.reshape(height, stride)
+    if bottom_up:
+        rows = rows[::-1]
+    if bpp == 8:
+        quads = np.frombuffer(pal, np.uint8).reshape(-1, 4)
+        out = quads[rows[:, :width]][..., (2, 1, 0)]  # BGRX -> RGB
+    else:
+        step = bpp // 8
+        px = rows[:, : width * step].reshape(height, width, step)
+        out = px[..., (2, 1, 0)]  # BGR(A) -> RGB
+    return width, height, 3, np.ascontiguousarray(out).tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -330,12 +323,11 @@ def decode_netpbm(data: bytes) -> tuple[int, int, int, bytes]:
     if kind in (1, 2, 3):  # ASCII
         vals, _ = _pnm_tokens(data, pos, n_vals)
     elif kind == 4:  # packed bits, rows padded to whole bytes
-        vals = []
         rowbytes = (width + 7) // 8
-        for y in range(height):
-            row = data[pos + y * rowbytes : pos + (y + 1) * rowbytes]
-            for x in range(width):
-                vals.append((row[x // 8] >> (7 - x % 8)) & 1)
+        packed = np.frombuffer(
+            data, np.uint8, count=rowbytes * height, offset=pos
+        ).reshape(height, rowbytes)
+        vals = np.unpackbits(packed, axis=1)[:, :width].reshape(-1).tolist()
     else:  # P5/P6 raw bytes
         body = data[pos : pos + n_vals]
         if len(body) < n_vals:
@@ -488,11 +480,13 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError(f"TIFF compression {compression} unsupported")
     if len(raw) < height * rowbytes:
         raise ValueError("truncated TIFF strips")
-    if predictor == 2:  # horizontal differencing, per sample
-        for y in range(height):
-            base = y * rowbytes
-            for x in range(spp, rowbytes):
-                raw[base + x] = (raw[base + x] + raw[base + x - spp]) & 0xFF
+    if predictor == 2:  # horizontal differencing: cumsum mod 256 per sample
+        arr = np.frombuffer(bytes(raw[: height * rowbytes]), np.uint8).reshape(
+            height, width, spp
+        )
+        raw = bytearray(
+            (arr.astype(np.int64).cumsum(axis=1) & 0xFF).astype(np.uint8).tobytes()
+        )
     elif predictor != 1:
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     if photometric == 3:  # palette: 16-bit colormap, R then G then B
@@ -500,12 +494,11 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         if not cmap or spp != 1:
             raise ValueError("palette TIFF without a colormap")
         ncol = len(cmap) // 3
-        out = bytearray(width * height * 3)
-        for i, p in enumerate(raw[: width * height]):
-            out[3 * i] = cmap[p] >> 8
-            out[3 * i + 1] = cmap[ncol + p] >> 8
-            out[3 * i + 2] = cmap[2 * ncol + p] >> 8
-        return width, height, 3, bytes(out)
+        lut = (np.asarray(cmap, np.int64).reshape(3, ncol).T >> 8).astype(np.uint8)
+        idx = np.frombuffer(bytes(raw[: width * height]), np.uint8)
+        if int(idx.max(initial=0)) >= ncol:
+            raise ValueError("TIFF palette index outside colormap")
+        return width, height, 3, np.ascontiguousarray(lut[idx]).tobytes()
     if photometric == 0 and spp == 1:  # white-is-zero: invert
         raw = bytearray(255 - b for b in raw)
     channels = spp if spp in (1, 3, 4) else None
@@ -567,15 +560,10 @@ def decode_ras(data: bytes) -> tuple[int, int, int, bytes]:
     if depth == 8:
         if cmap and maptype == 1:
             n = maplen // 3
-            out = bytearray(width * height * 3)
-            for y in range(height):
-                row = body[y * rowbytes :]
-                for x in range(width):
-                    p = row[x]
-                    out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes(
-                        (cmap[p], cmap[n + p], cmap[2 * n + p])
-                    )
-            return width, height, 3, bytes(out)
+            lut = np.frombuffer(cmap, np.uint8).reshape(3, n).T
+            idx = np.frombuffer(bytes(body), np.uint8, count=height * rowbytes)
+            idx = idx.reshape(height, rowbytes)[:, :width]
+            return width, height, 3, np.ascontiguousarray(lut[idx]).tobytes()
         out = bytearray(width * height)
         for y in range(height):
             out[y * width : (y + 1) * width] = body[
@@ -583,15 +571,12 @@ def decode_ras(data: bytes) -> tuple[int, int, int, bytes]:
             ]
         return width, height, 1, bytes(out)
     step = depth // 8
-    out = bytearray(width * height * 3)
-    for y in range(height):
-        row = body[y * rowbytes :]
-        for x in range(width):
-            px = row[x * step : (x + 1) * step]
-            c = px[step - 3 :]  # skip the 32-bit pad/alpha byte
-            r, g, b = (c[0], c[1], c[2]) if rgb_order else (c[2], c[1], c[0])
-            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
-    return width, height, 3, bytes(out)
+    rows = np.frombuffer(bytes(body), np.uint8, count=height * rowbytes).reshape(
+        height, rowbytes
+    )
+    px = rows[:, : width * step].reshape(height, width, step)[..., step - 3 :]
+    out = px if rgb_order else px[..., ::-1]
+    return width, height, 3, np.ascontiguousarray(out).tobytes()
 
 
 # ---------------------------------------------------------------------------
