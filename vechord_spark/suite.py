@@ -7048,11 +7048,19 @@ _WINDOW_PRIORITY = [
     "topk_orders",
     "agg_pricing_summary",
     "join_revenue_by_nation",
-    "rollup_order_stats",
     # round-9: derived-partsupp TPC-H shapes
     "min_cost_supplier",
     "partsupp_value_share",
     "excess_inventory_suppliers",
+    # round-9b: four of the seven new TPC-H shapes rotate in (new plans
+    # this round per the window policy; the other three stay
+    # parity-tested). Rotated out: rollup_order_stats,
+    # source_cap_sample, nb_quality, corpus_health_by_source (stable
+    # multi-round greens, plans untouched).
+    "local_supplier_revenue",
+    "revenue_forecast",
+    "product_type_profit",
+    "returned_item_customers",
     # vector / ANN
     "knn_cosine",
     "knn_filtered",
@@ -7108,8 +7116,6 @@ _WINDOW_PRIORITY = [
     # round-7/9: the funnel's day-2 shape — O(new batch) against the
     # round-9 disk-persisted seen-side ArtifactStore layout
     "corpus_funnel_incremental",
-    "nb_quality",
-    "source_cap_sample",
     # sketch gates
     "quantile_sketch_gate",
     # round-5c training-data additions
@@ -7118,7 +7124,6 @@ _WINDOW_PRIORITY = [
     # round-7/9: the SemDeDup scale-path gate — round-9 top-2
     # multi-assignment bucketer, floor 0.4, beats-single assertion
     "semdedup_ivf_recall",
-    "corpus_health_by_source",
     "quality_top_fraction",
 ]
 
