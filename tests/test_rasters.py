@@ -818,3 +818,73 @@ def test_tiff_lzw_dictionary_pressure():
         raw = raw_full[:n]
         enc = _tiff_lzw_encode(raw)
         assert bytes(_tiff_lzw(enc, len(raw))) == raw, n
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regressions and hazards (round 9b)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_frame_volume_capped():
+    """A tiny hostile GIF (large screen + many 1x1 frames) must raise,
+    not accumulate unbounded full-canvas frames."""
+    pal = [(0, 0, 0), (255, 255, 255)]
+    frames = [{"idx": bytes([1]), "rect": (0, 0, 1, 1)} for _ in range(600)]
+    data = _write_animated_gif(4096, 4096, pal, frames)
+    assert len(data) < 20_000  # the attack is small...
+    with pytest.raises(ValueError):
+        gif_frames(data)  # ...the output would not be
+
+
+def test_gif_transparent_index_outside_palette_still_decodes():
+    """Quirky-but-renderable: the transparent index may lie outside the
+    palette (it never does a lookup)."""
+    pal = [(1, 1, 1), (2, 2, 2)]
+    data = _write_animated_gif(2, 1, pal, [
+        {"idx": bytes([0, 0])},  # canvas becomes palette[0]
+        {"idx": bytes([3, 1]), "transparent": 3},  # 3 >= len(pal)
+    ])
+    _, _, frames = gif_frames(data)
+    assert frames[1][1] == bytes((1, 1, 1, 2, 2, 2))  # kept, drawn
+
+
+def test_netpbm_zero_maxval_raises_value_error():
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P2\n1 1\n0\n5")
+
+
+def test_netpbm_p1_unseparated_digits():
+    """PBM ASCII pixels need no whitespace separators (spec)."""
+    w, h, ch, px = decode_netpbm(b"P1\n2 2\n01\n10\n")
+    assert (w, h, ch) == (2, 2, 1)
+    assert px == bytes((255, 0, 0, 255))
+
+
+def test_bmp_missing_final_row_padding_decodes():
+    """Writers that omit the last row's 4-byte alignment padding are a
+    known in-the-wild quirk."""
+    rng = np.random.default_rng(3)
+    w, h = 3, 2  # stride 12 vs 9 payload bytes per row
+    rgb = rng.integers(0, 256, w * h * 3).astype(np.uint8).tobytes()
+    full = _write_bmp(w, h, rgb)
+    clipped = full[:-3]  # drop the final row's padding
+    gw, gh, ch, px = decode_bmp(clipped)
+    assert (gw, gh, ch) == (w, h, 3) and px == rgb
+
+
+def test_tiff_rejects_cmyk_ycbcr_photometrics():
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, 4 * 2 * 3).astype(np.uint8).tobytes()
+    for photometric in (5, 6):
+        with pytest.raises(NotImplementedError):
+            decode_tiff(_write_tiff(4, 2, 3, px, photometric=photometric))
+
+
+def test_corrupt_animated_gif_in_video_path_raises_value_error():
+    from vechord_spark.sources.multimodal import sample_video_frames
+
+    pal = [(0, 0, 0), (9, 9, 9)]
+    data = _write_animated_gif(4, 4, pal, [{"idx": bytes([1] * 16)}] * 3)
+    truncated = data[: len(data) - 7]
+    with pytest.raises((ValueError, NotImplementedError)):
+        sample_video_frames(truncated, 100)

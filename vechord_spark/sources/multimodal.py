@@ -348,7 +348,12 @@ def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from vechord_spark.sources.rasters import gif_frames
 
-        w, h, gframes = gif_frames(data)
+        try:
+            w, h, gframes = gif_frames(data)
+        except _MALFORMED as exc:
+            # same per-row error contract as decode_image: corrupt
+            # bytes must never fail the whole frame-sampling stage
+            raise ValueError(f"malformed GIF stream: {exc}") from exc
         kept_png: list[bytes] = []
         t_ms = 0.0
         next_keep_ms = 0.0

@@ -128,6 +128,12 @@ def gif_frames(
         pos += 3 * n
     canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
     frames: list[tuple[int, bytes]] = []
+    # aggregate output cap: each composited frame is a full canvas, so
+    # a few-KB hostile GIF declaring a large screen + thousands of tiny
+    # frames could otherwise allocate unbounded memory despite the
+    # per-frame MAX_PIXELS check
+    max_total = 4 * MAX_PIXELS * 3
+    total_bytes = 0
     delay_ms = 0
     transparent = -1
     disposal = 0
@@ -185,16 +191,31 @@ def gif_frames(
         vh = min(h, sh - top)
         vw = min(w, sw - left)
         if vh > 0 and vw > 0:
-            sub = np.frombuffer(bytes(idx), np.uint8).reshape(h, w)[:vh, :vw]
-            if int(sub.max(initial=0)) >= npal:
-                raise ValueError("GIF pixel index outside palette")
-            colors = np.frombuffer(pal, np.uint8).reshape(-1, 3)[sub]
+            # count= trims sloppy-encoder LZW overshoot past w*h (the
+            # old per-pixel loop read only the first w*h bytes)
+            sub = np.frombuffer(bytes(idx), np.uint8, count=h * w).reshape(
+                h, w
+            )[:vh, :vw]
             view = canvas[top : top + vh, left : left + vw]
+            pal_lut = np.frombuffer(pal, np.uint8).reshape(-1, 3)
             if transparent >= 0:
+                # palette bounds apply to OPAQUE pixels only: a
+                # transparent index outside the palette is quirky but
+                # renderable (it never does a lookup)
                 opaque = sub != transparent
-                view[opaque] = colors[opaque]
+                if int(sub[opaque].max(initial=0)) >= npal:
+                    raise ValueError("GIF pixel index outside palette")
+                view[opaque] = pal_lut[sub[opaque]]
             else:
-                view[:] = colors
+                if int(sub.max(initial=0)) >= npal:
+                    raise ValueError("GIF pixel index outside palette")
+                view[:] = pal_lut[sub]
+        total_bytes += canvas.nbytes
+        if total_bytes > max_total:
+            raise ValueError(
+                f"GIF frame volume exceeds {max_total} bytes "
+                "(hostile or pathological animation)"
+            )
         frames.append((delay_ms, canvas.tobytes()))
         if max_frames is not None and len(frames) >= max_frames:
             return sw, sh, frames
@@ -257,9 +278,14 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     elif bpp not in (24, 32):
         raise NotImplementedError(f"BMP bit depth {bpp} unsupported")
     stride = (width * bpp // 8 + 3) & ~3
-    if pix_off + height * stride > len(data):
+    # some writers omit the FINAL row's 4-byte alignment padding —
+    # require the pixel payload only, then zero-pad to the full grid
+    need = (height - 1) * stride + width * bpp // 8 if height else 0
+    if pix_off + need > len(data):
         raise ValueError("truncated BMP pixel data")
-    arr = np.frombuffer(data, np.uint8, count=height * stride, offset=pix_off)
+    avail = min(height * stride, len(data) - pix_off)
+    arr = np.zeros(height * stride, np.uint8)
+    arr[:avail] = np.frombuffer(data, np.uint8, count=avail, offset=pix_off)
     rows = arr.reshape(height, stride)
     if bottom_up:
         rows = rows[::-1]
@@ -318,16 +344,31 @@ def decode_netpbm(data: bytes) -> tuple[int, int, int, bytes]:
     maxval = 1 if bitmap else dims[2]
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm unsupported")
+    if maxval <= 0:
+        raise ValueError("netpbm maxval must be positive")
     channels = 3 if kind in (3, 6) else 1
     n_vals = width * height * channels
-    if kind in (1, 2, 3):  # ASCII
+    if kind == 1:  # ASCII bitmap: digits need no separators (spec)
+        vals = []
+        i = pos
+        while i < len(data) and len(vals) < n_vals:
+            c = data[i : i + 1]
+            i += 1
+            if c == b"#":
+                while i < len(data) and data[i] not in (0x0A, 0x0D):
+                    i += 1
+            elif c in (b"0", b"1"):
+                vals.append(c[0] - 0x30)
+        if len(vals) < n_vals:
+            raise ValueError("truncated netpbm header/body")
+    elif kind in (2, 3):  # ASCII
         vals, _ = _pnm_tokens(data, pos, n_vals)
     elif kind == 4:  # packed bits, rows padded to whole bytes
         rowbytes = (width + 7) // 8
         packed = np.frombuffer(
             data, np.uint8, count=rowbytes * height, offset=pos
         ).reshape(height, rowbytes)
-        vals = np.unpackbits(packed, axis=1)[:, :width].reshape(-1).tolist()
+        vals = np.unpackbits(packed, axis=1)[:, :width].reshape(-1)
     else:  # P5/P6 raw bytes
         body = data[pos : pos + n_vals]
         if len(body) < n_vals:
@@ -460,6 +501,12 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError("planar-separate TIFF unsupported")
     compression = tags.get(259, [1])[0]
     photometric = tags.get(262, [1])[0]
+    if photometric not in (0, 1, 2, 3):
+        # CMYK (5) / YCbCr (6) samples returned as "RGB" would be
+        # silent garbage colors — reject to the Pillow fall-through
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} unsupported"
+        )
     predictor = tags.get(317, [1])[0]
     offsets = tags[273]
     counts = tags.get(279, [len(data) - offsets[0]])
@@ -471,13 +518,18 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         nrows = min(rows_per_strip, height - si * rows_per_strip)
         expected = nrows * rowbytes
         if compression == 1:
-            raw += strip[:expected]
+            part = strip[:expected]
         elif compression == 5:
-            raw += _tiff_lzw(strip, expected)
+            part = _tiff_lzw(strip, expected)
         elif compression == 32773:
-            raw += _packbits(strip, expected)
+            part = _packbits(strip, expected)
         else:
             raise NotImplementedError(f"TIFF compression {compression} unsupported")
+        if len(part) < expected:
+            raise ValueError("TIFF strip decodes short")
+        # decompressors may overshoot by a few bytes on corrupt input;
+        # truncating keeps every later strip aligned
+        raw += part[:expected]
     if len(raw) < height * rowbytes:
         raise ValueError("truncated TIFF strips")
     if predictor == 2:  # horizontal differencing: cumsum mod 256 per sample
@@ -500,7 +552,9 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("TIFF palette index outside colormap")
         return width, height, 3, np.ascontiguousarray(lut[idx]).tobytes()
     if photometric == 0 and spp == 1:  # white-is-zero: invert
-        raw = bytearray(255 - b for b in raw)
+        raw = bytearray(
+            (np.frombuffer(bytes(raw), np.uint8) ^ 0xFF).tobytes()
+        )
     channels = spp if spp in (1, 3, 4) else None
     if channels is None:
         raise NotImplementedError(f"TIFF samples-per-pixel {spp} unsupported")
@@ -564,12 +618,10 @@ def decode_ras(data: bytes) -> tuple[int, int, int, bytes]:
             idx = np.frombuffer(bytes(body), np.uint8, count=height * rowbytes)
             idx = idx.reshape(height, rowbytes)[:, :width]
             return width, height, 3, np.ascontiguousarray(lut[idx]).tobytes()
-        out = bytearray(width * height)
-        for y in range(height):
-            out[y * width : (y + 1) * width] = body[
-                y * rowbytes : y * rowbytes + width
-            ]
-        return width, height, 1, bytes(out)
+        rows8 = np.frombuffer(
+            bytes(body), np.uint8, count=height * rowbytes
+        ).reshape(height, rowbytes)
+        return width, height, 1, np.ascontiguousarray(rows8[:, :width]).tobytes()
     step = depth // 8
     rows = np.frombuffer(bytes(body), np.uint8, count=height * rowbytes).reshape(
         height, rowbytes
