@@ -171,3 +171,45 @@ def test_12bit_precision_raises_not_silently_garbles():
     )
     with pytest.raises(NotImplementedError):
         decode_jpeg(sof1_12bit)
+
+
+def test_review_pass_validations():
+    """Round-9b review findings: zero sampling factors, 4-component
+    frames, FF fill bytes, and multi-scan sequential files."""
+    import struct
+
+    import numpy as np
+
+    from vechord_spark.sources.jpeg import encode_jpeg
+
+    good = encode_jpeg(8, 8, 3, bytes(8 * 8 * 3))
+
+    # hv = 0x00 must be a decode ERROR (was ZeroDivisionError)
+    sof = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof + 11] = 0x00  # first component's h/v byte
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+    # 4-component SOF -> NotImplementedError (Pillow territory)
+    cmyk = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">HBHHB", 14, 8, 8, 8, 4)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])[:9]
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(cmyk)
+
+    # T.81 B.1.1.2 fill bytes before markers are legal padding
+    padded = good.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    assert decode_jpeg(padded) == decode_jpeg(good)
+
+    # grayscale with declared 2x2 sampling factors: the factors are
+    # irrelevant for a one-plane image and must not distort geometry
+    gray = bytearray(encode_jpeg(12, 10, 1, bytes(range(120))))
+    gsof = gray.index(b"\xff\xc0")
+    gray[gsof + 11] = 0x22
+    w, h, ch, px = decode_jpeg(bytes(gray))
+    assert (w, h, ch) == (12, 10, 1)
+    assert px == decode_jpeg(encode_jpeg(12, 10, 1, bytes(range(120))))[3]

@@ -145,23 +145,26 @@ K3_AC_CHROMA = (
 
 class _HuffTable:
     """Canonical Huffman table with a 16-bit peek LUT: one lookup per
-    symbol instead of a bit-by-bit tree walk."""
+    symbol instead of a bit-by-bit tree walk. ``build_lut=False`` skips
+    the two 65536-entry decoder arrays for encoder-only use (the
+    encoder reads nothing but ``enc``)."""
 
-    def __init__(self, bits, huffval):
-        self.lut_value = np.zeros(1 << 16, dtype=np.int16)
-        self.lut_size = np.zeros(1 << 16, dtype=np.int8)
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                val = huffval[k]
-                k += 1
-                lo = code << (16 - length)
-                hi = lo + (1 << (16 - length))
-                self.lut_value[lo:hi] = val
-                self.lut_size[lo:hi] = length
-                code += 1
-            code <<= 1
+    def __init__(self, bits, huffval, build_lut=True):
+        if build_lut:
+            self.lut_value = np.zeros(1 << 16, dtype=np.int16)
+            self.lut_size = np.zeros(1 << 16, dtype=np.int8)
+            code = 0
+            k = 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    val = huffval[k]
+                    k += 1
+                    lo = code << (16 - length)
+                    hi = lo + (1 << (16 - length))
+                    self.lut_value[lo:hi] = val
+                    self.lut_size[lo:hi] = length
+                    code += 1
+                code <<= 1
         # encoder side: symbol -> (code, length)
         self.enc: dict[int, tuple[int, int]] = {}
         code = 0
@@ -273,6 +276,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -316,10 +322,25 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
             check_dims(width, height, "JPEG")
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would "decode" to garbage
+                # RGB with a silently-dropped K channel
+                raise NotImplementedError(
+                    f"JPEG with {ncomp} components unsupported (1 or 3)"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq_id))
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {h}x{v}")
+                comps.append(_Component(cid, h, v, tq_id))
+            if ncomp == 1:
+                # a single-component scan is non-interleaved (T.81
+                # A.2.3): the block grid is ceil(size/8) regardless of
+                # the declared sampling factors, which affect nothing
+                # else in a one-plane image
+                comps[0].h = comps[0].v = 1
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG process SOF{marker - 0xC0} unsupported")
         elif marker == 0xDD:  # DRI
@@ -332,10 +353,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     c.td, c.ta = sel[c.cid] >> 4, sel[c.cid] & 0x0F
             scan_start = pos + 2 + seglen
             if not progressive:
-                return _decode_scan(
-                    data, scan_start, width, height, comps, qt, huff,
-                    restart_interval,
+                if ns != len(comps):
+                    # a sequential scan covering a component subset
+                    # (multi-SOS baseline) would decode every
+                    # component from one component's entropy data
+                    raise NotImplementedError(
+                        "multi-scan sequential JPEG unsupported"
+                    )
+                prog = _ProgressiveState(width, height, comps)
+                _decode_baseline_scan(
+                    data, scan_start, prog, comps, huff, restart_interval
                 )
+                return _reconstruct_progressive(prog, comps, qt, width, height)
             if prog is None:
                 prog = _ProgressiveState(width, height, comps)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
@@ -352,21 +381,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("JPEG stream without an SOS scan")
 
 
-def _decode_scan(data, pos, width, height, comps, qt, huff, restart_interval):
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    planes = {
-        c.cid: np.zeros((mcuy * c.v * 8, mcux * c.h * 8), dtype=np.float64)
-        for c in comps
-    }
+def _decode_baseline_scan(data, pos, prog, comps, huff, restart_interval):
+    """Entropy-decode one fully-interleaved sequential scan into
+    ``prog.coef`` (zigzag order); the vectorized
+    ``_reconstruct_progressive`` tail does dequantize + IDCT + assembly
+    for both processes (one einsum per component, not two matmuls and
+    three allocations per block)."""
     reader = _BitReader(data, pos)
     pred = {c.cid: 0 for c in comps}
-    mt = _DCT_M
     n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for my in range(prog.mcuy):
+        for mx in range(prog.mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 reader.restart()
                 pred = {c.cid: 0 for c in comps}
@@ -374,10 +399,9 @@ def _decode_scan(data, pos, width, height, comps, qt, huff, restart_interval):
             for c in comps:
                 dc_t = huff[(0, c.td)]
                 ac_t = huff[(1, c.ta)]
-                q = qt[c.tq]
                 for by in range(c.v):
                     for bx in range(c.h):
-                        zz = np.zeros(64, dtype=np.int32)
+                        zz = prog.coef[c.cid][my * c.v + by, mx * c.h + bx]
                         p16 = reader.peek16()
                         t = int(dc_t.lut_value[p16])
                         size = int(dc_t.lut_size[p16])
@@ -406,14 +430,6 @@ def _decode_scan(data, pos, width, height, comps, qt, huff, restart_interval):
                                 raise ValueError("AC run past block end")
                             zz[k] = _extend(reader.receive(s), s)
                             k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = zz
-                        coeffs = block.reshape(8, 8) * q
-                        pixels = mt.T @ coeffs @ mt + 128.0
-                        y0 = (my * c.v + by) * 8
-                        x0 = (mx * c.h + bx) * 8
-                        planes[c.cid][y0 : y0 + 8, x0 : x0 + 8] = pixels
-    return _planes_to_pixels(comps, planes, hmax, vmax, width, height)
 
 
 def _planes_to_pixels(comps, planes, hmax, vmax, width, height):
@@ -696,8 +712,14 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes) -> bytes:
         r = np.zeros(64, dtype=np.int32)
         r[ZIGZAG] = zz
         q_raster.append(r.reshape(8, 8))
-    dc_tabs = [_HuffTable(*K3_DC_LUMA), _HuffTable(*K3_DC_CHROMA)]
-    ac_tabs = [_HuffTable(*K3_AC_LUMA), _HuffTable(*K3_AC_CHROMA)]
+    dc_tabs = [
+        _HuffTable(*K3_DC_LUMA, build_lut=False),
+        _HuffTable(*K3_DC_CHROMA, build_lut=False),
+    ]
+    ac_tabs = [
+        _HuffTable(*K3_AC_LUMA, build_lut=False),
+        _HuffTable(*K3_AC_CHROMA, build_lut=False),
+    ]
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
