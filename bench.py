@@ -185,6 +185,39 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # Ensure the persisted index layouts exist BEFORE the timed loop
+    # (CREATE INDEX semantics — the reference builds its bm25/vector
+    # indexes at index-creation time, never inside a query;
+    # vechord/client.py:158-171). The bm25/hybrid/ivf bench entries are
+    # documented steady-state query costs against these layouts; on a
+    # fresh warehouse the one-time build would otherwise be silently
+    # mis-attributed to whichever query touches the layout first
+    # (~11 s at sf0.1 landing on bm25_topk). Build cost is reported
+    # separately on stderr, and load_or_build makes this a ~0.3 s
+    # ledger check when the layouts already exist.
+    from vechord_spark import suite as _suite
+
+    for _name, _ensure in (
+        ("bm25_index", _suite._bm25_index),
+        ("ivf16_index", _suite._ivf16),
+        # the incremental funnel's day-1 close artifacts (seen fps,
+        # bands, bloom): corpus_funnel_incremental measures the DAY-2
+        # O(batch) wall by contract — day-1 persistence happens at
+        # day-1 close, not inside a day-2 query
+        ("funnel_day1", _suite._inc_seen),
+    ):
+        t0 = time.perf_counter()
+        try:
+            _ensure(spark, SF_DIR)
+        except Exception as exc:  # noqa: BLE001 - warmup must never void the run
+            print(f"# warmup {_name}: ERROR {exc}", file=sys.stderr)
+        else:
+            print(
+                f"# warmup {_name}: {time.perf_counter() - t0:.3f}s"
+                " (persisted layout ensured; steady-state entries below)",
+                file=sys.stderr,
+            )
+
     # --warm (or SPARK_GRAFT_WARM=1): time each query twice, report the
     # second run — steady-state cost with Janino/JIT compile excluded.
     # The driver's per-round number stays the default cold single-run.

@@ -219,3 +219,101 @@ def test_lost_publish_race_returns_winner(store, tmp_path, monkeypatch):
     assert raced == {"x": True}
     assert (out / "payload.txt").read_text() == "winner"
     assert not list(store.root.glob("art.tmp.*"))
+
+
+def test_orphaned_stale_and_tmp_of_dead_pid_are_swept(store, tmp_path):
+    """A builder that crashed between its two publish os.replace calls
+    leaves a .stale.{pid} (and possibly .tmp.{pid}) sibling only that
+    pid would clean. load_or_build sweeps them once the owner is dead
+    (ADVICE r9) — the warehouse never accumulates corpses."""
+    src = _src(tmp_path)
+    dead = 2**22 + 12345  # beyond pid_max defaults; ensure not alive
+    while True:
+        try:
+            os.kill(dead, 0)
+            dead += 1
+        except ProcessLookupError:
+            break
+        except PermissionError:
+            dead += 1
+    for suffix in (f"art.stale.{dead}", f"art.tmp.{dead}"):
+        d = store.root / suffix
+        d.mkdir(parents=True)
+        (d / "corpse.txt").write_text("x")
+    out = store.load_or_build(
+        "art", [src], {"v": 1}, lambda p: (p / "payload.txt").write_text("v1")
+    )
+    assert (out / "payload.txt").read_text() == "v1"
+    assert not list(store.root.glob("art.stale.*"))
+    assert not list(store.root.glob("art.tmp.*"))
+
+
+def test_inflight_tmp_of_live_pid_survives_sweep(store, tmp_path):
+    """The sweep must never rip a LIVE concurrent builder's tmp dir out
+    from under it — only dead pids are cleaned."""
+    import subprocess
+    import sys
+
+    child = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
+    try:
+        live = store.root / f"art.tmp.{child.pid}"
+        live.mkdir(parents=True)
+        (live / "half-built.txt").write_text("in flight")
+        store._sweep_orphans("art")
+        assert live.exists()
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_two_sessions_same_root_build_once(spark, tmp_path):
+    """The cross-session contract (round 10): a second SparkSession
+    pointed at the same warehouse root loads the first session's
+    layout from disk — zero rebuilds, byte-identical payload."""
+    src = _src(tmp_path)
+    calls = []
+
+    def build(p):
+        calls.append(1)
+        (p / "payload.txt").write_text("from-session-1")
+
+    s1 = ArtifactStore(spark, tmp_path / "wh")
+    p1 = s1.load_or_build("art", [src], {"v": 1}, build)
+    other = spark.newSession()
+    s2 = ArtifactStore(other, tmp_path / "wh")
+    p2 = s2.load_or_build("art", [src], {"v": 1}, build)
+    assert p1 == p2
+    assert len(calls) == 1
+    assert (p2 / "payload.txt").read_text() == "from-session-1"
+
+
+def test_two_sessions_interleaved_publish_no_corruption(spark, tmp_path):
+    """Two registries / sessions racing on the same artifact name: the
+    second session publishes a complete valid layout WHILE the first is
+    mid-build. The first's later publish must resolve to exactly one
+    winner with a valid ledger — never a merge, never a half-layout,
+    no orphan dirs — and a third call from either session loads
+    without rebuilding."""
+    src = _src(tmp_path)
+    s1 = ArtifactStore(spark, tmp_path / "wh")
+    s2 = ArtifactStore(spark.newSession(), tmp_path / "wh")
+
+    def build_b(p):
+        (p / "payload.txt").write_text("session-2")
+
+    def build_a(p):
+        # session 2 wins the race while session 1 is still building
+        s2.load_or_build("art", [src], {"v": 1}, build_b)
+        (p / "payload.txt").write_text("session-1")
+
+    out = s1.load_or_build("art", [src], {"v": 1}, build_a)
+    # one winner, wholesale (either is acceptable; never a merge)
+    assert (out / "payload.txt").read_text() in ("session-1", "session-2")
+    assert s1.is_valid("art", source_ledger([src]), {"v": 1})
+    assert not list(s1.root.glob("art.tmp.*"))
+    assert not list(s1.root.glob("art.stale.*"))
+    calls = []
+    again = s2.load_or_build(
+        "art", [src], {"v": 1}, lambda p: calls.append(1)
+    )
+    assert calls == [] and again == out

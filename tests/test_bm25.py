@@ -68,6 +68,38 @@ def test_bm25_query_term_dedup(corpus_df):
     assert once == twice
 
 
+def test_bm25_score_dedupes_terms_itself(corpus_df):
+    """score()'s unique-terms contract is ENFORCED, not assumed: a
+    duplicated term in the raw list must neither double its
+    contribution nor inflate the window-derived df/idf (ADVICE r9)."""
+    idx = Bm25Index(corpus_df, "doc_id", "text")
+    clean = {r.doc_id: r.score for r in idx.score(["quick", "fox"]).collect()}
+    duped = {
+        r.doc_id: r.score
+        for r in idx.score(["quick", "fox", "quick", "quick"]).collect()
+    }
+    assert clean == duped
+
+
+def test_bm25_index_and_oneshot_score_identically(corpus_df):
+    """The persisted-index path and the query-pruned one-shot are the
+    same scoring function on different plans — the suite's bm25_topk
+    entry (round 10) relies on this equality to reuse the one-shot's
+    oracle against the index plan."""
+    idx = Bm25Index(corpus_df, "doc_id", "text")
+    via_index = [
+        (r.doc_id, r.score, r.rank)
+        for r in idx.topk("quick fox dog", k=10).collect()
+    ]
+    via_oneshot = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_topk(
+            corpus_df, "doc_id", "text", "quick fox dog", k=10
+        ).collect()
+    ]
+    assert sorted(via_index) == sorted(via_oneshot)
+
+
 def test_bm25_empty_query_schema_stable(spark):
     """Empty-term queries return the same schema as non-empty ones:
     requested payload columns + actual doc-id type (ADVICE r1)."""

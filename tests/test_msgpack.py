@@ -213,8 +213,55 @@ def test_accept_q_zero_excludes_msgpack(svc):
         headers={"Accept": "application/msgpack;q=0, application/json"},
     )
     assert ctype == "application/json"
+    # msgpack at q=0.9 LOSES to json's default q=1.0 (round 10: q-value
+    # comparison replaced listing-order precedence, ADVICE r9)
     _, ctype, _ = svc.handle(
         "GET", "/api/table/document", {"uid": "9"},
         headers={"Accept": "application/msgpack;q=0.9, application/json"},
     )
-    assert ctype == "application/msgpack"
+    assert ctype == "application/json"
+
+
+def test_accept_q_values_not_listing_order(svc):
+    """RFC 9110 precedence is the q-value, not listing order: JSON
+    listed first at q=0.1 with msgpack at default q=1 must return
+    msgpack (ADVICE r9); equal q ties break toward JSON."""
+    svc.handle(
+        "POST", "/api/table/document",
+        body=json.dumps({"uid": 11, "title": "qv", "score": 0.0}).encode(),
+    )
+    cases = [
+        ("application/json;q=0.1, application/msgpack", "application/msgpack"),
+        ("application/msgpack;q=0.2, application/json;q=0.9", "application/json"),
+        ("application/msgpack;q=0.5, */*;q=0.1", "application/msgpack"),
+        # equal q -> JSON tie-break
+        ("application/msgpack, application/json", "application/json"),
+        ("*/*;q=0.3, application/x-msgpack;q=0.3", "application/json"),
+    ]
+    for accept, want in cases:
+        _, ctype, _ = svc.handle(
+            "GET", "/api/table/document", {"uid": "11"},
+            headers={"Accept": accept},
+        )
+        assert ctype == want, (accept, ctype)
+
+
+def test_deeply_nested_msgpack_body_is_422_not_thread_death(svc):
+    """A ~1 KB body of nested fixarray headers must come back as a 422
+    (depth-capped ValueError), never a RecursionError escaping the
+    transcode boundary (ADVICE r9)."""
+    bomb = b"\x91" * 1000 + b"\xc0"
+    status, _, body = svc.handle(
+        "POST", "/api/table/document", body=bomb,
+        headers={"Content-Type": "application/msgpack"},
+    )
+    assert status == 422 and b"msgpack" in body.lower()
+
+
+def test_depth_cap_allows_realistic_nesting():
+    """Round-trip at depth 100 still works — the cap only exists to
+    stay under the interpreter's recursion limit."""
+    v = None
+    for _ in range(100):
+        v = [v]
+    assert unpackb(packb(v)) == v

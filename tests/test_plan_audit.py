@@ -120,27 +120,114 @@ def test_knn_filtered_pushes_predicate_to_scan(spark):
     )
 
 
-def test_tpch_shapes_carry_no_forced_broadcast_hints(spark):
-    """The round-4 regression class: a forced F.broadcast() on a fact
-    table. AQE broadcasting a runtime-tiny filtered side is fine (and
-    happens at sf0.001) — what must never reappear is a HINT, which
-    would force the choice at 100x too. The analyzed plan shows hints
-    as ResolvedHint before the optimizer consumes them."""
-    # large_orders keeps ONE deliberate hint: broadcast(big), the
-    # HAVING-survivor aggregate (selective threshold over order
-    # totals) — the small-side broadcast the round-4 review prescribed.
-    allowed_hints = {"large_orders": 1}
-    for name in ("shipping_priority", "large_orders", "promo_revenue",
-                 "late_shipments", "order_priority_exists"):
-        analyzed = (
-            QUERIES[name](spark, SF)
-            ._jdf.queryExecution()
-            .analyzed()
-            .toString()
-        )
-        assert analyzed.count("ResolvedHint") <= allowed_hints.get(name, 0), (
-            f"{name}: forced join hint in the plan — let AQE decide"
-        )
+# All 22 TPC-H-shaped suite queries (Q1-Q22 coverage, round 9b/10).
+TPCH_SHAPES = (
+    "agg_pricing_summary",          # Q1
+    "min_cost_supplier",            # Q2
+    "shipping_priority",            # Q3
+    "order_priority_exists",        # Q4
+    "local_supplier_revenue",       # Q5
+    "revenue_forecast",             # Q6
+    "volume_shipping",              # Q7
+    "nation_market_share",          # Q8
+    "product_type_profit",          # Q9
+    "returned_item_customers",      # Q10
+    "partsupp_value_share",         # Q11
+    "late_shipments",               # Q12
+    "customer_order_distribution",  # Q13
+    "promo_revenue",                # Q14
+    "top_supplier",                 # Q15
+    "brand_supplier_diversity",     # Q16
+    "small_quantity_revenue",       # Q17
+    "large_orders",                 # Q18
+    "disjunctive_part_revenue",     # Q19
+    "excess_inventory_suppliers",   # Q20
+    "sole_late_supplier",           # Q21
+    "lost_customers_by_nation",     # Q22
+)
+
+# Tables whose row count is SF-proportional: forcing one onto the
+# build side of a broadcast is the 100x scale-killer this test bans.
+# nation (25 rows) and region (5 rows) are CONSTANT at every SF and
+# may be hinted freely.
+_SF_PROPORTIONAL_COLUMN_PREFIXES = ("l_", "o_", "ps_", "s_", "c_", "p_")
+
+
+def _hint_subtrees(analyzed: str) -> list[list[str]]:
+    """Each ResolvedHint node's subtree (list of node lines) parsed
+    from the analyzed-plan tree by drawing-char indentation."""
+    import re
+
+    lines = analyzed.splitlines()
+
+    def content_start(ln: str) -> int:
+        m = re.match(r"[\s:|+-]*", ln)
+        return m.end()
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln:
+            continue
+        depth = ln.index("ResolvedHint")
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if content_start(nxt) <= depth:
+                break
+            sub.append(nxt)
+        out.append(sub)
+    return out
+
+
+def _hint_is_scale_safe(subtree: list[str]) -> bool:
+    """A broadcast hint survives 100x iff its input is bounded BY
+    CONSTRUCTION: (a) an ungrouped (1-row scalar) aggregate — corpus
+    stats, HAVING thresholds, the _partsupp supplier-count scalar —
+    or (b) a relation set that never grows with SF (nation/region,
+    literal local relations)."""
+    import re
+
+    for ln in subtree:
+        m = re.search(r"\bAggregate \[", ln)
+        if m:
+            # grouped aggregates print `Aggregate [keys], [exprs]`;
+            # scalar ones print a single bracket list -> 1 row, safe
+            # regardless of what relations feed it
+            return "], [" not in ln
+    for ln in subtree:
+        if re.search(
+            r"Relation \[(%s)" % "|".join(_SF_PROPORTIONAL_COLUMN_PREFIXES), ln
+        ):
+            return False
+    return True
+
+
+@pytest.mark.parametrize("name", TPCH_SHAPES)
+def test_tpch_shapes_carry_no_forced_broadcast_hints(name, spark):
+    """The round-4 regression class: a forced F.broadcast() on an
+    SF-proportional table. AQE broadcasting a runtime-tiny filtered
+    side is fine (and happens at sf0.001) — what must never reappear
+    is a HINT on a relation that grows with the data, which would
+    force the choice at 100x too. Round 10 extends this from five
+    shapes to all 22 and classifies each hint's input subtree instead
+    of counting: constant dims (nation/region) and 1-row scalar
+    aggregates stay hintable; supplier/customer/part/fact hints fail.
+    The analyzed plan shows hints as ResolvedHint before the optimizer
+    consumes them."""
+    # large_orders keeps ONE deliberate unsafe-looking hint:
+    # broadcast(big), the HAVING-survivor aggregate (grouped on
+    # l_orderkey but cut by a selective threshold over order totals) —
+    # the semi-join-reduction broadcast the round-4 review prescribed.
+    allowed_unsafe = {"large_orders": 1}
+    analyzed = (
+        QUERIES[name](spark, SF)._jdf.queryExecution().analyzed().toString()
+    )
+    unsafe = [
+        sub for sub in _hint_subtrees(analyzed) if not _hint_is_scale_safe(sub)
+    ]
+    assert len(unsafe) <= allowed_unsafe.get(name, 0), (
+        f"{name}: forced join hint on an SF-proportional relation — "
+        f"let AQE decide. Offending subtree head: {unsafe[0][:3]}"
+    )
 
 
 def test_matryoshka_estimate_stage_is_bounded_heap(spark):

@@ -643,13 +643,13 @@ def test_bmp_bitfields_masks():
 from vechord_spark.sources.rasters import gif_frames  # noqa: E402
 
 
-def _write_animated_gif(width, height, palette, frames):
+def _write_animated_gif(width, height, palette, frames, bg=0):
     """``frames``: list of dicts with keys idx (full-canvas or rect
     indices), rect (left, top, w, h), delay_cs, transparent (index or
-    None), disposal."""
+    None), disposal. ``bg``: logical-screen background color index."""
     bits = max(1, (len(palette) - 1).bit_length())
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), bg, 0)
     out += b"".join(bytes(c) for c in palette).ljust((2 << (bits - 1)) * 3, b"\x00")
     min_code = max(2, bits)
     for f in frames:
@@ -702,6 +702,9 @@ def test_gif_animation_compositing():
 
 
 def test_gif_disposal_background_clears_rect():
+    """Disposal 2 restores to the logical-screen BACKGROUND COLOR
+    (global-palette RGB of the header's bg index — here pal[0]), not
+    to black (ADVICE r9)."""
     pal = [(9, 9, 9), (255, 255, 255)]
     data = _write_animated_gif(2, 2, pal, [
         {"idx": bytes([1, 1, 1, 1]), "disposal": 2, "delay_cs": 1},
@@ -710,7 +713,31 @@ def test_gif_disposal_background_clears_rect():
     _, _, frames = gif_frames(data)
     f1 = np.frombuffer(frames[1][1], np.uint8).reshape(2, 2, 3)
     assert tuple(f1[0, 0]) == pal[1]  # redrawn
-    assert tuple(f1[1, 1]) == (0, 0, 0)  # cleared to background
+    assert tuple(f1[1, 1]) == pal[0]  # cleared to background color
+
+
+def test_gif_disposal_background_nonzero_index():
+    """Non-zero bg index resolves through the global palette; an
+    out-of-range index falls back to black instead of raising."""
+    pal = [(1, 2, 3), (255, 255, 255), (40, 80, 120), (7, 7, 7)]
+    data = _write_animated_gif(2, 2, pal, [
+        {"idx": bytes([1, 1, 1, 1]), "disposal": 2, "delay_cs": 1},
+        {"idx": bytes([1]), "rect": (0, 0, 1, 1), "delay_cs": 1},
+    ], bg=2)
+    _, _, frames = gif_frames(data)
+    f1 = np.frombuffer(frames[1][1], np.uint8).reshape(2, 2, 3)
+    assert tuple(f1[1, 0]) == pal[2]
+    # bg index beyond the written palette entries -> black fallback
+    # (palette is padded to a power of two with zeros, so use an index
+    # past the PADDED table by keeping the palette maximal)
+    pal4 = [(5, 5, 5)] * 4
+    data2 = _write_animated_gif(2, 2, pal4, [
+        {"idx": bytes([1, 1, 1, 1]), "disposal": 2, "delay_cs": 1},
+        {"idx": bytes([1]), "rect": (0, 0, 1, 1), "delay_cs": 1},
+    ], bg=200)
+    _, _, frames2 = gif_frames(data2)
+    f2 = np.frombuffer(frames2[1][1], np.uint8).reshape(2, 2, 3)
+    assert tuple(f2[1, 0]) == (0, 0, 0)
 
 
 def test_sample_video_frames_animated_gif():

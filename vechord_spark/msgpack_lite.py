@@ -147,7 +147,20 @@ def _pack_int(out: bytearray, v: int) -> None:
         raise OverflowError(f"int out of msgpack 64-bit range: {v}")
 
 
-def _unpack_from(buf: memoryview, pos: int) -> tuple[Any, int]:
+_MAX_DEPTH = 128
+
+
+def _unpack_from(buf: memoryview, pos: int, depth: int = 0) -> tuple[Any, int]:
+    if depth > _MAX_DEPTH:
+        # 128 levels is far beyond any real document, and SMALL enough
+        # that the cap fires before CPython's own ~1000-frame recursion
+        # limit (each level costs two frames here, and the service may
+        # already be several frames deep): a ~1 KB body of nested
+        # fixarray headers would otherwise drive
+        # Python past its recursion limit — RecursionError escapes the
+        # transcode boundary's ValueError handler and kills the request
+        # thread (ADVICE r9). Depth-capped, it is a plain 422.
+        raise ValueError(f"msgpack nesting exceeds {_MAX_DEPTH} levels")
     if pos >= len(buf):
         raise ValueError("truncated msgpack data")
     b = buf[pos]
@@ -159,9 +172,9 @@ def _unpack_from(buf: memoryview, pos: int) -> tuple[Any, int]:
     if 0xA0 <= b <= 0xBF:  # fixstr
         return _take_str(buf, pos, b & 0x1F)
     if 0x90 <= b <= 0x9F:  # fixarray
-        return _take_array(buf, pos, b & 0x0F)
+        return _take_array(buf, pos, b & 0x0F, depth)
     if 0x80 <= b <= 0x8F:  # fixmap
-        return _take_map(buf, pos, b & 0x0F)
+        return _take_map(buf, pos, b & 0x0F, depth)
     if b == 0xC0:
         return None, pos
     if b == 0xC2:
@@ -201,13 +214,13 @@ def _unpack_from(buf: memoryview, pos: int) -> tuple[Any, int]:
     if b == 0xDB:
         return _take_str(buf, pos + 4, _u(buf, pos, ">I"))
     if b == 0xDC:
-        return _take_array(buf, pos + 2, _u(buf, pos, ">H"))
+        return _take_array(buf, pos + 2, _u(buf, pos, ">H"), depth)
     if b == 0xDD:
-        return _take_array(buf, pos + 4, _u(buf, pos, ">I"))
+        return _take_array(buf, pos + 4, _u(buf, pos, ">I"), depth)
     if b == 0xDE:
-        return _take_map(buf, pos + 2, _u(buf, pos, ">H"))
+        return _take_map(buf, pos + 2, _u(buf, pos, ">H"), depth)
     if b == 0xDF:
-        return _take_map(buf, pos + 4, _u(buf, pos, ">I"))
+        return _take_map(buf, pos + 4, _u(buf, pos, ">I"), depth)
     raise ValueError(f"unsupported msgpack type byte 0x{b:02x}")
 
 
@@ -239,18 +252,18 @@ def _take_bin(buf: memoryview, pos: int, n: int) -> tuple[bytes, int]:
     return bytes(buf[pos : pos + n]), pos + n
 
 
-def _take_array(buf: memoryview, pos: int, n: int) -> tuple[list, int]:
+def _take_array(buf: memoryview, pos: int, n: int, depth: int = 0) -> tuple[list, int]:
     out = []
     for _ in range(n):
-        item, pos = _unpack_from(buf, pos)
+        item, pos = _unpack_from(buf, pos, depth + 1)
         out.append(item)
     return out, pos
 
 
-def _take_map(buf: memoryview, pos: int, n: int) -> tuple[dict, int]:
+def _take_map(buf: memoryview, pos: int, n: int, depth: int = 0) -> tuple[dict, int]:
     out = {}
     for _ in range(n):
-        k, pos = _unpack_from(buf, pos)
-        v, pos = _unpack_from(buf, pos)
+        k, pos = _unpack_from(buf, pos, depth + 1)
+        v, pos = _unpack_from(buf, pos, depth + 1)
         out[k] = v
     return out, pos

@@ -137,24 +137,32 @@ class Bm25Index:
         idx.doclen = doclen
         idx.docfreq = docfreq
         idx.stats = stats
+        idx._from_frames = True  # see persist(): skip the count()
         return idx
 
-    def persist(self, eager: bool = True) -> "Bm25Index":
-        """Cache the index frames. ``eager`` materializes the postings
-        immediately: a first query's plan references the postings from
-        THREE branches (matched terms, docfreq, stats), and with a cold
-        cache those branches race — each recomputes the
-        tokenize+explode+shuffle before any block lands. One count()
-        fills the cache so every branch (and every later query) reads
-        it. The 1-row corpus stats are collected here too: query plans
-        then inline n_docs/avgdl as LITERALS instead of paying a
-        broadcast-exchange job per query (round 9 — measured ~0.4 s/
-        query at sf0.1)."""
+    def persist(self, eager: bool = True, materialize: bool | None = None) -> "Bm25Index":
+        """Cache the index frames. ``eager`` collects the 1-row corpus
+        stats so query plans inline n_docs/avgdl as LITERALS instead of
+        paying a broadcast-exchange job per query (round 9 — measured
+        ~0.4 s/query at sf0.1).
+
+        ``materialize`` additionally forces the postings cache with a
+        count(). Default: only when the postings are a COMPUTED plan
+        (fresh ``Bm25Index(df, ...)`` build) — there the docfreq branch
+        and the matched-terms branch of a first query would otherwise
+        race on a cold cache and each recompute the tokenize+shuffle.
+        Frames loaded from a persisted layout (``from_frames``) skip
+        it: the parquet on disk IS the materialization, and the first
+        query fills the cache in one cheap scan (round 10 — the skip
+        cuts the suite's cold bm25_topk load path by ~2 s)."""
         self.postings.persist()
         self.doclen.persist()
         self.docfreq.persist()
+        if materialize is None:
+            materialize = not getattr(self, "_from_frames", False)
         if eager:
-            self.postings.count()
+            if materialize:
+                self.postings.count()
             row = self.stats.first()
             self._stats_row = (int(row["n_docs"]), float(row["avgdl"]))
         return self
@@ -166,32 +174,67 @@ class Bm25Index:
         rank stability. Unique terms contribute once each (query term
         frequency is ignored, the common IR default).
         """
+        # enforce the unique-terms contract here rather than assuming
+        # the caller deduped: a duplicated term would double its
+        # contribution (and inflate df under the r9 window derivation;
+        # ADVICE r9)
+        terms = list(dict.fromkeys(terms))
         spark = self.postings.sparkSession
-        qterms = spark.createDataFrame([(t,) for t in terms], "term string")
         k1, b = self.k1, self.b
-        matched = self.postings.join(F.broadcast(qterms), "term")
-        if "dl" not in self.postings.columns:
-            # compat: postings persisted before dl folding — pay the
-            # doclen join (build_keyword_index again to upgrade the layout)
-            matched = matched.join(self.doclen, "doc_id")
-        # df derived IN-PLAN from the matched postings themselves: the
-        # postings hold one row per (term, doc), so a per-term count
-        # window over the query-pruned frame IS the document frequency
-        # — identical to the docfreq table by construction, and the
-        # query plan touches ONE source relation instead of three
-        # (round 9; the docfreq table remains the persisted derived
-        # layout that extend_keyword_index merges incrementally).
-        from pyspark.sql import Window
-
-        matched = matched.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
         stats_row = getattr(self, "_stats_row", None)
-        if stats_row is not None:
-            scored = matched.withColumn(
-                "n_docs", F.lit(stats_row[0])
-            ).withColumn("avgdl", F.lit(stats_row[1]))
+        if stats_row is not None and terms:
+            # FAST PATH (eager/persisted index — round 10): this is
+            # what a search engine does with its term dictionary. The
+            # per-term df values come from ONE driver-side lookup
+            # against the docfreq table (an IN-filter that pushes into
+            # the parquet scan of a vocab-sized relation), and df /
+            # n_docs / avgdl all inline as LITERALS. The query is then
+            # a single job — postings scan with the term IN-predicate
+            # PUSHED to parquet, a codegen score projection, one
+            # doc_id aggregate — instead of two broadcast exchanges +
+            # a stats job per query (cold first-query 4.2 s -> ~1.5 s
+            # at sf0.1; warm ~0.4 s). At 100 TB the pushed IN-filter
+            # also prunes postings row groups by the term column's
+            # min/max stats.
+            df_map = {
+                r["term"]: int(r["df"])
+                for r in self.docfreq.filter(F.col("term").isin(*terms)).collect()
+            }
+            present = [t for t in terms if t in df_map]
+            if not present:
+                return (
+                    self.postings.select(F.col("doc_id"))
+                    .limit(0)
+                    .withColumn("score", F.lit(None).cast("double"))
+                )
+            matched = self.postings.filter(F.col("term").isin(*present))
+            if "dl" not in self.postings.columns:
+                matched = matched.join(self.doclen, "doc_id")
+            df_col = F.element_at(
+                F.create_map(
+                    *[x for t in present for x in (F.lit(t), F.lit(df_map[t]))]
+                ),
+                F.col("term"),
+            )
+            scored = (
+                matched.withColumn("df", df_col)
+                .withColumn("n_docs", F.lit(stats_row[0]))
+                .withColumn("avgdl", F.lit(stats_row[1]))
+            )
         else:
+            # general path (lazy / un-collected index): qterms and the
+            # PRUNED docfreq ride as broadcasts — no term-keyed shuffle
+            # of matched postings anywhere (the r9 count-window put one
+            # in every query; hot terms are the skewed keys by
+            # definition). df stays exact for any input.
+            qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+            matched = self.postings.join(F.broadcast(qterms), "term")
+            if "dl" not in self.postings.columns:
+                # compat: postings persisted before dl folding — pay the
+                # doclen join (build_keyword_index again to upgrade)
+                matched = matched.join(self.doclen, "doc_id")
+            pruned_df = self.docfreq.join(F.broadcast(qterms), "term")
+            matched = matched.join(F.broadcast(pruned_df), "term")
             scored = matched.crossJoin(F.broadcast(self.stats))
         scored = (
             scored.withColumn(

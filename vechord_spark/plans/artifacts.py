@@ -33,6 +33,33 @@ from pyspark.sql import SparkSession
 
 _META = "meta.json"
 
+# process-wide monotonic build counter (see load_or_build's tmp naming)
+import itertools as _itertools
+
+_BUILD_SEQ = _itertools.count()
+
+
+def _rm_if_owner_dead(d: Path) -> None:
+    """Delete a ``*.tmp.{pid}`` / ``*.stale.{pid}`` sibling iff the pid
+    that owns it is gone (kill -0 probe). Unparseable suffixes are left
+    alone rather than guessed at."""
+    try:
+        # suffix is `{pid}` (pre-r10 dirs) or `{pid}-{seq}` (r10+:
+        # the seq disambiguates two stores in ONE process racing on
+        # the same artifact name — pid-only tmp names collide and the
+        # later builder would rmtree the earlier one's in-flight dir)
+        pid = int(d.name.rsplit(".", 1)[-1].split("-", 1)[0])
+    except ValueError:
+        return
+    try:
+        os.kill(pid, 0)
+        return  # owner alive: an in-flight build, not an orphan
+    except ProcessLookupError:
+        pass
+    except PermissionError:
+        return  # alive under another uid
+    shutil.rmtree(d, ignore_errors=True)
+
 
 def warehouse_root(spark: SparkSession) -> Path:
     """The session warehouse dir as a local path — the engine's one
@@ -93,6 +120,20 @@ class ArtifactStore:
             params
         )
 
+    def _sweep_orphans(self, name: str) -> None:
+        """Remove ``{name}.stale.{pid}`` / ``{name}.tmp.{pid}`` siblings
+        left by a builder that CRASHED mid-publish (a crash between the
+        two os.replace calls leaves a .stale dir only its own — now
+        dead — pid would otherwise clean; ADVICE r9). A sibling is
+        swept only when its owning pid is no longer alive, so a live
+        concurrent builder's tmp dir is never pulled out from under it."""
+        if not self.root.is_dir():
+            return
+        for d in self.root.glob(f"{name}.stale.*"):
+            _rm_if_owner_dead(d)
+        for d in self.root.glob(f"{name}.tmp.*"):
+            _rm_if_owner_dead(d)
+
     def load_or_build(
         self,
         name: str,
@@ -100,13 +141,24 @@ class ArtifactStore:
         params: Mapping[str, object],
         build: Callable[[Path], None],
     ) -> Path:
+        """Concurrency contract: publishes are atomic (single
+        ``os.replace``) so a reader never sees a HALF-built layout —
+        but when a stale layout is REPLACED, cross-process readers can
+        observe ``final`` momentarily absent between the two replaces
+        (stale-aside, then tmp-in). Same-process callers are safe (this
+        method re-validates); independent readers should treat a
+        missing dir as "rebuild in progress" and re-call load_or_build,
+        which either finds the winner or rebuilds."""
         final = self.path(name)
+        self._sweep_orphans(name)
         sources = source_ledger(source_paths)
         if self.is_valid(name, sources, params):
             return final
-        tmp = final.with_name(f"{final.name}.tmp.{os.getpid()}")
-        if tmp.exists():
-            shutil.rmtree(tmp)
+        # pid-AND-sequence suffix: two builders in the same process
+        # (two registries on one warehouse, nested or threaded) must
+        # not share a tmp dir — a pid-only name lets the second
+        # builder rmtree the first's in-flight build
+        tmp = final.with_name(f"{final.name}.tmp.{os.getpid()}-{next(_BUILD_SEQ)}")
         tmp.mkdir(parents=True)
         try:
             build(tmp)
@@ -122,7 +174,9 @@ class ArtifactStore:
                     # crash between the two replaces leaves no final dir
                     # and no meta.json, so the next call rebuilds —
                     # self-healing, never a half-valid layout.
-                    stale = final.with_name(f"{final.name}.stale.{os.getpid()}")
+                    stale = final.with_name(
+                        f"{final.name}.stale.{os.getpid()}-{next(_BUILD_SEQ)}"
+                    )
                     os.replace(final, stale)
                     os.replace(tmp, final)
                     shutil.rmtree(stale, ignore_errors=True)

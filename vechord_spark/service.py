@@ -349,29 +349,34 @@ def _is_msgpack(content_type: str) -> bool:
 
 
 def _accepts_msgpack(accept: str) -> bool:
-    """True when the Accept header PREFERS msgpack: any msgpack media
-    type listed before (or without) a JSON alternative, unless the
-    client excluded it with ``q=0`` (RFC 9110 "not acceptable").
-    ``*/*`` and absent headers keep JSON — the negotiation never
-    surprises a plain client."""
+    """True when the Accept header PREFERS msgpack by RFC 9110 quality
+    factors: parse every media type's q-value and compare the highest-q
+    msgpack entry against the highest-q JSON-capable entry
+    (``application/json``, ``application/*``, ``*/*``), tie-breaking
+    toward JSON (ADVICE r9 — listing order is NOT precedence:
+    ``application/json;q=0.1, application/msgpack`` must return
+    msgpack). ``q=0`` excludes; absent headers keep JSON — the
+    negotiation never surprises a plain client."""
+    best_mp = 0.0
+    best_json = 0.0
     for part in accept.split(","):
         mt, _, params = part.partition(";")
         mt = mt.strip().lower()
+        if not mt:
+            continue
         q = 1.0
         for p in params.split(";"):
             k, _, v = p.partition("=")
             if k.strip().lower() == "q":
                 try:
-                    q = float(v.strip())
+                    q = max(0.0, min(1.0, float(v.strip())))
                 except ValueError:
                     q = 1.0
         if mt in _MSGPACK_TYPES:
-            if q <= 0.0:
-                return False
-            return True
-        if mt in ("application/json", "*/*") and q > 0.0:
-            return False
-    return False
+            best_mp = max(best_mp, q)
+        elif mt in ("application/json", "application/*", "*/*"):
+            best_json = max(best_json, q)
+    return best_mp > 0.0 and best_mp > best_json
 
 
 def _decode_json(body: bytes | None) -> Any:

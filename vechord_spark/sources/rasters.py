@@ -118,7 +118,7 @@ def gif_frames(
     counting / first-frame decode)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
-    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, flags, bg_index, _aspect = struct.unpack("<HHBBB", data[6:13])
     check_dims(sw, sh, "GIF")
     pos = 13
     global_pal = b""
@@ -126,6 +126,16 @@ def gif_frames(
         n = 2 << (flags & 0x07)
         global_pal = data[pos : pos + 3 * n]
         pos += 3 * n
+    # disposal-2 fill color: the logical-screen background index
+    # resolved through the GLOBAL color table (GIF89a spec; ADVICE r9
+    # — zero-fill differed from reference renderers on non-black
+    # backgrounds). Without a global table, or with an out-of-range
+    # index, black stays the documented fallback (also what browsers
+    # render when they treat disposal-2 as restore-to-transparent over
+    # a dark page).
+    bg_rgb = (0, 0, 0)
+    if global_pal and 3 * bg_index + 3 <= len(global_pal):
+        bg_rgb = tuple(global_pal[3 * bg_index : 3 * bg_index + 3])
     canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
     frames: list[tuple[int, bytes]] = []
     # aggregate output cap: each composited frame is a full canvas, so
@@ -219,8 +229,8 @@ def gif_frames(
         frames.append((delay_ms, canvas.tobytes()))
         if max_frames is not None and len(frames) >= max_frames:
             return sw, sh, frames
-        if disposal == 2:  # restore the frame rect to background
-            canvas[top : top + vh, left : left + vw] = 0
+        if disposal == 2:  # restore the frame rect to background color
+            canvas[top : top + vh, left : left + vw] = bg_rgb
         elif disposal == 3 and before is not None:
             canvas = before
         delay_ms = 0

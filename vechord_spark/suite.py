@@ -27,7 +27,6 @@ from vechord_spark.functions import text as TX
 from vechord_spark.functions.vector import cosine_distance, l2_distance, negative_dot
 from vechord_spark.operators import dedup as DD
 from vechord_spark.operators import quality as QL
-from vechord_spark.operators.bm25 import bm25_topk as bm25_oneshot
 from vechord_spark.operators.chunk import fixed_size_chunks
 from vechord_spark.operators.fusion import rrf_topk
 from vechord_spark.operators.knn import knn_join
@@ -186,15 +185,19 @@ def agg_pricing_summary(spark, sf_dir):
     """,
 )
 def join_revenue_by_nation(spark, sf_dir):
-    """Multi-join aggregate. customer/nation/region are dimension
-    tables — broadcast them so the orders fact never shuffles for the
-    join (one shuffle total, for the final groupBy)."""
+    """Multi-join aggregate. nation/region are CONSTANT dims (25/5
+    rows at any SF) and carry broadcast hints; customer is
+    SF-proportional, so its join strategy is AQE's call — broadcast at
+    bench SF where it fits the threshold, shuffled at 100 TB where a
+    15M-row customer would OOM the driver (round-10: hint dropped per
+    the no-forced-hint rule). Orders never builds a hash table; the
+    one guaranteed shuffle is the final groupBy."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -411,14 +414,21 @@ _BM25_ORACLE = _bm25_oracle_sql(_BM25_TERMS)
 @_q("bm25_topk", _BM25_ORACLE)
 def bm25_topk_documents(spark, sf_dir):
     """K3 BM25 keyword top-k over the documents table (Robertson idf,
-    k1=1.2 b=0.75), via the one-shot query-pruned plan: tokens are
-    filtered to the query terms BEFORE the postings shuffle, so 99%+ of
-    the (term, doc_id) volume never reaches an exchange — the plan that
-    survives a 100 TB corpus for ad-hoc queries. The prebuilt
-    ``Bm25Index`` (full postings, amortized across many queries) scores
-    identically and is covered by tests/test_bm25.py."""
-    docs = _t(spark, sf_dir, "documents")
-    return bm25_oneshot(docs, "doc_id", "text", BM25_QUERY, k=10)
+    k1=1.2 b=0.75). Round 10: routed through the PERSISTED postings
+    layout (``_bm25_index`` — the ArtifactStore disk artifact the
+    suite already builds), matching the reference's CREATE INDEX
+    semantics where a corpus is never re-tokenized per query
+    (vechord/client.py:158-171): the cold cost is a ~0.3 s parquet
+    load + a broadcast-pruned postings scan instead of a full
+    tokenize+shuffle (3.66 s -> ~1 s at sf0.1). Scores are identical
+    to the one-shot query-pruned plan by construction (same formula,
+    same rounding; tests/test_bm25.py pins index-vs-oneshot equality),
+    so the oracle is unchanged. The ad-hoc one-shot path
+    (operators/bm25.bm25_topk — tokens pruned to the query terms
+    BEFORE any shuffle, the right plan when no index exists) remains
+    covered by tests/test_bm25.py, including index-vs-oneshot score
+    equality."""
+    return _bm25_index(spark, sf_dir).topk(BM25_QUERY, k=10)
 
 
 # steady-state keyword search: the postings/docfreq/stats tables are built
@@ -4097,11 +4107,15 @@ def min_cost_supplier(spark, sf_dir):
     offering the minimum supply cost — the correlated min-subquery,
     expressed as a per-part window min over the region-eligible rows
     (Catalyst plans the same aggregation; the window runs AFTER the
-    part filter, so only qualifying parts' rows shuffle). Supplier/
-    nation/region and the filtered part list are broadcast — the only
-    exchange is the window's ps_partkey hash, sized by the filtered
-    eligible rows, which is the plan that survives a billion-row
-    partsupp."""
+    part filter, so only qualifying parts' rows shuffle). Only the
+    CONSTANT dims (nation/region, 25/5 rows at every SF) carry
+    broadcast hints; supplier and the filtered part list are
+    SF-proportional, so their join strategy is left to AQE's size
+    statistics — broadcast at bench SF, shuffled at 100 TB where
+    supplier alone is 100+ MB (round-10 fix; rule at
+    local_supplier_revenue's docstring). The only guaranteed exchange
+    is the window's ps_partkey hash, sized by the filtered eligible
+    rows, which is the plan that survives a billion-row partsupp."""
     from pyspark.sql import Window
 
     ps = _partsupp(spark, sf_dir)
@@ -4114,9 +4128,9 @@ def min_cost_supplier(spark, sf_dir):
         .select(F.col("p_partkey").cast("bigint").alias("ps_partkey"), "p_type")
     )
     eligible = (
-        ps.join(F.broadcast(parts), "ps_partkey")
+        ps.join(parts, "ps_partkey")
         .join(
-            F.broadcast(sup.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+            sup.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
             F.col("ps_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -4169,14 +4183,16 @@ def partsupp_value_share(spark, sf_dir):
     (TPC-H's fixed fraction degenerates as part count grows; the
     average form is scale-free). Value is summed in integer CENTS so
     both engines aggregate exactly — no float-order drift can touch
-    the HAVING boundary. Plan: broadcast dims, one ps_partkey
-    aggregate exchange, and the 1-row total crossJoined back."""
+    the HAVING boundary. Plan: constant dims (nation/region) hinted,
+    supplier left to AQE (SF-proportional — round-10 hint removal),
+    one ps_partkey aggregate exchange, and the 1-row total
+    crossJoined back."""
     ps = _partsupp(spark, sf_dir)
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     ps_n = (
-        ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        ps.join(sup, F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
             F.broadcast(reg.select("r_regionkey")),
@@ -4235,7 +4251,8 @@ def excess_inventory_suppliers(spark, sf_dir):
     supplier/nation. Quantity sums are whole-number doubles (exact in
     IEEE), so the 0.5x comparison cannot drift between engines. Plan:
     lineitem aggregates once on (partkey, suppkey); the part-name
-    filter is a broadcast semi-join BEFORE that join; the final
+    filter is a semi-join BEFORE that join (AQE broadcasts it at bench
+    SF; part is SF-proportional so no forced hint — round 10); the final
     suppliers list is a left-semi against the distinct qualifying
     keys — no fact-table row ever widens."""
     ps = _partsupp(spark, sf_dir)
@@ -4257,7 +4274,7 @@ def excess_inventory_suppliers(spark, sf_dir):
         .select(F.col("p_partkey").cast("bigint").alias("ps_partkey"))
     )
     qualified = (
-        ps.join(F.broadcast(small_parts), "ps_partkey", "left_semi")
+        ps.join(small_parts, "ps_partkey", "left_semi")
         .join(lq, ["ps_partkey", "ps_suppkey"])
         .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("__qty"))
         .select("ps_suppkey")
@@ -4668,8 +4685,10 @@ def top_supplier(spark, sf_dir):
     revenue frame crossJoined with its own 1-row max (broadcast by
     construction) and filtered on exact DECIMAL equality, so the
     argmax is order-independent and returns ALL tied suppliers, as the
-    spec requires. One shuffle (the suppkey rollup); supplier is a
-    broadcast dim."""
+    spec requires. One shuffle (the suppkey rollup); supplier's join
+    strategy is AQE's call (SF-proportional, no forced hint — round
+    10; the tie-survivor side is runtime-tiny so AQE broadcasts THAT
+    at every SF)."""
     line = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
@@ -4689,7 +4708,7 @@ def top_supplier(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total") == F.col("__mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -7062,12 +7081,20 @@ _WINDOW_PRIORITY = [
     "product_type_profit",
     "returned_item_customers",
     # vector / ANN
+    # Round-10 rotation: ivf_knn OUT — it is approximate by design
+    # (err:no_oracle, the one permanent non-green row in r1-r9
+    # correctness files); its witnesses are the two in-window EXACT
+    # recall gates below, the same policy already applied to
+    # semdedup_ivf_survivors. ivf_knn stays registered and rows-only
+    # checked past the window. IN: top_supplier (Q15 — plan changed
+    # this round: forced supplier broadcast dropped per the
+    # no-forced-hint rule, so the new plan earns a driver check).
     "knn_cosine",
     "knn_filtered",
     "maxsim_by_label",
-    "ivf_knn",
     "ivf_recall",
     "ivf_recall_expanded",
+    "top_supplier",
     # keyword / hybrid search
     "bm25_topk",
     "sparse_knn",
