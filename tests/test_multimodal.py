@@ -129,13 +129,20 @@ def test_unsupported_format_without_pillow_raises_not_implemented():
         pytest.skip("Pillow installed; the fallback path is real here")
     except ImportError:
         pass
+    # a WELL-FORMED lossy (VP8) webp env-gates; VP8L decodes for real
+    # as of round 10 (tests/test_vp8l.py)
+    import struct as _s
+
+    lossy = b"RIFF" + _s.pack("<I", 12) + b"WEBP" + b"VP8 " + _s.pack("<I", 0)
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
-    # malformed JPEG/GIF are decode ERRORS now, not missing deps
+        decode_image(lossy)
+    # malformed JPEG/GIF/WEBP are decode ERRORS now, not missing deps
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
     with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # truncated chunk
 
 
 def test_media_feature_plumbing_still_deterministic(spark):

@@ -246,7 +246,8 @@ def decode_image(data: bytes) -> DecodedImage:
     (sources/jpeg.py, round 9 — this was the "JPEG-heavy corpora need
     Pillow" gap); GIF/BMP/netpbm/TIFF/Sun-Raster/SGI/XBM decode with
     sources/rasters.py.
-    Remaining formats (WebP/arithmetic-coded JPEG, ...) go
+    WebP-lossless (VP8L) decodes with sources/vp8l.py (round 10).
+    Remaining formats (lossy-VP8 WebP, arithmetic-coded JPEG, ...) go
     through Pillow when installed and raise ``NotImplementedError``
     otherwise."""
     codec = None
@@ -270,6 +271,11 @@ def decode_image(data: bytes) -> DecodedImage:
         from vechord_spark.sources.rasters import decode_sgi as codec
     elif data[:8] == b"#define ":
         from vechord_spark.sources.rasters import decode_xbm as codec
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # lossless (VP8L) decodes dependency-free (round 10); lossy
+        # VP8 raises NotImplementedError inside and falls through to
+        # the Pillow env-gate below
+        from vechord_spark.sources.vp8l import decode_webp_lossless as codec
     if codec is not None:
         try:
             return DecodedImage(*codec(data))
