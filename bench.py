@@ -200,6 +200,7 @@ def main() -> None:
     for _name, _ensure in (
         ("bm25_index", _suite._bm25_index),
         ("ivf16_index", _suite._ivf16),
+        ("ivfpq_index", _suite._ivfpq),
         # the incremental funnel's day-1 close artifacts (seen fps,
         # bands, bloom): corpus_funnel_incremental measures the DAY-2
         # O(batch) wall by contract — day-1 persistence happens at

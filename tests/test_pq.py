@@ -145,3 +145,45 @@ def test_encode_partitioning_invariant(spark, emb):
         for r in encode_pq(emb.repartition(7), "embedding", book).collect()
     }
     assert a == b
+
+
+def test_pq_artifact_layout_roundtrip(spark, tmp_path, monkeypatch):
+    """The suite's IVF-PQ disk layout (round 10): a second session
+    LOADS the codebooks + encoded codes without retraining, and the
+    loaded index answers searches identically to the one that built
+    the layout (seeded kmeans++ on fixed data is deterministic)."""
+    from vechord_spark import suite
+    from vechord_spark.operators import pq as PQ
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(
+        "vechord_spark.plans.artifacts.warehouse_root", lambda s: tmp_path
+    )
+    suite._PQ_CACHE.clear()
+    idx1 = suite._ivfpq(spark, sf)
+    got1 = [
+        (r.vec_id, round(r.distance, 6))
+        for r in idx1.search(
+            suite.QVEC, k=10, probes=4, refine=100,
+            distance="cos", select=["vec_id"], tie_break="vec_id",
+        ).collect()
+    ]
+    # second "session": cleared memo, poisoned train -> must LOAD
+    suite._PQ_CACHE.clear()
+
+    def boom(*a, **k):  # pragma: no cover - failure is the assertion
+        raise AssertionError("layout present: train_pq must not run")
+
+    monkeypatch.setattr(PQ, "train_pq", boom)
+    monkeypatch.setattr("vechord_spark.suite.train_pq", boom, raising=False)
+    idx2 = suite._ivfpq(spark, sf)
+    got2 = [
+        (r.vec_id, round(r.distance, 6))
+        for r in idx2.search(
+            suite.QVEC, k=10, probes=4, refine=100,
+            distance="cos", select=["vec_id"], tie_break="vec_id",
+        ).collect()
+    ]
+    assert got1 == got2
+    assert (idx2.book.codebooks == idx1.book.codebooks).all()
+    suite._PQ_CACHE.clear()

@@ -3051,17 +3051,55 @@ _PQ_CACHE: dict = {}
 def _ivfpq(spark, sf_dir):
     """IVF-PQ index memoized per (session, corpus): reuses the _ivf16
     centroids/assignment (one KMeans) and adds the m=8 x ksub=16 PQ
-    codebooks + encoded codes, persisted like the IVF assignment."""
+    codebooks + encoded codes. Round 10: the codebooks + encoded code
+    column persist as an ArtifactStore DISK layout like _ivf16 and the
+    BM25 postings — the PQ train/encode is CREATE INDEX work, paid
+    once per corpus, and a loaded index is bit-identical to a rebuilt
+    one (seeded kmeans++ on fixed data; pinned by
+    tests/test_pq.py::test_pq_artifact_layout_roundtrip). Cold query
+    cost drops from train+encode+query (~8 s at sf0.1) to a parquet
+    load + the ADC scan."""
     key = (sf_dir, 8, 16)
     ent = _PQ_CACHE.get(key)
     if ent is not None and ent[0] is spark:
         return ent[1]
-    from vechord_spark.operators.pq import IvfPqIndex, train_pq
+    import json as _json
+    import re as _re
 
-    emb = _t(spark, sf_dir, "embeddings")
-    book = train_pq(emb, "embedding", m=8, ksub=16, seed=42)
-    index = IvfPqIndex(_ivf16(spark, sf_dir), book)
-    index.encoded = index.encoded.persist()
+    import numpy as _np
+
+    from vechord_spark.operators.pq import IvfPqIndex, PqCodebook, train_pq
+    from vechord_spark.plans.artifacts import ArtifactStore
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    ivf = _ivf16(spark, sf_dir)
+
+    def _build(tmp):
+        book = train_pq(
+            _t(spark, sf_dir, "embeddings"), "embedding", m=8, ksub=16, seed=42
+        )
+        built = IvfPqIndex(ivf, book)
+        built.encoded.write.parquet(str(tmp / "encoded"))
+        (tmp / "codebooks.bin").write_bytes(
+            _np.ascontiguousarray(book.codebooks, dtype="<f8").tobytes()
+        )
+        (tmp / "pq.json").write_text(
+            _json.dumps({"shape": list(book.codebooks.shape)})
+        )
+
+    path = ArtifactStore(spark).load_or_build(
+        f"ivfpq_{tag}", [src], {"m": 8, "ksub": 16, "seed": 42, "v": 1}, _build
+    )
+    meta = _json.loads((path / "pq.json").read_text())
+    book = PqCodebook(
+        _np.frombuffer((path / "codebooks.bin").read_bytes(), dtype="<f8")
+        .reshape(meta["shape"])
+        .copy()
+    )
+    index = IvfPqIndex(
+        ivf, book, encoded=spark.read.parquet(str(path / "encoded")).persist()
+    )
     _PQ_CACHE[key] = (spark, index)
     return index
 
