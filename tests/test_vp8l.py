@@ -90,8 +90,12 @@ def simple_code(w, *symbols):
         w.w(symbols[1], 8)
 
 
-# code-length-code order per the spec
-K_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+# code-length-code order per the spec (16 sits at position 8 — a
+# mirrored writer/reader bug here round-tripped fine and was only
+# caught by decoding a REAL libwebp-encoded stream, so this constant
+# is imported from the decoder and its value pinned in a test against
+# the spec text instead of being redeclared)
+from vechord_spark.sources.vp8l import CODE_LENGTH_ORDER as K_ORDER
 
 
 def normal_code(w, lengths, alphabet):
@@ -661,3 +665,80 @@ def test_lz77_2d_distance_code_copies_from_row_above():
     arr = np.frombuffer(pix, np.uint8).reshape(2, 4, 3)
     assert [p[1] for p in arr[0]] == G
     assert [p[1] for p in arr[1]] == [70, 40, 50, 60]
+
+
+def test_code_length_order_pinned_to_spec():
+    """The spec-printed kCodeLengthCodeOrder, verbatim — 16 between 5
+    and 6. (A writer/reader pair sharing a wrong order round-trips
+    fine; only a real encoder's stream catches it.)"""
+    assert K_ORDER == (
+        17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ALPH: the alpha plane of a lossy (VP8X) WebP
+# ---------------------------------------------------------------------------
+
+from vechord_spark.sources.vp8l import decode_alph, decode_webp_alpha  # noqa: E402
+
+
+def test_alph_raw_and_filters():
+    """Raw (method 0) ALPH payloads under each filter method, inverse
+    computed by hand: row 0 predicts LEFT, column 0 predicts TOP,
+    interior per method."""
+    # 2x2 target alpha plane
+    want = [10, 30, 50, 90]
+    # method 0 filter 0: stored = target
+    assert decode_alph(bytes([0]) + bytes(want), 2, 2) == bytes(want)
+    # filter 1 (horizontal): residuals r[0,0]=10, r[0,1]=30-10=20,
+    # r[1,0]=50-10=40 (col 0 predicts TOP), r[1,1]=90-50=40
+    pay = bytes([0 | (1 << 2)]) + bytes([10, 20, 40, 40])
+    assert decode_alph(pay, 2, 2) == bytes(want)
+    # filter 2 (vertical): r[0,1]=20 (row 0 predicts LEFT), r[1,0]=40,
+    # r[1,1]=90-30=60
+    pay = bytes([0 | (2 << 2)]) + bytes([10, 20, 40, 60])
+    assert decode_alph(pay, 2, 2) == bytes(want)
+    # filter 3 (gradient): interior pred = clamp(50+30-10)=70 -> r=20
+    pay = bytes([0 | (3 << 2)]) + bytes([10, 20, 40, 20])
+    assert decode_alph(pay, 2, 2) == bytes(want)
+
+
+def test_alph_vp8l_compressed():
+    """Method 1: a headerless VP8L stream whose green channel carries
+    alpha — written by the spec-side writer (2-symbol green code)."""
+    w = W()
+    no_extras(w)
+    simple_code(w, 64, 192)  # greens = alpha values
+    trivial_ARBD(w, red=0, blue=0, alpha=255)
+    for bit in (0, 1, 1, 0, 1, 0):  # 3x2 plane
+        w.w(bit, 1)
+    payload = bytes([1]) + w.tobytes()  # method 1, filter 0
+    assert decode_alph(payload, 3, 2) == bytes([64, 192, 192, 64, 192, 64])
+
+
+def test_python_webp_alpha_decodes_for_real():
+    """CPython's python.webp (VP8X + ALPH + lossy VP8): the alpha
+    plane is VP8L-coded by the REAL libwebp encoder — the one stream
+    in this environment not produced by our own writer, so it pins
+    the decoder against the actual wire format (it is what caught the
+    kCodeLengthCodeOrder transposition). RGB stays env-gated; the
+    expectations here are structural (palette-sized distinct count,
+    logo-shaped coverage) plus a regression hash."""
+    import hashlib
+    from pathlib import Path
+
+    candidates = sorted(
+        Path("/root/.pyenv/versions").glob(
+            "*/lib/python3.*/test/imghdrdata/python.webp"
+        )
+    )
+    if not candidates:
+        pytest.skip("imghdrdata corpus not present")
+    w, h, alpha = decode_webp_alpha(candidates[0].read_bytes())
+    assert (w, h) == (16, 16)
+    a = np.frombuffer(alpha, np.uint8)
+    assert a.min() == 0 and a.max() == 255
+    assert len(set(alpha)) == 69  # == the stream's palette size
+    assert 0.3 < float((a > 128).mean()) < 0.8  # logo coverage band
+    assert hashlib.sha256(alpha).hexdigest().startswith("00d64fd72159f0e2")

@@ -22,8 +22,12 @@ Scope — the full lossless feature set:
   SUBTRACT_GREEN, COLOR_INDEXING (incl. sub-byte packed indices for
   palettes of <= 16 colors)
 
-Lossy VP8 (and the VP8X ALPH chunk, which wraps a VP8L-coded alpha
-plane inside a lossy file) stays honestly env-gated in
+The VP8X ALPH chunk (the alpha plane of a LOSSY file, which is
+VP8L-coded) also decodes here — ``decode_webp_alpha`` — including the
+three alpha row filters; it is validated against a REAL libwebp-
+encoded stream (CPython's imghdrdata python.webp), which is what
+caught the kCodeLengthCodeOrder transposition a self-round-tripping
+writer can never catch. Lossy VP8 COLOR stays honestly env-gated in
 sources/multimodal.py — a DCT/bool-coder DSP is out of scope here.
 
 Hostile-input posture matches sources/rasters.py: dimensions are
@@ -88,8 +92,12 @@ class BitReader:
 # canonical prefix codes
 # ---------------------------------------------------------------------------
 
-# spec §5.2.2: order in which code-length code lengths are stored
-CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+# spec §5.2.2: order in which code-length code lengths are stored —
+# note the repeat-previous token 16 sits at position 8, BETWEEN 5 and
+# 6 (caught decoding a real libwebp-encoded stream: with 16 misplaced
+# at the end, a 9-entry header assigns its short code to literal 6 and
+# every repeat downstream misparses)
+CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 MAX_CODE_LENGTH = 15
 
@@ -545,7 +553,21 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, int, bytes]:
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
     check_dims(w, h, "VP8L")
+    img = _decode_argb_stream(br, w, h)
+    a, r, g, b = _argb_planes(img)
+    if bool((a != 255).any()):
+        rgba = np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+        return w, h, 4, rgba.tobytes()
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
 
+
+def _decode_argb_stream(br: BitReader, w: int, h: int) -> np.ndarray:
+    """The headerless VP8L image stream (transforms + spatially-coded
+    image + inverse transforms) — shared by the VP8L chunk body and
+    the ALPH chunk's compressed alpha plane (which is this exact
+    stream without the signature/size header; WebP container spec
+    "Alpha", compression method 1)."""
     transforms = []  # (type, payload...) in read order
     seen = set()
     xsize = w
@@ -593,13 +615,105 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, int, bytes]:
             _, bits, sub = t
             modes = (sub >> 8) & 0xFF
             img = _inv_predictor(img, xsize, h, bits, modes)
+    return img
 
-    a, r, g, b = _argb_planes(img)
-    if bool((a != 255).any()):
-        rgba = np.stack([r, g, b, a], axis=-1).astype(np.uint8)
-        return w, h, 4, rgba.tobytes()
-    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
-    return w, h, 3, rgb.tobytes()
+
+# ---------------------------------------------------------------------------
+# ALPH chunk: the alpha plane of a lossy (VP8X + VP8) WebP
+# ---------------------------------------------------------------------------
+
+
+def _inv_alpha_filter(plane: np.ndarray, w: int, h: int, method: int) -> np.ndarray:
+    """WebP container spec "Alpha filtering": invert the per-pixel
+    predictor. Borders: (0,0) predicts 0; the rest of row 0 predicts
+    LEFT; the rest of column 0 predicts TOP; interior predicts by
+    method (1 horizontal = left, 2 vertical = top, 3 gradient =
+    clamp(left + top - topleft))."""
+    if method == 0:
+        return plane
+    if method not in (1, 2, 3):
+        raise ValueError(f"unknown ALPH filter method {method}")
+    out = plane.astype(np.int64).reshape(h, w)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif y == 0:
+                pred = out[0, x - 1]
+            elif x == 0:
+                pred = out[y - 1, 0]
+            elif method == 1:
+                pred = out[y, x - 1]
+            elif method == 2:
+                pred = out[y - 1, x]
+            else:
+                g = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
+                pred = min(255, max(0, g))
+            out[y, x] = (out[y, x] + pred) & 0xFF
+    return out.astype(np.uint8).reshape(-1)
+
+
+def decode_alph(payload: bytes, w: int, h: int) -> bytes:
+    """Decode an ALPH chunk to ``h*w`` alpha bytes. Header byte:
+    compression (bits 0-1: 0 raw, 1 VP8L), filtering (bits 2-3),
+    pre-processing (bits 4-5, encode-side level reduction — nothing to
+    invert). Compressed payloads are a headerless VP8L stream whose
+    GREEN channel carries the alpha values."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    check_dims(w, h, "ALPH")
+    head = payload[0]
+    method = head & 0x03
+    filt = (head >> 2) & 0x03
+    if method == 0:
+        raw = payload[1 : 1 + w * h]
+        if len(raw) < w * h:
+            raise ValueError("truncated raw ALPH payload")
+        plane = np.frombuffer(raw, np.uint8)
+    elif method == 1:
+        br = BitReader(payload[1:])
+        img = _decode_argb_stream(br, w, h)
+        plane = ((img >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown ALPH compression method {method}")
+    return _inv_alpha_filter(plane, w, h, filt).tobytes()
+
+
+def decode_webp_alpha(data: bytes) -> tuple[int, int, bytes]:
+    """Extract the alpha plane of an extended (VP8X) WebP whose color
+    is lossy VP8: ``(width, height, alpha bytes)``. The RGB plane
+    stays env-gated (it needs a VP8 DSP), but the alpha plane is
+    VP8L-coded and decodes here for real — e.g. CPython's
+    imghdrdata python.webp."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP stream")
+    pos = 12
+    dims = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WEBP chunk")
+        if tag == b"VP8X":
+            if size < 10:
+                raise ValueError("short VP8X chunk")
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            dims = (w, h)
+        elif tag == b"ALPH":
+            if dims is None:
+                raise ValueError("ALPH chunk before VP8X dimensions")
+            return dims[0], dims[1], decode_alph(body, dims[0], dims[1])
+        elif tag == b"VP8L":
+            # lossless files carry alpha inline, not in ALPH
+            w, h, ch, pix = decode_vp8l(body)
+            plane = (
+                pix[3::4] if ch == 4 else bytes([255]) * (w * h)
+            )
+            return w, h, bytes(plane)
+        pos += 8 + size + (size & 1)
+    raise ValueError("WEBP container without an alpha source")
 
 
 def decode_webp_lossless(data: bytes) -> tuple[int, int, int, bytes]:
