@@ -742,3 +742,28 @@ def test_python_webp_alpha_decodes_for_real():
     assert len(set(alpha)) == 69  # == the stream's palette size
     assert 0.3 < float((a > 128).mean()) < 0.8  # logo coverage band
     assert hashlib.sha256(alpha).hexdigest().startswith("00d64fd72159f0e2")
+
+
+def test_predictor_mode13_truncates_toward_zero():
+    """ClampAddSubtractHalf's (a - b) / 2 is C integer division —
+    TRUNCATION toward zero. With L/T averaging to 7 and TL = 20 the
+    delta is -13: C gives pred 7 + (-6) = 1; floor division would give
+    0. Hand-computed: g00=20, g01=(20+241)&255=5, g10=(20+245)&255=9,
+    ave=(9+5)>>1=7, pred=1, g11=(100+1)&255=101."""
+    w = W()
+    header(w, 2, 2)
+    w.w(1, 1).w(0, 2)  # PREDICTOR
+    w.w(0, 3)          # size_bits 2 -> one block
+    _sub_image_single_mode(w, 13)
+    w.w(0, 1)          # end of transforms
+    w.w(0, 1).w(0, 1)  # no cache, no meta
+    table = normal_code(w, {20: 2, 100: 2, 241: 2, 245: 2}, 256 + 24)
+    trivial_ARBD(w, red=0, blue=0, alpha=0)
+    for g in (20, 241, 245, 100):
+        w.wcode(*table[g])
+    ww, hh, ch, pix = decode_vp8l(w.tobytes())
+    arr = np.frombuffer(pix, np.uint8).reshape(2, 2, 3)
+    assert arr[0, 0, 1] == 20
+    assert arr[0, 1, 1] == 5
+    assert arr[1, 0, 1] == 9
+    assert arr[1, 1, 1] == 101  # 100 + pred 1 (would be 100 under floor)

@@ -396,7 +396,11 @@ def _clamp_add_sub_half(l: int, t: int, tl: int) -> int:
     for s in (24, 16, 8, 0):
         a = (ave >> s) & 0xFF
         b = (tl >> s) & 0xFF
-        c = a + (a - b) // 2
+        d = a - b
+        # the spec's (a - b) / 2 is C int division: TRUNCATES toward
+        # zero — Python's // floors, which differs for negative odd
+        # deltas (-3/2 is -1 in C, -2 under //)
+        c = a + (abs(d) // 2 if d >= 0 else -(abs(d) // 2))
         out |= max(0, min(255, c)) << s
     return out
 
