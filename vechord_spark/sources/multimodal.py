@@ -370,6 +370,17 @@ def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
             # GCE delay is the time this frame STAYS on screen
             t_ms += delay if delay > 0 else 100.0  # browsers' 10 fps default
         return kept_png
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        # MP4/ISO-BMFF: the metadata probe and the raw-sample slicing
+        # are REAL (sources/mp4.py probe_mp4 / mp4_sample_table /
+        # mp4_sample_payloads — duration, resolution, codec, keyframe
+        # map, per-sample byte ranges); only turning an H.264/H.265
+        # access unit into pixels needs an external codec.
+        raise NotImplementedError(
+            "MP4 frame decode needs ffmpeg/PyAV; use sources.mp4 for "
+            "metadata (probe_mp4) and raw keyframe sample extraction "
+            "(mp4_sample_payloads)"
+        )
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise NotImplementedError(
             "only MJPEG-in-AVI and animated GIF are decodable without "
