@@ -360,3 +360,155 @@ def test_sample_video_frames_rejects_non_mjpeg():
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(NotImplementedError):
         sample_video_frames(avi, 100)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) + image near-dedup
+# ---------------------------------------------------------------------------
+
+
+def _png_of(pixels, w, h, ch=3):
+    from vechord_spark.sources.multimodal import DecodedImage, _png_encode
+
+    return _png_encode(DecodedImage(w, h, ch, bytes(pixels)))
+
+
+def _bmp_of(pixels, w, h):
+    """24-bit bottom-up BMP of the same RGB pixels (different container,
+    same image)."""
+    import struct
+
+    rowsize = (3 * w + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixels[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+            row += bytes([b, g, r])
+        row += b"\x00" * (rowsize - len(row))
+        img += row
+    header = b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return bytes(header) + bytes(img)
+
+
+def _gradient_pixels(w, h, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 255) // max(1, w - 1)
+            n = rng.randrange(-8, 9)
+            c = max(0, min(255, v + n))
+            px += bytes([c, c, (c + 40) % 256])
+    return bytes(px)
+
+
+def test_dhash_invariant_across_containers_and_brightness():
+    """The same pixels hash identically from PNG and BMP containers,
+    and a global brightness shift (+20 clipped away from extremes)
+    keeps the hash — dHash keeps only gradient SIGNS."""
+    from vechord_spark.sources.multimodal import image_dhash
+
+    w = h = 32
+    px = _gradient_pixels(w, h)
+    hp = image_dhash(_png_of(px, w, h))
+    hb = image_dhash(_bmp_of(px, w, h))
+    assert hp == hb
+    brighter = bytes(min(235, v) + 20 for v in px)
+    assert image_dhash(_png_of(brighter, w, h)) == hp
+
+
+def test_dhash_near_vs_far():
+    """A small local edit moves few bits; an unrelated image ~half."""
+    from vechord_spark.sources.multimodal import image_dhash
+
+    w = h = 32
+    px = bytearray(_gradient_pixels(w, h))
+    base = image_dhash(_png_of(bytes(px), w, h))
+    # local edit: blank an 4x4 corner patch
+    for y in range(4):
+        for x in range(4):
+            px[(y * w + x) * 3 : (y * w + x) * 3 + 3] = b"\x00\x00\x00"
+    edited = image_dhash(_png_of(bytes(px), w, h))
+    other = image_dhash(_png_of(_gradient_pixels(w, h, seed=99)[::-1], w, h))
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(base, edited) <= 6
+    assert ham(base, other) >= 12
+
+
+def test_media_near_duplicates_end_to_end(spark):
+    """Three re-encodings of one image + one unrelated image: the
+    banded-Hamming pair stage returns exactly the re-encoding pairs."""
+    from vechord_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        media_fingerprints,
+        media_near_duplicates,
+    )
+
+    w = h = 32
+    px = _gradient_pixels(w, h)
+    brighter = bytes(min(235, v) + 20 for v in px)
+    rows = [
+        ("a_png", "image", None, w, h, None, _png_of(px, w, h)),
+        ("b_bmp", "image", None, w, h, None, _bmp_of(px, w, h)),
+        ("c_bright", "image", None, w, h, None, _png_of(brighter, w, h)),
+        ("d_other", "image", None, w, h, None,
+         _png_of(_gradient_pixels(w, h, seed=99)[::-1], w, h)),
+        ("e_bad", "image", None, None, None, None, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r.media_id: r.dhash for r in media_fingerprints(df).collect()}
+    assert fps["e_bad"] is None  # dirty-corpus contract
+    assert fps["a_png"] == fps["b_bmp"] == fps["c_bright"]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in media_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert set(pairs) == {("a_png", "b_bmp"), ("a_png", "c_bright"), ("b_bmp", "c_bright")}
+    assert all(v == 0 for v in pairs.values())
+
+
+def test_hamming_near_pairs_pigeonhole_exact(spark):
+    """Every pair within the default distance bound is found — 64-bit
+    fingerprints with <= 3 flipped bits against a seeded base set."""
+    import random
+
+    from vechord_spark.operators.dedup import hamming_near_pairs
+
+    rng = random.Random(11)
+    rows = []
+    expected = set()
+    for i in range(40):
+        base = rng.getrandbits(64)
+        # store as signed 64
+        sb = base - (1 << 64) if base >= (1 << 63) else base
+        rows.append((f"x{i}", sb))
+        flipped = base
+        for _ in range(rng.randrange(0, 4)):
+            flipped ^= 1 << rng.randrange(64)
+        sf = flipped - (1 << 64) if flipped >= (1 << 63) else flipped
+        rows.append((f"y{i}", sf))
+        a, b = sorted((f"x{i}", f"y{i}"))
+        expected.add((a, b, bin(base ^ flipped).count("1")))
+    df = spark.createDataFrame(rows, "doc_id string, fingerprint long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(df, max_hamming=3).collect()
+    }
+    # every expected near pair MUST be present (pigeonhole); incidental
+    # cross-pairs within distance 3 may also legitimately appear
+    assert expected <= got
+    assert all(h <= 3 for _, _, h in got)
+
+
+def test_hamming_near_pairs_rejects_unsound_bands(spark):
+    import pytest as _pytest
+
+    from vechord_spark.operators.dedup import hamming_near_pairs
+
+    df = spark.createDataFrame([("a", 1)], "doc_id string, fingerprint long")
+    with _pytest.raises(ValueError):
+        hamming_near_pairs(df, max_hamming=5, band_bits=16)  # 4 bands cap 3

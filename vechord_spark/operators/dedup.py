@@ -471,6 +471,75 @@ def simhash_near_pairs(
     )
 
 
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    bits: int = 64,
+    max_hamming: int = 3,
+    band_bits: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over ANY integer fingerprint column by band-LSH +
+    exact Hamming filter — the generalization of ``simhash_near_pairs``
+    that perceptual image hashes (``multimodal.media_fingerprints``,
+    64-bit dHash) and other bit signatures plug into.
+
+    Pigeonhole guarantee: with ``n_bands = bits // band_bits`` bands,
+    any pair within Hamming distance ``n_bands - 1`` shares at least
+    one exact band, so the self-join keys on band values and recall is
+    EXACT for ``max_hamming <= n_bands - 1`` (the default band width is
+    chosen to make that hold); candidate volume is bucket-local, never
+    O(n²). Returns ``(id_a, id_b, hamming)``.
+
+    Signed fingerprints are fine: bands extract via shift+mask, and the
+    top band of a 64-bit value keeps the sign bit inside its key.
+    """
+    if band_bits is None:
+        band_bits = bits // (max_hamming + 1)
+    n_bands = bits // band_bits
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole bound "
+            f"{n_bands - 1} for {n_bands} bands of {band_bits} bits"
+        )
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(fp_col).alias("__fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(fp_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__fp", "bk.band", "bk.key")
+    bands = bands.persist()
+    a = bands.select(
+        "band", "key", F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a")
+    )
+    b = bands.select(
+        "band", "key", F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

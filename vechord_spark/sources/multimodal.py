@@ -7,13 +7,16 @@ metadata drives filtering/partitioning.
 
 Decode paths implemented from the public specs, zero optional deps:
 PNG (stdlib zlib), baseline + progressive JPEG (sources/jpeg.py),
-GIF/BMP/netpbm/TIFF/Sun-Raster/SGI/XBM (sources/rasters.py), PCM WAV
-(stdlib wave), and
-MJPEG-in-AVI frame sampling (RIFF walk + the JPEG decoder). Formats
-that genuinely need external codec libraries (WebP via Pillow,
-MP4/H.264 via ffmpeg) raise a clearly-marked ``NotImplementedError``;
-the Spark-side plumbing — schema, batch shape, ``mapInPandas``
-signatures, partition sizing — is real and tested either way.
+GIF/BMP/netpbm/TIFF/Sun-Raster/SGI/XBM (sources/rasters.py),
+WebP-lossless + lossy-WebP alpha planes (sources/vp8l.py), PCM WAV
+(stdlib wave), MJPEG-in-AVI frame sampling (RIFF walk + the JPEG
+decoder), MP4 metadata + raw-sample extraction (sources/mp4.py), and
+perceptual image hashing / near-dedup (dHash + banded Hamming, below).
+Formats that genuinely need external codec libraries (lossy-VP8 WebP
+color via Pillow, MP4/H.264 pixel decode via ffmpeg) raise a
+clearly-marked ``NotImplementedError``; the Spark-side plumbing —
+schema, batch shape, ``mapInPandas`` signatures, partition sizing —
+is real and tested either way.
 """
 
 from __future__ import annotations
@@ -681,3 +684,98 @@ def audio_features(df: DataFrame, data_col: str = "data") -> DataFrame:
         return pd.DataFrame(rows)
 
     return df.withColumn("audio", _feat(F.col(data_col)))
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing: dHash (difference hash) + image near-dedup
+# ---------------------------------------------------------------------------
+# The image twin of text SimHash: crawl corpora are full of the SAME
+# image re-encoded (format changes, quality re-saves, brightness
+# tweaks), which byte-level dedup cannot see. dHash is re-encode- and
+# brightness-shift-invariant (it keeps only the SIGN of neighboring
+# luma gradients on a fixed grid), and its 64-bit output plugs into
+# the same banded-Hamming machinery text SimHash uses
+# (operators/dedup.hamming_near_pairs) — bucket-local joins, never
+# O(n^2) over the image corpus.
+
+
+def image_dhash(data: bytes, hash_size: int = 8) -> int:
+    """Row-gradient difference hash of an encoded image: decode ->
+    integer ITU-R 601 luma -> nearest-neighbor downscale to
+    (hash_size+1) x hash_size -> one bit per horizontal neighbor pair
+    (left > right). All-integer arithmetic, so the hash is exact and
+    identical across this engine's decoders for the same pixels —
+    format conversions (PNG vs BMP vs lossless WebP of one image) and
+    global brightness shifts hash identically; unrelated images land
+    ~32 bits apart (coin-flip bits)."""
+    import numpy as np
+
+    img = decode_image(data)
+    ch = img.channels
+    px = np.frombuffer(img.pixels, np.uint8).reshape(img.height, img.width, ch)
+    if ch >= 3:
+        # integer luma: no float rounding ambiguity between platforms
+        luma = (
+            299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        luma = px[:, :, 0].astype(np.int64)
+    w, h = hash_size + 1, hash_size
+    sy = np.minimum(img.height - 1, (np.arange(h) * img.height) // h)
+    sx = np.minimum(img.width - 1, (np.arange(w) * img.width) // w)
+    grid = luma[sy[:, None], sx[None, :]]
+    bits = grid[:, :-1] > grid[:, 1:]
+    out = 0
+    for i, b in enumerate(bits.reshape(-1)):
+        if b:
+            out |= 1 << i
+    # keep it in signed-64 range for Spark LongType (bit 63 unused at
+    # hash_size 8: 64 bits indexed 0..63 — fold the top bit's sign)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def media_fingerprints(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """media table -> (media_id, dhash) via Arrow-batched mapInPandas;
+    undecodable payloads yield NULL (dirty-corpus contract, same as
+    probe_media)."""
+    import pandas as pd
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["data"]:
+                try:
+                    out.append(image_dhash(bytes(d) if d is not None else b"", hash_size))
+                except (ValueError, NotImplementedError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": pd.array(out, dtype="Int64")}
+            )
+
+    return df.select("media_id", "data").mapInPandas(_fp, FINGERPRINT_SCHEMA)
+
+
+def media_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, hash_size: int = 8
+) -> DataFrame:
+    """Image near-dup pairs ``(id_a, id_b, hamming)``: dHash
+    fingerprints -> banded-Hamming LSH (pigeonhole-exact for the
+    default distance; operators/dedup.hamming_near_pairs). The decode
+    pass is the expensive step and runs ONCE per image (Arrow
+    batches); the pair stage shuffles only (id, 8-byte hash) rows."""
+    from vechord_spark.operators.dedup import hamming_near_pairs
+
+    fps = media_fingerprints(df, hash_size).where(F.col("dhash").isNotNull())
+    return hamming_near_pairs(
+        fps, id_col="media_id", fp_col="dhash", bits=64, max_hamming=max_hamming
+    )
