@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     # -- Python-worker path --
     "heavy_hitter_users",
     "chunk_regex",
+    "media_dedup_pairs",
     "dedup_embedding_pairs",
     "ivf_knn",
     "ivf_knn_refined",

@@ -2609,6 +2609,110 @@ def multimodal_meta(spark, sf_dir):
 
 
 @_q(
+    "media_dedup_pairs",
+    """
+    -- the synthesized corpus makes the TRUE near-dup pair set a pure
+    -- function of doc_id arithmetic: docs group by doc_id // 5; the
+    -- first three variants of each group are the SAME image
+    -- re-encoded (PNG / BMP container / +20 brightness), the last two
+    -- are distinct images — so the exact expected pairs are the
+    -- within-group cliques over variants 0..2, at Hamming distance 0
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id // 5 = b.doc_id // 5
+     AND a.doc_id < b.doc_id
+     AND a.doc_id % 5 < 3 AND b.doc_id % 5 < 3
+    ORDER BY id_a, id_b
+    """,
+)
+def media_dedup_pairs(spark, sf_dir):
+    """Image near-dedup over a REAL decode path (round 10): a media
+    corpus synthesized from the documents table — per group of five
+    doc_ids, one deterministic 32x32 gradient image encoded as (v0)
+    PNG, (v1) the same pixels in a BMP container, (v2) the same pixels
+    +20 brightness in PNG, plus (v3, v4) two distinct images — runs
+    through decode -> integer-luma dHash -> banded-Hamming pair
+    generation (sources/multimodal.media_near_duplicates). dHash is
+    container- and brightness-invariant, so the recovered pair set is
+    EXACTLY the within-group re-encode cliques, which the oracle
+    derives from doc_id arithmetic alone. At 100 TB the decode+hash
+    pass is one Arrow-batched scan of the media bytes and the pair
+    stage shuffles only (id, 8-byte hash) rows — the image twin of
+    text SimHash dedup. Zero-padded string media ids keep the pair
+    orientation identical to numeric order in both engines."""
+    import numpy as np
+    import pandas as pd
+
+    from vechord_spark.parallel import spread
+    from vechord_spark.sources.multimodal import media_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        from vechord_spark.sources.multimodal import DecodedImage, _png_encode
+
+        def gradient(gid: int, flavor: int) -> bytes:
+            # a fully random luma field per (group, flavor): dHash bits
+            # of two DISTINCT images are then independent coin flips
+            # (~32 bits apart), while re-encoded variants are exact
+            # copies (0 bits). A shared smooth ramp + noise is NOT
+            # enough — noise rarely flips a strong gradient's sign and
+            # every image would collide (measured: 70k pairs vs 300)
+            rng = np.random.default_rng(gid * 1_000_003 + flavor * 97 + 5)
+            w = h = 32
+            c = rng.integers(0, 201, size=(h, w)).astype(np.uint8)
+            px = np.stack([c, c, (c + 40) % 201], axis=-1)
+            return np.ascontiguousarray(px).tobytes()
+
+        def bmp_of(px: bytes, w: int, h: int) -> bytes:
+            import struct as _s
+
+            rowsize = (3 * w + 3) & ~3
+            arr = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+            rows = []
+            for y in range(h - 1, -1, -1):
+                row = arr[y, :, ::-1].tobytes()  # BGR
+                rows.append(row + b"\x00" * (rowsize - len(row)))
+            img = b"".join(rows)
+            head = b"BM" + _s.pack("<IHHI", 54 + len(img), 0, 0, 54)
+            head += _s.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+            )
+            return head + img
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gid, v = divmod(doc_id, 5)
+                if v == 0:
+                    px = gradient(gid, 0)
+                    data = _png_encode(DecodedImage(32, 32, 3, px))
+                elif v == 1:
+                    px = gradient(gid, 0)
+                    data = bmp_of(px, 32, 32)
+                elif v == 2:
+                    px = bytes(p + 20 for p in gradient(gid, 0))
+                    data = _png_encode(DecodedImage(32, 32, 3, px))
+                else:
+                    px = gradient(gid, v)  # distinct per variant
+                    data = _png_encode(DecodedImage(32, 32, 3, px))
+                ids.append(f"{doc_id:012d}")
+                blobs.append(data)
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    media = spread(docs).mapInPandas(
+        _gen, "media_id string, data binary"
+    )
+    pairs = media_near_duplicates(media, max_hamming=3)
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
     "delete_cascade",
     """
     WITH surviving_cust AS (
@@ -7167,7 +7271,11 @@ _WINDOW_PRIORITY = [
     # its in-window witness stays the semdedup_ivf_recall gate.
     "semdedup_survivors",
     "dedup_simhash",
-    "dedup_simhash_pairs",
+    # round-10 rotation: dedup_simhash_pairs OUT (stable green since
+    # r9, twin dedup_simhash keeps the family in-window, parity-tested
+    # every pytest run) -> media_dedup_pairs IN (new round-10 surface:
+    # perceptual-hash image near-dedup over a real decode path)
+    "media_dedup_pairs",
     # text analysis / training-data ops
     "doc_length_quantiles",
     "temperature_mix",
