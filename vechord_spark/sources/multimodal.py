@@ -776,6 +776,13 @@ def media_near_duplicates(
     from vechord_spark.operators.dedup import hamming_near_pairs
 
     fps = media_fingerprints(df, hash_size).where(F.col("dhash").isNotNull())
+    # eager checkpoint BEFORE the band self-join: the pair stage reads
+    # the fingerprints from two branches, and a lazily-cached frame
+    # lets both race a cold cache and re-run the (expensive) decode
+    # pass — the (id, 8-byte hash) frame is tiny, the decode is not
+    # (same lineage-truncation rule as the funnel pair frames;
+    # measured 24 -> ~4 s at sf0.1 on the suite's 5k-image corpus)
+    fps = fps.localCheckpoint(eager=True)
     return hamming_near_pairs(
         fps, id_col="media_id", fp_col="dhash", bits=64, max_hamming=max_hamming
     )
