@@ -279,6 +279,10 @@ def decode_image(data: bytes) -> DecodedImage:
         # VP8 raises NotImplementedError inside and falls through to
         # the Pillow env-gate below
         from vechord_spark.sources.vp8l import decode_webp_lossless as codec
+    elif data[:4] == b"\x76\x2f\x31\x01":
+        # OpenEXR scanline (round 10): NONE/RLE/ZIPS/ZIP, clamp-linear
+        # 8-bit view; PIZ/tiled/deep gate inside
+        from vechord_spark.sources.exr import decode_exr as codec
     if codec is not None:
         try:
             return DecodedImage(*codec(data))
@@ -533,6 +537,11 @@ def _probe_image_raw(data: bytes) -> tuple[str, int, int]:
         if w is not None and h is not None:
             return ("tiff", w, h)
         raise ValueError("TIFF without dimensions")
+    if data[:4] == b"\x76\x2f\x31\x01":  # OpenEXR: dims from dataWindow
+        from vechord_spark.sources.exr import _parse_header
+
+        _, dw, _, _, _ = _parse_header(data)
+        return ("exr", dw[2] - dw[0] + 1, dw[3] - dw[1] + 1)
     raise ValueError("unrecognized image container")
 
 
