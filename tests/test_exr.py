@@ -31,9 +31,9 @@ def chlist(channels) -> bytes:
 
 def forward_postprocess(raw: bytes) -> bytes:
     """The ENCODE side of the ZIP/RLE byte transform, written
-    independently: de-interleave (evens first, odds second) then delta
-    encode d[i] -= d[i-1] - wait, forward is: split, then
-    d[i] = raw[i] - raw[i-1] + 128 ... matching OpenEXR's compress."""
+    independently of the decoder: de-interleave (even positions into
+    the first half, odd into the second), then delta-encode
+    d[i] = s[i] - s[i-1] + 128 (mod 256) over the split buffer."""
     b = np.frombuffer(raw, np.uint8).astype(np.int64)
     half = (len(b) + 1) // 2
     split = np.empty(len(b), np.int64)
@@ -250,3 +250,29 @@ def test_dimension_bomb_rejected():
     hdr += b"\0"
     with pytest.raises(ValueError):
         decode_exr(hdr)
+
+
+def test_decreasing_line_order_decodes_by_block_y():
+    """lineOrder=DECREASING_Y writes blocks bottom-up; the decoder
+    places rows by each block's own y field, so the pixels land
+    correctly either way."""
+    w, h = 4, 3
+    planes = {"R": [i / 16 for i in range(12)], "G": [0.0] * 12, "B": [0.0] * 12}
+    data = write_exr(w, h, [("B", 1), ("G", 1), ("R", 1)], planes, 0)
+    # reorder the three single-line blocks bottom-up and flip lineOrder
+    hdr_end = data.index(b"screenWindowWidth")
+    hdr_end = data.index(struct.pack("<f", 1.0), hdr_end) + 4 + 1  # + terminator
+    table = data[hdr_end : hdr_end + 24]
+    blocks = []
+    pos = hdr_end + 24
+    for _ in range(3):
+        y, size = struct.unpack("<iI", data[pos : pos + 8])
+        blocks.append(data[pos : pos + 8 + size])
+        pos += 8 + size
+    flipped = (
+        data[:hdr_end].replace(b"lineOrder\0lineOrder\0\x01\x00\x00\x00\x00",
+                               b"lineOrder\0lineOrder\0\x01\x00\x00\x00\x01")
+        + table
+        + b"".join(reversed(blocks))
+    )
+    assert decode_exr(flipped) == decode_exr(data)
