@@ -305,6 +305,21 @@ def test_audio_features_dataframe(spark):
     # doubled frequency -> roughly doubled zero-crossing rate
     assert out["b"]["zcr"] > 1.5 * out["a"]["zcr"]
     assert out["junk"]["sample_rate"] is None
+    assert out["junk"]["spectral_centroid_hz"] is None
+
+
+def test_wav_spectral_features_analytic():
+    """For a pure sine at f Hz the power spectrum is (almost) one bin:
+    centroid and 95% rolloff both read ~f (round 10). A two-tone mix
+    with equal amplitudes lands the centroid between the tones and the
+    rolloff at the upper one."""
+    from vechord_spark.sources.multimodal import wav_features
+
+    f = wav_features(_wav_bytes(freq=440.0, seconds=1.0))
+    assert abs(f["spectral_centroid_hz"] - 440.0) < 5.0
+    assert abs(f["spectral_rolloff_hz"] - 440.0) < 5.0
+    hi = wav_features(_wav_bytes(freq=2000.0, seconds=1.0))
+    assert abs(hi["spectral_centroid_hz"] - 2000.0) < 5.0
 
 
 def _mjpeg_avi(jpeg_frames, us_per_frame):

@@ -635,10 +635,13 @@ def decode_wav(data: bytes) -> DecodedAudio:
 
 def wav_features(data: bytes) -> dict:
     """Compact per-clip features for corpus filtering: duration, RMS
-    energy, zero-crossing rate, and a silence ratio (fraction of 20 ms
-    windows under -40 dBFS). These are the signals an audio-corpus
-    pipeline filters on (clipped/silent/too-short removal) before any
-    model touches the data."""
+    energy, zero-crossing rate, a silence ratio (fraction of 20 ms
+    windows under -40 dBFS), and two spectral signals — centroid and
+    95% rolloff in Hz (one rfft power spectrum; round 10). These are
+    the signals an audio-corpus pipeline filters on (clipped / silent /
+    too-short / hum-or-hiss-dominated removal) before any model
+    touches the data. For a pure sine at f Hz the centroid and rolloff
+    both read ~f — pinned analytically in tests/test_multimodal.py."""
     import numpy as np
 
     a = decode_wav(data)
@@ -647,6 +650,7 @@ def wav_features(data: bytes) -> dict:
         return {
             "sample_rate": a.sample_rate, "n_channels": a.n_channels,
             "duration_s": 0.0, "rms": 0.0, "zcr": 0.0, "silence_ratio": 1.0,
+            "spectral_centroid_hz": 0.0, "spectral_rolloff_hz": 0.0,
         }
     rms = float(np.sqrt(np.mean(x * x)))
     zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
@@ -657,6 +661,18 @@ def wav_features(data: bytes) -> dict:
         frames = x[: n_win * win].reshape(n_win, win)
         frame_rms = np.sqrt((frames * frames).mean(axis=1))
         silence = float((frame_rms < 10 ** (-40 / 20)).mean())
+    # one whole-clip power spectrum: cheap (n log n), no framing state,
+    # and exactly reproducible (numpy rfft on float64)
+    centroid = rolloff = 0.0
+    if x.size >= 2 and a.sample_rate:
+        power = np.abs(np.fft.rfft(x)) ** 2
+        power[0] = 0.0  # DC carries no pitch information
+        total = float(power.sum())
+        if total > 0:
+            freqs = np.fft.rfftfreq(x.size, d=1.0 / a.sample_rate)
+            centroid = float((freqs * power).sum() / total)
+            cum = np.cumsum(power)
+            rolloff = float(freqs[int(np.searchsorted(cum, 0.95 * total))])
     return {
         "sample_rate": a.sample_rate,
         "n_channels": a.n_channels,
@@ -664,6 +680,8 @@ def wav_features(data: bytes) -> dict:
         "rms": round(rms, 6),
         "zcr": round(zcr, 6),
         "silence_ratio": round(silence, 6),
+        "spectral_centroid_hz": round(centroid, 3),
+        "spectral_rolloff_hz": round(rolloff, 3),
     }
 
 
@@ -673,7 +691,8 @@ def audio_features(df: DataFrame, data_col: str = "data") -> DataFrame:
     non-WAV rows get nulls instead of failing the batch."""
     schema = (
         "sample_rate int, n_channels int, duration_s double, "
-        "rms double, zcr double, silence_ratio double"
+        "rms double, zcr double, silence_ratio double, "
+        "spectral_centroid_hz double, spectral_rolloff_hz double"
     )
 
     @F.pandas_udf(schema)
@@ -688,6 +707,8 @@ def audio_features(df: DataFrame, data_col: str = "data") -> DataFrame:
                         "sample_rate": None, "n_channels": None,
                         "duration_s": None, "rms": None, "zcr": None,
                         "silence_ratio": None,
+                        "spectral_centroid_hz": None,
+                        "spectral_rolloff_hz": None,
                     }
                 )
         return pd.DataFrame(rows)
