@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "heavy_hitter_users",
     "chunk_regex",
     "media_dedup_pairs",
+    "audio_band_report",
     "dedup_embedding_pairs",
     "ivf_knn",
     "ivf_knn_refined",

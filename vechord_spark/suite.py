@@ -2713,6 +2713,89 @@ def media_dedup_pairs(spark, sf_dir):
 
 
 @_q(
+    "audio_band_report",
+    """
+    -- the synthesized corpus makes each clip's spectral band a pure
+    -- function of doc_id: silent clips (doc_id % 16 = 0) land in band
+    -- 0; a pure sine at 400 * (1 + doc_id % 8) Hz reads its own
+    -- frequency to within a few Hz, so banding at 400 Hz is exact
+    SELECT CAST(CASE WHEN doc_id % 16 = 0 THEN 0
+                     ELSE 1 + doc_id % 8 END AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_clips
+    FROM documents
+    GROUP BY 1
+    ORDER BY band
+    """,
+)
+def audio_band_report(spark, sf_dir):
+    """Audio corpus triage over a REAL decode+DSP path (round 10): a
+    WAV corpus synthesized from the documents table — per doc_id a
+    0.25 s 16-bit PCM clip, silent when doc_id % 16 == 0, otherwise a
+    pure sine at 400 * (1 + doc_id % 8) Hz — runs through the stdlib
+    WAV decoder and the rfft spectral features
+    (sources/multimodal.audio_features), then buckets clips by
+    centroid band (400 Hz bins; silent clips have zero spectral mass
+    and land in band 0 via the silence_ratio gate). The sine
+    frequencies sit exactly on rfft bins (4 Hz resolution at 0.25 s /
+    8 kHz), so the measured centroid is the synthesized frequency and
+    the oracle derives the whole report from doc_id arithmetic. At
+    100 TB this is the per-wave audio health report: one Arrow-batched
+    pass over the audio bytes, one tiny aggregate."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    import numpy as np
+    import pandas as pd
+
+    from vechord_spark.parallel import spread
+    from vechord_spark.sources.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        def clip(doc_id: int) -> bytes:
+            rate, secs = 8000, 0.25
+            n = int(rate * secs)
+            if doc_id % 16 == 0:
+                x = np.zeros(n)
+            else:
+                freq = 400.0 * (1 + doc_id % 8)
+                x = 0.5 * np.sin(2 * np.pi * freq * np.arange(n) / rate)
+            pcm = (x * 32767).astype("<i2").tobytes()
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm)
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "data": [clip(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    clips = spread(docs).mapInPandas(_gen, "doc_id long, data binary")
+    feats = audio_features(clips).select("doc_id", "audio.*")
+    banded = feats.select(
+        F.when(F.col("silence_ratio") >= 1.0, F.lit(0))
+        .otherwise(
+            F.round(F.col("spectral_centroid_hz") / F.lit(400.0)).cast("int")
+        )
+        .alias("band")
+    )
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_clips"))
+        .orderBy("band")
+    )
+
+
+@_q(
     "delete_cascade",
     """
     WITH surviving_cust AS (
@@ -7297,7 +7380,12 @@ _WINDOW_PRIORITY = [
     # round-7/9: the SemDeDup scale-path gate — round-9 top-2
     # multi-assignment bucketer, floor 0.4, beats-single assertion
     "semdedup_ivf_recall",
-    "quality_top_fraction",
+    # round-10 rotation: quality_top_fraction OUT (stable green, the
+    # quality family keeps ccnet_buckets + gopher_quality_flags
+    # in-window; parity-tested every pytest run) -> audio_band_report
+    # IN (new round-10 surface: the audio decode + rfft spectral path
+    # as a driver-gated query)
+    "audio_band_report",
 ]
 
 
