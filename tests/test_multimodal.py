@@ -527,3 +527,106 @@ def test_hamming_near_pairs_rejects_unsound_bands(spark):
     df = spark.createDataFrame([("a", 1)], "doc_id string, fingerprint long")
     with _pytest.raises(ValueError):
         hamming_near_pairs(df, max_hamming=5, band_bits=16)  # 4 bands cap 3
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG (round 10 — closes the named interlace gap)
+# ---------------------------------------------------------------------------
+
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _manual_adam7_png(width, height, channels, color_type, pixels, filters):
+    """Spec-side Adam7 encoder: split the image into the seven passes,
+    forward-filter each pass INDEPENDENTLY (RFC 2083 §8.2), set the
+    IHDR interlace byte."""
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * channels
+        prev = bytes(stride)
+        for j in range(ph):
+            row = bytearray()
+            for i in range(pw):
+                src = ((y0 + j * dy) * width + (x0 + i * dx)) * channels
+                row += pixels[src : src + channels]
+            f = filters[j % len(filters)]
+            raw.append(f)
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                up = prev[i]
+                ul = prev[i - channels] if i >= channels else 0
+                if f == 0:
+                    v = row[i]
+                elif f == 1:
+                    v = row[i] - left
+                elif f == 2:
+                    v = row[i] - up
+                elif f == 3:
+                    v = row[i] - ((left + up) >> 1)
+                else:
+                    v = row[i] - paeth(left, up, ul)
+                raw.append(v & 0xFF)
+            prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (
+        MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (16, 16), (7, 5), (3, 2), (1, 1), (9, 12)])
+def test_adam7_interlaced_png_roundtrip(w, h):
+    """Interlaced PNGs of assorted sizes (incl. sizes where several
+    passes are EMPTY) decode to the same pixels as their progressive
+    twins — filters exercised per pass."""
+    rng = random.Random(w * 100 + h)
+    ch = 3
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    data = _manual_adam7_png(w, h, ch, 2, pixels, [0, 1, 2, 3, 4])
+    img = decode_image(data)
+    assert (img.width, img.height, img.channels) == (w, h, ch)
+    assert img.pixels == pixels
+
+
+def test_adam7_rgba_and_gray():
+    rng = random.Random(77)
+    for ch, ct in ((4, 6), (1, 0)):
+        pixels = bytes(rng.randrange(256) for _ in range(10 * 11 * ch))
+        data = _manual_adam7_png(10, 11, ch, ct, pixels, [4, 2])
+        img = decode_image(data)
+        assert img.pixels == pixels
+
+
+def test_truncated_interlaced_png_raises():
+    pixels = bytes(range(64)) * 3
+    data = _manual_adam7_png(8, 8, 3, 2, pixels[: 8 * 8 * 3], [0])
+    # corrupt: shorten the IDAT payload
+    import zlib as _z
+
+    body_start = data.index(b"IDAT") + 4
+    raw = _z.decompress(data[body_start : data.index(b"IEND") - 8])
+    short = _z.compress(raw[: len(raw) // 2])
+    rebuilt = (
+        data[: data.index(b"IDAT") - 4]
+        + _chunk(b"IDAT", short)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_image(rebuilt)

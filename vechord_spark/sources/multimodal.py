@@ -135,6 +135,49 @@ def _png_decode_tuple(data: bytes) -> tuple[int, int, int, bytes]:
     return img.width, img.height, img.channels, img.pixels
 
 
+# Adam7 pass origins/strides: (x0, y0, dx, dy) per RFC 2083 §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, width: int, height: int, ch: int):
+    """Reverse the five scanline filters over one (sub-)image starting
+    at byte ``off`` of the inflated stream; returns (pixels, new_off)."""
+    stride = width * ch
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        if off >= len(raw):
+            raise ValueError("PNG stream shorter than its dimensions")
+        ftype = raw[off]
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        if len(row) < stride:
+            raise ValueError("PNG stream shorter than its dimensions")
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return out, off
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -172,39 +215,34 @@ def _png_decode(data: bytes) -> DecodedImage:
     check_dims(width, height, "PNG")
     if bit_depth != 8:
         raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported (8 only)")
-    if interlace:
-        raise NotImplementedError("interlaced PNG unsupported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    out = bytearray(height * stride)
-    prev = bytearray(stride)
-    off = 0
-    for y in range(height):
-        ftype = raw[off]
-        row = bytearray(raw[off + 1 : off + 1 + stride])
-        off += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
-                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
-                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = row
-        prev = row
+    if interlace == 1:
+        # Adam7 (round 10 — this was a named gap): seven independently
+        # filtered sub-images scattered onto the (x0 + i*dx, y0 + j*dy)
+        # grids; empty passes (small images) contribute zero bytes
+        out = bytearray(height * stride)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, pw, ph, ch)
+            for j in range(ph):
+                yy = y0 + j * dy
+                for i in range(pw):
+                    xx = x0 + i * dx
+                    src = (j * pw + i) * ch
+                    dst = (yy * width + xx) * ch
+                    out[dst : dst + ch] = sub[src : src + ch]
+    elif interlace == 0:
+        out, off = _png_unfilter(raw, 0, width, height, ch)
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type == 3:  # palette -> RGB
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
