@@ -630,3 +630,123 @@ def test_truncated_interlaced_png_raises():
     )
     with pytest.raises(ValueError):
         decode_image(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# PNG bit depths beyond 8 (round 10): 1/2/4-bit gray + palette, 16-bit
+# ---------------------------------------------------------------------------
+
+
+def _manual_png_depth(width, height, color_type, depth, samples, palette=None,
+                      interlace=False):
+    """Forward-encode raw SAMPLES (per-pixel values, one channel set) at
+    the given depth with filter 0 (the depth plumbing is what's under
+    test; filters are covered at 8-bit against the independent forward
+    implementations above). samples: flat ints (gray/palette) or flat
+    per-channel ints (16-bit: one int per channel per pixel)."""
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def rows_for(pw, ph, picker):
+        raw = bytearray()
+        for j in range(ph):
+            raw.append(0)  # filter None
+            if depth == 16:
+                for i in range(pw * ch):
+                    v = picker(j, i)
+                    raw += struct.pack(">H", v)
+            elif depth == 8:
+                for i in range(pw * ch):
+                    raw.append(picker(j, i))
+            else:
+                per = 8 // depth
+                nbytes = (pw * ch * depth + 7) // 8
+                rowbits = bytearray(nbytes)
+                for i in range(pw * ch):
+                    v = picker(j, i)
+                    shift = 8 - depth * ((i % per) + 1)
+                    rowbits[i // per] |= (v & ((1 << depth) - 1)) << shift
+                raw += rowbits
+        return raw
+
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            raw += rows_for(
+                pw, ph,
+                lambda j, i: samples[
+                    ((y0 + j * dy) * width + (x0 + (i // ch) * dx)) * ch
+                    + i % ch
+                ],
+            )
+    else:
+        raw += rows_for(width, height, lambda j, i: samples[j * width * ch + i])
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = MAGIC + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray(depth):
+    w, h = 11, 3  # non-byte-aligned row width
+    rng = random.Random(depth)
+    vals = [rng.randrange(1 << depth) for _ in range(w * h)]
+    img = decode_image(_manual_png_depth(w, h, 0, depth, vals))
+    assert (img.width, img.height, img.channels) == (w, h, 1)
+    factor = 255 // ((1 << depth) - 1)
+    assert list(img.pixels) == [v * factor for v in vals]
+
+
+def test_png_4bit_palette():
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    vals = [0, 1, 2, 3, 3, 2, 1, 0, 1]  # 3x3
+    img = decode_image(_manual_png_depth(3, 3, 3, 4, vals, palette=palette))
+    assert img.channels == 3
+    for i, v in enumerate(vals):
+        assert img.pixels[i * 3 : i * 3 + 3] == palette[v * 3 : v * 3 + 3]
+
+
+def test_png_16bit_rgb_downscales_to_high_byte():
+    w, h = 4, 2
+    rng = random.Random(16)
+    vals = [rng.randrange(1 << 16) for _ in range(w * h * 3)]
+    img = decode_image(_manual_png_depth(w, h, 2, 16, vals))
+    assert (img.width, img.height, img.channels) == (w, h, 3)
+    assert list(img.pixels) == [v >> 8 for v in vals]
+
+
+def test_png_16bit_interlaced():
+    w, h = 9, 6
+    rng = random.Random(9)
+    vals = [rng.randrange(1 << 16) for _ in range(w * h)]
+    img = decode_image(_manual_png_depth(w, h, 0, 16, vals, interlace=True))
+    assert (img.width, img.height, img.channels) == (w, h, 1)
+    assert list(img.pixels) == [v >> 8 for v in vals]
+
+
+def test_png_1bit_interlaced():
+    w, h = 10, 7
+    rng = random.Random(3)
+    vals = [rng.randrange(2) for _ in range(w * h)]
+    img = decode_image(_manual_png_depth(w, h, 0, 1, vals, interlace=True))
+    assert list(img.pixels) == [v * 255 for v in vals]
+
+
+def test_png_illegal_depth_combo_rejected():
+    with pytest.raises(ValueError):
+        decode_image(_manual_png_depth(2, 2, 2, 4, [0] * 12))  # 4-bit RGB
+
+
+def test_png_16bit_rgb_interlaced():
+    w, h = 5, 9
+    rng = random.Random(59)
+    vals = [rng.randrange(1 << 16) for _ in range(w * h * 3)]
+    img = decode_image(_manual_png_depth(w, h, 2, 16, vals, interlace=True))
+    assert list(img.pixels) == [v >> 8 for v in vals]

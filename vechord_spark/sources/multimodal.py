@@ -142,10 +142,16 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(raw: bytes, off: int, width: int, height: int, ch: int):
+def _png_unfilter(raw: bytes, off: int, width: int, height: int, ch: int,
+                  bit_depth: int = 8):
     """Reverse the five scanline filters over one (sub-)image starting
-    at byte ``off`` of the inflated stream; returns (pixels, new_off)."""
-    stride = width * ch
+    at byte ``off`` of the inflated stream and decode the samples to
+    8-bit; returns (pixels, new_off). Filters operate on the raw BYTES
+    with the spec's byte offset ``bpp = max(1, ch*depth//8)``; sub-byte
+    depths unpack MSB-first afterwards, 16-bit keeps the high byte
+    (the standard 8-bit view)."""
+    stride = (width * ch * bit_depth + 7) // 8
+    bpp = max(1, (ch * bit_depth) // 8)
     out = bytearray(height * stride)
     prev = bytearray(stride)
     for y in range(height):
@@ -157,25 +163,42 @@ def _png_unfilter(raw: bytes, off: int, width: int, height: int, ch: int):
             raise ValueError("PNG stream shorter than its dimensions")
         off += 1 + stride
         if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y * stride : (y + 1) * stride] = row
         prev = row
-    return out, off
+    if bit_depth == 8:
+        return out, off
+    if bit_depth == 16:
+        return out[0::2], off  # high bytes = the canonical 8-bit view
+    # 1/2/4-bit (gray or palette indices): unpack MSB-first per ROW
+    # (rows are byte-padded independently)
+    vals = bytearray(height * width * ch)
+    per = 8 // bit_depth
+    mask = (1 << bit_depth) - 1
+    v = 0
+    for y in range(height):
+        base = y * stride
+        for i in range(width * ch):
+            b = out[base + (i // per)]
+            shift = 8 - bit_depth * ((i % per) + 1)
+            vals[v] = (b >> shift) & mask
+            v += 1
+    return vals, off
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -213,10 +236,16 @@ def _png_decode(data: bytes) -> DecodedImage:
     from vechord_spark.sources.rasters import check_dims
 
     check_dims(width, height, "PNG")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported (8 only)")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
+    # legal depth/type combinations per RFC 2083 (round 10 extends the
+    # 8-bit-only round-4 decoder): sub-byte depths for gray + palette,
+    # 16-bit for everything, downscaled to the 8-bit view
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8), 2: (8, 16), 4: (8, 16), 6: (8, 16)}
+    if bit_depth not in legal[color_type]:
+        raise ValueError(
+            f"illegal PNG depth {bit_depth} for color type {color_type}"
+        )
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * ch
@@ -231,7 +260,7 @@ def _png_decode(data: bytes) -> DecodedImage:
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, off = _png_unfilter(raw, off, pw, ph, ch)
+            sub, off = _png_unfilter(raw, off, pw, ph, ch, bit_depth)
             for j in range(ph):
                 yy = y0 + j * dy
                 for i in range(pw):
@@ -240,14 +269,19 @@ def _png_decode(data: bytes) -> DecodedImage:
                     dst = (yy * width + xx) * ch
                     out[dst : dst + ch] = sub[src : src + ch]
     elif interlace == 0:
-        out, off = _png_unfilter(raw, 0, width, height, ch)
+        out, off = _png_unfilter(raw, 0, width, height, ch, bit_depth)
     else:
         raise ValueError(f"bad PNG interlace method {interlace}")
-    if color_type == 3:  # palette -> RGB
+    if color_type == 3:  # palette -> RGB (indices stay raw at any depth)
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
+            if 3 * idx + 3 > len(palette):
+                raise ValueError("PNG palette index outside PLTE")
             rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
         return DecodedImage(width, height, 3, bytes(rgb))
+    if bit_depth in (1, 2, 4):  # gray: scale samples to full 8-bit range
+        factor = 255 // ((1 << bit_depth) - 1)
+        out = bytes(v * factor for v in out)
     return DecodedImage(width, height, ch, bytes(out))
 
 
