@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "chunk_regex",
     "media_dedup_pairs",
     "audio_band_report",
+    "bpe_token_counts",
     "dedup_embedding_pairs",
     "ivf_knn",
     "ivf_knn_refined",

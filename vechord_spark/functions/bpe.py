@@ -1,0 +1,303 @@
+"""Byte-level BPE tokenizer — distributed training, Arrow-batched encode.
+
+The reference's tokenizer surface is WordPiece-shaped (vechord
+spec.py:258-295 declares ``bert_base_uncased``-style models; see
+functions/wordpiece.py for that port). Modern LLM training corpora are
+tokenized with byte-level BPE instead (GPT-2, Sennrich et al. 2016;
+Radford et al. 2019), and token *counts* are the unit every corpus
+budget, mixture weight, and packing plan is denominated in — so a
+100 TB pipeline needs a tokenizer it can train and apply in-cluster.
+
+Spark-first split of the classic algorithm:
+
+- **Word counting is the distributed part.** Pre-tokenize every
+  document (GPT-2-style: a leading space stays attached to its word)
+  and aggregate ``(word, freq)`` with one map-side-combined shuffle.
+  The result is bounded by the corpus' distinct-word vocabulary
+  (Heaps' law: ~O(sqrt) of corpus size), NOT the corpus — and is
+  further capped at ``max_words`` by frequency, so the driver fit is
+  bounded at any scale, the same contract as the IVF/PQ codebook fits
+  (operators/ivf.py). Dropping the tail is the standard trainer
+  behavior (rare words contribute ~nothing to pair counts).
+- **The merge loop is driver-side over that bounded table** — exactly
+  how reference trainers work (HuggingFace tokenizers trains on a
+  word-frequency map, not the raw corpus). Incremental pair-count
+  maintenance keeps it O(merges x touched-words), not a rescan per
+  merge.
+- **Encoding is Arrow-batched** (pandas_udf), merges broadcast in the
+  UDF closure, per-worker word memo — the same hot-path shape as
+  WordPieceTokenizer.column.
+
+Determinism: pair ties (equal frequency) break toward the
+lexicographically smallest ``(left, right)`` byte pair, so the merge
+table is a pure function of the word-frequency table. Training twice
+on the same corpus yields byte-identical merges; the suite oracle
+(suite.bpe_token_counts) leans on this.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+from typing import Iterable, Sequence
+
+import pandas as pd  # module-top: pandas-UDF string type hints resolve here
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# GPT-2 attaches the leading space to the following word and splits
+# letter-runs / digit-runs / other-runs. The canonical pattern needs
+# the third-party ``regex`` module (\p{L} classes); this is the
+# documented stdlib-``re`` equivalent using Unicode-aware \w minus
+# digits. Contractions ('s, 'll, ...) are kept with their word rather
+# than split — a disclosed simplification (it changes WHICH merges are
+# learned, not the algebra of training/encoding).
+_PRETOKEN_RE = re.compile(
+    # letters | digits | punctuation-runs (underscore counts as
+    # punctuation, as in the canonical \p{L}/\p{N} classes) | trailing
+    # whitespace | whitespace — together these cover every character,
+    # so pre-tokens always reassemble the input byte-for-byte
+    r" ?[^\W\d_]+| ?\d+| ?(?:_|[^\w\s])+|\s+(?!\S)|\s+",
+    re.UNICODE,
+)
+
+
+def pretokenize(text: str) -> list[str]:
+    """Split ``text`` into BPE pre-tokens (leading space attached)."""
+    if not text:
+        return []
+    return _PRETOKEN_RE.findall(text)
+
+
+def _word_to_symbols(word: str) -> tuple[bytes, ...]:
+    b = word.encode("utf-8")
+    return tuple(b[i : i + 1] for i in range(len(b)))
+
+
+class BpeTokenizer:
+    """A trained byte-level BPE model: an ordered merge table.
+
+    ``merges[i]`` is the ``(left, right)`` byte-string pair learned at
+    rank ``i``; encoding applies the lowest-rank applicable merge
+    repeatedly (the standard BPE encode). The vocabulary is the 256
+    single bytes plus one entry per merge.
+    """
+
+    def __init__(self, merges: Sequence[tuple[bytes, bytes]]):
+        self.merges: list[tuple[bytes, bytes]] = [
+            (bytes(a), bytes(b)) for a, b in merges
+        ]
+        self.ranks: dict[tuple[bytes, bytes], int] = {
+            pair: i for i, pair in enumerate(self.merges)
+        }
+
+    # ------------------------------------------------------------- encode
+    def encode_word(self, word: str) -> list[bytes]:
+        """Encode one pre-token to its BPE symbol sequence."""
+        syms = list(_word_to_symbols(word))
+        if len(syms) < 2 or not self.ranks:
+            return syms
+        ranks = self.ranks
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            merged = syms[best_i] + syms[best_i + 1]
+            # merge EVERY occurrence of the chosen pair left-to-right
+            # (occurrences found after a just-merged position re-check
+            # against the new neighbor, matching the naive definition)
+            out: list[bytes] = []
+            i = 0
+            pair = (merged[: len(syms[best_i])], merged[len(syms[best_i]) :])
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == pair[0]
+                    and syms[i + 1] == pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def encode(self, text: str) -> list[bytes]:
+        out: list[bytes] = []
+        for w in pretokenize(text):
+            out.extend(self.encode_word(w))
+        return out
+
+    def token_count(self, text: str) -> int:
+        return len(self.encode(text))
+
+    # -------------------------------------------------------- Spark paths
+    def tokens_column(self, col: Column | str) -> Column:
+        """text -> array<binary> of BPE symbols, Arrow-batched."""
+        tok = self
+
+        @F.pandas_udf(T.ArrayType(T.BinaryType()))
+        def _enc(texts: pd.Series) -> pd.Series:
+            memo: dict[str, list[bytes]] = {}
+            out = []
+            for t in texts:
+                t = t or ""
+                toks: list[bytes] = []
+                for w in pretokenize(t):
+                    got = memo.get(w)
+                    if got is None:
+                        got = tok.encode_word(w)
+                        if len(memo) < 1_000_000:  # bound worker memory
+                            memo[w] = got
+                    toks.extend(got)
+                out.append(toks)
+            return pd.Series(out, index=texts.index)
+
+        return _enc(F.col(col) if isinstance(col, str) else col)
+
+    def token_count_column(self, col: Column | str) -> Column:
+        """text -> bigint token count, Arrow-batched (no token
+        materialization — counts only, the hot path for corpus
+        budgeting)."""
+        tok = self
+
+        @F.pandas_udf(T.LongType())
+        def _cnt(texts: pd.Series) -> pd.Series:
+            memo: dict[str, int] = {}
+            out = []
+            for t in texts:
+                t = t or ""
+                n = 0
+                for w in pretokenize(t):
+                    got = memo.get(w)
+                    if got is None:
+                        got = len(tok.encode_word(w))
+                        if len(memo) < 1_000_000:
+                            memo[w] = got
+                    n += got
+                out.append(n)
+            return pd.Series(out, index=texts.index, dtype="int64")
+
+        return _cnt(F.col(col) if isinstance(col, str) else col)
+
+
+# ---------------------------------------------------------------------------
+# Training
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", max_words: int = 1 << 20
+) -> DataFrame:
+    """Distributed pre-tokenize + word count: the one shuffle of BPE
+    training. Returns at most ``max_words`` rows ``(word, freq)``,
+    highest-frequency first (ties by word for determinism)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _pre(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [pretokenize(t or "") for t in texts], index=texts.index
+        )
+
+    freqs = (
+        df.select(F.explode(_pre(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_words:
+        freqs = freqs.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
+    return freqs
+
+
+def train_from_frequencies(
+    word_freqs: Iterable[tuple[str, int]], num_merges: int
+) -> BpeTokenizer:
+    """The driver-side merge loop over a (bounded) word-frequency
+    table. Incremental pair-count maintenance: each merge touches only
+    the words that contain the chosen pair."""
+    words: list[list[bytes]] = []
+    freqs: list[int] = []
+    for w, f in word_freqs:
+        syms = list(_word_to_symbols(w))
+        if len(syms) >= 2:
+            words.append(syms)
+            freqs.append(int(f))
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[bytes, bytes], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += f
+            pair_words[p].add(wi)
+
+    merges: list[tuple[bytes, bytes]] = []
+    for _ in range(num_merges):
+        best: tuple[bytes, bytes] | None = None
+        best_n = 0
+        for p, n in pair_counts.items():
+            if n > best_n or (n == best_n and best is not None and p < best):
+                best, best_n = p, n
+        if best is None or best_n <= 0:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for wi in list(pair_words.get(best, ())):
+            syms = words[wi]
+            f = freqs[wi]
+            # retract this word's old pair contributions
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        del pair_words[p]
+            # apply the merge left-to-right
+            out: list[bytes] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            # re-add the new contributions
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += f
+                pair_words[p].add(wi)
+    return BpeTokenizer(merges)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 1000,
+    max_words: int = 1 << 20,
+) -> BpeTokenizer:
+    """End-to-end distributed training: one word-count shuffle, then
+    the bounded driver-side merge loop. The ``.collect()`` here is the
+    documented bounded fit (<= max_words short rows), the same class
+    as the IVF centroid fits."""
+    rows = word_frequencies(df, text_col, max_words=max_words).collect()
+    return train_from_frequencies(
+        ((r["word"], r["freq"]) for r in rows), num_merges
+    )

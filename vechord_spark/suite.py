@@ -2796,6 +2796,75 @@ def audio_band_report(spark, sf_dir):
 
 
 @_q(
+    "bpe_token_counts",
+    """
+    -- the synthesized corpus makes every BPE outcome a pure function
+    -- of doc_id: text(doc) = one 5-letter word (chosen by doc_id % 5)
+    -- space-joined n = (doc_id % 7) + 1 times. Trained to convergence
+    -- on this corpus every distinct pre-token ("word" and " word")
+    -- merges into ONE symbol, so tokens(doc) = n exactly, and the
+    -- UTF-8 byte count is 6 * n - 1 (all words are 5 ASCII letters)
+    SELECT CAST((doc_id % 7) + 1 AS INT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(6 * ((doc_id % 7) + 1) - 1) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY n_tokens
+    """,
+)
+def bpe_token_counts(spark, sf_dir):
+    """Byte-level BPE train + encode end-to-end (round 10): a corpus
+    synthesized from the documents table — per doc_id, one 5-letter
+    word repeated (doc_id % 7) + 1 times — goes through the FULL
+    tokenizer lifecycle: distributed word-frequency counting (one
+    map-side-combined shuffle), the bounded driver-side merge loop
+    (functions/bpe.train_bpe), then the Arrow-batched token-count
+    encoder over the same frame. The corpus has exactly 10 distinct
+    pre-tokens, so 64 merges train to convergence and every pre-token
+    encodes to a single symbol — making per-doc token counts (and the
+    zero-merge byte counts) pure doc_id arithmetic the oracle can
+    state in SQL. The reference's tokenizer surface is the WordPiece
+    analog (vechord/spec.py:258-295); byte-level BPE is what LLM
+    training corpora are budgeted in, and at 100 TB this plan is the
+    real one: word counting is the only shuffle (bounded by distinct
+    vocabulary, Heaps' law), training is a driver-side fit over that
+    bounded table, and encoding is one Arrow-batched scan."""
+    from vechord_spark.functions.bpe import train_bpe
+
+    # no spread(): the two Python stages here move KB-sized Arrow
+    # batches, so fanning the tiny scan to 32 partitions costs 3-6x
+    # the whole query in per-task overhead (measured 7.1 -> 1.0 s
+    # warm). Real corpora arrive wide from the file index on their own.
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    words = F.array(
+        *[F.lit(w) for w in ("alpha", "gamma", "delta", "omega", "theta")]
+    )
+    synth = docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_repeat(
+                F.element_at(words, (F.col("doc_id") % 5 + 1).cast("int")),
+                (F.col("doc_id") % 7 + 1).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    tok = train_bpe(synth, num_merges=64, max_words=1024)
+    counted = synth.select(
+        tok.token_count_column("text").cast("int").alias("n_tokens"),
+        F.octet_length("text").alias("bytes"),
+    )
+    return (
+        counted.groupBy("n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("n_tokens")
+    )
+
+
+@_q(
     "delete_cascade",
     """
     WITH surviving_cust AS (
@@ -7360,7 +7429,13 @@ _WINDOW_PRIORITY = [
     # perceptual-hash image near-dedup over a real decode path)
     "media_dedup_pairs",
     # text analysis / training-data ops
-    "doc_length_quantiles",
+    # round-10 rotation: doc_length_quantiles OUT (stable green since
+    # round 5; the text-analysis family keeps ccnet_buckets,
+    # gopher_quality_flags, dedup_lines_c4 in-window and the quantile
+    # plan stays hash-verified by tests/test_oracle_parity.py) ->
+    # bpe_token_counts IN (new round-10 surface: distributed BPE
+    # train + Arrow-batched encode as a driver-gated query)
+    "bpe_token_counts",
     "temperature_mix",
     # ccnet_buckets composes unigram_logprob -> per-lang quantile tiers,
     # so it supersedes doc_unigram_logprob in the window (the plain
