@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "media_dedup_pairs",
     "audio_band_report",
     "bpe_token_counts",
+    "mmr_rerank_diverse",
     "dedup_embedding_pairs",
     "ivf_knn",
     "ivf_knn_refined",

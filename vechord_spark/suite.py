@@ -6024,6 +6024,88 @@ ORACLES["rerank_lexical"] = ORACLES["rerank_lexical"].replace(
 
 
 @_q(
+    "mmr_rerank_diverse",
+    """
+    -- the synthesized candidates make the greedy MMR trace a pure
+    -- function of doc_id arithmetic: per query (doc_id % 20) the
+    -- candidates rank r = doc_id // 20 with relevance 1 - r/8192
+    -- (dyadic-exact in both engines) and orthogonal one-hot cluster
+    -- vectors (cluster = r // 10). Greedy lam=0.5: phase 1 takes each
+    -- cluster's leader (r = 0, 10, 20, ...; penalty exactly 0), then
+    -- every survivor carries penalty exactly 1, so phase 2 walks the
+    -- non-multiples of 10 in rank order. All score arithmetic stays
+    -- on dyadic rationals, so the doubles hash-match bit-for-bit.
+    WITH stats AS (
+      SELECT doc_id % 20 AS qid,
+             count(*) AS c,
+             CAST(ceil(count(*) / 10.0) AS BIGINT) AS nc
+      FROM documents GROUP BY 1
+    ),
+    picks AS (
+      SELECT qid, nc, CAST(t.p AS INT) AS pos,
+             CASE WHEN t.p < nc THEN t.p * 10
+                  ELSE ((t.p - nc) // 9) * 10 + ((t.p - nc) % 9) + 1
+             END AS r
+      FROM stats CROSS JOIN range(8) AS t(p)
+      WHERE t.p < LEAST(8, c)
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           pos,
+           CAST(qid + 20 * r AS BIGINT) AS doc_id,
+           CASE WHEN pos < nc
+                THEN 0.5 * (1.0 - r / 8192.0)
+                ELSE 0.5 * (1.0 - r / 8192.0) - 0.5
+           END AS mmr_score
+    FROM picks
+    ORDER BY qid, pos
+    """,
+)
+def mmr_rerank_diverse(spark, sf_dir):
+    """Listwise diversity reranking end-to-end (round 10): MMR
+    (operators/mmr.mmr_rerank, Carbonell & Goldstein 1998) over a
+    candidate corpus synthesized from the documents table — 20 query
+    groups, per-group candidates with strictly-descending dyadic
+    relevance and one-hot cluster embeddings (10 consecutive ranks per
+    cluster) — run as ONE groupBy(qid).applyInPandas stage with the
+    per-group numpy greedy. The geometry makes the greedy trace exact
+    closed-form: cluster leaders first (orthogonal picks, penalty 0),
+    then redundant candidates at penalty exactly 1, so the oracle
+    states the full (pick order, score) trace in SQL and the doubles
+    hash-match bit-for-bit. The reference's rerank surface is
+    pointwise (vechord/rerank.py, ported in operators/fusion.py);
+    MMR is the listwise complement a retrieval stack needs once
+    first-stage candidates start arriving near-duplicated. At 100 TB
+    the query stream is the parallel axis: one shuffle on qid,
+    candidate lists stay top-N-bounded, no driver participation."""
+    from vechord_spark.operators.mmr import mmr_rerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_docs = _cached_count(docs, sf_dir, "documents")
+    dim = ((n_docs - 1) // 20) // 10 + 1  # max cluster index + 1
+    r = F.expr("doc_id div 20")  # integer division, no double round-trip
+    cluster = F.expr("doc_id div 20 div 10")
+    cands = docs.select(
+        (F.col("doc_id") % 20).alias("qid"),
+        F.col("doc_id").alias("id"),
+        (F.lit(1.0) - r.cast("double") / F.lit(8192.0)).alias("rel"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(i == cluster, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("vec"),
+    )
+    out = mmr_rerank(
+        cands, query_col="qid", id_col="id", rel_col="rel",
+        vec_col="vec", k=8, lam=0.5,
+    )
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("pos"),
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("mmr_score"),
+    ).orderBy("qid", "pos")
+
+
+@_q(
     "events_sliding_counts",
     """
     WITH starts AS (
@@ -7393,7 +7475,12 @@ _WINDOW_PRIORITY = [
     "bm25_topk",
     "sparse_knn",
     "hybrid_rrf",
-    "rerank_lexical",
+    # round-10 rotation: rerank_lexical OUT (stable green since round
+    # 4, plan untouched, still parity-tested every pytest run) ->
+    # mmr_rerank_diverse IN (new round-10 surface: listwise MMR
+    # diversity reranking via groupBy().applyInPandas, exact greedy
+    # trace oracled in SQL) — the rerank family stays in-window.
+    "mmr_rerank_diverse",
     # graph
     "graph_search_2hop",
     "graph_pagerank",
