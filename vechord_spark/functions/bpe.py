@@ -37,6 +37,7 @@ on the same corpus yields byte-identical merges; the suite oracle
 
 from __future__ import annotations
 
+import heapq
 import re
 from collections import Counter, defaultdict
 from typing import Iterable, Sequence
@@ -239,16 +240,31 @@ def train_from_frequencies(
             pair_counts[p] += f
             pair_words[p].add(wi)
 
+    # lazy max-heap over (-count, pair): pop order = highest count,
+    # ties toward the lexicographically smallest pair (the documented
+    # determinism contract). Stale entries (count changed since push)
+    # fail the validity check and are discarded — O(log P) selection
+    # instead of a full O(P) scan per merge (the scan was the
+    # bottleneck at crawl-shaped vocabularies: 2000 merges x ~1M live
+    # pairs).
+    heap: list[tuple[int, tuple[bytes, bytes]]] = [
+        (-n, p) for p, n in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
     merges: list[tuple[bytes, bytes]] = []
     for _ in range(num_merges):
         best: tuple[bytes, bytes] | None = None
         best_n = 0
-        for p, n in pair_counts.items():
-            if n > best_n or (n == best_n and best is not None and p < best):
-                best, best_n = p, n
+        while heap:
+            negn, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negn:
+                best, best_n = p, -negn
+                break
         if best is None or best_n <= 0:
             break
         merges.append(best)
+        touched: set[tuple[bytes, bytes]] = set()
         merged = best[0] + best[1]
         for wi in list(pair_words.get(best, ())):
             syms = words[wi]
@@ -257,6 +273,7 @@ def train_from_frequencies(
             for i in range(len(syms) - 1):
                 p = (syms[i], syms[i + 1])
                 pair_counts[p] -= f
+                touched.add(p)
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
                 s = pair_words.get(p)
@@ -284,6 +301,11 @@ def train_from_frequencies(
                 p = (out[i], out[i + 1])
                 pair_counts[p] += f
                 pair_words[p].add(wi)
+                touched.add(p)
+        for p in touched:
+            n = pair_counts.get(p, 0)
+            if n > 0:
+                heapq.heappush(heap, (-n, p))
     return BpeTokenizer(merges)
 
 
