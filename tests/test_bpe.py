@@ -208,3 +208,37 @@ def test_tokens_column_reassembles(spark):
     tok = train_from_frequencies([("the", 5), (" cat", 2), (" sat", 2)], 8)
     [row] = df.select(tok.tokens_column("text").alias("t")).collect()
     assert b"".join(bytes(x) for x in row["t"]) == b"the cat sat on the mat"
+
+
+def test_save_load_roundtrip(tmp_path):
+    wf = [("newest", 6), ("widest", 3), (" héllo", 4)]
+    tok = train_from_frequencies(wf, 9)
+    p = str(tmp_path / "merges.json")
+    tok.save(p)
+    from vechord_spark.functions.bpe import BpeTokenizer
+
+    back = BpeTokenizer.load(p)
+    assert back.merges == tok.merges
+    assert back.encode("newest héllo") == tok.encode("newest héllo")
+    (tmp_path / "bad.json").write_text('{"format": "other"}')
+    with pytest.raises(ValueError):
+        BpeTokenizer.load(str(tmp_path / "bad.json"))
+
+
+def test_bpe_artifact_trains_once_then_loads(spark, tmp_path, sf_dir):
+    from vechord_spark.functions.bpe import ensure_bpe_artifact
+    from vechord_spark.plans.artifacts import ArtifactStore
+
+    store = ArtifactStore(spark, tmp_path / "warehouse")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    src = [f"{sf_dir}/documents.parquet"]
+    tok1 = ensure_bpe_artifact(store, "bpe_docs", docs, src, num_merges=25)
+    vocab = store.path("bpe_docs") / "merges.json"
+    mtime = vocab.stat().st_mtime_ns
+    tok2 = ensure_bpe_artifact(store, "bpe_docs", docs, src, num_merges=25)
+    assert tok2.merges == tok1.merges
+    assert vocab.stat().st_mtime_ns == mtime  # loaded, not rebuilt
+    # params change -> rebuild with the new merge count
+    tok3 = ensure_bpe_artifact(store, "bpe_docs", docs, src, num_merges=10)
+    assert len(tok3.merges) == 10
+    assert tok3.merges == tok1.merges[:10]  # same corpus, same prefix

@@ -94,6 +94,34 @@ class BpeTokenizer:
             pair: i for i, pair in enumerate(self.merges)
         }
 
+    # ------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        """Write the merge table as JSON (hex-encoded byte pairs) —
+        the tokenizer analog of a model vocab file. Training is paid
+        once per corpus; every later session loads the table."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "format": "vechord-bpe-v1",
+                    "merges": [[a.hex(), b.hex()] for a, b in self.merges],
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "BpeTokenizer":
+        import json
+
+        with open(path) as f:
+            doc = json.load(f)
+        if doc.get("format") != "vechord-bpe-v1":
+            raise ValueError(f"not a vechord BPE vocab file: {path}")
+        return cls(
+            [(bytes.fromhex(a), bytes.fromhex(b)) for a, b in doc["merges"]]
+        )
+
     # ------------------------------------------------------------- encode
     def encode_word(self, word: str) -> list[bytes]:
         """Encode one pre-token to its BPE symbol sequence."""
@@ -323,3 +351,39 @@ def train_bpe(
     return train_from_frequencies(
         ((r["word"], r["freq"]) for r in rows), num_merges
     )
+
+
+def ensure_bpe_artifact(
+    store,
+    name: str,
+    df: DataFrame,
+    source_paths: Sequence[str],
+    text_col: str = "text",
+    num_merges: int = 1000,
+    max_words: int = 1 << 20,
+) -> BpeTokenizer:
+    """Train-once/load-anywhere via an ArtifactStore disk layout
+    (plans/artifacts.ArtifactStore): the merge table is persisted
+    under a source ledger + params key, so any later session (or a
+    concurrent one — the store's atomic-publish contract applies)
+    loads the trained tokenizer instead of re-scanning the corpus.
+    The same CREATE-INDEX semantics the suite gives its BM25/IVF
+    layouts."""
+
+    def _build(tmp):
+        train_bpe(
+            df, text_col, num_merges=num_merges, max_words=max_words
+        ).save(str(tmp / "merges.json"))
+
+    path = store.load_or_build(
+        name,
+        source_paths,
+        {
+            "kind": "bpe-merges",
+            "text_col": text_col,
+            "num_merges": num_merges,
+            "max_words": max_words,
+        },
+        _build,
+    )
+    return BpeTokenizer.load(str(path / "merges.json"))
