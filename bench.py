@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "audio_band_report",
     "bpe_token_counts",
     "mmr_rerank_diverse",
+    "cdc_shared_passages",
     "dedup_embedding_pairs",
     "ivf_knn",
     "ivf_knn_refined",

@@ -2865,6 +2865,80 @@ def bpe_token_counts(spark, sf_dir):
 
 
 @_q(
+    "cdc_shared_passages",
+    """
+    -- the synthesized corpus makes the shared-passage pair set pure
+    -- doc_id arithmetic: docs group by doc_id // 4 and every group
+    -- member embeds the SAME ~1500-char passage between unique
+    -- affixes. Content-defined chunking resynchronizes inside the
+    -- shared passage regardless of the affixes (the Gear-hash window
+    -- is 64 bytes), so same-group pairs share all interior passage
+    -- chunks (>> the min_shared=2 floor) and cross-group docs share
+    -- none — the recovered pairs are exactly the within-group pairs
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def cdc_shared_passages(spark, sf_dir):
+    """Partial-duplicate (shared passage) detection end-to-end
+    (round 10): a corpus synthesized from the documents table — per
+    group of four doc_ids one deterministic ~1500-char passage,
+    wrapped in per-doc unique 100-char affixes — runs through
+    content-defined chunking (operators/cdc: rolling Gear hash,
+    FastCDC family) and bucket-local shared-chunk pair generation.
+    CDC's resynchronization property makes the outcome exact: chunk
+    boundaries depend only on a 64-byte local window, so the unique
+    affixes perturb at most the passage's first/last chunk and every
+    interior chunk fingerprint is shared group-wide — the oracle
+    states the pair set from doc_id arithmetic alone. This is the
+    below-document-level dedup pass (the contamination mode document
+    dedup misses: copied paragraphs/boilerplate, Lee et al. 2022). At
+    100 TB: one Arrow-batched chunk+hash scan, an exchange of
+    (doc_id, 16-byte md5) rows, and mega-bucket-capped pair
+    generation — the same bounded shape as the MinHash band join."""
+    import numpy as np
+    import pandas as pd
+
+    from vechord_spark.operators.cdc import cdc_chunk_hashes, shared_chunk_pairs
+    from vechord_spark.parallel import spread
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        def rand_text(seed: int, n: int) -> str:
+            rng = np.random.default_rng(seed)
+            return "".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+
+        passages: dict[int, str] = {}
+        for pdf in batches:
+            ids, texts = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gid = doc_id // 4
+                p = passages.get(gid)
+                if p is None:
+                    p = rand_text(gid * 9_999_991 + 3, 1500)
+                    passages[gid] = p
+                affix = rand_text(doc_id * 7_777_777 + 11, 200)
+                ids.append(doc_id)
+                texts.append(affix[:100] + p + affix[100:])
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    corpus = spread(docs).mapInPandas(_gen, "doc_id long, text string")
+    chunks = cdc_chunk_hashes(corpus)
+    return (
+        shared_chunk_pairs(chunks, min_shared=2)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@_q(
     "delete_cascade",
     """
     WITH surviving_cust AS (
@@ -7499,7 +7573,12 @@ _WINDOW_PRIORITY = [
     # dedup suite
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_survivors",
+    # round-10 rotation: dedup_survivors OUT (stable green since round
+    # 4; min-id-per-component, plan untouched, parity-tested every
+    # pytest run; the components family keeps dedup_components
+    # in-window) -> cdc_shared_passages IN (new round-10 surface:
+    # content-defined chunking + shared-passage partial-dup pairs)
+    "cdc_shared_passages",
     "dedup_bloom_incremental",
     "dedup_embedding_bucketed",
     # round-9b: plans changed this round (shared pair/signature memos,
