@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "approx_distinct_users",
     "ngram_diversity",
     "quantile_sketch_gate",
+    "fuzzy_name_pairs",
     # -- Python-worker path --
     "heavy_hitter_users",
     "chunk_regex",
