@@ -137,3 +137,69 @@ def test_zero_token_docs_count_in_stats(spark):
     assert ix.docfreq.where("term is null").count() == 0
     top = ix.topk("beta", k=10)
     assert sorted(r.doc_id for r in top.collect()) == [1, 2]
+
+
+# --------------------------------------------------------------- phrase
+
+
+def test_contains_phrase_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from vechord_spark.functions.text import contains_phrase
+
+    df = spark.createDataFrame(
+        [
+            (0, "Table scan, fast!"),       # punct-split: matches
+            (1, "scan table"),              # wrong order
+            (2, "the table big scan"),      # not contiguous
+            (3, "table"),                   # too short
+            (4, ""),                        # empty
+            (5, "a table scan table scan"), # repeated: matches
+            (6, "TABLE SCAN"),              # case-folded: matches
+        ],
+        ["id", "t"],
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", contains_phrase("t", ["table", "scan"]).alias("m")
+        ).collect()
+    }
+    assert got == {0: True, 1: False, 2: False, 3: False, 4: False,
+                   5: True, 6: True}
+    [empty] = df.limit(1).select(contains_phrase("t", []).alias("m")).collect()
+    assert empty["m"] is False
+
+
+def test_bm25_phrase_topk_matches_manual_filter(spark, docs):
+    from vechord_spark.functions.text import contains_phrase
+    from vechord_spark.operators.bm25 import bm25_phrase_topk, bm25_topk
+
+    got = bm25_phrase_topk(docs, "doc_id", "text", "table scan", k=10)
+    # same thing assembled by hand: phrase docs as candidates
+    cand = docs.filter(contains_phrase("text", ["table", "scan"])).select(
+        "doc_id"
+    )
+    want = bm25_topk(docs, "doc_id", "text", "table scan", k=10, candidates=cand)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    rows = got.collect()
+    assert 0 < len(rows) <= 10
+    # every hit really contains the contiguous phrase
+    hit_ids = [r["doc_id"] for r in rows]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(docs.doc_id.isin(hit_ids)).collect()
+    }
+    import re
+    for did in hit_ids:
+        toks = [t for t in re.split("[^a-z0-9]+", texts[did].lower()) if t]
+        assert any(
+            toks[i : i + 2] == ["table", "scan"] for i in range(len(toks) - 1)
+        ), did
+
+
+def test_bm25_phrase_topk_no_match_is_empty(spark, docs):
+    from vechord_spark.operators.bm25 import bm25_phrase_topk
+
+    got = bm25_phrase_topk(docs, "doc_id", "text", "zzz qqq", k=5)
+    assert got.count() == 0

@@ -56,6 +56,37 @@ def token_count(text: ColumnOrName) -> Column:
     return F.size(tokenize(text))
 
 
+def contains_phrase(text: ColumnOrName, words: list[str]) -> Column:
+    """True when the token sequence of ``text`` contains ``words`` as
+    a CONTIGUOUS run (order and duplicates matter — this is phrase
+    match, not bag-of-words). Pure Column expression: ``exists`` over
+    candidate start positions with an unrolled per-word equality
+    conjunction, all inside codegen.
+
+    DuckDB-oracle equivalent (space-join trick, exact because tokens
+    never contain spaces):
+    ``' ' || array_to_string(tokens, ' ') || ' ' LIKE '% w1 w2 %'``.
+    """
+    if not words:
+        return F.lit(False)
+    toks = tokenize(text)
+    n = F.size(toks)
+    m = len(words)
+
+    def _at(i: Column) -> Column:
+        cond = F.element_at(toks, i) == words[0]
+        for j in range(1, m):
+            cond = cond & (F.element_at(toks, i + F.lit(j)) == words[j])
+        return cond
+
+    starts = F.sequence(F.lit(1), n - F.lit(m) + F.lit(1))
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, which
+    # would probe bogus positions — short texts are simply False
+    return F.when(n >= F.lit(m), F.exists(starts, _at)).otherwise(
+        F.lit(False)
+    )
+
+
 def char_ngrams(text: ColumnOrName, n: int = 5) -> Column:
     """Character n-gram (shingle) array over the lowercased text.
 

@@ -383,3 +383,45 @@ def bm25_topk(
             payload, hits["__hit_id"] == payload[doc_id], "inner"
         ).select(*select, "score", "rank")
     return hits
+
+
+def phrase_tokens(phrase: str) -> list[str]:
+    """The phrase's token SEQUENCE under the engine tokenizer —
+    order kept, duplicates kept (phrase match needs both; contrast
+    ``_query_terms``, which dedupes for scoring)."""
+    import re
+
+    return [t for t in re.split("[^a-z0-9]+", phrase.lower()) if t]
+
+
+def bm25_phrase_topk(
+    df: DataFrame,
+    doc_id: str,
+    text_col: str,
+    phrase: str,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Phrase-restricted BM25 top-k: documents containing ``phrase``
+    as a contiguous token run, ranked by the BM25 score of the
+    phrase's (deduped) terms against corpus-global statistics — the
+    standard search-engine phrase query (match narrows candidates,
+    scoring stays corpus-wide).
+
+    The phrase test is a pure codegen expression
+    (functions/text.contains_phrase), applied as the ``candidates``
+    pre-filter of the existing one-shot plan — at scale it is one
+    extra scan predicate, no new shuffle. For repeated phrase queries
+    against a built ``Bm25Index``, pass the same candidates frame to
+    ``Bm25Index.topk`` (positional postings are deliberately NOT
+    materialized: the reference's index is bag-of-words too, and the
+    scan predicate keeps the index 3-4x smaller than positions
+    would)."""
+    from vechord_spark.functions.text import contains_phrase
+
+    words = phrase_tokens(phrase)
+    cand = df.filter(contains_phrase(text_col, words)).select(F.col(doc_id))
+    return bm25_topk(
+        df, doc_id, text_col, phrase, k=k, k1=k1, b=b, candidates=cand
+    )

@@ -500,6 +500,78 @@ def bm25_index_topk(spark, sf_dir):
     return _bm25_index(spark, sf_dir).topk(BM25_QUERY2, k=10)
 
 
+_PHRASE = ["table", "scan"]
+
+
+def _bm25_phrase_oracle_sql(phrase_words: list[str]) -> str:
+    """The bm25 oracle with a contiguous-phrase candidate filter:
+    match narrows the scored docs, statistics stay corpus-global
+    (identical semantics to Bm25Index.topk(candidates=...)). The
+    space-join LIKE trick is exact because tokens never contain
+    spaces."""
+    like = "% " + " ".join(phrase_words) + " %"
+    terms = list(dict.fromkeys(phrase_words))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK.format(col='text')} AS terms FROM documents
+    ),
+    phrase_docs AS (
+      SELECT doc_id FROM toks
+      WHERE ' ' || array_to_string(terms, ' ') || ' ' LIKE '{like}'
+    ),
+    doclen AS (SELECT doc_id, len(terms) AS dl FROM toks),
+    posts AS (SELECT doc_id, unnest(terms) AS term FROM toks),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM posts GROUP BY term, doc_id),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+    qterms AS (SELECT unnest({terms!r}) AS term),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qterms USING (term)
+      JOIN dfq USING (term)
+      JOIN doclen USING (doc_id)
+      JOIN phrase_docs USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored
+    ORDER BY rank
+    LIMIT 10
+    """
+
+
+@_q("phrase_search", _bm25_phrase_oracle_sql(_PHRASE))
+def phrase_search(spark, sf_dir):
+    """Phrase-restricted keyword search (round 10): documents
+    containing the contiguous token run "table scan", BM25-ranked by
+    the phrase terms against corpus-global statistics — the standard
+    search-engine phrase query. The phrase test is one pure-codegen
+    scan predicate (functions/text.contains_phrase: exists over start
+    positions, unrolled equality conjunction — no positions index, no
+    Python), applied as the candidates pre-filter of the PERSISTED
+    BM25 index's topk, so the steady-state cost is the normal pruned
+    postings scan plus one pass over the corpus text for the match
+    bit. The reference's keyword surface is bag-of-words
+    (vchord-bm25); phrase match is the first feature users ask of it.
+    At 100 TB the predicate rides the same scan that would feed any
+    metadata filter — no new shuffle, no index blowup."""
+    from vechord_spark.functions.text import contains_phrase
+    from vechord_spark.operators.bm25 import phrase_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = phrase_tokens("table scan")
+    cand = docs.filter(contains_phrase("text", words)).select("doc_id")
+    return _bm25_index(spark, sf_dir).topk("table scan", k=10, candidates=cand)
+
+
 @_q(
     "hybrid_rrf",
     f"""
@@ -7585,7 +7657,11 @@ _WINDOW_PRIORITY = [
     # this round: forced supplier broadcast dropped per the
     # no-forced-hint rule, so the new plan earns a driver check).
     "knn_cosine",
-    "knn_filtered",
+    # round-10 rotation: knn_filtered OUT (stable green since round 2,
+    # plan untouched, parity-tested every pytest run; K1 keeps
+    # knn_cosine in-window) -> phrase_search IN (new round-10 surface:
+    # contiguous-phrase-restricted BM25 over the persisted index)
+    "phrase_search",
     "maxsim_by_label",
     "ivf_recall",
     "ivf_recall_expanded",
