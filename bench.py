@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "ngram_diversity",
     "quantile_sketch_gate",
     "fuzzy_name_pairs",
+    "weighted_doc_sample",
     # -- Python-worker path --
     "heavy_hitter_users",
     "chunk_regex",

@@ -310,3 +310,44 @@ def test_leakage_safe_split_random_graphs_model(spark):
         for r in out:
             splits_per_rep.setdefault(r.split_rep, set()).add(r.split)
         assert all(len(s) == 1 for s in splits_per_rep.values())
+
+
+# ------------------------------------------------- priority sampling
+
+
+def test_weighted_priority_sample_determinism_and_k(spark, docs):
+    from vechord_spark.operators.sample import weighted_priority_sample
+
+    a = weighted_priority_sample(docs, "doc_id", "n_chars", 15, salt="s").collect()
+    b = weighted_priority_sample(
+        docs.repartition(7), "doc_id", "n_chars", 15, salt="s"
+    ).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 15
+    assert [r["rank"] for r in a] == list(range(1, 16))
+    pr = [r["priority"] for r in a]
+    assert pr == sorted(pr, reverse=True)
+    # k > n returns everything
+    assert weighted_priority_sample(docs, "doc_id", "n_chars", 10**6).count() == docs.count()
+
+
+def test_weighted_priority_sample_favors_heavy_rows(spark):
+    from vechord_spark.operators.sample import weighted_priority_sample
+
+    # 100 light rows (w=1) + 10 heavy rows (w=100): across many salts
+    # the heavy rows must dominate the k=10 sample on average
+    rows = [(i, 1) for i in range(100)] + [(100 + i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    heavy = 0
+    for s in range(8):
+        got = weighted_priority_sample(df, "id", "w", 10, salt=f"t{s}").collect()
+        heavy += sum(1 for r in got if r["id"] >= 100)
+    assert heavy >= 40  # expectation ~ >70%; generous floor
+
+
+def test_weighted_priority_zero_weight_never_beats_positive(spark):
+    from vechord_spark.operators.sample import weighted_priority_sample
+
+    df = spark.createDataFrame([(0, 0), (1, 0), (2, 5)], ["id", "w"])
+    got = weighted_priority_sample(df, "id", "w", 1).collect()
+    assert [r["id"] for r in got] == [2]

@@ -328,3 +328,44 @@ def cap_per_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup 2007): each row gets priority
+    ``w / u`` with ``u`` uniform in (0, 1], the k highest priorities
+    are the sample — inclusion probability rises with weight, and the
+    (k+1)-th priority is the published threshold for unbiased
+    subset-sum estimation. The training-data use is score-weighted
+    corpus subsetting: sample documents proportional to a quality or
+    length weight, deterministically.
+
+    Exactness contract (cross-engine hash parity): ``u`` is the
+    md5-uniform ``(hash + 1) / 2^32`` and the priority is computed as
+    the single expression ``w * 2^32 / (hash + 1)`` — one exact
+    integer-valued multiply (weights below ~2^21 stay inside the
+    2^53 exact-double range) and ONE IEEE division, so Spark and a
+    SQL oracle produce bit-identical doubles. No ln/pow (the
+    Efraimidis-Spirakis exponential-key form would hit cross-engine
+    libm ulp skew).
+
+    Returns the k sampled rows + ``priority`` + ``rank`` (1 = highest
+    priority). Deterministic under repartitioning and appends, like
+    every sampler here; one TakeOrderedAndProject, no shuffle."""
+    from vechord_spark.operators.topk import ranked_topk
+
+    pri = df.withColumn(
+        "priority",
+        F.col(weight_col).cast("double")
+        * F.lit(float(HASH_SPACE))
+        / (hash_fraction(id_col, salt) + F.lit(1)).cast("double"),
+    )
+    return ranked_topk(
+        pri, [F.col("priority").desc(), F.col(id_col).asc()], k
+    )

@@ -6443,6 +6443,50 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(pairs, src="doc_a", dst="doc_b")
 
 
+@_q(
+    "weighted_doc_sample",
+    """
+    -- priority sampling (Duffield-Lund-Thorup): priority = w * 2^32
+    -- / (md5-hash + 1), one exact multiply + ONE IEEE division, so
+    -- the doubles are bit-identical across engines
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) * 4294967296
+               / (CAST(('0x' || substr(md5('ps1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+               AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority,
+           CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT) AS rank
+    FROM pri
+    ORDER BY rank
+    LIMIT 20
+    """,
+)
+def weighted_doc_sample(spark, sf_dir):
+    """Weight-proportional sampling without replacement (round 10):
+    the 20 highest-priority documents under priority sampling
+    (operators/sample.weighted_priority_sample) with length (n_chars)
+    as the weight — the score-weighted corpus subsetting a training
+    mixture uses when documents should be drawn proportional to a
+    quality/length weight rather than uniformly. Priorities are the
+    single-expression ``w * 2^32 / (md5_hash + 1)`` (no ln/pow, so no
+    cross-engine libm skew) and the plan is one codegen projection
+    feeding TakeOrderedAndProject — no shuffle, deterministic under
+    repartitioning and appends like every sampler in the family."""
+    from vechord_spark.operators.sample import weighted_priority_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_priority_sample(
+        docs, "doc_id", "n_chars", 20, salt="ps1"
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "priority",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 _CAP_PER_SOURCE = 50
 
 
@@ -7728,7 +7772,11 @@ _WINDOW_PRIORITY = [
     # bpe_token_counts IN (new round-10 surface: distributed BPE
     # train + Arrow-batched encode as a driver-gated query)
     "bpe_token_counts",
-    "temperature_mix",
+    # round-10 rotation: temperature_mix OUT (stable green since round
+    # 5, plan untouched, parity-tested every pytest run) ->
+    # weighted_doc_sample IN (new round-10 surface: priority sampling,
+    # the weight-proportional member of the sampler family)
+    "weighted_doc_sample",
     # ccnet_buckets composes unigram_logprob -> per-lang quantile tiers,
     # so it supersedes doc_unigram_logprob in the window (the plain
     # score stays hash-verified by tests/test_oracle_parity.py).
