@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "graph_triangles",
     "dedup_jaccard",
+    "jaccard_join_exact",
     "dedup_components",
     "dedup_survivors",
     "dedup_simhash",

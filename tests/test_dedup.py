@@ -380,3 +380,73 @@ def test_bucketed_pairs_matmul_matches_jvm(spark):
             ).collect()
         )
         assert got == want and len(want) > 0
+
+
+# ----------------------------------------------- exact prefix-filter join
+
+
+def test_jaccard_prefix_join_matches_bruteforce(spark, docs):
+    """Completeness + soundness vs the obvious O(n^2) computation on a
+    real corpus slice."""
+    import itertools
+    import re
+
+    from vechord_spark.operators.dedup import jaccard_prefix_join
+
+    sample = docs.limit(80)
+    rows = [(r["doc_id"], r["text"]) for r in sample.collect()]
+
+    def shingles(text):
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for t in (0.2, 0.35, 0.6):
+        want = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union and inter >= t * union:
+                want[(min(ia, ib), max(ia, ib))] = (inter, union)
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["union_n"])
+            for r in jaccard_prefix_join(sample, "doc_id", "text", t).collect()
+        }
+        assert got == want, t
+
+
+def test_jaccard_prefix_join_threshold_guard(spark, docs):
+    import pytest as _pytest
+
+    from vechord_spark.operators.dedup import jaccard_prefix_join
+
+    with _pytest.raises(ValueError):
+        jaccard_prefix_join(docs, "doc_id", "text", 0.0)
+    with _pytest.raises(ValueError):
+        jaccard_prefix_join(docs, "doc_id", "text", 1.5)
+
+
+def test_jaccard_prefix_join_supersets_minhash_verified(spark, docs):
+    """The exact join must contain every MinHash-candidate pair that
+    verifies at the same threshold (MinHash can only MISS pairs)."""
+    from vechord_spark.operators.dedup import (
+        jaccard_prefix_join,
+        minhash_candidate_pairs,
+        ngram_jaccard,
+    )
+
+    sample = docs.limit(120)
+    cands = minhash_candidate_pairs(sample, "doc_id", "text")
+    via_minhash = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard(
+            sample, "doc_id", "text", threshold=0.35, candidates=cands
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_join(sample, "doc_id", "text", 0.35).collect()
+    }
+    assert via_minhash <= exact

@@ -116,12 +116,24 @@ def word_ngrams(text: ColumnOrName, n: int = 3) -> Column:
     len(toks) - n + 1), i -> array_to_string(list_slice(toks, i,
     i + n - 1), ' '))``.
     """
-    toks = tokenize(text)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # Bind the token array ONCE as a lambda variable: higher-order
+    # lambdas re-evaluate captured expression trees per element, so
+    # `slice(tokenize(text), i, n)` re-tokenizes the document for
+    # EVERY shingle position — O(len^2) regex work per row (measured
+    # 7.5 s -> 0.6 s for 5k docs at sf0.1 with the binding). The
+    # 1-element outer transform is the expression-API idiom for `let`.
+    def _ngrams(tk: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))
+        )
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tk, i, n))),
+        ).otherwise(F.array(F.concat_ws(" ", tk)))
+
+    return F.flatten(
+        F.transform(F.array(tokenize(text)), _ngrams)
+    )
 
 
 def punct_ratio(text: ColumnOrName) -> Column:

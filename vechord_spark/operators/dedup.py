@@ -1110,3 +1110,126 @@ def line_dedup(
     if return_text:
         cols.append("kept_text")
     return out.select(*cols)
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the
+    SSJoin/PPJoin family, Chaudhuri et al. 2006 / Xiao et al. 2008) —
+    the lossless complement of the MinHash path: every pair with
+    ``jaccard >= threshold`` is returned, none missed.
+
+    Order each document's distinct shingles rarest-first (one global
+    frequency aggregate), index only the first
+    ``n - ceil(threshold * n) + 1`` of them: a pair at or above the
+    threshold must share one of these prefix shingles (if a's prefix
+    missed all of the overlap, the overlap would fit inside a's last
+    ``ceil(t*n)-1`` shingles — fewer than the ``t*n`` the threshold
+    demands). Candidates then pass a size-ratio filter and an exact
+    ``array_intersect`` verify. Completeness is structural, so unlike
+    the postings path in ``ngram_jaccard`` (quadratic on hot
+    shingles), work is bounded by design: prefixes are the RAREST
+    shingles of each set, so their buckets are the smallest ones the
+    corpus has — no cap is applied because capping would break the
+    exactness contract (a corpus of true near-duplicates has
+    inherently quadratic OUTPUT; that is the answer, not a blowup).
+
+    Returns ``(id_a, id_b, inter, union_n, jaccard)`` with jaccard
+    rounded to 6 decimals, id_a < id_b.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
+    )
+    # the shingle projection is the expensive scan and BOTH branches
+    # below (global frequency, per-doc ordering) read it — truncate
+    # lineage once here rather than recompute per branch
+    sets = sets.localCheckpoint(eager=True)
+    freq = (
+        sets.select(F.explode("sh").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # rarest-first canonical order: (global freq, shingle) sort keys
+    ordered = (
+        sets.select("id", F.explode("sh").alias("tok"))
+        .join(freq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("st"))
+        .select(
+            "id",
+            F.transform("st", lambda s: s["tok"]).alias("ts"),
+            F.size("st").alias("n"),
+        )
+    )
+    # eager checkpoint BEFORE the prefix self-join: both join branches
+    # (and the two verify join-backs) read this frame, and a lazy plan
+    # would re-run the tokenize -> shingle -> freq-join -> groupBy
+    # pipeline once per branch (measured 4x recompute, ~25 s at sf0.1;
+    # checkpointed ~6 s) — the same lineage-truncation rule as the
+    # media/funnel pair frames
+    ordered = ordered.localCheckpoint(eager=True)
+    plen = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+    ).cast("int")
+    # prefix rows stay NARROW (id, n, shingle-md5): the full shingle
+    # arrays are ~KB each, and dragging them through the candidate
+    # join + distinct dominated the whole plan (measured 25 -> ~6 s at
+    # sf0.1). Arrays join back ONLY for the verified-candidate rows.
+    pref = ordered.select(
+        "id",
+        "n",
+        F.explode(
+            F.transform(
+                F.slice("ts", F.lit(1), plen), lambda s: F.md5(s)
+            )
+        ).alias("tok"),
+    )
+    cands = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        # size-ratio filter: |a| >= t*|b| is necessary for j >= t
+        .filter(
+            (F.col("a.n").cast("double") >= threshold * F.col("b.n"))
+            & (F.col("b.n").cast("double") >= threshold * F.col("a.n"))
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    arrs = ordered.select("id", "ts")
+    verified = (
+        cands.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("ts").alias("ta")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("ts").alias("tb")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+    )
+    return verified.filter(
+        F.col("inter").cast("double") >= threshold * F.col("union_n")
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("int").alias("inter"),
+        F.col("union_n").cast("int").alias("union_n"),
+        F.round(
+            F.col("inter").cast("double") / F.col("union_n"), 6
+        ).alias("jaccard"),
+    )

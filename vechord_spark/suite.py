@@ -715,6 +715,52 @@ def _dedup_stage(spark, sf_dir, stage: str):
     return out
 
 
+@_q(
+    "jaccard_join_exact",
+    f"""
+    -- brute-force verification of the prefix-filtered plan: DuckDB
+    -- affords the O(n^2) intersect at gate scale, Spark runs the
+    -- SSJoin/PPJoin prefix filter — same exact pair set
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES}) AS ts FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.ts, b.ts)) AS inter,
+             len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS union_n
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS INT) AS inter,
+           CAST(union_n AS INT) AS union_n,
+           round(inter / CAST(union_n AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    WHERE inter >= 0.35 * union_n
+    ORDER BY id_a, id_b
+    """,
+)
+def jaccard_join_exact(spark, sf_dir):
+    """EXACT Jaccard similarity join (round 10): every document pair
+    with 3-gram-shingle Jaccard >= 0.35, via prefix filtering
+    (operators/dedup.jaccard_prefix_join, the SSJoin/PPJoin family) —
+    the lossless complement of the MinHash chain: MinHash banding
+    trades recall for speed (pairs can be MISSED), the prefix filter
+    is complete by construction, so this is the plan when the dedup
+    decision must be exact. Rarest-first prefixes keep the bucket
+    join on the smallest buckets the corpus has; a size-ratio filter
+    and one array_intersect verify close it out. The oracle is the
+    brute-force O(n^2) intersect (affordable at gate scale only —
+    which is exactly the point of the blocked plan).
+    tests/test_dedup.py pins brute-force equality at three thresholds
+    and the MinHash-verified-subset property."""
+    from vechord_spark.operators.dedup import jaccard_prefix_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, "doc_id", "text", 0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @_q("dedup_minhash_lsh", _minhash_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs: 16 md5 min-hashes over
@@ -7721,7 +7767,12 @@ _WINDOW_PRIORITY = [
     # trace oracled in SQL) — the rerank family stays in-window.
     "mmr_rerank_diverse",
     # graph
-    "graph_search_2hop",
+    # round-10 rotation: graph_search_2hop OUT (stable green since
+    # round 3, plan untouched, parity-tested every pytest run; the
+    # graph family keeps pagerank + triangles in-window) ->
+    # jaccard_join_exact IN (new round-10 surface: exact prefix-filter
+    # similarity join, the lossless complement of the MinHash chain)
+    "jaccard_join_exact",
     "graph_pagerank",
     "graph_triangles",
     # document pipeline (§2 D/P rows)
