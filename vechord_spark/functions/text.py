@@ -69,21 +69,30 @@ def contains_phrase(text: ColumnOrName, words: list[str]) -> Column:
     """
     if not words:
         return F.lit(False)
-    toks = tokenize(text)
-    n = F.size(toks)
     m = len(words)
 
-    def _at(i: Column) -> Column:
-        cond = F.element_at(toks, i) == words[0]
-        for j in range(1, m):
-            cond = cond & (F.element_at(toks, i + F.lit(j)) == words[j])
-        return cond
+    # bind the token array ONCE (1-element outer transform, the
+    # expression-API `let`): a lambda capturing the tokenize() tree
+    # re-evaluates it per candidate start position — O(len^2) regex
+    # work per row, the same trap word_ngrams had
+    def _match(toks: Column) -> Column:
+        n = F.size(toks)
 
-    starts = F.sequence(F.lit(1), n - F.lit(m) + F.lit(1))
-    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, which
-    # would probe bogus positions — short texts are simply False
-    return F.when(n >= F.lit(m), F.exists(starts, _at)).otherwise(
-        F.lit(False)
+        def _at(i: Column) -> Column:
+            cond = F.element_at(toks, i) == words[0]
+            for j in range(1, m):
+                cond = cond & (F.element_at(toks, i + F.lit(j)) == words[j])
+            return cond
+
+        starts = F.sequence(F.lit(1), n - F.lit(m) + F.lit(1))
+        # guard: Spark's sequence(1, stop) DESCENDS when stop < 1,
+        # which would probe bogus positions — short texts are False
+        return F.when(n >= F.lit(m), F.exists(starts, _at)).otherwise(
+            F.lit(False)
+        )
+
+    return F.element_at(
+        F.transform(F.array(tokenize(text)), _match), 1
     )
 
 
@@ -92,14 +101,25 @@ def char_ngrams(text: ColumnOrName, n: int = 5) -> Column:
 
     Built with ``sequence`` + ``transform`` + ``substring`` — no UDF; the
     shingle set feeds MinHash / Jaccard dedup (operators/dedup.py).
+
+    The lowered text is bound ONCE as a lambda variable (1-element
+    outer transform): a lambda capturing the ``lower()`` tree would
+    re-lower the document per shingle position — the O(doc^2) trap
+    word_ngrams had (round 10).
     """
-    t = F.lower(_as_col(text))
-    length = F.length(t)
-    starts = F.sequence(
-        F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1))
-    )
-    return F.when(length >= n, F.transform(starts, lambda i: F.substring(t, i, n))).otherwise(
-        F.array(t)
+
+    def _grams(t: Column) -> Column:
+        length = F.length(t)
+        starts = F.sequence(
+            F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1))
+        )
+        return F.when(
+            length >= n,
+            F.transform(starts, lambda i: t.substr(i, F.lit(n))),
+        ).otherwise(F.array(t))
+
+    return F.flatten(
+        F.transform(F.array(F.lower(_as_col(text))), _grams)
     )
 
 
