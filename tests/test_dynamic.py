@@ -65,3 +65,50 @@ def test_vector_only_search(registry, docs):
     hits = pipe.run_search("anything", topk=3).collect()
     assert len(hits) == 3
     assert all(hasattr(r, "distance") for r in hits)
+
+
+def test_mmr_reranked_search(registry, docs):
+    """reranker: mmr — the fused top-k is reordered by the in-engine
+    MMR over the candidates' stored embeddings; the result is a
+    permutation of the unreranked hits and the reranked frame carries
+    a clean 1..k rank."""
+    steps = STEPS + [
+        {"kind": "reranker", "provider": "mmr", "args": {"lam": 0.5}}
+    ]
+    pipe = DynamicPipeline.from_steps(registry, steps)
+    pipe.run_index(docs.limit(20))
+
+    plain = DynamicPipeline.from_steps(registry, STEPS)
+    base = plain.run_search("data spark query", topk=6).collect()
+    got = pipe.run_search("data spark query", topk=6).collect()
+    assert len(got) == 6
+    assert [r.rank for r in got] == [1, 2, 3, 4, 5, 6]
+    assert {r.uid for r in got} == {r.uid for r in base}  # permutation
+    # pick 0 must be the max-relevance candidate (rank-1 of the fusion)
+    assert got[0].uid == base[0].uid
+    # deterministic
+    again = pipe.run_search("data spark query", topk=6).collect()
+    assert [r.uid for r in again] == [r.uid for r in got]
+
+
+def test_mmr_rerank_vector_only_path(registry, docs):
+    steps = [
+        {"kind": "chunker", "provider": "regex", "args": {"size": 128}},
+        {"kind": "embedder", "provider": "hash", "args": {"dim": 8}},
+        {"kind": "reranker", "provider": "mmr", "args": {}},
+    ]
+    pipe = DynamicPipeline.from_steps(registry, steps)
+    pipe.run_index(docs.limit(10))
+    hits = pipe.run_search("anything", topk=4).collect()
+    assert len(hits) == 4
+    assert [r.rank for r in hits] == [1, 2, 3, 4]
+
+
+def test_mmr_reranker_lam_validation(registry):
+    import pytest as _pytest
+
+    from vechord_spark.errors import SchemaError
+    from vechord_spark.operators.mmr import MmrReranker
+
+    with _pytest.raises(ValueError):
+        MmrReranker(lam=1.5)

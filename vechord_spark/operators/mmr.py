@@ -121,3 +121,28 @@ def mmr_rerank(
         .groupBy(query_col)
         .applyInPandas(_group, schema)
     )
+
+
+class MmrReranker:
+    """In-engine listwise reranker for the dynamic pipeline
+    (plans/dynamic.PROVIDER_MAP ``reranker: mmr``): diversifies a
+    fused candidate list using the candidates' own stored embeddings —
+    no network, unlike the HTTP rerankers. Duck-typed via
+    ``rerank_with_vectors(ids, rels, vecs) -> ids-in-pick-order`` (the
+    text rerankers expose ``rerank(query, texts) -> index order``
+    instead; run_search dispatches on which method exists)."""
+
+    def __init__(self, lam: float = 0.5):
+        if not 0.0 <= lam <= 1.0:
+            raise ValueError(f"lam must be in [0, 1], got {lam}")
+        self.lam = float(lam)
+
+    def rerank_with_vectors(self, ids, rels, vecs) -> list:
+        picks = mmr_select(
+            list(ids),
+            np.asarray(rels, dtype=np.float64),
+            np.asarray(vecs, dtype=np.float64),
+            len(ids),
+            self.lam,
+        )
+        return [i for _, i, _ in picks]

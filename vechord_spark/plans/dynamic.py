@@ -59,6 +59,12 @@ def _cohere_reranker(**args):
     return CohereReranker(**args)
 
 
+def _mmr_reranker(**args):
+    from vechord_spark.operators.mmr import MmrReranker
+
+    return MmrReranker(lam=float(args.get("lam", 0.5)))
+
+
 # kind -> provider name -> factory (reference PROVIDER_MAP,
 # vechord/pipeline.py:112-134)
 PROVIDER_MAP: dict[str, dict[str, Any]] = {
@@ -77,6 +83,7 @@ PROVIDER_MAP: dict[str, dict[str, Any]] = {
     },
     "reranker": {
         "cohere": _cohere_reranker,
+        "mmr": _mmr_reranker,
     },
 }
 
@@ -197,15 +204,23 @@ class DynamicPipeline:
 
     def run_search(self, query: str, topk: int = 10) -> DataFrame:
         """Search: embed query -> vector k-NN (∪ BM25 when a keyword
-        step is configured) -> RRF fuse -> top-k (reference run_search,
-        vechord/pipeline.py:394-442)."""
+        step is configured) -> RRF fuse -> optional rerank -> top-k
+        (reference run_search, vechord/pipeline.py:394-442; the
+        reference applies the configured reranker to the fused list
+        before returning)."""
+        from vechord_spark.operators.topk import ranked_topk
+
         vec = self.registry.search_by_vector(
             "chunk", self.embedder.embed_query(query), topk=topk
         )
         if self.keyword is None:
-            return vec
+            if self.reranker is None:
+                return vec
+            ranked_vec = ranked_topk(
+                vec, [F.col("distance").asc(), F.col("uid").asc()], topk
+            ).select("uid", "rank")
+            return self._apply_reranker(query, ranked_vec)
         from vechord_spark.operators.fusion import rrf_topk
-        from vechord_spark.operators.topk import ranked_topk
 
         kw = self.registry.search_by_keyword("chunk", query, topk=topk)
         ranked_vec = ranked_topk(
@@ -214,4 +229,47 @@ class DynamicPipeline:
         ranked_kw = kw.select("uid", "rank") if "rank" in kw.columns else ranked_topk(
             kw, [F.col("score").desc(), F.col("uid").asc()], topk
         ).select("uid", "rank")
-        return rrf_topk([ranked_vec, ranked_kw], "uid", topk=topk)
+        fused = rrf_topk([ranked_vec, ranked_kw], "uid", topk=topk)
+        if self.reranker is None:
+            return fused
+        return self._apply_reranker(query, fused)
+
+    def _apply_reranker(self, query: str, ranked: DataFrame) -> DataFrame:
+        """Apply the configured reranker to a ranked candidate frame
+        (columns incl. ``uid`` + ``rank``): a BOUNDED driver read of
+        the top-k candidates' payloads (texts + stored vectors, k rows
+        — the same per-request shape as the reference, whose reranker
+        call is a driver-side HTTP round over the top-k list), the
+        provider picks the order, and the new ranking rides back as a
+        broadcast order map (operators/fusion.reorder_by semantics,
+        with the rank column rebuilt). Dispatch: in-engine rerankers
+        expose ``rerank_with_vectors(ids, rels, vecs)``; HTTP
+        rerankers expose ``rerank(query, texts) -> index order``."""
+        chunk = self.registry.load("chunk")
+        rows = (
+            ranked.join(chunk.select("uid", "text", "vec"), "uid")
+            .orderBy("rank")
+            .collect()
+        )
+        if not rows:
+            return ranked
+        ids = [r["uid"] for r in rows]
+        if hasattr(self.reranker, "rerank_with_vectors"):
+            # RRF-shaped relevance from the incoming rank (k=60, the
+            # fusion constant) so rel and diversity share a scale
+            rels = [1.0 / (60.0 + r["rank"]) for r in rows]
+            order = self.reranker.rerank_with_vectors(
+                ids, rels, [list(r["vec"]) for r in rows]
+            )
+        else:
+            idx = self.reranker.rerank(query, [r["text"] for r in rows])
+            order = [ids[i] for i in idx]
+        spark = ranked.sparkSession
+        order_df = spark.createDataFrame(
+            [(u, i + 1) for i, u in enumerate(order)], "uid string, rank int"
+        )
+        return (
+            ranked.drop("rank")
+            .join(F.broadcast(order_df), "uid", "inner")
+            .orderBy("rank")
+        )
