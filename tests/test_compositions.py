@@ -45,7 +45,8 @@ def test_hybrid_then_mmr_diversifies(spark, docs, emb):
     )
     out = mmr_rerank(cands, k=8, lam=0.5).collect()
     assert len(out) == 8
-    assert [r["pos"] for r in out] == sorted(r["pos"] for r in out) or True
+    # pick positions are exactly 0..7 (collect order is not guaranteed)
+    assert sorted(r["pos"] for r in out) == list(range(8))
     picked = [r["id"] for r in out]
     assert len(set(picked)) == 8
     fused_ids = {r["doc_id"] for r in fused.collect()}

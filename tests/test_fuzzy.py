@@ -96,6 +96,29 @@ def test_mega_bucket_cap(spark):
     )
 
 
+def test_cap_none_is_exact_and_drops_are_detectable(spark):
+    # template crowd: strings differing only at one position share
+    # exactly one variant; a small cap loses ALL their true pairs —
+    # max_bucket=None recovers the exact result and the detector
+    # reports the capped buckets
+    from vechord_spark.operators.fuzzy import dropped_variant_buckets
+
+    rows = [(i, f"item{c}") for i, c in enumerate("abcdefgh")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    assert (
+        edit_distance_pairs(df, "id", "name", max_dist=1, max_bucket=4).count()
+        == 0
+    )
+    exact = edit_distance_pairs(
+        df, "id", "name", max_dist=1, max_bucket=None
+    )
+    assert exact.count() == 28  # C(8,2): every pair is one substitution
+    dropped = dropped_variant_buckets(
+        df, "id", "name", max_dist=1, max_bucket=4
+    ).collect()
+    assert len(dropped) == 1 and dropped[0]["n"] == 8
+
+
 def test_zero_distance_is_exact_dupes(spark):
     rows = [(0, "a"), (1, "a"), (2, "b")]
     df = spark.createDataFrame(rows, ["id", "name"])

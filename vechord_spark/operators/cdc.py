@@ -20,9 +20,15 @@ implicit 64-byte window with one table lookup + shift + add per byte.
 Our GEAR table is 256 seeded-PCG64 uint64s (fixed seed, part of the
 format). A position is a boundary when ``h & mask == 0`` with
 ``mask = 2^mask_bits - 1`` (expected chunk length ``2^mask_bits``).
-No min/max clamps: boundaries stay a pure function of a 64-byte
-context, which keeps the resynchronization property exact (and
-testable) instead of statistically-mostly-true.
+Note the EFFECTIVE boundary window is ``mask_bits`` bytes, not 64:
+bit ``j`` of the hash only sees bytes up to ``j`` positions back, so
+a low-bit mask consults only the last ``mask_bits`` bytes (FastCDC's
+spread-bit masks widen this; we keep the low-bit mask because the
+narrow window makes resynchronization exact after just ``mask_bits``
+shared bytes, and the mask is part of the pinned chunk format). No
+min/max clamps: boundaries stay a pure LOCAL function of content,
+which keeps the resynchronization property exact (and testable)
+instead of statistically-mostly-true.
 
 Spark shape at 100 TB: chunking is one Arrow-batched scan (the
 per-document numpy pass is 64 vectorized shift-adds, not a Python

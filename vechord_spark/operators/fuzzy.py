@@ -20,12 +20,14 @@ operations. So:
    DuckDB's ``levenshtein`` agrees, which is what makes the suite
    oracle a brute-force cross join while Spark runs this plan).
 
-Completeness is exact (every true pair shares a variant), soundness
-comes from the verify step — blocking only bounds WORK, never
-results. At 100 TB the variant table is ``O(rows * L^k)`` narrow
-md5 rows and the join never goes n²; a variant shared by a crowd
-(e.g. every string of one template) is capped like a MinHash
-mega-bucket, counted and dropped rather than exploded.
+Blocking is complete (every true pair shares a variant) and the
+verify step makes candidates sound, so with ``max_bucket=None`` the
+join is exact. The DEFAULT caps crowd buckets like a MinHash
+mega-bucket — a deliberate recall trade-off, not a free lunch: a
+true pair whose every shared variant lands in a capped bucket is
+dropped (e.g. hundreds of strings differing only at one position all
+share exactly one variant). At 100 TB the variant table is
+``O(rows * L^k)`` narrow md5 rows and the join never goes n².
 """
 
 from __future__ import annotations
@@ -56,18 +58,24 @@ def edit_distance_pairs(
     text_col: str,
     max_dist: int = 1,
     max_len: int = 64,
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Pairs of rows with ``levenshtein(a, b) <= max_dist``:
-    ``(id_a, id_b, dist)``, ``id_a < id_b``, exact (blocking is
-    complete, verification is the built-in Levenshtein).
+    ``(id_a, id_b, dist)``, ``id_a < id_b``. Exact when
+    ``max_bucket=None`` (blocking is complete, verification is the
+    built-in Levenshtein); with the default cap it is a
+    HIGH-RECALL-NOT-EXACT join — see below.
 
     Strings longer than ``max_len`` are excluded (the deletion
     neighborhood is a SHORT-string technique; long-text similarity
     belongs to the shingle/MinHash family). Variant buckets larger
-    than ``max_bucket`` are dropped — a variant shared by thousands of
-    rows is a template artifact, and any true pair inside it still
-    needs some other variant in common or it was a crowd, not a typo.
+    than ``max_bucket`` are dropped, which bounds the bucket-local
+    join at the price of recall: a true pair is lost iff EVERY
+    variant the two strings share sits in a capped bucket (real for
+    template crowds — 300 strings differing at one position share
+    exactly one variant). Pass ``max_bucket=None`` to keep every
+    bucket and recover the exact result, or inspect
+    ``dropped_variant_buckets`` to detect incompleteness.
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
@@ -117,10 +125,13 @@ def edit_distance_pairs(
         ).select("id", "s", F.md5(F.col("v")).alias("vh"))
 
     variants = variants.distinct()
-    sizes = variants.groupBy("vh").agg(F.count(F.lit(1)).alias("n"))
-    kept = variants.join(
-        sizes.filter(F.col("n") <= max_bucket).select("vh"), "vh"
-    )
+    if max_bucket is None:
+        kept = variants
+    else:
+        sizes = variants.groupBy("vh").agg(F.count(F.lit(1)).alias("n"))
+        kept = variants.join(
+            sizes.filter(F.col("n") <= max_bucket).select("vh"), "vh"
+        )
     # strings ride through the variant table, so the bucket-local join
     # yields verify-ready pairs directly (no join-back to the base)
     return (
@@ -136,4 +147,50 @@ def edit_distance_pairs(
         .distinct()
         .select("id_a", "id_b", F.levenshtein("sa", "sb").alias("dist"))
         .filter(F.col("dist") <= max_dist)
+    )
+
+
+def dropped_variant_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    max_len: int = 64,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """The variant buckets ``edit_distance_pairs`` would drop under
+    the same parameters: ``(vh, n)``, one row per capped bucket.
+    Non-empty output means the capped join may be incomplete — rerun
+    with ``max_bucket=None`` (or a higher cap) for the exact result.
+    Only the k<=1 JVM expansion is mirrored here; for ``max_dist>=2``
+    call ``edit_distance_pairs(..., max_bucket=None)`` directly."""
+    if max_dist > 1:
+        raise ValueError(
+            "dropped_variant_buckets mirrors the k<=1 expansion only"
+        )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    ).filter(F.length("s") <= max_len)
+    n_var = F.lit(0) if max_dist == 0 else F.length("s")
+    variants = (
+        base.select(
+            "id", "s", F.explode(F.sequence(F.lit(0), n_var)).alias("i")
+        )
+        .select(
+            "id",
+            F.md5(
+                F.when(F.col("i") == 0, F.col("s")).otherwise(
+                    F.concat(
+                        F.expr("substring(s, 1, i - 1)"),
+                        F.expr("substring(s, i + 1)"),
+                    )
+                )
+            ).alias("vh"),
+        )
+        .distinct()
+    )
+    return (
+        variants.groupBy("vh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
     )

@@ -265,8 +265,12 @@ class DynamicPipeline:
             idx = self.reranker.rerank(query, [r["text"] for r in rows])
             order = [ids[i] for i in idx]
         spark = ranked.sparkSession
+        # uid type follows the candidate frame, not a hardcoded string
+        # (a bigint uid would otherwise coerce through the join)
+        uid_type = ranked.schema["uid"].dataType.simpleString()
         order_df = spark.createDataFrame(
-            [(u, i + 1) for i, u in enumerate(order)], "uid string, rank int"
+            [(u, i + 1) for i, u in enumerate(order)],
+            f"uid {uid_type}, rank int",
         )
         return (
             ranked.drop("rank")
