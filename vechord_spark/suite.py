@@ -7718,60 +7718,62 @@ def quality_top_fraction(spark, sf_dir):
 # (quantile_sketch_gate keeps sketches), embedding_pca_gate (green
 # since r5b), eval_ndcg_knn (eval_mrr_knn replaces), decontaminate_
 # report (green since r5), table_profile (green since r6).
+#
+# Round-11 rotation (round-10 verdict ask #1: rotate EXCLUSIVELY
+# never-driver-checked entries — 25 of 146 registered queries had
+# never held a CORRECTNESS row across rounds 1-10; this round takes
+# the 14 highest-value ones, round 12 takes the rest).
+# IN — all 14 NEVER driver-checked before this round (each is
+# parity-green on every pytest run via tests/test_oracle_parity.py
+# and pre-verified at the driver's sf0.01 this round, see
+# BASELINE.md): grouping_sets_pricing, nation_market_share,
+# volume_shipping, sole_late_supplier (TPC-H Q-shape family);
+# knn_matryoshka, ivf_pq_recall, ivf_recall_refined,
+# maxsim_ivf_recall (ANN recall-gate family); bm25_index_topk (the
+# r10 persisted-postings plan, never checked); events_rollup_daily;
+# url_dedup_report, blocklist_report (URL/doc hygiene);
+# dsir_importance, doc_bigram_logprob (quality scoring).
+# OUT (every one green in CORRECTNESS_r10 on its current plan,
+# family still in-window): local_supplier_revenue, revenue_forecast,
+# product_type_profit, returned_item_customers,
+# excess_inventory_suppliers, top_supplier (TPC-H keeps 10 shapes
+# in-window incl. the four rotated-in), ivf_recall (expanded/pq/
+# refined recall gates stay), maxsim_by_label (maxsim_ivf_recall
+# replaces), bm25_topk (bm25_index_topk + phrase_search keep BM25),
+# eval_mrr_knn, events_sessionize (events_rollup_daily +
+# events_interval_join keep events), dedup_embedding_bucketed +
+# semdedup_survivors (semdedup_ivf_recall stays),
+# gopher_quality_flags (ccnet_buckets + dsir_importance keep
+# quality).
 _WINDOW_PRIORITY = [
-    # relational / OLAP core
+    # relational / OLAP core (4 carried + 2 derived-partsupp shapes)
     "filter_project",
     "topk_orders",
     "agg_pricing_summary",
     "join_revenue_by_nation",
-    # round-9: derived-partsupp TPC-H shapes
     "min_cost_supplier",
     "partsupp_value_share",
-    "excess_inventory_suppliers",
-    # round-9b: four of the seven new TPC-H shapes rotate in (new plans
-    # this round per the window policy; the other three stay
-    # parity-tested). Rotated out: rollup_order_stats,
-    # source_cap_sample, nb_quality, corpus_health_by_source (stable
-    # multi-round greens, plans untouched).
-    "local_supplier_revenue",
-    "revenue_forecast",
-    "product_type_profit",
-    "returned_item_customers",
-    # vector / ANN
-    # Round-10 rotation: ivf_knn OUT — it is approximate by design
-    # (err:no_oracle, the one permanent non-green row in r1-r9
-    # correctness files); its witnesses are the two in-window EXACT
-    # recall gates below, the same policy already applied to
-    # semdedup_ivf_survivors. ivf_knn stays registered and rows-only
-    # checked past the window. IN: top_supplier (Q15 — plan changed
-    # this round: forced supplier broadcast dropped per the
-    # no-forced-hint rule, so the new plan earns a driver check).
+    # r11 IN, never driver-checked: four more TPC-H Q shapes
+    "grouping_sets_pricing",
+    "nation_market_share",
+    "volume_shipping",
+    "sole_late_supplier",
+    # vector / ANN (knn_cosine carries K1; the r11-IN entries are the
+    # never-checked recall-gate family members)
     "knn_cosine",
-    # round-10 rotation: knn_filtered OUT (stable green since round 2,
-    # plan untouched, parity-tested every pytest run; K1 keeps
-    # knn_cosine in-window) -> phrase_search IN (new round-10 surface:
-    # contiguous-phrase-restricted BM25 over the persisted index)
+    "knn_matryoshka",
     "phrase_search",
-    "maxsim_by_label",
-    "ivf_recall",
     "ivf_recall_expanded",
-    "top_supplier",
-    # keyword / hybrid search
-    "bm25_topk",
+    "ivf_pq_recall",
+    "ivf_recall_refined",
+    "maxsim_ivf_recall",
+    # keyword / hybrid search (bm25_index_topk: the round-10
+    # persisted-postings plan, never driver-checked until now)
+    "bm25_index_topk",
     "sparse_knn",
     "hybrid_rrf",
-    # round-10 rotation: rerank_lexical OUT (stable green since round
-    # 4, plan untouched, still parity-tested every pytest run) ->
-    # mmr_rerank_diverse IN (new round-10 surface: listwise MMR
-    # diversity reranking via groupBy().applyInPandas, exact greedy
-    # trace oracled in SQL) — the rerank family stays in-window.
     "mmr_rerank_diverse",
-    # graph
-    # round-10 rotation: graph_search_2hop OUT (stable green since
-    # round 3, plan untouched, parity-tested every pytest run; the
-    # graph family keeps pagerank + triangles in-window) ->
-    # jaccard_join_exact IN (new round-10 surface: exact prefix-filter
-    # similarity join, the lossless complement of the MinHash chain)
+    # graph + similarity joins
     "jaccard_join_exact",
     "graph_pagerank",
     "graph_triangles",
@@ -7779,78 +7781,33 @@ _WINDOW_PRIORITY = [
     "chunk_regex",
     "delete_cascade",
     "multimodal_meta",
-    # evaluation
-    "eval_mrr_knn",
-    # events / time-series
+    # events / time-series (events_rollup_daily: r11 IN, never checked)
     "events_interval_join",
-    # round-10 rotation: events_sliding_counts OUT (stable green since
-    # round 5, plan untouched, parity-tested every pytest run; the
-    # events family keeps interval_join + sessionize in-window) ->
-    # fuzzy_name_pairs IN (new round-10 surface: edit-distance
-    # similarity join, FastSS blocking vs brute-force oracle)
+    "events_rollup_daily",
     "fuzzy_name_pairs",
-    "events_sessionize",
     "bucketed_customer_revenue",
-    # dedup suite
+    # dedup suite (+ r11 IN url_dedup_report / blocklist_report —
+    # URL-and-domain hygiene reports, never driver-checked)
     "dedup_minhash_lsh",
     "dedup_components",
-    # round-10 rotation: dedup_survivors OUT (stable green since round
-    # 4; min-id-per-component, plan untouched, parity-tested every
-    # pytest run; the components family keeps dedup_components
-    # in-window) -> cdc_shared_passages IN (new round-10 surface:
-    # content-defined chunking + shared-passage partial-dup pairs)
     "cdc_shared_passages",
     "dedup_bloom_incremental",
-    "dedup_embedding_bucketed",
-    # round-9b: plans changed this round (shared pair/signature memos,
-    # matmul scorer) -> rotated in per the window policy; rotated out:
-    # skew_salted_revenue, text_stats, knn_binary_refine (stable greens,
-    # plans untouched, still parity-tested every pytest run).
-    # semdedup_ivf_survivors also changed but is rows-only by design —
-    # its in-window witness stays the semdedup_ivf_recall gate.
-    "semdedup_survivors",
     "dedup_simhash",
-    # round-10 rotation: dedup_simhash_pairs OUT (stable green since
-    # r9, twin dedup_simhash keeps the family in-window, parity-tested
-    # every pytest run) -> media_dedup_pairs IN (new round-10 surface:
-    # perceptual-hash image near-dedup over a real decode path)
     "media_dedup_pairs",
-    # text analysis / training-data ops
-    # round-10 rotation: doc_length_quantiles OUT (stable green since
-    # round 5; the text-analysis family keeps ccnet_buckets,
-    # gopher_quality_flags, dedup_lines_c4 in-window and the quantile
-    # plan stays hash-verified by tests/test_oracle_parity.py) ->
-    # bpe_token_counts IN (new round-10 surface: distributed BPE
-    # train + Arrow-batched encode as a driver-gated query)
+    "url_dedup_report",
+    "blocklist_report",
+    # text analysis / training-data ops (+ r11 IN dsir_importance /
+    # doc_bigram_logprob — quality-scoring members, never checked)
     "bpe_token_counts",
-    # round-10 rotation: temperature_mix OUT (stable green since round
-    # 5, plan untouched, parity-tested every pytest run) ->
-    # weighted_doc_sample IN (new round-10 surface: priority sampling,
-    # the weight-proportional member of the sampler family)
     "weighted_doc_sample",
-    # ccnet_buckets composes unigram_logprob -> per-lang quantile tiers,
-    # so it supersedes doc_unigram_logprob in the window (the plain
-    # score stays hash-verified by tests/test_oracle_parity.py).
     "ccnet_buckets",
-    # corpus_funnel_report (round 6) subsumes split_shards: the funnel's
-    # last stage IS the md5 split (split_shards stays parity-tested)
+    "dsir_importance",
+    "doc_bigram_logprob",
     "corpus_funnel_report",
-    # round-7/9: the funnel's day-2 shape — O(new batch) against the
-    # round-9 disk-persisted seen-side ArtifactStore layout
     "corpus_funnel_incremental",
-    # sketch gates
     "quantile_sketch_gate",
-    # round-5c training-data additions
-    "gopher_quality_flags",
     "dedup_lines_c4",
-    # round-7/9: the SemDeDup scale-path gate — round-9 top-2
-    # multi-assignment bucketer, floor 0.4, beats-single assertion
     "semdedup_ivf_recall",
-    # round-10 rotation: quality_top_fraction OUT (stable green, the
-    # quality family keeps ccnet_buckets + gopher_quality_flags
-    # in-window; parity-tested every pytest run) -> audio_band_report
-    # IN (new round-10 surface: the audio decode + rfft spectral path
-    # as a driver-gated query)
     "audio_band_report",
 ]
 
