@@ -1156,16 +1156,31 @@ def jaccard_prefix_join(
         sets.select(F.explode("sh").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # dictionary-encode each distinct shingle to a unique bigint:
+        # every downstream stage (prefix join shuffle, candidate
+        # distinct, array_intersect verify) then works on 8-byte ints
+        # instead of ~25-char shingle strings (measured ~2x on the
+        # whole query at sf0.1). monotonically_increasing_id is exact
+        # (unique by construction, unlike a 64-bit content hash, which
+        # WOULD collide at 100 TB shingle cardinality) and needs no
+        # global sort; ids only need to be consistent within this one
+        # evaluation, which the eager checkpoint of `ordered` pins.
+        .withColumn("tid", F.monotonically_increasing_id())
     )
-    # rarest-first canonical order: (global freq, shingle) sort keys
+    # rarest-first canonical order: (global freq, shingle) sort keys;
+    # the ORDER comes from (tf, tok), the carried value is the int id
     ordered = (
         sets.select("id", F.explode("sh").alias("tok"))
         .join(freq, "tok")
         .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("st"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tf", "tok", "tid"))
+            ).alias("st")
+        )
         .select(
             "id",
-            F.transform("st", lambda s: s["tok"]).alias("ts"),
+            F.transform("st", lambda s: s["tid"]).alias("ts"),
             F.size("st").alias("n"),
         )
     )
@@ -1179,18 +1194,35 @@ def jaccard_prefix_join(
     plen = (
         F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
     ).cast("int")
-    # prefix rows stay NARROW (id, n, shingle-md5): the full shingle
-    # arrays are ~KB each, and dragging them through the candidate
-    # join + distinct dominated the whole plan (measured 25 -> ~6 s at
-    # sf0.1). Arrays join back ONLY for the verified-candidate rows.
+    # prefix rows stay NARROW (id, n, position, bigint shingle id):
+    # the full shingle-id arrays are ~KB each, and dragging them
+    # through the candidate join + distinct dominated the whole plan
+    # (measured 25 -> ~6 s at sf0.1). Arrays join back ONLY for the
+    # candidate rows that reach the verify.
     pref = ordered.select(
         "id",
         "n",
-        F.explode(
-            F.transform(
-                F.slice("ts", F.lit(1), plen), lambda s: F.md5(s)
-            )
-        ).alias("tok"),
+        F.posexplode(F.slice("ts", F.lit(1), plen)).alias("p", "tok"),
+    )
+    # PPJoin positional filter (Xiao et al. 2008): both shingle lists
+    # share the canonical rarest-first order, so a token matched at
+    # 0-based positions (pa, pb) splits each set into a before-part
+    # and an after-part that can only intersect pairwise — overlap
+    # <= min(pa, pb) + 1 + min(na-pa-1, nb-pb-1). jaccard >= t needs
+    # overlap >= t*(na+nb)/(1+t); rows whose bound falls short are
+    # pruned BEFORE the pair distinct. Per-row filtering is
+    # completeness-safe: for a TRUE pair every matched token's bound
+    # >= its real overlap >= the requirement, so all its rows survive
+    # (the 1e-9 slack keeps double rounding from shaving an
+    # exact-boundary pair).
+    req = threshold / (1.0 + threshold)
+    ub = (
+        F.least(F.col("a.p"), F.col("b.p"))
+        + F.lit(1)
+        + F.least(
+            F.col("a.n") - F.col("a.p") - F.lit(1),
+            F.col("b.n") - F.col("b.p") - F.lit(1),
+        )
     )
     cands = (
         pref.alias("a")
@@ -1200,6 +1232,10 @@ def jaccard_prefix_join(
         .filter(
             (F.col("a.n").cast("double") >= threshold * F.col("b.n"))
             & (F.col("b.n").cast("double") >= threshold * F.col("a.n"))
+        )
+        .filter(
+            ub.cast("double")
+            >= F.lit(req) * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
         )
         .select(
             F.col("a.id").alias("id_a"),
