@@ -89,7 +89,7 @@ def stss(keys):
     return full(b"stss", 0, u32(len(keys)), *[u32(k) for k in keys])
 
 
-def make_mp4(samples: list[bytes], timescale=1000, delta=40, keys=(1,)):
+def make_mp4(samples: list[bytes], timescale=1000, delta=40, keys=(1,), fourcc=b"avc1"):
     """A minimal progressive MP4: ftyp + mdat(samples) + moov with a
     full sample table. Two samples per chunk."""
     ftyp = box(b"ftyp", b"isom", u32(0x200), b"isomiso2avc1")
@@ -107,7 +107,7 @@ def make_mp4(samples: list[bytes], timescale=1000, delta=40, keys=(1,)):
     duration = n * delta
     stbl = box(
         b"stbl",
-        stsd_video(b"avc1", 64, 48),
+        stsd_video(fourcc, 64, 48),
         stts([(n, delta)]),
         stsc([(1, 2)]),
         stsz(sizes),
@@ -243,3 +243,57 @@ def test_non_mp4_rejected():
         probe_mp4(b"RIFF....WEBP")
     with pytest.raises(ValueError):
         probe_mp4(box(b"ftyp", b"isom"))  # no moov
+
+
+def test_mjpeg_in_mp4_frames_decode():
+    """Motion-JPEG MP4 (fourcc 'jpeg', every sample a complete JPEG)
+    decodes through sample_video_frames: stts timestamps drive the
+    every_ms clock, frames round-trip the in-repo JPEG codec."""
+    import numpy as np
+
+    from vechord_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from vechord_spark.sources.multimodal import sample_video_frames
+
+    frames = []
+    for i in range(6):
+        img = np.full((16, 16, 3), i * 30, dtype=np.uint8)
+        img[:, :, 0] = 255 - i * 30
+        frames.append(encode_jpeg(16, 16, 3, img.tobytes()))
+    mp4 = make_mp4(frames, timescale=1000, delta=40, fourcc=b"jpeg")  # 25 fps
+
+    got = sample_video_frames(mp4, every_ms=0)
+    assert got == frames  # every sample, byte-identical slices
+
+    # 80 ms clock over 40 ms frames -> every other frame
+    kept = sample_video_frames(mp4, every_ms=80)
+    assert kept == frames[::2]
+    w, h, ch, raw = decode_jpeg(kept[1])
+    assert (w, h, ch) == (16, 16, 3)
+
+
+def test_mjpeg_in_mp4_sparse_stss_still_decodes_all():
+    """MJPEG frames are all intra-coded: a sparse sync table must not
+    hide frames (the bridge ignores stss for the SOI-gated path)."""
+    import numpy as np
+
+    from vechord_spark.sources.jpeg import encode_jpeg
+    from vechord_spark.sources.multimodal import sample_video_frames
+
+    frames = [
+        encode_jpeg(8, 8, 3, np.full((8, 8, 3), i * 40, np.uint8).tobytes())
+        for i in range(4)
+    ]
+    mp4 = make_mp4(frames, delta=40, keys=(1,), fourcc=b"jpeg")
+    assert sample_video_frames(mp4, every_ms=0) == frames
+
+
+def test_non_mjpeg_mp4_still_gated():
+    """avc1 samples are not JPEGs -> the honest NotImplementedError
+    stays (H.264 decode is ffmpeg territory)."""
+    import pytest as _pytest
+
+    from vechord_spark.sources.multimodal import sample_video_frames
+
+    mp4 = make_mp4(SAMPLES)  # avc1, payloads lack SOI
+    with _pytest.raises(NotImplementedError, match="Motion-JPEG"):
+        sample_video_frames(mp4, every_ms=0)

@@ -368,8 +368,11 @@ def test_sample_video_frames_rejects_non_mjpeg():
 
     from vechord_spark.sources.multimodal import sample_video_frames
 
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(b"\x00\x00\x00\x18ftypisom....", 100)  # MP4
+    # truncated MP4 fragment: malformed-stream contract (ValueError
+    # from the probe), not the codec gate; a WELL-FORMED avc1 MP4
+    # raising NotImplementedError is pinned in test_mp4.py
+    with pytest.raises(ValueError):
+        sample_video_frames(b"\x00\x00\x00\x18ftypisom....", 100)
     # AVI container whose stream chunks are not JPEG (e.g. raw DIB)
     body = b"AVI " + b"00db".join([b""])  # malformed-but-AVI header
     avi = b"RIFF" + struct.pack("<I", len(body)) + body

@@ -414,19 +414,24 @@ def resize_image(data: bytes, width: int, height: int) -> bytes:
 
 
 def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
-    """Sample frames from an MJPEG-in-AVI clip or an animated GIF, at
-    most one frame per ``every_ms`` milliseconds; returns the kept
-    frames as image bytes ``decode_image`` can read back (JPEG for
-    AVI streams, PNG-encoded composited frames for GIF).
+    """Sample frames from an MJPEG-in-AVI clip, a Motion-JPEG MP4, or
+    an animated GIF, at most one frame per ``every_ms`` milliseconds;
+    returns the kept frames as image bytes ``decode_image`` can read
+    back (JPEG for AVI/MP4 streams, PNG-encoded composited frames for
+    GIF).
 
-    Neither container needs a codec beyond what this repo already
-    carries: the AVI RIFF structure is walked directly (LIST
+    None of these containers needs a codec beyond what this repo
+    already carries: the AVI RIFF structure is walked directly (LIST
     recursion, word-aligned chunks; frame clock from ``avih``, every
-    ``..dc``/``..db`` chunk starting with SOI is a complete JPEG), and
-    animated GIFs composite through :func:`rasters.gif_frames` with
-    per-frame graphic-control delays as the clock. Every other
-    container/codec (MP4/H.264, VP9, ...) raises
-    ``NotImplementedError`` — that is genuinely ffmpeg territory.
+    ``..dc``/``..db`` chunk starting with SOI is a complete JPEG),
+    MP4 video tracks whose samples are complete JPEGs (Motion JPEG
+    fourccs 'jpeg'/'mjpa'/'mjpb') slice through the
+    :mod:`sources.mp4` sample-table walk with stts timestamps as the
+    clock, and animated GIFs composite through
+    :func:`rasters.gif_frames` with per-frame graphic-control delays
+    as the clock. Every other codec (H.264/H.265 in MP4, VP9, ...)
+    raises ``NotImplementedError`` — that is genuinely ffmpeg
+    territory.
     Row-local and pure, safe inside any executor UDF; at scale this
     runs in the same mapInPandas media stage as image decode, with
     ``arrow.maxRecordsPerBatch`` capped for MB-sized payloads."""
@@ -453,12 +458,31 @@ def sample_video_frames(data: bytes, every_ms: int) -> list[bytes]:
         # MP4/ISO-BMFF: the metadata probe and the raw-sample slicing
         # are REAL (sources/mp4.py probe_mp4 / mp4_sample_table /
         # mp4_sample_payloads — duration, resolution, codec, keyframe
-        # map, per-sample byte ranges); only turning an H.264/H.265
-        # access unit into pixels needs an external codec.
+        # map, per-sample byte ranges). Motion-JPEG sample entries
+        # (QuickTime/MP4 fourccs 'jpeg'/'mjpa'/'mjpb') decode for
+        # real: every sample is one complete JPEG image, so the
+        # sample-table walk + the in-repo JPEG decoder close the loop
+        # — the same shape as MJPEG-in-AVI below. The gate: accept a
+        # track only when EVERY sampled payload starts with SOI
+        # (predictive codecs avc1/hvc1/vp09/mp4v never do — their
+        # access units need ffmpeg/PyAV and stay env-gated).
+        from vechord_spark.sources.mp4 import mp4_sample_payloads, probe_mp4
+
+        info = probe_mp4(data)
+        for ti, tr in enumerate(info["tracks"]):
+            if tr["kind"] != "video":
+                continue
+            # MJPEG frames are all intra-coded; ignore stss so a
+            # sparse sync table can't hide decodable frames
+            payloads = mp4_sample_payloads(
+                data, every_ms, track=ti, keyframes_only=False
+            )
+            if payloads and all(p[:2] == b"\xff\xd8" for _, p in payloads):
+                return [p for _, p in payloads]
         raise NotImplementedError(
-            "MP4 frame decode needs ffmpeg/PyAV; use sources.mp4 for "
-            "metadata (probe_mp4) and raw keyframe sample extraction "
-            "(mp4_sample_payloads)"
+            "MP4 frame decode beyond Motion-JPEG sample entries needs "
+            "ffmpeg/PyAV; use sources.mp4 for metadata (probe_mp4) and "
+            "raw keyframe sample extraction (mp4_sample_payloads)"
         )
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise NotImplementedError(
