@@ -399,3 +399,143 @@ def test_compact_survives_interleaved_append(spark, tmp_path, monkeypatch):
     assert sorted(ids) == sorted(list(range(30)) + list(range(100, 105)))
     # ledger re-adopted: nothing pending afterwards
     assert r1._new_rows_since_index("emb", ipath)[0].count() == 0
+
+
+def test_extend_during_compact_commit_window(spark, tmp_path, monkeypatch):
+    """Round-11 (verdict ask #6): session A EXTENDS the IVF index in
+    compact's commit window, after compact's own bring-current
+    pre-step released the maintenance lock. Neither ordering may lose
+    rows, and the index must never hold a pk twice."""
+    import random
+
+    from vechord_spark.spec import Vector
+
+    rng = random.Random(41)
+    rows = lambda ids: [
+        {"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]} for i in ids
+    ]
+    spec = TableSpec(
+        "emb", [Column("uid", "int", primary_key=True), Column("vec", Vector(8))]
+    )
+    rB = VechordRegistry("occ_xc", str(tmp_path), spark, concurrency="optimistic")
+    rB.register(spec)
+    rB.insert_rows("emb", rows(range(30)))
+    rB.build_vector_index("emb", lists=2)
+
+    rA = VechordRegistry("occ_xc", str(tmp_path), spark, concurrency="optimistic")
+    rA.register(spec)
+
+    from vechord_spark.plans.commitlog import TableLog
+
+    orig = TableLog.try_commit
+    fired = {"n": 0}
+
+    def racy_commit(self, version, add=(), remove=(), op="append"):
+        if op == "compact" and fired["n"] == 0:
+            fired["n"] += 1
+            # A appends AND extends while B's compact is mid-commit
+            rA.insert_rows("emb", rows(range(200, 206)))
+            assert rA.extend_vector_index("emb") == 6
+        return orig(self, version, add=add, remove=remove, op=op)
+
+    monkeypatch.setattr(TableLog, "try_commit", racy_commit)
+    rB.compact("emb", target_file_bytes=1 << 30)
+    assert fired["n"] == 1
+    expect = sorted(list(range(30)) + list(range(200, 206)))
+    # no lost rows in the table (compact re-ran on A's winning snapshot)
+    assert sorted(x.uid for x in rB.load("emb").collect()) == expect
+    # the index holds every row exactly once
+    ipath = rB._index_path("emb")
+    ids = sorted(
+        x.uid for x in spark.read.parquet(str(ipath / "data")).collect()
+    )
+    assert ids == expect
+    # A's ledger went stale at compact's publish; the next extend
+    # re-adopts via the anti-join with nothing to add
+    assert rB.extend_vector_index("emb") == 0
+    assert rB._new_rows_since_index("emb", ipath)[0].count() == 0
+
+
+def test_compact_during_extend_skips_busy_index(spark, tmp_path, monkeypatch):
+    """The reverse interleaving: session B COMPACTS while session A's
+    extend holds the maintenance lock (delta computed, append not yet
+    landed). B's bring-current pre-step must see MaintenanceBusy and
+    skip — NOT double-append A's delta — and A's stale ledger record
+    is re-adopted by the next extend. No lost rows, no duplicate pks."""
+    import random
+
+    from vechord_spark.spec import Vector
+
+    rng = random.Random(43)
+    rows = lambda ids: [
+        {"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]} for i in ids
+    ]
+    spec = TableSpec(
+        "emb", [Column("uid", "int", primary_key=True), Column("vec", Vector(8))]
+    )
+    rA = VechordRegistry("occ_cx", str(tmp_path), spark, concurrency="optimistic")
+    rA.register(spec)
+    rA.insert_rows("emb", rows(range(30)))
+    rA.build_vector_index("emb", lists=2)
+    rA.insert_rows("emb", rows(range(300, 305)))  # A's pending delta
+
+    rB = VechordRegistry("occ_cx", str(tmp_path), spark, concurrency="optimistic")
+    rB.register(spec)
+
+    orig_mark = VechordRegistry._mark_extend_intent
+    fired = {"n": 0}
+
+    def racy_mark(self, ipath):
+        # fires inside A's extend, lock held, delta computed, append
+        # not yet written — B compacts the table RIGHT NOW
+        if fired["n"] == 0:
+            fired["n"] += 1
+            rB.compact("emb", target_file_bytes=1 << 30)
+        return orig_mark(self, ipath)
+
+    monkeypatch.setattr(VechordRegistry, "_mark_extend_intent", racy_mark)
+    assert rA.extend_vector_index("emb") == 5
+    assert fired["n"] == 1
+    expect = sorted(list(range(30)) + list(range(300, 305)))
+    assert sorted(x.uid for x in rA.load("emb").collect()) == expect
+    # B's pre-step skipped the busy index, so A's delta landed ONCE
+    ipath = rA._index_path("emb")
+    ids = sorted(
+        x.uid for x in spark.read.parquet(str(ipath / "data")).collect()
+    )
+    assert ids == expect
+    # A recorded pre-compact files -> stale ledger -> anti-join
+    # fallback re-adopts with nothing new
+    assert rA.extend_vector_index("emb") == 0
+    assert rA._new_rows_since_index("emb", ipath)[0].count() == 0
+
+
+def test_concurrent_extends_mutually_excluded(spark, tmp_path):
+    """Two registries extending the same index at once: the second
+    gets MaintenanceBusy instead of double-appending the delta."""
+    import random
+
+    from vechord_spark.errors import MaintenanceBusy
+    from vechord_spark.spec import Vector
+
+    rng = random.Random(47)
+    rows = lambda ids: [
+        {"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]} for i in ids
+    ]
+    spec = TableSpec(
+        "emb", [Column("uid", "int", primary_key=True), Column("vec", Vector(8))]
+    )
+    r1 = VechordRegistry("occ_mx", str(tmp_path), spark, concurrency="optimistic")
+    r1.register(spec)
+    r1.insert_rows("emb", rows(range(20)))
+    r1.build_vector_index("emb", lists=2)
+    r1.insert_rows("emb", rows(range(100, 104)))
+    r2 = VechordRegistry("occ_mx", str(tmp_path), spark, concurrency="optimistic")
+    r2.register(spec)
+
+    ipath = r1._index_path("emb")
+    with r1._maintenance_lock(ipath):
+        with pytest.raises(MaintenanceBusy):
+            r2.extend_vector_index("emb")
+    # lock released: the extend goes through exactly once
+    assert r2.extend_vector_index("emb") == 4

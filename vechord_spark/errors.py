@@ -31,3 +31,17 @@ class DimensionMismatch(VechordError):
 
     Reference: vechord/spec.py:86-132 (shape validation on ingest).
     """
+
+
+class MaintenanceBusy(VechordError):
+    """Another maintenance operation (extend_* / compact_index) holds
+    the index's maintenance lock.
+
+    Index maintenance is check-then-append: two concurrent extends can
+    both compute the same not-yet-indexed delta and double-append it,
+    so each index layout takes an exclusive driver-side flock for the
+    duration. Contenders fail fast with this error instead of
+    deadlocking; compact()'s bring-current pre-step treats it as
+    "someone else is maintaining this index" and safely skips (the
+    next extend re-adopts the ledger via the anti-join).
+    """

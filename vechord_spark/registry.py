@@ -22,6 +22,7 @@ Design notes for scale:
 
 from __future__ import annotations
 
+import contextlib
 import shutil
 from functools import reduce
 from pathlib import Path
@@ -30,7 +31,12 @@ from typing import Any, Iterable, Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from vechord_spark.errors import SchemaError, TableNotFound, UniqueViolation
+from vechord_spark.errors import (
+    MaintenanceBusy,
+    SchemaError,
+    TableNotFound,
+    UniqueViolation,
+)
 from vechord_spark.spec import AnyOf, TableSpec
 
 
@@ -842,16 +848,28 @@ class VechordRegistry:
             intent.unlink(missing_ok=True)
             return sum(1 for p in d.rglob("*.parquet") if p.is_file())
 
+        # each layout's rewrite runs under its maintenance lock: a
+        # concurrent extend appending into a directory mid-swap would
+        # land rows in the renamed-away copy and lose them
         ipath = self._index_path(name)
         if (ipath / "data").exists():
-            out["ivf_data_files"] = _rewrite_dir(ipath / "data", "centroid_id")
+            with self._maintenance_lock(ipath):
+                out["ivf_data_files"] = _rewrite_dir(
+                    ipath / "data", "centroid_id"
+                )
         mpath = self._mv_index_path(name)
         if (mpath / "data").exists():
-            out["mvivf_data_files"] = _rewrite_dir(mpath / "data", "centroid_id")
+            with self._maintenance_lock(mpath):
+                out["mvivf_data_files"] = _rewrite_dir(
+                    mpath / "data", "centroid_id"
+                )
         kpath = self.base_path / f"{self.namespace}_{name}.bm25"
         if (kpath / "postings").exists():
-            out["bm25_postings_files"] = _rewrite_dir(kpath / "postings", None)
-            out["bm25_doclen_files"] = _rewrite_dir(kpath / "doclen", None)
+            with self._maintenance_lock(kpath):
+                out["bm25_postings_files"] = _rewrite_dir(
+                    kpath / "postings", None
+                )
+                out["bm25_doclen_files"] = _rewrite_dir(kpath / "doclen", None)
         return out
 
     def _recover_index_swap(self, d: Path) -> None:
@@ -903,6 +921,13 @@ class VechordRegistry:
                     continue  # spec can't extend this index: leave its
                     # ledger alone (snapshotting would claim unindexed
                     # rows as covered)
+                except MaintenanceBusy:
+                    continue  # another session is extending this index
+                    # RIGHT NOW: its in-flight ledger record will go
+                    # stale the moment our rewrite lands, and the next
+                    # extend re-adopts via the anti-join — skipping is
+                    # the safe move (snapshotting would claim rows the
+                    # concurrent extend hasn't appended yet)
                 ledgered.append(ipath)
         return ledgered
 
@@ -1053,6 +1078,46 @@ class VechordRegistry:
         anti-join instead of double-appending its delta."""
         (ipath / "extend.intent").write_text("")
 
+    @contextlib.contextmanager
+    def _maintenance_lock(self, ipath: Path):
+        """Exclusive per-index-layout lock for the maintenance window
+        (extend_* / compact_index): maintenance is check-then-append,
+        so two concurrent maintainers can both compute the same
+        not-yet-indexed delta and DOUBLE-append it — the intent marker
+        covers crashes, not concurrency. Maintenance runs driver-side,
+        so a non-blocking ``flock`` on ``<index>/maintain.lock``
+        serializes same-warehouse sessions (flock is per open file
+        description: two registries in one process conflict too, and
+        the OS drops the lock if the holder dies — no stale-lock
+        sweeps). Contenders get :class:`MaintenanceBusy` immediately
+        instead of deadlocking; on filesystems without flock (object
+        stores) this degrades to the documented single-writer
+        maintenance contract. No-op when the index directory does not
+        exist yet (the caller's own existence check raises the
+        accurate SchemaError)."""
+        if not ipath.exists():
+            yield
+            return
+        import os
+
+        try:
+            import fcntl
+        except ImportError:  # pragma: no cover - non-posix fallback
+            yield
+            return
+        fd = os.open(str(ipath / "maintain.lock"), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError as exc:
+                raise MaintenanceBusy(
+                    f"index {ipath.name}: another session holds the "
+                    "maintenance lock (concurrent extend/compact)"
+                ) from exc
+            yield
+        finally:
+            os.close(fd)  # closing the fd releases the flock
+
     def _new_rows_since_index(self, name: str, ipath: Path):
         """(new_rows, files_covered) — the rows appended since the
         index last saw the table plus the exact file set the extended
@@ -1192,7 +1257,16 @@ class VechordRegistry:
         encoded with the EXISTING codebooks. Returns the number of
         newly indexed rows. Centroids (and codebooks) drift from
         optimal as appends accumulate — rebuild periodically.
+
+        Holds the index's maintenance lock for the whole
+        check-then-append window (:meth:`_maintenance_lock`): a
+        concurrent extend/compact gets :class:`MaintenanceBusy`
+        instead of double-appending the same delta.
         """
+        with self._maintenance_lock(self._index_path(name)):
+            return self._extend_vector_index_locked(name)
+
+    def _extend_vector_index_locked(self, name: str) -> int:
         import numpy as np
 
         from vechord_spark.operators.ivf import assign_centroids
@@ -1262,7 +1336,12 @@ class VechordRegistry:
         MEAN vectors are assigned to the existing mean-space centroids
         (plus token-centroid sets when the PLAID-style estimate was
         built) and appended into the clustered layout. Returns the
-        number of newly indexed rows."""
+        number of newly indexed rows. Holds the maintenance lock like
+        :meth:`extend_vector_index`."""
+        with self._maintenance_lock(self._mv_index_path(name)):
+            return self._extend_multivec_index_locked(name)
+
+    def _extend_multivec_index_locked(self, name: str) -> int:
         import numpy as np
 
         from vechord_spark.operators.ivf import (
@@ -1740,7 +1819,14 @@ class VechordRegistry:
         is found, docfreq and stats are REBUILT from the persisted
         postings (:meth:`_rebuild_keyword_derived`) instead of trusting
         or merging the stored copies — recovery stays automatic.
+
+        Holds the maintenance lock like :meth:`extend_vector_index`.
         """
+        ipath = self.base_path / f"{self.namespace}_{name}.bm25"
+        with self._maintenance_lock(ipath):
+            return self._extend_keyword_index_locked(name)
+
+    def _extend_keyword_index_locked(self, name: str) -> int:
         from vechord_spark.operators.bm25 import Bm25Index
 
         spec = self._spec(name)
