@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "ivf_recall_expanded",
     "ivf_recall_refined",
     "ivf_pq_recall",
+    "opq_recall",
     "maxsim_ivf_recall",
     "embedding_pca_gate",
 ]

@@ -134,11 +134,7 @@ def train_pq(
     ).reshape(-1, m, dsub)
 
     rng = np.random.default_rng(seed)
-    books = []
-    for j in range(m):
-        x = sample[:, j, :]
-        books.append(_lloyd(x, min(ksub, x.shape[0]), rng, max_iter, pad_to=ksub))
-    return PqCodebook(np.stack(books))
+    return PqCodebook(_fit_books_np(sample, m, ksub, rng, max_iter))
 
 
 def _lloyd(
@@ -281,6 +277,206 @@ class IvfPqIndex:
         __pq code column) — column pruning keeps the float vectors on
         disk until the refine pass."""
         self.encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+class OpqRotation:
+    """Orthogonal ``d x d`` rotation learned to minimize PQ
+    reconstruction error (OPQ, Ge et al., "Optimized Product
+    Quantization", CVPR 2013 — the FAISS ``OPQ{m},...`` pre-transform).
+
+    Plain PQ quantizes fixed coordinate blocks; when variance/
+    correlation is unevenly spread across dimensions, some subspaces
+    carry most of the error. An orthogonal rotation re-mixes the axes
+    so the ``m`` blocks share the quantization burden. Orthogonality
+    means the rotation preserves L2 distances and inner products
+    EXACTLY, so searching rotated vectors with a rotated query is the
+    same nearest-neighbor problem — only the codes get better.
+    """
+
+    def __init__(self, rotation: np.ndarray):
+        r = np.asarray(rotation, dtype=np.float64)
+        if r.ndim != 2 or r.shape[0] != r.shape[1]:
+            raise ValueError("rotation must be square (d, d)")
+        if not np.allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-8):
+            raise ValueError("rotation must be orthogonal")
+        self.rotation = r
+
+    @property
+    def dim(self) -> int:
+        return int(self.rotation.shape[0])
+
+    def apply(self, vec: Sequence[float]) -> np.ndarray:
+        """Rotate one vector (driver-side: the query path)."""
+        return np.asarray(vec, dtype=np.float64) @ self.rotation
+
+    def apply_col(self, vec_col: str) -> Column:
+        """Rotate a vector column — one ``(batch, d) @ (d, d)`` matmul
+        per Arrow batch; R rides in the UDF closure."""
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        r = self.rotation
+
+        @pandas_udf(T.ArrayType(T.DoubleType()))
+        def _rot(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            return pd.Series(list(x @ r))
+
+        return _rot(F.col(vec_col))
+
+
+def _fit_books_np(
+    sample: np.ndarray, m: int, ksub: int, rng: np.random.Generator, max_iter: int
+) -> np.ndarray:
+    """Per-subspace codebooks on an in-memory (n, m, dsub) sample —
+    the numpy core shared by train_pq and the OPQ alternation."""
+    books = []
+    for j in range(m):
+        x = sample[:, j, :]
+        books.append(_lloyd(x, min(ksub, x.shape[0]), rng, max_iter, pad_to=ksub))
+    return np.stack(books)
+
+
+def _encode_reconstruct_np(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest-code reconstruction of an (n, m*dsub) sample — the OPQ
+    alternation's quantize step, vectorized per subspace."""
+    n = x.shape[0]
+    m, _, dsub = books.shape
+    xs = x.reshape(n, m, dsub)
+    out = np.empty_like(xs)
+    for j in range(m):
+        c = books[j]
+        scores = xs[:, j, :] @ c.T * -2.0 + (c * c).sum(axis=1)[None, :]
+        out[:, j, :] = c[np.argmin(scores, axis=1)]
+    return out.reshape(n, m * dsub)
+
+
+def train_opq(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 256,
+    opq_iters: int = 8,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 8,
+    max_train_points: int = 100_000,
+) -> tuple[OpqRotation, PqCodebook]:
+    """Alternating OPQ training (the non-parametric OPQ-NP of Ge et
+    al. 2013 §4) on the same bounded driver-side sample contract as
+    :func:`train_pq`:
+
+    1. fit codebooks on the rotated sample ``X R``;
+    2. quantize: ``Y = reconstruct(encode(X R))``;
+    3. orthogonal Procrustes: ``R = U V^T`` from ``svd(X^T Y)`` — the
+       rotation minimizing ``||X R - Y||_F`` (closed form).
+
+    Each step is a coordinate descent on the shared reconstruction
+    objective, so the training error is monotonically non-increasing
+    (test-pinned). Returns ``(rotation, codebooks-in-rotated-space)``;
+    encode/search must apply the rotation first (build_opq_ivf_pq
+    wires this). Deterministic for a fixed seed.
+    """
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train OPQ on an empty DataFrame")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+
+    base = df.select(F.col(vec_col).alias("__vec"))
+    if sample_fraction and sample_fraction < 1.0:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    x = np.array(
+        [r["__vec"] for r in base.limit(max_train_points).collect()],
+        dtype=np.float64,
+    )
+
+    rng = np.random.default_rng(seed)
+    rot = np.eye(dim)
+    books = None
+    for _ in range(max(1, opq_iters)):
+        xr = x @ rot
+        books = _fit_books_np(
+            xr.reshape(-1, m, dim // m), m, ksub, rng, max_iter
+        )
+        y = _encode_reconstruct_np(xr, books)
+        u, _, vt = np.linalg.svd(x.T @ y)
+        rot = u @ vt
+    # final codebooks against the final rotation (the loop's last
+    # Procrustes step moved R after the books were fit)
+    books = _fit_books_np(
+        (x @ rot).reshape(-1, m, dim // m), m, ksub, rng, max_iter
+    )
+    return OpqRotation(rot), PqCodebook(books)
+
+
+def reconstruction_mse(
+    df: DataFrame,
+    vec_col: str,
+    book: PqCodebook,
+    rotation: OpqRotation | None = None,
+) -> DataFrame:
+    """One-row frame ``(n, mse)``: corpus-mean squared reconstruction
+    error of the codebook — the objective PQ/OPQ minimize, computed
+    DISTRIBUTED (one Arrow pass: rotate, encode, reconstruct, squared
+    diff; map-side combined agg). Rotation preserves norms, so the
+    rotated-space MSE is directly comparable to the plain one — this
+    is the stable corpus-level witness that OPQ beat plain PQ (recall
+    @k on a single query is a noisier signal)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cb = book.codebooks
+    r = rotation.rotation if rotation is not None else None
+
+    @pandas_udf(T.DoubleType())
+    def _err(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if r is not None:
+            x = x @ r
+        y = _encode_reconstruct_np(x, cb)
+        d = x - y
+        return pd.Series((d * d).sum(axis=1))
+
+    return df.select(_err(F.col(vec_col)).alias("__e")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__e").alias("mse")
+    )
+
+
+def build_opq_ivf_pq(
+    df: DataFrame,
+    vec_col: str,
+    lists: int,
+    m: int = 8,
+    ksub: int = 256,
+    opq_iters: int = 8,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 8,
+    spherical: bool = False,
+) -> tuple[OpqRotation, IvfPqIndex]:
+    """OPQ pre-transform + IVF + PQ, composed the FAISS way
+    (``OPQ{m},IVF{lists},PQ{m}``): rotate the corpus once, then build
+    the IVF layout and the codebooks in ROTATED space. Because the
+    rotation is orthogonal, rotated-space L2/dot equal the original
+    distances exactly — the refine pass returns true distances and
+    the probe pruning semantics are unchanged; only the ADC estimate
+    gets sharper. Search by rotating the query:
+    ``index.search(rot.apply(q), ...)``."""
+    from vechord_spark.operators.ivf import build_ivf
+
+    rot, book = train_opq(
+        df, vec_col, m=m, ksub=ksub, opq_iters=opq_iters,
+        sample_fraction=sample_fraction, seed=seed, max_iter=max_iter,
+    )
+    rotated = df.withColumn("__rvec", rot.apply_col(vec_col))
+    ivf = build_ivf(
+        rotated, "__rvec", lists,
+        sample_fraction=sample_fraction, seed=seed, max_iter=max_iter,
+        spherical=spherical,
+    )
+    return rot, IvfPqIndex(ivf, book)
 
 
 def build_ivf_pq(

@@ -3645,6 +3645,161 @@ def ivf_recall_refined(spark, sf_dir):
     return _ivf_recall_frame(spark, sf_dir, refined=True)
 
 
+def _opq(spark, sf_dir):
+    """OPQ,IVF,PQ index memoized per (session, corpus) and persisted
+    as an ArtifactStore disk layout like _ivfpq: the learned rotation
+    (rotation.bin), rotated-space codebooks, rotated-space spherical
+    IVF centroids, and the encoded clustered assignment. Training is
+    the bounded driver-side OPQ alternation (operators/pq.train_opq);
+    everything corpus-sized (rotate, assign, encode) is one
+    distributed Arrow pass at build, then a parquet load forever
+    after. Deterministic for the seeded fit, so a loaded index is
+    bit-identical to a rebuilt one."""
+    key = (sf_dir, 8, 16, "opq")
+    ent = _PQ_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    import json as _json
+    import re as _re
+
+    import numpy as _np
+
+    from vechord_spark.operators.ivf import IvfIndex
+    from vechord_spark.operators.pq import (
+        IvfPqIndex,
+        OpqRotation,
+        PqCodebook,
+        build_opq_ivf_pq,
+    )
+    from vechord_spark.plans.artifacts import ArtifactStore
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+
+    def _build(tmp):
+        rot, index = build_opq_ivf_pq(
+            _t(spark, sf_dir, "embeddings"), "embedding",
+            lists=16, m=8, ksub=16, seed=42, opq_iters=6, spherical=True,
+        )
+        index.encoded.write.parquet(str(tmp / "encoded"))
+        (tmp / "rotation.bin").write_bytes(
+            _np.ascontiguousarray(rot.rotation, dtype="<f8").tobytes()
+        )
+        (tmp / "centroids.bin").write_bytes(
+            _np.ascontiguousarray(index.ivf.centroids, dtype="<f8").tobytes()
+        )
+        (tmp / "codebooks.bin").write_bytes(
+            _np.ascontiguousarray(index.book.codebooks, dtype="<f8").tobytes()
+        )
+        (tmp / "opq.json").write_text(
+            _json.dumps(
+                {
+                    "dim": rot.dim,
+                    "ivf_shape": list(index.ivf.centroids.shape),
+                    "pq_shape": list(index.book.codebooks.shape),
+                    "spherical": True,
+                }
+            )
+        )
+
+    path = ArtifactStore(spark).load_or_build(
+        f"opq_{tag}",
+        [src],
+        {"lists": 16, "m": 8, "ksub": 16, "seed": 42, "iters": 6, "v": 1},
+        _build,
+    )
+    meta = _json.loads((path / "opq.json").read_text())
+    rot = OpqRotation(
+        _np.frombuffer((path / "rotation.bin").read_bytes(), dtype="<f8")
+        .reshape(meta["dim"], meta["dim"])
+        .copy()
+    )
+    cents = _np.frombuffer(
+        (path / "centroids.bin").read_bytes(), dtype="<f8"
+    ).reshape(meta["ivf_shape"])
+    book = PqCodebook(
+        _np.frombuffer((path / "codebooks.bin").read_bytes(), dtype="<f8")
+        .reshape(meta["pq_shape"])
+        .copy()
+    )
+    ivf = IvfIndex(
+        cents,
+        spark.read.parquet(str(path / "encoded")).persist(),
+        "__rvec",
+        spherical=meta["spherical"],
+    )
+    out = (rot, IvfPqIndex(ivf, book, encoded=ivf.assigned))
+    _PQ_CACHE[key] = (spark, out)
+    return out
+
+
+@_q(
+    "opq_recall",
+    """
+    SELECT CAST(10 AS INT) AS k, CAST(4 AS INT) AS probes,
+           CAST(8 AS INT) AS m, CAST(16 AS INT) AS ksub,
+           CAST(100 AS INT) AS refine,
+           CAST(0.4 AS DOUBLE) AS recall_floor, CAST(1 AS INT) AS recall_ok,
+           CAST(1 AS INT) AS mse_improves
+    """,
+)
+def opq_recall(spark, sf_dir):
+    """Deterministic scalar gate for the OPQ,IVF,PQ path
+    (operators/pq.train_opq / build_opq_ivf_pq — Ge et al., CVPR
+    2013; the FAISS ``OPQ8,IVF16,PQ8`` analog): recall@10 of rotate ->
+    probe-prune -> PQ-ADC estimate -> exact-refine(100) vs exact
+    k-NN, PLUS the corpus-level witness that the learned rotation
+    actually earned its keep: the distributed mean squared
+    reconstruction error of the OPQ codebooks (in rotated space —
+    orthogonality preserves norms, so directly comparable) must not
+    exceed plain PQ's at the identical m/ksub/seed (_ivfpq's persisted
+    codebooks). Recall@10 on one query is a noisy signal; the MSE is
+    the objective OPQ provably descends, so the pair (recall floor,
+    MSE improvement) is the honest claim. Same claim-style oracle as
+    ivf_pq_recall (KMeans/SVD fits are not SQL-expressible)."""
+    from vechord_spark.operators.knn import knn
+    from vechord_spark.operators.pq import reconstruction_mse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = knn(
+        emb, "embedding", QVEC, k=10, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    ).select("vec_id")
+    rot, index = _opq(spark, sf_dir)
+    approx = index.search(
+        list(rot.apply(QVEC)), k=10, probes=4, refine=100, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    )
+    rec = approx.select("vec_id").join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("probes"),
+        F.lit(8).alias("m"),
+        F.lit(16).alias("ksub"),
+        F.lit(100).alias("refine"),
+        F.lit(0.4).alias("recall_floor"),
+        (F.count(F.lit(1)) / F.lit(10.0) >= F.lit(0.4))
+        .cast("int")
+        .alias("recall_ok"),
+    )
+    mse_pq = reconstruction_mse(
+        emb, "embedding", _ivfpq(spark, sf_dir).book
+    ).select(F.col("mse").alias("mse_pq"))
+    mse_opq = reconstruction_mse(emb, "embedding", index.book, rot).select(
+        F.col("mse").alias("mse_opq")
+    )
+    return (
+        rec.crossJoin(mse_pq)
+        .crossJoin(mse_opq)
+        .select(
+            "k", "probes", "m", "ksub", "refine", "recall_floor",
+            "recall_ok",
+            (F.col("mse_opq") <= F.col("mse_pq")).cast("int").alias(
+                "mse_improves"
+            ),
+        )
+    )
+
+
 @_q(
     "eval_precision_knn",
     _EVAL_BASE
@@ -7768,9 +7923,13 @@ _WINDOW_PRIORITY = [
     "ivf_recall_refined",
     "maxsim_ivf_recall",
     # keyword / hybrid search (bm25_index_topk: the round-10
-    # persisted-postings plan, never driver-checked until now)
+    # persisted-postings plan, never driver-checked until now).
+    # r11 swap: sparse_knn OUT (stable green since round 4, plan
+    # untouched, parity-tested every pytest run) -> opq_recall IN
+    # (NEW round-11 surface, never-checked by definition: learned
+    # OPQ rotation before IVF-PQ, recall + MSE-improvement gate)
     "bm25_index_topk",
-    "sparse_knn",
+    "opq_recall",
     "hybrid_rrf",
     "mmr_rerank_diverse",
     # graph + similarity joins
