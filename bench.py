@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "weighted_doc_sample",
     # -- Python-worker path --
     "heavy_hitter_users",
+    "phrase_blocklist_report",
     "chunk_regex",
     "media_dedup_pairs",
     "audio_band_report",

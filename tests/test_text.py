@@ -423,3 +423,77 @@ def test_blocklist_stats(spark):
     import pytest as _p
     with _p.raises(ValueError):
         blocklist_stats(df, "doc_id", "text", [])
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick phrase blocklist (round 11)
+
+
+def test_aho_corasick_matches_brute_force():
+    import random
+
+    from vechord_spark.operators.quality import AhoCorasick
+
+    def brute(text, pats):
+        text = text.lower()
+        total, distinct = 0, 0
+        for p in pats:
+            c = sum(1 for i in range(len(text)) if text.startswith(p, i))
+            total += c
+            distinct += 1 if c else 0
+        return total, distinct
+
+    rng = random.Random(9)
+    for _ in range(200):
+        alpha = "abc "
+        pats = list(
+            {
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 4))).strip()
+                or "a"
+                for _ in range(rng.randint(1, 6))
+            }
+        )
+        text = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+        ac = AhoCorasick(pats)
+        assert ac.scan(text) == brute(text, pats)
+
+
+def test_aho_corasick_nested_and_overlapping():
+    from vechord_spark.operators.quality import AhoCorasick
+
+    # nested: "data" fires inside "data slow" (suffix outputs)
+    assert AhoCorasick(["data", "data slow"]).scan(
+        "data slow data x DATA SLOW"
+    ) == (5, 2)
+    # overlapping occurrences all count ("aa" in "aaaa" -> 3)
+    assert AhoCorasick(["aa"]).scan("aaaa") == (3, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        AhoCorasick([])
+    with _pytest.raises(ValueError):
+        AhoCorasick(["ok", ""])
+
+
+def test_substring_blocklist_stats(spark):
+    from vechord_spark.operators.quality import substring_blocklist_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the table scan then table scan again"),
+            (2, "no phrases here"),
+            (3, None),
+            (4, "Table Scan uppercase and data slow tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_patterns"])
+        for r in substring_blocklist_stats(
+            df, "doc_id", "text", ["table scan", "data slow", "data"]
+        ).collect()
+    }
+    assert got[1] == (2, 1)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)  # NULL text scans as empty
+    assert got[4] == (3, 3)  # table scan + data slow + nested data

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd  # module-top: pandas-UDF string type hints resolve here
+
 from pyspark.sql import DataFrame, functions as F
 
 from vechord_spark.functions.text import tokenize, word_ngrams
@@ -940,4 +942,115 @@ def blocklist_stats(
         .otherwise(F.lit(0.0))
         .alias("blocked_ratio"),
         (n_blocked > 0).alias("has_blocked"),
+    )
+
+
+class AhoCorasick:
+    """Multi-pattern substring automaton (Aho & Corasick, CACM 1975)
+    — goto trie + BFS failure links + collapsed output sets, built
+    once driver-side and shipped to executors in the UDF closure.
+
+    The point at scale: matching is ``O(len(text) + matches)``
+    REGARDLESS of pattern count, where the naive per-pattern scan
+    (``blocklist_stats``'s isin, or one ``contains`` per pattern) is
+    ``O(patterns * text)`` — with a 100k-entry phrase blocklist the
+    automaton is the only affordable shape. The transition step is a
+    dict lookup with the standard failure-link walk; each input
+    character is consumed once (failure hops are amortized by the
+    matched prefix they discard).
+    """
+
+    def __init__(self, patterns: Sequence[str], lowercase: bool = True):
+        pats = [p.lower() if lowercase else p for p in patterns]
+        if not pats or any(not p for p in pats):
+            raise ValueError("patterns must be non-empty strings")
+        self.lowercase = lowercase
+        self.n_patterns = len(pats)
+        goto: list[dict[str, int]] = [{}]
+        out: list[list[int]] = [[]]
+        for pid, p in enumerate(pats):
+            s = 0
+            for ch in p:
+                nxt = goto[s].get(ch)
+                if nxt is None:
+                    nxt = len(goto)
+                    goto[s][ch] = nxt
+                    goto.append({})
+                    out.append([])
+                s = nxt
+            out[s].append(pid)
+        # BFS failure links; collapse each state's reachable outputs so
+        # the scan never walks suffix links at match time
+        fail = [0] * len(goto)
+        from collections import deque
+
+        q = deque(goto[0].values())
+        while q:
+            s = q.popleft()
+            for ch, t in goto[s].items():
+                q.append(t)
+                f = fail[s]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[t] = goto[f].get(ch, 0) if t != goto[f].get(ch) else 0
+                out[t] = out[t] + out[fail[t]]
+        self._goto, self._fail, self._out = goto, fail, out
+
+    def scan(self, text: str) -> tuple[int, int]:
+        """``(total_occurrences, distinct_patterns)`` over one text —
+        every position where any pattern ends counts once per pattern
+        ending there (nested patterns both count, like counting each
+        pattern independently)."""
+        if self.lowercase:
+            text = text.lower()
+        goto, fail, out = self._goto, self._fail, self._out
+        s = 0
+        total = 0
+        seen: set[int] = set()
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            o = out[s]
+            if o:
+                total += len(o)
+                seen.update(o)
+        return total, len(seen)
+
+
+def substring_blocklist_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: Sequence[str],
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document multi-pattern SUBSTRING exposure — the phrase-level
+    companion of :func:`blocklist_stats` (which is word-level): URL
+    fragments, spam phrases, boilerplate sentences. One Arrow-batched
+    pass with the broadcast Aho-Corasick automaton; returns
+    ``(id, n_hits, n_patterns)`` where ``n_hits`` counts every
+    occurrence of every pattern (nested patterns count independently)
+    and ``n_patterns`` counts distinct patterns present.
+
+    Scale shape: automaton build is driver-side O(sum of pattern
+    lengths); the corpus pass is embarrassingly parallel and O(text)
+    per document independent of pattern count — the property that
+    makes 100k-phrase blocklists affordable where per-pattern
+    ``contains`` scans are O(patterns * text)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ac = AhoCorasick(patterns, lowercase=lowercase)
+
+    @pandas_udf("n_hits int, n_patterns int")
+    def _scan(texts: pd.Series) -> pd.DataFrame:
+        rows = [ac.scan(t or "") for t in texts]
+        return pd.DataFrame(rows, columns=["n_hits", "n_patterns"])
+
+    return df.select(
+        F.col(id_col), _scan(F.col(text_col)).alias("__s")
+    ).select(
+        id_col,
+        F.col("__s.n_hits").alias("n_hits"),
+        F.col("__s.n_patterns").alias("n_patterns"),
     )

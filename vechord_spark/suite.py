@@ -1292,6 +1292,68 @@ def blocklist_report(spark, sf_dir):
     )
 
 
+# phrase blocklist: multi-word patterns, including one nested pair
+# ("data" inside "data slow") to keep the automaton's suffix-output
+# semantics honest in the oracle; all patterns are borderless (no
+# proper prefix == suffix), so occurrences cannot overlap and DuckDB's
+# non-overlapping replace() count equals the automaton's count
+_PHRASES = [
+    "table scan",
+    "scan merge",
+    "merge slow",
+    "slow join",
+    "data slow",
+    "data",
+]
+
+
+def _phrase_hits_sql() -> str:
+    per = []
+    for i, p in enumerate(_PHRASES):
+        per.append(
+            f"CAST((len(lower(text)) - len(replace(lower(text), '{p}', '')))"
+            f" / {len(p)} AS INT) AS h{i}"
+        )
+    total = " + ".join(f"h{i}" for i in range(len(_PHRASES)))
+    distinct = " + ".join(
+        f"CASE WHEN h{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_PHRASES))
+    )
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, {", ".join(per)} FROM documents
+    )
+    SELECT doc_id,
+           CAST({total} AS INT) AS n_hits,
+           CAST({distinct} AS INT) AS n_patterns
+    FROM hits
+    WHERE {total} > 0
+    ORDER BY n_hits DESC, doc_id
+    LIMIT 20
+    """
+
+
+@_q("phrase_blocklist_report", _phrase_hits_sql())
+def phrase_blocklist_report(spark, sf_dir):
+    """Multi-pattern SUBSTRING blocklist (round 11): the top 20 most
+    exposed documents under a phrase blocklist, scanned with the
+    broadcast Aho-Corasick automaton
+    (operators/quality.substring_blocklist_stats) — O(text + matches)
+    per document regardless of pattern count, the shape that keeps a
+    100k-phrase blocklist affordable where per-pattern ``contains``
+    scans are O(patterns x text). The oracle is the per-pattern
+    replace()-count (affordable for the oracle's 6 patterns — which
+    is exactly the point of the automaton plan): borderless patterns
+    make non-overlapping counts exact, and the nested "data" /
+    "data slow" pair pins the suffix-output semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = QL.substring_blocklist_stats(docs, "doc_id", "text", _PHRASES)
+    return (
+        stats.filter(F.col("n_hits") > 0)
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @_q(
     "dedup_exact_fingerprint",
     f"""
