@@ -13,6 +13,10 @@ import threading
 
 import pytest
 
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
 from vechord_spark.errors import UniqueViolation
 from vechord_spark.plans.commitlog import TableLog
 from vechord_spark.registry import VechordRegistry
@@ -539,3 +543,152 @@ def test_concurrent_extends_mutually_excluded(spark, tmp_path):
             r2.extend_vector_index("emb")
     # lock released: the extend goes through exactly once
     assert r2.extend_vector_index("emb") == 4
+
+
+def _vec_registry(spark, tmp_path, ns="recl"):
+    import random
+
+    from vechord_spark.spec import Vector
+
+    rng = random.Random(53)
+    r = VechordRegistry(ns, str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(4))],
+        )
+    )
+
+    def rows(ids, center):
+        return [
+            {
+                "uid": i,
+                "vec": [c + rng.uniform(-0.1, 0.1) for c in center],
+            }
+            for i in ids
+        ]
+
+    return r, rows
+
+
+def test_recluster_splits_drifted_cell(spark, tmp_path):
+    """Appends drift one cell to several times the mean size; the
+    targeted recluster splits ONLY that cell, preserves every row,
+    keeps ids contiguous, and search still returns the true
+    neighbors."""
+    r, rows = _vec_registry(spark, tmp_path)
+    # two natural clusters -> lists=2
+    r.insert_rows("emb", rows(range(10), [0, 0, 0, 0]))
+    r.insert_rows("emb", rows(range(10, 20), [5, 5, 5, 5]))
+    r.build_vector_index("emb", lists=2)
+    # drift: a pile of new rows near a THIRD location lands in one cell
+    r.insert_rows("emb", rows(range(100, 160), [5, 5, 5, 9]))
+    assert r.extend_vector_index("emb") == 60
+    ipath = r._index_path("emb")
+    before = {
+        row["centroid_id"]: row["n"]
+        for row in spark.read.parquet(str(ipath / "data"))
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert max(before.values()) >= 60  # the drifted cell
+    stats = r.recluster_vector_index("emb", max_cell_factor=1.5)
+    assert stats["split_cells"] >= 1
+    assert stats["lists"] == 2 + stats["split_cells"]
+    data = spark.read.parquet(str(ipath / "data"))
+    # no lost rows, no duplicates
+    ids = sorted(x["uid"] for x in data.collect())
+    assert ids == sorted(list(range(20)) + list(range(100, 160)))
+    # centroid table matches the partition ids and stays contiguous
+    cents = sorted(
+        x["centroid_id"]
+        for x in spark.read.parquet(str(ipath / "centroids")).collect()
+    )
+    assert cents == list(range(stats["lists"]))
+    # probe search over the reclustered layout finds the true cluster
+    hits = r.search_by_vector(
+        "emb", [5.0, 5.0, 5.0, 9.0], topk=5, probes=2
+    ).collect()
+    assert all(h["uid"] >= 100 for h in hits)
+    # one wave per call: repeated calls converge to a balanced layout
+    # (a freshly split 60-row cell can still exceed the factor) and
+    # then report nothing to split
+    for _ in range(5):
+        if r.recluster_vector_index("emb", max_cell_factor=1.5)[
+            "split_cells"
+        ] == 0:
+            break
+    assert (
+        r.recluster_vector_index("emb", max_cell_factor=1.5)["split_cells"]
+        == 0
+    )
+    # rows still intact after the waves
+    ids2 = sorted(
+        x["uid"] for x in spark.read.parquet(str(ipath / "data")).collect()
+    )
+    assert ids2 == ids
+
+
+def test_recluster_crash_rolls_back(spark, tmp_path, monkeypatch):
+    """A crash after the data swap but before the centroid swap must
+    roll back WHOLESALE on the next load — a half-swapped layout
+    (new data partitions + old centroid table) would silently never
+    probe the new cell."""
+    r, rows = _vec_registry(spark, tmp_path, ns="reclcr")
+    r.insert_rows("emb", rows(range(10), [0, 0, 0, 0]))
+    r.insert_rows("emb", rows(range(10, 20), [5, 5, 5, 5]))
+    r.build_vector_index("emb", lists=2)
+    r.insert_rows("emb", rows(range(100, 160), [5, 5, 5, 9]))
+    r.extend_vector_index("emb")
+    ipath = r._index_path("emb")
+    cents_before = sorted(
+        (x["centroid_id"], tuple(x["vec"]))
+        for x in spark.read.parquet(str(ipath / "centroids")).collect()
+    )
+
+    real_rename = Path.rename
+    state = {"n": 0}
+
+    def crashing_rename(self, target):
+        out = real_rename(self, target)
+        if str(target).endswith("/data") and ".recluster-" in str(self):
+            # the stage->live data rename just landed: crash before
+            # the centroid swap
+            state["n"] += 1
+            raise RuntimeError("simulated crash mid-recluster")
+        return out
+
+    monkeypatch.setattr(Path, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        r.recluster_vector_index("emb", max_cell_factor=1.5)
+    monkeypatch.setattr(Path, "rename", real_rename)
+    assert (ipath / "recluster.intent.json").exists()
+    # next load recovers: old layout restored wholesale
+    idx = r._load_vector_index("emb")
+    assert idx is not None
+    assert not (ipath / "recluster.intent.json").exists()
+    cents_after = sorted(
+        (x["centroid_id"], tuple(x["vec"]))
+        for x in spark.read.parquet(str(ipath / "centroids")).collect()
+    )
+    assert cents_after == cents_before
+    ids = sorted(
+        x["uid"] for x in spark.read.parquet(str(ipath / "data")).collect()
+    )
+    assert ids == sorted(list(range(20)) + list(range(100, 160)))
+    # and a clean retry completes
+    stats = r.recluster_vector_index("emb", max_cell_factor=1.5)
+    assert stats["split_cells"] >= 1
+
+
+def test_recluster_respects_maintenance_lock(spark, tmp_path):
+    from vechord_spark.errors import MaintenanceBusy
+
+    r, rows = _vec_registry(spark, tmp_path, ns="recllk")
+    r.insert_rows("emb", rows(range(12), [0, 0, 0, 0]))
+    r.build_vector_index("emb", lists=2)
+    ipath = r._index_path("emb")
+    with r._maintenance_lock(ipath):
+        with pytest.raises(MaintenanceBusy):
+            r.recluster_vector_index("emb")

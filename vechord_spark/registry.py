@@ -25,6 +25,8 @@ from __future__ import annotations
 import contextlib
 import shutil
 from functools import reduce
+
+import pandas as pd  # module-top: pandas-UDF string type hints resolve here
 from pathlib import Path
 from typing import Any, Iterable, Mapping, Sequence
 
@@ -1279,6 +1281,7 @@ class VechordRegistry:
         if pk is None:
             raise SchemaError(f"extend_vector_index needs a primary key")
         ipath = self._index_path(name)
+        self._recover_recluster(ipath)
         if not (ipath / "data").exists():
             raise SchemaError(
                 f"no IVF index for {name}; call build_vector_index first"
@@ -1329,6 +1332,232 @@ class VechordRegistry:
         )
         self._record_index_files(name, ipath, files=covered)
         return n_new
+
+    def recluster_vector_index(
+        self,
+        name: str,
+        max_cell_factor: float = 2.0,
+        max_iter: int = 8,
+        max_train_points: int = 100_000,
+    ) -> dict[str, int]:
+        """Targeted REINDEX: split only the IVF cells that drifted.
+
+        ``extend_vector_index`` assigns new rows to EXISTING centroids,
+        so a stream of appends slowly bloats the cells nearest the new
+        data: probe pruning then scans ever-bigger partitions and
+        recall-per-probe decays — the standard IVF drift problem. The
+        full answer is ``build_vector_index`` (re-cluster everything,
+        O(table)); this is the incremental one: any cell holding more
+        than ``max_cell_factor`` times the mean cell size is split
+        in two by a local 2-means on ITS rows (bounded driver-side
+        sample, the same fit contract as build), its rows are
+        reassigned between the two children in one distributed pass,
+        and ONLY those partitions are rewritten — untouched cells are
+        HARDLINKED into the staged layout, so the rewrite cost is
+        O(drifted cells), not O(index).
+
+        Id discipline: probe search maps centroid-array POSITIONS to
+        partition ids, so ids stay contiguous — child 0 keeps the
+        parent's id, child 1 appends at the end. PQ codes are
+        per-vector, not per-cell, so a PQ layout's ``__pq`` column
+        rides through reassignment unchanged.
+
+        Crash contract: the staged data dir and centroid table swap in
+        under a ``recluster.intent.json`` journal; recovery
+        (:meth:`_recover_recluster`, run by every index load) always
+        rolls BACK to the intact pre-recluster layout — the split is
+        derived state, losing it costs a retry, never correctness.
+        Holds the maintenance lock. Returns ``{"split_cells",
+        "moved_rows", "lists"}``.
+        """
+        import json
+        import os
+        import uuid
+
+        import numpy as np
+
+        from vechord_spark.operators.pq import _lloyd
+
+        spec = self._spec(name)
+        vec_col = spec.vector_column
+        if vec_col is None:
+            raise SchemaError(f"table {name} has no vector column")
+        ipath = self._index_path(name)
+        self._recover_recluster(ipath)
+        if not (ipath / "data").exists():
+            raise SchemaError(
+                f"no IVF index for {name}; call build_vector_index first"
+            )
+        with self._maintenance_lock(ipath):
+            spherical = bool(self._vector_index_meta(ipath).get("spherical"))
+            data = self.spark.read.parquet(str(ipath / "data"))
+            cent_rows = (
+                self.spark.read.parquet(str(ipath / "centroids"))
+                .orderBy("centroid_id")
+                .collect()
+            )
+            lists = len(cent_rows)
+            counts = {
+                r["centroid_id"]: r["n"]
+                for r in data.groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_total = sum(counts.values())
+            if n_total == 0:
+                return {"split_cells": 0, "moved_rows": 0, "lists": lists}
+            mean = n_total / max(1, lists)
+            oversized = sorted(
+                c
+                for c, n in counts.items()
+                if n > max_cell_factor * mean and n >= 2
+            )
+            if not oversized:
+                return {"split_cells": 0, "moved_rows": 0, "lists": lists}
+
+            rng = np.random.default_rng(42)
+            vname = vec_col.name
+            split: dict[int, tuple] = {}  # old id -> (children(2,d), new_id)
+            next_id = lists
+            for c in oversized:
+                vecs = [
+                    r["__v"]
+                    for r in data.filter(F.col("centroid_id") == c)
+                    .select(F.col(vname).alias("__v"))
+                    .limit(max_train_points)
+                    .collect()
+                ]
+                x = np.asarray(vecs, dtype=np.float64)
+                if spherical:
+                    x = x / np.maximum(
+                        np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+                    )
+                children = _lloyd(x, 2, rng, max_iter, pad_to=2)
+                split[c] = (children, next_id)
+                next_id += 1
+
+            # one distributed pass: rows of split cells pick their
+            # child; everything else is untouched (and never read)
+            from pyspark.sql.functions import pandas_udf
+
+            sp = {int(c): (ch, int(nid)) for c, (ch, nid) in split.items()}
+            is_sph = spherical
+
+            @pandas_udf("int")
+            def _child(cid: pd.Series, vecs: pd.Series) -> pd.Series:
+                out = np.empty(len(cid), dtype=np.int32)
+                x = np.array(vecs.tolist(), dtype=np.float64)
+                if is_sph and len(x):
+                    x = x / np.maximum(
+                        np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+                    )
+                cvals = cid.to_numpy()
+                for c, (ch, nid) in sp.items():
+                    mask = cvals == c
+                    if not mask.any():
+                        continue
+                    d0 = ((x[mask] - ch[0]) ** 2).sum(axis=1)
+                    d1 = ((x[mask] - ch[1]) ** 2).sum(axis=1)
+                    out[mask] = np.where(d0 <= d1, c, nid)
+                return pd.Series(out)
+
+            moved = data.filter(F.col("centroid_id").isin(list(split)))
+            moved_n = moved.count()
+            reassigned = moved.withColumn(
+                "centroid_id", _child(F.col("centroid_id"), F.col(vname))
+            )
+
+            run = uuid.uuid4().hex
+            scratch = ipath / f".recluster-{run}"
+            stage_data = scratch / "data"
+            stage_cents = scratch / "centroids"
+            reassigned.write.partitionBy("centroid_id").parquet(str(stage_data))
+            # hardlink every untouched partition into the stage (no
+            # data copy; posix-rename/link warehouse contract, same as
+            # the rewrite journals)
+            live = ipath / "data"
+            for entry in live.iterdir():
+                if entry.name.startswith("centroid_id="):
+                    cid = entry.name.split("=", 1)[1]
+                    if cid.isdigit() and int(cid) in split:
+                        continue
+                    tgt = stage_data / entry.name
+                    tgt.mkdir(parents=True, exist_ok=True)
+                    for f in entry.iterdir():
+                        if f.is_file():
+                            os.link(f, tgt / f.name)
+            new_cents = [
+                (
+                    r["centroid_id"],
+                    list(split[r["centroid_id"]][0][0])
+                    if r["centroid_id"] in split
+                    else list(r["vec"]),
+                )
+                for r in cent_rows
+            ] + [
+                (nid, list(ch[1]))
+                for c, (ch, nid) in sorted(split.items(), key=lambda kv: kv[1][1])
+            ]
+            self.spark.createDataFrame(
+                [(int(i), [float(x) for x in v]) for i, v in new_cents],
+                "centroid_id int, vec array<double>",
+            ).write.parquet(str(stage_cents))
+
+            trash_data = ipath / f".recluster-old-data-{run}"
+            trash_cents = ipath / f".recluster-old-centroids-{run}"
+            intent = ipath / "recluster.intent.json"
+            intent.write_text(
+                json.dumps(
+                    {
+                        "stage_data": str(stage_data),
+                        "stage_cents": str(stage_cents),
+                        "trash_data": str(trash_data),
+                        "trash_cents": str(trash_cents),
+                    }
+                )
+            )
+            live.rename(trash_data)
+            stage_data.rename(live)
+            (ipath / "centroids").rename(trash_cents)
+            stage_cents.rename(ipath / "centroids")
+            # completion point: the intent clears BEFORE trash cleanup,
+            # so a crash during cleanup can never trigger a rollback of
+            # the already-published layout
+            intent.unlink()
+            for leftover in (trash_data, trash_cents, scratch):
+                if leftover.exists():
+                    shutil.rmtree(leftover)
+            return {
+                "split_cells": len(split),
+                "moved_rows": int(moved_n),
+                "lists": int(next_id),
+            }
+
+    def _recover_recluster(self, ipath: Path) -> None:
+        """Roll BACK a recluster that crashed mid-swap: while
+        ``recluster.intent.json`` exists the pre-recluster dirs are
+        preserved (live or in trash), so restoring them is always safe
+        — the split is derived state. No-op without a journal;
+        leftover scratch dirs from pre-journal crashes are swept."""
+        import json
+
+        intent = ipath / "recluster.intent.json"
+        if intent.exists():
+            rec = json.loads(intent.read_text())
+            for live_name, trash_key in (
+                ("data", "trash_data"),
+                ("centroids", "trash_cents"),
+            ):
+                live = ipath / live_name
+                trash = Path(rec[trash_key])
+                if trash.exists():
+                    if live.exists():
+                        shutil.rmtree(live)
+                    trash.rename(live)
+            intent.unlink()
+        if ipath.exists():
+            for leftover in ipath.glob(".recluster-*"):
+                shutil.rmtree(leftover, ignore_errors=True)
 
     def extend_multivec_index(self, name: str) -> int:
         """Assignment-only maintenance for the multivector index —
@@ -1493,6 +1722,7 @@ class VechordRegistry:
 
         ipath = self._index_path(name)
         self._recover_index_swap(ipath / "data")
+        self._recover_recluster(ipath)
         if not (ipath / "data").exists():
             return None
         spec = self._spec(name)

@@ -3832,33 +3832,37 @@ def opq_recall(spark, sf_dir):
         list(rot.apply(QVEC)), k=10, probes=4, refine=100, distance="cos",
         select=["vec_id"], tie_break="vec_id",
     )
-    rec = approx.select("vec_id").join(exact, "vec_id").agg(
+    # three 1-row aggregates combine through a tagged UNION + one
+    # final aggregate — a cross join of scalar frames would plan as
+    # BroadcastNestedLoopJoin, which the plan audit rightly bans
+    tagged = (
+        approx.select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(F.lit("hits").alias("tag"), "v")
+        .unionByName(
+            reconstruction_mse(
+                emb, "embedding", _ivfpq(spark, sf_dir).book
+            ).select(F.lit("mse_pq").alias("tag"), F.col("mse").alias("v"))
+        )
+        .unionByName(
+            reconstruction_mse(emb, "embedding", index.book, rot).select(
+                F.lit("mse_opq").alias("tag"), F.col("mse").alias("v")
+            )
+        )
+    )
+    pick = lambda t: F.max(F.when(F.col("tag") == t, F.col("v")))  # noqa: E731
+    return tagged.agg(
         F.lit(10).alias("k"),
         F.lit(4).alias("probes"),
         F.lit(8).alias("m"),
         F.lit(16).alias("ksub"),
         F.lit(100).alias("refine"),
         F.lit(0.4).alias("recall_floor"),
-        (F.count(F.lit(1)) / F.lit(10.0) >= F.lit(0.4))
-        .cast("int")
-        .alias("recall_ok"),
-    )
-    mse_pq = reconstruction_mse(
-        emb, "embedding", _ivfpq(spark, sf_dir).book
-    ).select(F.col("mse").alias("mse_pq"))
-    mse_opq = reconstruction_mse(emb, "embedding", index.book, rot).select(
-        F.col("mse").alias("mse_opq")
-    )
-    return (
-        rec.crossJoin(mse_pq)
-        .crossJoin(mse_opq)
-        .select(
-            "k", "probes", "m", "ksub", "refine", "recall_floor",
-            "recall_ok",
-            (F.col("mse_opq") <= F.col("mse_pq")).cast("int").alias(
-                "mse_improves"
-            ),
-        )
+        (pick("hits") / F.lit(10.0) >= F.lit(0.4)).cast("int").alias(
+            "recall_ok"
+        ),
+        (pick("mse_opq") <= pick("mse_pq")).cast("int").alias("mse_improves"),
     )
 
 
