@@ -2,7 +2,7 @@
 
 import pytest
 
-from vechord_spark.errors import UniqueViolation
+from vechord_spark.errors import SchemaError, UniqueViolation
 from vechord_spark.registry import VechordRegistry
 from vechord_spark.spec import AnyOf, Column, Keyword, TableSpec, Vector
 
@@ -600,3 +600,74 @@ def test_json_column_roundtrip(spark, tmp_path):
     reg.insert_rows("jtab", [{"uid": 100, "text": "x", "data": json.dumps({"key": 100})}])
     row = reg.load("jtab").filter("uid = 100").collect()[0]
     assert json.loads(row.data) == {"key": 100}
+
+
+def test_persisted_opq_index_search_extend(spark, tmp_path):
+    """build_vector_index(pq_m=.., opq=True): the index layout lives
+    in rotated space (rotation.bin + rotated stored copy) while the
+    TABLE keeps raw vectors; probe search with generous refine equals
+    brute force (orthogonal rotation preserves distances), extends
+    rotate the delta transparently, and the OPQ codebooks reconstruct
+    no worse than plain PQ on the same data."""
+    import random
+
+    import numpy as np
+
+    reg = VechordRegistry("opqreg", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    random.seed(13)
+    rows = [
+        {"uid": i, "vec": [random.uniform(-1, 1) for _ in range(8)]}
+        for i in range(200)
+    ]
+    reg.insert_rows("emb", rows)
+    with pytest.raises(SchemaError, match="opq=True requires pq_m"):
+        reg.build_vector_index("emb", lists=4, opq=True)
+    reg.build_vector_index("emb", lists=4, pq_m=4, pq_ksub=8, opq=True)
+    ipath = reg._index_path("emb")
+    assert (ipath / "rotation.bin").exists()
+    rot = reg._load_opq_rotation(ipath)
+    assert np.allclose(rot.rotation @ rot.rotation.T, np.eye(8), atol=1e-8)
+
+    # table keeps RAW vectors; the index's stored copy is rotated
+    raw0 = {r["uid"]: r["vec"] for r in reg.load("emb").collect()}
+    stored = {
+        r["uid"]: r["vec"]
+        for r in spark.read.parquet(str(ipath / "data")).collect()
+    }
+    assert raw0[0] == pytest.approx(rows[0]["vec"])
+    # Vector columns persist as float32 -> ~1e-7 round-trip error
+    assert stored[0] == pytest.approx(list(rot.apply(rows[0]["vec"])), abs=1e-5)
+
+    q = [0.25] * 8
+    exact = [r.uid for r in reg.search_by_vector("emb", q, topk=5).collect()]
+    full = [
+        r.uid
+        for r in reg.search_by_vector(
+            "emb", q, topk=5, probes=4, refine=1000
+        ).collect()
+    ]
+    assert full == exact
+
+    # extend: appended rows rotate into the layout and become findable
+    target = [0.9] * 8
+    reg.insert_rows(
+        "emb",
+        [
+            {"uid": 1000 + i, "vec": [t + random.uniform(-0.01, 0.01) for t in target]}
+            for i in range(5)
+        ],
+    )
+    assert reg.extend_vector_index("emb") == 5
+    hits = [
+        r.uid
+        for r in reg.search_by_vector(
+            "emb", target, topk=5, probes=4, refine=1000
+        ).collect()
+    ]
+    assert sorted(hits) == [1000, 1001, 1002, 1003, 1004]

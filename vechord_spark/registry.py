@@ -1161,6 +1161,7 @@ class VechordRegistry:
         pq_m: int | None = None,
         pq_ksub: int = 256,
         spherical: bool = False,
+        opq: bool = False,
     ) -> int:
         """Build + persist the IVF index for the table's vector column —
         the engine's ``CREATE INDEX`` (reference vchordrq index DDL,
@@ -1179,6 +1180,16 @@ class VechordRegistry:
         bulk appends (the reference's Postgres index updates
         transactionally; a batch engine re-clusters). Returns the
         number of lists built.
+
+        ``opq=True`` (requires ``pq_m``) trains the OPQ rotation first
+        (operators/pq.train_opq, Ge et al. 2013) and builds the whole
+        layout — centroids, codebooks, stored vectors — in ROTATED
+        space: the rotation is orthogonal, so every distance the index
+        computes is exactly the original-space distance while the ADC
+        estimate gets sharper. The rotation persists as
+        ``rotation.bin`` and the search/extend paths apply it
+        transparently; the TABLE keeps raw vectors, only the index's
+        clustered copy is rotated.
         """
         import numpy as np
 
@@ -1198,6 +1209,19 @@ class VechordRegistry:
             raise SchemaError(f"cannot index empty table {name}")
         declared = vec_col.index.lists if vec_col.index else None
         n_lists = lists or declared or max(2, int(round(n**0.5)))
+        if opq and pq_m is None:
+            raise SchemaError("opq=True requires pq_m (OPQ optimizes PQ)")
+        rotation = None
+        if opq:
+            from vechord_spark.operators.pq import train_opq
+
+            rotation, opq_book = train_opq(
+                df, vec_col.name, m=pq_m, ksub=pq_ksub, max_iter=max_iter
+            )
+            # the index's clustered copy lives in rotated space, under
+            # the SAME column name (the table keeps raw vectors);
+            # distances are rotation-invariant, codes get sharper
+            df = df.withColumn(vec_col.name, rotation.apply_col(vec_col.name))
         # spherical: unit-norm cells — the correct coarse quantizer for
         # cosine/dot distance (raw-L2 cells split by magnitude, which
         # cosine cannot see); persisted in meta.json so probe + extend
@@ -1211,8 +1235,12 @@ class VechordRegistry:
         if pq_m is not None:
             from vechord_spark.operators.pq import IvfPqIndex, train_pq
 
-            book = train_pq(
-                df, vec_col.name, m=pq_m, ksub=pq_ksub, max_iter=max_iter
+            book = (
+                opq_book
+                if opq
+                else train_pq(
+                    df, vec_col.name, m=pq_m, ksub=pq_ksub, max_iter=max_iter
+                )
             )
             pq_index = IvfPqIndex(index, book)
             pq_index.write_clustered(str(ipath / "data"))
@@ -1234,9 +1262,30 @@ class VechordRegistry:
         cents.write.parquet(str(ipath / "centroids"))
         import json
 
-        (ipath / "meta.json").write_text(json.dumps({"spherical": spherical}))
+        if rotation is not None:
+            (ipath / "rotation.bin").write_bytes(
+                np.ascontiguousarray(rotation.rotation, dtype="<f8").tobytes()
+            )
+        (ipath / "meta.json").write_text(
+            json.dumps({"spherical": spherical, "opq": bool(opq)})
+        )
         self._record_index_files(name, ipath, files=scanned_files)
         return n_lists
+
+    def _load_opq_rotation(self, ipath: Path):
+        """The index's persisted OPQ rotation, or None for plain
+        layouts (meta flag + rotation.bin)."""
+        import numpy as np
+
+        if not self._vector_index_meta(ipath).get("opq"):
+            return None
+        from vechord_spark.operators.pq import OpqRotation
+
+        raw = np.frombuffer(
+            (ipath / "rotation.bin").read_bytes(), dtype="<f8"
+        ).copy()
+        d = int(round(len(raw) ** 0.5))
+        return OpqRotation(raw.reshape(d, d))
 
     def _vector_index_meta(self, ipath: Path) -> dict:
         import json
@@ -1305,6 +1354,11 @@ class VechordRegistry:
         if n_new == 0:
             self._record_index_files(name, ipath, files=covered)
             return 0
+        rot = self._load_opq_rotation(ipath)
+        if rot is not None:
+            # OPQ layout: centroids/codes/stored copy are all in
+            # rotated space — rotate the delta before assign + encode
+            new = new.withColumn(vec_col.name, rot.apply_col(vec_col.name))
         fresh = assign_centroids(
             new,
             vec_col.name,
@@ -1824,8 +1878,15 @@ class VechordRegistry:
                         "(the ADC estimate scans codes, not rows); use the "
                         "plain IVF index or the brute-force path"
                     )
+                qv = list(vector)
+                rot = self._load_opq_rotation(self._index_path(name))
+                if rot is not None:
+                    # OPQ layout: the stored copy is rotated, so the
+                    # query rotates too — distances are unchanged
+                    # (orthogonality), codes are sharper
+                    qv = [float(x) for x in rot.apply(qv)]
                 return index.search(
-                    list(vector),
+                    qv,
                     k=topk,
                     probes=probes,
                     refine=refine,
