@@ -317,3 +317,57 @@ def test_live_service_ingest_search_rrf(svc):
         assert "zeppelin" in top_text
     finally:
         server.shutdown()
+
+
+def test_cli_recluster(spark, tmp_path, capsys):
+    """The maintenance CLI's targeted REINDEX: --vector-col rebuilds
+    the Vector metadata the parquet-inferred spec loses, the drifted
+    cell splits, and the owning registry still searches correctly."""
+    import json
+    import random
+
+    from vechord_spark.cli import main
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec, Vector
+
+    rng = random.Random(7)
+
+    def rows(ids, center):
+        return [
+            {"uid": i, "vec": [c + rng.uniform(-0.1, 0.1) for c in center]}
+            for i in ids
+        ]
+
+    reg = VechordRegistry("cli", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "vt",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(4))],
+        )
+    )
+    reg.insert_rows("vt", rows(range(10), [0, 0, 0, 0]))
+    reg.insert_rows("vt", rows(range(10, 20), [5, 5, 5, 5]))
+    reg.build_vector_index("vt", lists=2)
+    reg.insert_rows("vt", rows(range(100, 160), [5, 5, 5, 9]))
+    reg.extend_vector_index("vt")
+
+    rc = main([
+        "recluster", "--base-path", str(tmp_path), "--namespace", "cli",
+        "vt", "--vector-col", "vec", "--max-cell-factor", "1.5",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["split_cells"] >= 1
+    assert stats["lists"] == 2 + stats["split_cells"]
+    hits = reg.search_by_vector("vt", [5.0, 5.0, 5.0, 9.0], topk=5, probes=2)
+    assert all(h["uid"] >= 100 for h in hits.collect())
+
+    # bad column / missing table exit 2 with a message, never a traceback
+    assert main([
+        "recluster", "--base-path", str(tmp_path), "--namespace", "cli",
+        "vt", "--vector-col", "nope",
+    ]) == 2
+    assert main([
+        "recluster", "--base-path", str(tmp_path), "--namespace", "cli",
+        "missing", "--vector-col", "vec",
+    ]) == 2

@@ -63,6 +63,25 @@ def build_parser() -> ArgumentParser:
         "clustered IVF copies) — compact_index()",
     )
 
+    recl = sub.add_parser(
+        "recluster",
+        help="split drifted IVF cells (targeted REINDEX — "
+        "recluster_vector_index())",
+    )
+    recl.add_argument("--base-path", type=str, default="/tmp/vechord_spark")
+    recl.add_argument("--namespace", type=str, default="cli")
+    recl.add_argument("table", type=str, help="registered table name")
+    recl.add_argument(
+        "--vector-col", type=str, required=True,
+        help="the table's vector column (the maintenance CLI infers "
+        "column shapes from parquet, which loses the Vector metadata)",
+    )
+    recl.add_argument(
+        "--max-cell-factor", type=float, default=2.0,
+        help="split cells larger than this multiple of the mean cell "
+        "size (default 2.0)",
+    )
+
     hist = sub.add_parser(
         "history", help="print a table's commit log (manifest versions)"
     )
@@ -154,6 +173,47 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.indexes:
             stats.update(registry.compact_index(args.table))
+        print(json.dumps(stats))
+        return 0
+
+    if args.command == "recluster":
+        from vechord_spark.registry import VechordRegistry
+        from vechord_spark.session import get_spark
+        from vechord_spark.spec import Column, TableSpec, Vector
+
+        spark = get_spark("vechord-recluster")
+        registry = VechordRegistry(args.namespace, args.base_path, spark)
+        path = registry.table_path(args.table)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            print(f"no table storage at {path}", file=sys.stderr)
+            return 2
+        if args.vector_col not in df.columns:
+            print(
+                f"table {args.table} has no column {args.vector_col!r}",
+                file=sys.stderr,
+            )
+            return 2
+        first = df.select(args.vector_col).first()
+        if first is None or first[0] is None:
+            print(f"table {args.table} is empty", file=sys.stderr)
+            return 2
+        dim = len(first[0])
+        registry.register(
+            TableSpec(
+                args.table,
+                [
+                    Column(f.name, Vector(dim))
+                    if f.name == args.vector_col
+                    else Column(f.name, f.dataType)
+                    for f in df.schema.fields
+                ],
+            )
+        )
+        stats = registry.recluster_vector_index(
+            args.table, max_cell_factor=args.max_cell_factor
+        )
         print(json.dumps(stats))
         return 0
 
