@@ -1220,8 +1220,14 @@ class VechordRegistry:
             )
             # the index's clustered copy lives in rotated space, under
             # the SAME column name (the table keeps raw vectors);
-            # distances are rotation-invariant, codes get sharper
-            df = df.withColumn(vec_col.name, rotation.apply_col(vec_col.name))
+            # distances are rotation-invariant, codes get sharper. Cast
+            # back to float: the layout convention is float32 vectors
+            # (half the scan bytes), and extends must append the same
+            # type
+            df = df.withColumn(
+                vec_col.name,
+                rotation.apply_col(vec_col.name).cast("array<float>"),
+            )
         # spherical: unit-norm cells — the correct coarse quantizer for
         # cosine/dot distance (raw-L2 cells split by magnitude, which
         # cosine cannot see); persisted in meta.json so probe + extend
@@ -1358,7 +1364,11 @@ class VechordRegistry:
         if rot is not None:
             # OPQ layout: centroids/codes/stored copy are all in
             # rotated space — rotate the delta before assign + encode
-            new = new.withColumn(vec_col.name, rot.apply_col(vec_col.name))
+            # (float32, matching the layout convention)
+            new = new.withColumn(
+                vec_col.name,
+                rot.apply_col(vec_col.name).cast("array<float>"),
+            )
         fresh = assign_centroids(
             new,
             vec_col.name,
@@ -1591,27 +1601,44 @@ class VechordRegistry:
         """Roll BACK a recluster that crashed mid-swap: while
         ``recluster.intent.json`` exists the pre-recluster dirs are
         preserved (live or in trash), so restoring them is always safe
-        — the split is derived state. No-op without a journal;
-        leftover scratch dirs from pre-journal crashes are swept."""
+        — the split is derived state. Recovery only acts on ABANDONED
+        journals: it takes the maintenance lock non-blockingly first,
+        so a LIVE recluster (which writes its journal while holding
+        the lock) can never have its swap rolled back mid-flight by a
+        concurrent load. A crashed holder's flock is OS-released, so
+        abandoned journals are always recoverable. No-op without a
+        journal; leftover scratch dirs from pre-journal crashes are
+        swept."""
         import json
 
-        intent = ipath / "recluster.intent.json"
-        if intent.exists():
-            rec = json.loads(intent.read_text())
-            for live_name, trash_key in (
-                ("data", "trash_data"),
-                ("centroids", "trash_cents"),
-            ):
-                live = ipath / live_name
-                trash = Path(rec[trash_key])
-                if trash.exists():
-                    if live.exists():
-                        shutil.rmtree(live)
-                    trash.rename(live)
-            intent.unlink()
-        if ipath.exists():
-            for leftover in ipath.glob(".recluster-*"):
-                shutil.rmtree(leftover, ignore_errors=True)
+        if not (ipath / "recluster.intent.json").exists() and not (
+            ipath.exists() and any(ipath.glob(".recluster-*"))
+        ):
+            return
+        try:
+            with self._maintenance_lock(ipath):
+                intent = ipath / "recluster.intent.json"
+                if intent.exists():
+                    rec = json.loads(intent.read_text())
+                    for live_name, trash_key in (
+                        ("data", "trash_data"),
+                        ("centroids", "trash_cents"),
+                    ):
+                        live = ipath / live_name
+                        trash = Path(rec[trash_key])
+                        if trash.exists():
+                            if live.exists():
+                                shutil.rmtree(live)
+                            trash.rename(live)
+                    intent.unlink()
+                if ipath.exists():
+                    for leftover in ipath.glob(".recluster-*"):
+                        shutil.rmtree(leftover, ignore_errors=True)
+        except MaintenanceBusy:
+            # a live maintainer owns the journal; its swap will
+            # complete (or its crash releases the flock and the next
+            # caller recovers)
+            return
 
     def extend_multivec_index(self, name: str) -> int:
         """Assignment-only maintenance for the multivector index —
