@@ -371,3 +371,80 @@ def test_cli_recluster(spark, tmp_path, capsys):
         "recluster", "--base-path", str(tmp_path), "--namespace", "cli",
         "missing", "--vector-col", "vec",
     ]) == 2
+
+
+def test_maintenance_endpoint(spark, tmp_path):
+    """POST /api/maintenance/{table}: compact, recluster, vacuum and
+    the 409 on a concurrently-held maintenance lock — the HTTP twin of
+    the maintenance CLI, running on the OWNING registry's specs."""
+    import json as _json
+    import random
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec, Vector
+
+    rng = random.Random(17)
+    reg = VechordRegistry("svc_m", str(tmp_path), spark, concurrency="optimistic")
+    reg.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(4))],
+        )
+    )
+
+    def rows(ids, center):
+        return [
+            {"uid": i, "vec": [c + rng.uniform(-0.1, 0.1) for c in center]}
+            for i in ids
+        ]
+
+    for b in range(3):
+        reg.insert_rows("emb", rows(range(b * 5, b * 5 + 5), [0, 0, 0, 0]))
+    reg.insert_rows("emb", rows(range(50, 60), [5, 5, 5, 5]))
+    reg.build_vector_index("emb", lists=2)
+    reg.insert_rows("emb", rows(range(100, 160), [5, 5, 5, 9]))
+    reg.extend_vector_index("emb")
+    svc = VechordService(reg)
+
+    status, _, body = svc.handle(
+        "POST", "/api/maintenance/emb", body=_json.dumps({"op": "compact"}).encode()
+    )
+    assert status == 200
+    stats = _json.loads(body)
+    assert stats["files_before"] > stats["files_after"] >= 1
+
+    status, _, body = svc.handle(
+        "POST",
+        "/api/maintenance/emb",
+        body=_json.dumps({"op": "recluster", "max_cell_factor": 1.5}).encode(),
+    )
+    assert status == 200
+    assert _json.loads(body)["split_cells"] >= 1
+
+    status, _, body = svc.handle(
+        "POST",
+        "/api/maintenance/emb",
+        body=_json.dumps({"op": "vacuum", "older_than_s": 0}).encode(),
+    )
+    assert status == 200
+    assert _json.loads(body)["deleted"] >= 1
+
+    # rows survive the full upkeep cycle
+    assert reg.load("emb").count() == 85
+
+    # concurrent maintainer -> 409, not a traceback
+    with reg._maintenance_lock(reg._index_path("emb")):
+        status, _, body = svc.handle(
+            "POST",
+            "/api/maintenance/emb",
+            body=_json.dumps({"op": "recluster"}).encode(),
+        )
+        assert status == 409
+        assert b"maintenance lock" in body
+
+    assert svc.handle(
+        "POST", "/api/maintenance/emb", body=_json.dumps({"op": "nope"}).encode()
+    )[0] == 422
+    assert svc.handle(
+        "POST", "/api/maintenance/missing", body=b"{}"
+    )[0] == 404

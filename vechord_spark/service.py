@@ -5,6 +5,8 @@ Reference: ``create_web_app`` (vechord/service.py:197-229) exposes
 - health check            GET    /
 - table CRUD              GET/POST/DELETE /api/table/{name}
 - dynamic pipeline run    POST   /api/run      (vechord/service.py:120-137)
+- maintenance             POST   /api/maintenance/{name} (compact /
+  compact_index / recluster / vacuum; 409 on a concurrent maintainer)
 - registered pipeline     POST   /api/pipeline (vechord/service.py:103-117)
 - OpenAPI spec + swagger  GET    /openapi/spec.json, /openapi/swagger
 via falcon + msgspec + uvicorn. None of those packages exist in this
@@ -39,7 +41,7 @@ from urllib.parse import parse_qsl, urlsplit
 
 from pyspark.sql import DataFrame
 
-from vechord_spark.errors import SchemaError
+from vechord_spark.errors import MaintenanceBusy, SchemaError
 from vechord_spark.registry import VechordRegistry
 
 MAX_ROWS_DEFAULT = 1000
@@ -97,6 +99,12 @@ def _openapi_spec(registry: VechordRegistry, has_pipeline: bool) -> dict[str, An
     paths: dict[str, Any] = {
         "/": {"get": {"summary": "health check"}},
         "/api/run": {"post": {"summary": "run a dynamic pipeline from steps"}},
+        "/api/maintenance/{name}": {
+            "post": {
+                "summary": "table/index upkeep: compact, compact_index, "
+                "recluster, vacuum"
+            }
+        },
     }
     if has_pipeline:
         paths["/api/pipeline"] = {"post": {"summary": "run the registered pipeline"}}
@@ -192,7 +200,15 @@ class VechordService:
                 return self._pipeline(body)
             if path == "/api/run" and method == "POST":
                 return self._run(body)
+            if path.startswith("/api/maintenance/") and method == "POST":
+                return self._maintenance(
+                    path.removeprefix("/api/maintenance/"), body
+                )
             raise ServiceError(404, f"no route for {method} {path}")
+        except MaintenanceBusy as err:
+            # another session holds the index maintenance lock: the
+            # operation is safe to retry, signal 409 Conflict
+            return 409, "text/plain", str(err).encode()
         except ServiceError as err:
             return err.status, "text/plain", str(err).encode()
         except (SchemaError, KeyError, ValueError, TypeError) as err:
@@ -228,6 +244,51 @@ class VechordService:
             removed = self.registry.remove_by(name, conditions)
             return 200, "application/json", json.dumps({"removed": removed}).encode()
         raise ServiceError(405, f"{method} not allowed on tables")
+
+    # --------------------------------------------------------- maintenance
+    def _maintenance(
+        self, name: str, body: bytes | None
+    ) -> tuple[int, str, bytes]:
+        """POST /api/maintenance/{table}: lakehouse upkeep over the
+        OWNING registry (full specs — unlike the schema-inferring
+        maintenance CLI, recluster needs no --vector-col here). Body:
+        ``{"op": "compact"|"compact_index"|"recluster"|"vacuum",
+        ...op options}``. A concurrent maintainer surfaces as 409."""
+        if name not in self.registry.tables:
+            raise ServiceError(404, f"unknown table {name!r}")
+        payload = _decode_json(body) or {}
+        if not isinstance(payload, dict):
+            raise ServiceError(422, "body must be a JSON object")
+        op = payload.get("op")
+        if op == "compact":
+            stats: dict[str, Any] = self.registry.compact(
+                name,
+                target_file_bytes=int(payload.get("target_file_mb", 128)) << 20,
+                shuffle=bool(payload.get("shuffle", False)),
+            )
+        elif op == "compact_index":
+            stats = self.registry.compact_index(name)
+        elif op == "recluster":
+            stats = self.registry.recluster_vector_index(
+                name,
+                max_cell_factor=float(payload.get("max_cell_factor", 2.0)),
+            )
+        elif op == "vacuum":
+            stats = {
+                "deleted": len(
+                    self.registry.vacuum(
+                        name,
+                        older_than_s=float(payload.get("older_than_s", 3600.0)),
+                    )
+                )
+            }
+        else:
+            raise ServiceError(
+                422,
+                f"unknown maintenance op {op!r} "
+                "(compact | compact_index | recluster | vacuum)",
+            )
+        return 200, "application/json", json.dumps(stats).encode()
 
     @staticmethod
     def _coerce_params(spec, params: dict[str, str]) -> dict[str, Any]:
