@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "graph_triangles",
     "dedup_jaccard",
     "jaccard_join_exact",
+    "minhash_calibration_report",
     "dedup_components",
     "dedup_survivors",
     "dedup_simhash",

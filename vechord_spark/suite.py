@@ -800,6 +800,99 @@ def dedup_jaccard(spark, sf_dir):
 
 
 @_q(
+    "minhash_calibration_report",
+    f"""
+    WITH cand AS ({_minhash_sql()}),
+    sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES}) AS ts FROM documents
+    ),
+    tp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.ts, b.ts))
+            >= 0.35 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+    ),
+    hit AS (SELECT cand.doc_a, cand.doc_b FROM cand JOIN tp USING (doc_a, doc_b)),
+    n AS (
+      SELECT (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM tp) AS n_true,
+             (SELECT count(*) FROM hit) AS n_hit
+    )
+    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CASE WHEN n_candidates > 0
+                      THEN n_hit / CAST(n_candidates AS DOUBLE) ELSE 0 END,
+                 6) AS precision,
+           round(CASE WHEN n_true > 0
+                      THEN n_hit / CAST(n_true AS DOUBLE) ELSE 0 END,
+                 6) AS recall,
+           round(1 - power(1 - power(0.35, 4), 4), 6) AS p_theory_at_t
+    FROM n
+    """,
+)
+def minhash_calibration_report(spark, sf_dir):
+    """Banding calibration (round 11): the MinHash chain's docstrings
+    SAY recall is traded for speed — this query MEASURES the trade.
+    Empirical precision/recall of the (16 hashes, 4x4 bands) LSH
+    candidate set against the EXACT jaccard >= 0.35 pair set (the
+    banding-independent prefix-filter join, operators/dedup.
+    jaccard_prefix_join), plus the theoretical S-curve value
+    P(candidate | s=t) = 1-(1-t^r)^b at the threshold — the number a
+    pipeline owner tunes (b, r) against. Scale shape: candidates are
+    the memoized banded bucket join; truth is the prefix-filter join
+    (complete by construction); the intersection joins two narrow
+    pair tables; the three counts combine via tagged union + one
+    aggregate (no scalar cross join). At 100 TB the truth side is the
+    expensive one — which is exactly why production runs banding and
+    THIS report is how the recall cost of that choice gets audited on
+    a sample."""
+    from vechord_spark.operators.dedup import jaccard_prefix_join
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = _dedup_stage(spark, sf_dir, "cands")
+    true_pairs = jaccard_prefix_join(docs, "doc_id", "text", 0.35).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    hit = cand.join(true_pairs, ["doc_a", "doc_b"])
+    tagged = (
+        cand.agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(F.lit("cand").alias("tag"), "v")
+        .unionByName(
+            true_pairs.agg(F.count(F.lit(1)).cast("double").alias("v")).select(
+                F.lit("true").alias("tag"), "v"
+            )
+        )
+        .unionByName(
+            hit.agg(F.count(F.lit(1)).cast("double").alias("v")).select(
+                F.lit("hit").alias("tag"), "v"
+            )
+        )
+    )
+    pick = lambda t: F.max(F.when(F.col("tag") == t, F.col("v")))  # noqa: E731
+    return tagged.agg(
+        pick("cand").cast("bigint").alias("n_candidates"),
+        pick("true").cast("bigint").alias("n_true"),
+        pick("hit").cast("bigint").alias("n_hit"),
+        F.round(
+            F.when(pick("cand") > 0, pick("hit") / pick("cand")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(pick("true") > 0, pick("hit") / pick("true")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.lit(1.0) - (F.lit(1.0) - F.lit(0.35) ** 4) ** 4, 6
+        ).alias("p_theory_at_t"),
+    )
+
+
+@_q(
     "dedup_components",
     f"""
     WITH RECURSIVE jp AS ({_jaccard_sql()}),
