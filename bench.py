@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "phrase_blocklist_report",
     "chunk_regex",
     "media_dedup_pairs",
+    "media_exif_report",
     "audio_band_report",
     "bpe_token_counts",
     "mmr_rerank_diverse",

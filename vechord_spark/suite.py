@@ -2882,6 +2882,90 @@ def multimodal_meta(spark, sf_dir):
 
 
 @_q(
+    "media_exif_report",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 6 THEN NULL
+                ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+           CASE WHEN doc_id % 7 = 6 THEN NULL
+                ELSE 'C' || CAST(doc_id % 3 AS VARCHAR) END AS make,
+           CASE WHEN doc_id % 7 = 6 THEN FALSE
+                ELSE doc_id % 4 = 0 END AS has_gps
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def media_exif_report(spark, sf_dir):
+    """EXIF metadata pass over a media corpus (round 11,
+    sources/exif.attach_exif): per-object orientation / camera make /
+    GPS-presence flag — the camera-metadata scan a crawl pipeline runs
+    before any pixel decodes (orientation feeds thumbnailing, GPS
+    presence is the PII flag a privacy scrub keys on). Fixture: one
+    tiny JPEG container encoded ONCE driver-side, per-row APP1 EXIF
+    segments spliced in with fields that are pure doc_id arithmetic
+    (every 7th doc carries no EXIF — absence is data, reported as the
+    all-None row), so the oracle recomputes the expected records from
+    doc_id alone while Spark actually walks the TIFF IFD structures.
+    One Arrow-batched pass; the exchange carries nothing (scan ->
+    project)."""
+    import struct as _struct
+
+    import numpy as _np
+    import pandas as _pd
+
+    from vechord_spark.parallel import spread as _spread
+    from vechord_spark.sources.exif import attach_exif
+    from vechord_spark.sources.jpeg import encode_jpeg
+
+    base = encode_jpeg(8, 8, 3, _np.full((8, 8, 3), 96, _np.uint8).tobytes())
+
+    def _exif_block(orientation: int, make: str, gps: bool) -> bytes:
+        # minimal II TIFF: every value inline (make is 2 chars + NUL)
+        entries = [
+            (0x010F, 2, 3, make.encode("ascii") + b"\x00\x00"),
+            (0x0112, 3, 1, _struct.pack("<H", orientation) + b"\x00\x00"),
+        ]
+        if gps:
+            entries.append((0x8825, 4, 1, b"\x00\x00\x00\x00"))
+        ifd = _struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in sorted(entries):
+            ifd += _struct.pack("<HHI", tag, typ, cnt) + val
+        ifd += _struct.pack("<I", 0)
+        return b"II" + _struct.pack("<H", 42) + _struct.pack("<I", 8) + ifd
+
+    def _gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 6:
+                    blobs.append(base)
+                    continue
+                block = _exif_block(did % 8 + 1, f"C{did % 3}", did % 4 == 0)
+                payload = b"Exif\x00\x00" + block
+                app1 = (
+                    b"\xff\xe1"
+                    + _struct.pack(">H", 2 + len(payload))
+                    + payload
+                )
+                blobs.append(base[:2] + app1 + base[2:])
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = _spread(docs).mapInPandas(_gen, "doc_id long, blob binary")
+    return (
+        attach_exif(media, "blob")
+        .select(
+            "doc_id",
+            F.col("exif.orientation").alias("orientation"),
+            F.col("exif.make").alias("make"),
+            F.col("exif.has_gps").alias("has_gps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "media_dedup_pairs",
     """
     -- the synthesized corpus makes the TRUE near-dup pair set a pure
