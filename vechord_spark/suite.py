@@ -708,6 +708,11 @@ def _dedup_stage(spark, sf_dir, stage: str):
         out = DD.connected_components(
             _dedup_stage(spark, sf_dir, "jaccard").select("doc_a", "doc_b")
         )
+    elif stage == "exact_pairs":
+        # the banding-INDEPENDENT exact pair set (prefix-filter join):
+        # shared by jaccard_join_exact (reports it) and
+        # minhash_calibration_report (uses it as ground truth)
+        out = DD.jaccard_prefix_join(docs, "doc_id", "text", 0.35)
     else:  # pragma: no cover
         raise ValueError(stage)
     out = out.persist()
@@ -752,11 +757,11 @@ def jaccard_join_exact(spark, sf_dir):
     brute-force O(n^2) intersect (affordable at gate scale only —
     which is exactly the point of the blocked plan).
     tests/test_dedup.py pins brute-force equality at three thresholds
-    and the MinHash-verified-subset property."""
-    from vechord_spark.operators.dedup import jaccard_prefix_join
-
-    docs = _t(spark, sf_dir, "documents")
-    return jaccard_prefix_join(docs, "doc_id", "text", 0.35).orderBy(
+    and the MinHash-verified-subset property. The pair frame is the
+    memoized ``exact_pairs`` dedup stage (build-once/query-many, like
+    the rest of the chain) — minhash_calibration_report reads the same
+    frame as its ground truth."""
+    return _dedup_stage(spark, sf_dir, "exact_pairs").orderBy(
         "id_a", "id_b"
     )
 
@@ -847,11 +852,8 @@ def minhash_calibration_report(spark, sf_dir):
     expensive one — which is exactly why production runs banding and
     THIS report is how the recall cost of that choice gets audited on
     a sample."""
-    from vechord_spark.operators.dedup import jaccard_prefix_join
-
-    docs = _t(spark, sf_dir, "documents")
     cand = _dedup_stage(spark, sf_dir, "cands")
-    true_pairs = jaccard_prefix_join(docs, "doc_id", "text", 0.35).select(
+    true_pairs = _dedup_stage(spark, sf_dir, "exact_pairs").select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     hit = cand.join(true_pairs, ["doc_a", "doc_b"])
