@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "eval_mrr_knn",
     "eval_ap_knn",
     "eval_precision_knn",
+    "hard_negatives",
     "augment_context",
     "graph_relation_merge",
     "graph_search_2hop",

@@ -62,6 +62,10 @@ BNLJ_ALLOWED = {
     # like ivf_recall) + three 1-row claim-scalar crossJoins
     "semdedup_ivf_recall",
     "knn_batch",
+    # the knn_join batch broadcast (a bounded query batch broadcast
+    # against the corpus scan — the intended batch-knn shape) feeding
+    # the anti-join against positives
+    "hard_negatives",
     "ivf_recall_expanded",  # exact side is the knn_join batch broadcast
     "eval_recall_knn",
     "eval_ndcg_knn",

@@ -2648,6 +2648,46 @@ _EVAL_BASE = """
 """
 
 
+@_q(
+    "hard_negatives",
+    _EVAL_BASE
+    + """
+    SELECT query_id, doc_id AS neg_id, CAST(rank AS INT) AS knn_rank,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
+                AS INT) AS neg_rank
+    FROM labeled WHERE rel = 0
+    ORDER BY query_id, neg_rank
+    """,
+)
+def hard_negatives(spark, sf_dir):
+    """Hard-negative mining (round 11) — the retrieval-TRAINING data
+    op (DPR / contrastive fine-tuning recipes): for each query, the
+    nearest neighbors that are NOT relevant are exactly the negatives
+    a dual encoder learns most from (random negatives are too easy).
+    Composition of verified pieces: the shared batch-knn eval run
+    (5 queries, L2 top-10) anti-joined against the label-derived
+    truth, with a per-query negative rank. At 100 TB this is the
+    production mining pass shape: one ANN/knn batch over the query
+    stream (the parallel axis), one broadcast/hash anti-join against
+    the positives table, one bounded per-query window — no extra
+    corpus scan beyond the retrieval itself. Returns
+    ``(query_id, neg_id, knn_rank, neg_rank)``."""
+    from pyspark.sql import Window
+
+    retrieved, truth = _knn_eval_run(spark, sf_dir)
+    negs = retrieved.join(truth, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        negs.select(
+            "query_id",
+            F.col("doc_id").alias("neg_id"),
+            F.col("rank").cast("int").alias("knn_rank"),
+            F.row_number().over(w).cast("int").alias("neg_rank"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
 def _knn_eval_run(spark, sf_dir):
     """The shared (retrieved, truth) pair behind every D16 metric query:
     batch L2 knn for 5 query vectors, truth = same-label rows."""
