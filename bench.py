@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "chunk_regex",
     "media_dedup_pairs",
     "media_exif_report",
+    "mojibake_scrub_report",
     "audio_band_report",
     "bpe_token_counts",
     "mmr_rerank_diverse",

@@ -497,3 +497,49 @@ def test_substring_blocklist_stats(spark):
     assert got[2] == (0, 0)
     assert got[3] == (0, 0)  # NULL text scans as empty
     assert got[4] == (3, 3)  # table scan + data slow + nested data
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (round 11)
+
+
+def test_fix_mojibake_round_trips():
+    from vechord_spark.operators.normalize import fix_mojibake
+
+    for s in ("café", "naïve — №5", "Zürich", "plain ascii", "日本語テキスト"):
+        assert fix_mojibake(s) == (s, 0)  # clean text untouched
+        m1 = s.encode("utf-8").decode("latin-1")
+        if m1 != s:
+            assert fix_mojibake(m1) == (s, 1)
+            m2 = m1.encode("utf-8").decode("latin-1")
+            assert fix_mojibake(m2) == (s, 2)
+
+
+def test_fix_mojibake_bounds_passes():
+    from vechord_spark.operators.normalize import fix_mojibake
+
+    s = "déjà vu"
+    deep = s
+    for _ in range(5):
+        deep = deep.encode("utf-8").decode("latin-1")
+    fixed, n = fix_mojibake(deep, max_passes=3)
+    assert n == 3 and fixed != s  # bounded: three of five layers undone
+    assert fix_mojibake(fixed, max_passes=5) == (s, 2)  # rest recoverable
+
+
+def test_scrub_mojibake_spark(spark):
+    from vechord_spark.operators.normalize import scrub_mojibake
+
+    rows = [
+        (1, "café".encode("utf-8").decode("latin-1")),
+        (2, "clean café"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["mojibake_passes"])
+        for r in scrub_mojibake(df, "doc_id", "text").collect()
+    }
+    assert got[1] == ("café", 1)
+    assert got[2] == ("clean café", 0)
+    assert got[3] == (None, 0)

@@ -2923,6 +2923,71 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
+# deterministic mojibake fixture vocabulary (doc_id % 7 picks one)
+_MOJI_WORDS = [
+    "café", "naïve", "résumé", "Zürich", "smörgåsbord", "façade", "jalapeño",
+]
+
+
+@_q(
+    "mojibake_scrub_report",
+    f"""
+    SELECT doc_id,
+           md5(text || ' ' ||
+               list_value({", ".join("'" + w + "'" for w in _MOJI_WORDS)})
+                   [doc_id % 7 + 1]) AS fixed_md5,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN 2
+                     WHEN doc_id % 3 = 0 THEN 1
+                     ELSE 0 END AS INT) AS mojibake_passes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mojibake_scrub_report(spark, sf_dir):
+    """Mojibake repair pass (round 11, operators/normalize.
+    scrub_mojibake — the ftfy fix_text core): undo
+    UTF-8-read-as-latin-1/cp1252 damage, the most common text
+    corruption in crawl corpora, BEFORE tokenization so every
+    downstream signal sees clean text. Fixture: each doc gets a
+    deterministic non-ASCII suffix (doc_id % 7 picks the word); docs
+    with doc_id % 3 == 0 are corrupted by one UTF-8->latin-1 round
+    trip, doc_id % 6 == 0 twice (double mojibake). Spark repairs with
+    the inverse round trip (iterated; clean accented text refuses the
+    trip because its cp1252 bytes are not valid UTF-8); the oracle
+    recomputes the EXPECTED clean text and pass counts from doc_id
+    arithmetic alone — a hash match proves byte-exact repair. One
+    Arrow pass, zero shuffles."""
+    import pandas as _pd
+
+    from vechord_spark.operators.normalize import scrub_mojibake
+    from vechord_spark.parallel import spread as _spread
+
+    def _gen(batches):
+        for pdf in batches:
+            texts = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                s = f"{text} {_MOJI_WORDS[did % 7]}"
+                if did % 3 == 0:
+                    s = s.encode("utf-8").decode("latin-1")
+                if did % 6 == 0:
+                    s = s.encode("utf-8").decode("latin-1")
+                texts.append(s)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "text": texts})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = _spread(docs).mapInPandas(_gen, "doc_id long, text string")
+    return (
+        scrub_mojibake(dirty, "doc_id", "text")
+        .select(
+            "doc_id",
+            F.md5("text").alias("fixed_md5"),
+            "mojibake_passes",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @_q(
     "media_exif_report",
     """
