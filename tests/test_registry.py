@@ -671,3 +671,56 @@ def test_persisted_opq_index_search_extend(spark, tmp_path):
         ).collect()
     ]
     assert sorted(hits) == [1000, 1001, 1002, 1003, 1004]
+
+
+def test_recluster_multivec_index(spark, tmp_path):
+    """Targeted recluster on the multivector layout: a drifted
+    mean-space cell splits by local 2-means over means, rows are
+    preserved exactly once, centroid ids stay contiguous, and probe
+    MaxSim search still finds the drifted cluster."""
+    import random
+
+    from vechord_spark.spec import MultiVector
+
+    reg = VechordRegistry("mvrecl", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "late",
+            [Column("uid", "int", primary_key=True), Column("mv", MultiVector(4))],
+        )
+    )
+    rng = random.Random(19)
+
+    def rows(ids, center):
+        return [
+            {
+                "uid": i,
+                "mv": [
+                    [c + rng.uniform(-0.1, 0.1) for c in center]
+                    for _ in range(3)
+                ],
+            }
+            for i in ids
+        ]
+
+    reg.insert_rows("late", rows(range(10), [0, 0, 0, 0]))
+    reg.insert_rows("late", rows(range(10, 20), [5, 5, 5, 5]))
+    reg.build_multivec_index("late", lists=2)
+    reg.insert_rows("late", rows(range(100, 160), [5, 5, 5, 9]))
+    assert reg.extend_multivec_index("late") == 60
+    stats = reg.recluster_multivec_index("late", max_cell_factor=1.5)
+    assert stats["split_cells"] >= 1
+    assert stats["lists"] == 2 + stats["split_cells"]
+    ipath = reg._mv_index_path("late")
+    ids = sorted(
+        x["uid"] for x in spark.read.parquet(str(ipath / "data")).collect()
+    )
+    assert ids == sorted(list(range(20)) + list(range(100, 160)))
+    cents = sorted(
+        x["centroid_id"]
+        for x in spark.read.parquet(str(ipath / "centroids")).collect()
+    )
+    assert cents == list(range(stats["lists"]))
+    q = [[5.0, 5.0, 5.0, 9.0]]
+    hits = reg.search_by_multivec("late", q, topk=5, probes=2).collect()
+    assert all(h["uid"] >= 100 for h in hits)

@@ -448,3 +448,57 @@ def test_maintenance_endpoint(spark, tmp_path):
     assert svc.handle(
         "POST", "/api/maintenance/missing", body=b"{}"
     )[0] == 404
+
+
+def test_maintenance_recluster_multivec(spark, tmp_path):
+    """POST /api/maintenance/{table} with op=recluster,index=multivec
+    routes to the multivector layout; unknown index values are 422."""
+    import json as _json
+    import random
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, MultiVector, TableSpec
+
+    rng = random.Random(29)
+    reg = VechordRegistry("svc_mv", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "late",
+            [Column("uid", "int", primary_key=True), Column("mv", MultiVector(4))],
+        )
+    )
+
+    def rows(ids, center):
+        return [
+            {
+                "uid": i,
+                "mv": [
+                    [c + rng.uniform(-0.1, 0.1) for c in center] for _ in range(2)
+                ],
+            }
+            for i in ids
+        ]
+
+    reg.insert_rows("late", rows(range(8), [0, 0, 0, 0]))
+    reg.insert_rows("late", rows(range(8, 16), [5, 5, 5, 5]))
+    reg.build_multivec_index("late", lists=2)
+    reg.insert_rows("late", rows(range(100, 140), [5, 5, 5, 9]))
+    reg.extend_multivec_index("late")
+    svc = VechordService(reg)
+
+    status, _, body = svc.handle(
+        "POST",
+        "/api/maintenance/late",
+        body=_json.dumps(
+            {"op": "recluster", "index": "multivec", "max_cell_factor": 1.5}
+        ).encode(),
+    )
+    assert status == 200
+    assert _json.loads(body)["split_cells"] >= 1
+    assert reg.load("late").count() == 56
+
+    assert svc.handle(
+        "POST",
+        "/api/maintenance/late",
+        body=_json.dumps({"op": "recluster", "index": "nope"}).encode(),
+    )[0] == 422

@@ -1531,66 +1531,199 @@ class VechordRegistry:
                 "centroid_id", _child(F.col("centroid_id"), F.col(vname))
             )
 
-            run = uuid.uuid4().hex
-            scratch = ipath / f".recluster-{run}"
-            stage_data = scratch / "data"
-            stage_cents = scratch / "centroids"
-            reassigned.write.partitionBy("centroid_id").parquet(str(stage_data))
-            # hardlink every untouched partition into the stage (no
-            # data copy; posix-rename/link warehouse contract, same as
-            # the rewrite journals)
-            live = ipath / "data"
-            for entry in live.iterdir():
-                if entry.name.startswith("centroid_id="):
-                    cid = entry.name.split("=", 1)[1]
-                    if cid.isdigit() and int(cid) in split:
-                        continue
-                    tgt = stage_data / entry.name
-                    tgt.mkdir(parents=True, exist_ok=True)
-                    for f in entry.iterdir():
-                        if f.is_file():
-                            os.link(f, tgt / f.name)
-            new_cents = [
-                (
-                    r["centroid_id"],
-                    list(split[r["centroid_id"]][0][0])
-                    if r["centroid_id"] in split
-                    else list(r["vec"]),
-                )
-                for r in cent_rows
-            ] + [
-                (nid, list(ch[1]))
-                for c, (ch, nid) in sorted(split.items(), key=lambda kv: kv[1][1])
-            ]
-            self.spark.createDataFrame(
-                [(int(i), [float(x) for x in v]) for i, v in new_cents],
-                "centroid_id int, vec array<double>",
-            ).write.parquet(str(stage_cents))
+            self._swap_recluster_layout(ipath, reassigned, split, cent_rows)
+            return {
+                "split_cells": len(split),
+                "moved_rows": int(moved_n),
+                "lists": int(next_id),
+            }
 
-            trash_data = ipath / f".recluster-old-data-{run}"
-            trash_cents = ipath / f".recluster-old-centroids-{run}"
-            intent = ipath / "recluster.intent.json"
-            intent.write_text(
-                json.dumps(
-                    {
-                        "stage_data": str(stage_data),
-                        "stage_cents": str(stage_cents),
-                        "trash_data": str(trash_data),
-                        "trash_cents": str(trash_cents),
-                    }
-                )
+    def _swap_recluster_layout(
+        self, ipath: Path, reassigned: DataFrame, split: dict, cent_rows
+    ) -> None:
+        """The stage/journal/swap half of a targeted recluster, shared
+        by the vector and multivector layouts (identical directory
+        shapes): write reassigned partitions to a stage, HARDLINK every
+        untouched partition (no data copy; posix-rename/link warehouse
+        contract, same as the rewrite journals), stage the updated
+        centroid table, then swap both under the rollback-only
+        ``recluster.intent.json`` journal. The intent clears BEFORE
+        trash cleanup, so a crash during cleanup can never trigger a
+        rollback of the already-published layout."""
+        import json
+        import os
+        import uuid
+
+        run = uuid.uuid4().hex
+        scratch = ipath / f".recluster-{run}"
+        stage_data = scratch / "data"
+        stage_cents = scratch / "centroids"
+        reassigned.write.partitionBy("centroid_id").parquet(str(stage_data))
+        live = ipath / "data"
+        for entry in live.iterdir():
+            if entry.name.startswith("centroid_id="):
+                cid = entry.name.split("=", 1)[1]
+                if cid.isdigit() and int(cid) in split:
+                    continue
+                tgt = stage_data / entry.name
+                tgt.mkdir(parents=True, exist_ok=True)
+                for f in entry.iterdir():
+                    if f.is_file():
+                        os.link(f, tgt / f.name)
+        new_cents = [
+            (
+                r["centroid_id"],
+                list(split[r["centroid_id"]][0][0])
+                if r["centroid_id"] in split
+                else list(r["vec"]),
             )
-            live.rename(trash_data)
-            stage_data.rename(live)
-            (ipath / "centroids").rename(trash_cents)
-            stage_cents.rename(ipath / "centroids")
-            # completion point: the intent clears BEFORE trash cleanup,
-            # so a crash during cleanup can never trigger a rollback of
-            # the already-published layout
-            intent.unlink()
-            for leftover in (trash_data, trash_cents, scratch):
-                if leftover.exists():
-                    shutil.rmtree(leftover)
+            for r in cent_rows
+        ] + [
+            (nid, list(ch[1]))
+            for _, (ch, nid) in sorted(split.items(), key=lambda kv: kv[1][1])
+        ]
+        self.spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in new_cents],
+            "centroid_id int, vec array<double>",
+        ).write.parquet(str(stage_cents))
+
+        trash_data = ipath / f".recluster-old-data-{run}"
+        trash_cents = ipath / f".recluster-old-centroids-{run}"
+        intent = ipath / "recluster.intent.json"
+        intent.write_text(
+            json.dumps(
+                {
+                    "stage_data": str(stage_data),
+                    "stage_cents": str(stage_cents),
+                    "trash_data": str(trash_data),
+                    "trash_cents": str(trash_cents),
+                }
+            )
+        )
+        live.rename(trash_data)
+        stage_data.rename(live)
+        (ipath / "centroids").rename(trash_cents)
+        stage_cents.rename(ipath / "centroids")
+        intent.unlink()
+        for leftover in (trash_data, trash_cents, scratch):
+            if leftover.exists():
+                shutil.rmtree(leftover)
+
+    def recluster_multivec_index(
+        self,
+        name: str,
+        max_cell_factor: float = 2.0,
+        max_iter: int = 8,
+        max_train_points: int = 100_000,
+    ) -> dict[str, int]:
+        """The multivector twin of :meth:`recluster_vector_index`:
+        drifted mean-space cells split by a local 2-means on the
+        cell's MEAN vectors, rows reassign by mean between the two
+        children, only the split partitions rewrite (untouched cells
+        hardlink). Token-centroid sets (``__centroid_ids``) are
+        row-level attributes independent of cell membership and ride
+        through unchanged, as does the ``__mean`` column when stored.
+        Same maintenance lock + rollback-only journal."""
+        import numpy as np
+
+        from vechord_spark.operators.pq import _lloyd
+
+        spec = self._spec(name)
+        mv_col = spec.multivec_column
+        if mv_col is None:
+            raise SchemaError(f"table {name} has no multivector column")
+        ipath = self._mv_index_path(name)
+        self._recover_recluster(ipath)
+        if not (ipath / "data").exists():
+            raise SchemaError(
+                f"no multivector IVF index for {name}; "
+                "call build_multivec_index first"
+            )
+        with self._maintenance_lock(ipath):
+            data = self.spark.read.parquet(str(ipath / "data"))
+            cent_rows = (
+                self.spark.read.parquet(str(ipath / "centroids"))
+                .orderBy("centroid_id")
+                .collect()
+            )
+            lists = len(cent_rows)
+            counts = {
+                r["centroid_id"]: r["n"]
+                for r in data.groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_total = sum(counts.values())
+            if n_total == 0:
+                return {"split_cells": 0, "moved_rows": 0, "lists": lists}
+            mean = n_total / max(1, lists)
+            oversized = sorted(
+                c
+                for c, n in counts.items()
+                if n > max_cell_factor * mean and n >= 2
+            )
+            if not oversized:
+                return {"split_cells": 0, "moved_rows": 0, "lists": lists}
+
+            rng = np.random.default_rng(42)
+            mvname = mv_col.name
+            split: dict[int, tuple] = {}
+            next_id = lists
+            for c in oversized:
+                rows_ = (
+                    data.filter(F.col("centroid_id") == c)
+                    .select(F.col(mvname).alias("__mv"))
+                    .limit(max_train_points)
+                    .collect()
+                )
+                x = np.array(
+                    [np.mean(np.asarray(r["__mv"], dtype=np.float64), axis=0)
+                     for r in rows_]
+                )
+                split[c] = (_lloyd(x, 2, rng, max_iter, pad_to=2), next_id)
+                next_id += 1
+
+            from pyspark.sql.functions import pandas_udf
+
+            sp = {int(c): (ch, int(nid)) for c, (ch, nid) in split.items()}
+
+            @pandas_udf("int")
+            def _child(cid: pd.Series, mvs: pd.Series) -> pd.Series:
+                import numpy as _np
+
+                out = _np.empty(len(cid), dtype=_np.int32)
+                # Arrow hands array<array<float>> over as object
+                # arrays of arrays — stack the token vectors per row
+                means = _np.array(
+                    [
+                        _np.mean(
+                            _np.stack(
+                                [
+                                    _np.asarray(t, dtype=_np.float64)
+                                    for t in m
+                                ]
+                            ),
+                            axis=0,
+                        )
+                        for m in mvs
+                    ]
+                )
+                cvals = cid.to_numpy()
+                for c, (ch, nid) in sp.items():
+                    mask = cvals == c
+                    if not mask.any():
+                        continue
+                    d0 = ((means[mask] - ch[0]) ** 2).sum(axis=1)
+                    d1 = ((means[mask] - ch[1]) ** 2).sum(axis=1)
+                    out[mask] = _np.where(d0 <= d1, c, nid)
+                return pd.Series(out)
+
+            moved = data.filter(F.col("centroid_id").isin(list(split)))
+            moved_n = moved.count()
+            reassigned = moved.withColumn(
+                "centroid_id", _child(F.col("centroid_id"), F.col(mvname))
+            )
+            self._swap_recluster_layout(ipath, reassigned, split, cent_rows)
             return {
                 "split_cells": len(split),
                 "moved_rows": int(moved_n),
@@ -1669,6 +1802,7 @@ class VechordRegistry:
             raise SchemaError("extend_multivec_index needs a primary key")
         ipath = self._mv_index_path(name)
         self._recover_index_swap(ipath / "data")
+        self._recover_recluster(ipath)
         if not (ipath / "data").exists():
             raise SchemaError(
                 f"no multivector IVF index for {name}; "
@@ -1772,6 +1906,7 @@ class VechordRegistry:
 
         ipath = self._mv_index_path(name)
         self._recover_index_swap(ipath / "data")
+        self._recover_recluster(ipath)
         if not (ipath / "data").exists():
             return None
         spec = self._spec(name)

@@ -269,10 +269,21 @@ class VechordService:
         elif op == "compact_index":
             stats = self.registry.compact_index(name)
         elif op == "recluster":
-            stats = self.registry.recluster_vector_index(
-                name,
-                max_cell_factor=float(payload.get("max_cell_factor", 2.0)),
-            )
+            which = payload.get("index", "vector")
+            if which == "vector":
+                stats = self.registry.recluster_vector_index(
+                    name,
+                    max_cell_factor=float(payload.get("max_cell_factor", 2.0)),
+                )
+            elif which == "multivec":
+                stats = self.registry.recluster_multivec_index(
+                    name,
+                    max_cell_factor=float(payload.get("max_cell_factor", 2.0)),
+                )
+            else:
+                raise ServiceError(
+                    422, f"unknown recluster index {which!r} (vector | multivec)"
+                )
         elif op == "vacuum":
             stats = {
                 "deleted": len(
