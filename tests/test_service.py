@@ -502,3 +502,52 @@ def test_maintenance_recluster_multivec(spark, tmp_path):
         "/api/maintenance/late",
         body=_json.dumps({"op": "recluster", "index": "nope"}).encode(),
     )[0] == 422
+
+
+def test_cli_recluster_multivec(spark, tmp_path, capsys):
+    """--multivec routes the CLI recluster at the .mvivf layout, with
+    the MultiVector dim sniffed from the first token vector."""
+    import json
+    import random
+
+    from vechord_spark.cli import main
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, MultiVector, TableSpec
+
+    rng = random.Random(37)
+    reg = VechordRegistry("cli", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "mvt",
+            [Column("uid", "int", primary_key=True), Column("mv", MultiVector(4))],
+        )
+    )
+
+    def rows(ids, center):
+        return [
+            {
+                "uid": i,
+                "mv": [
+                    [c + rng.uniform(-0.1, 0.1) for c in center] for _ in range(2)
+                ],
+            }
+            for i in ids
+        ]
+
+    reg.insert_rows("mvt", rows(range(8), [0, 0, 0, 0]))
+    reg.insert_rows("mvt", rows(range(8, 16), [5, 5, 5, 5]))
+    reg.build_multivec_index("mvt", lists=2)
+    reg.insert_rows("mvt", rows(range(100, 140), [5, 5, 5, 9]))
+    reg.extend_multivec_index("mvt")
+
+    rc = main([
+        "recluster", "--base-path", str(tmp_path), "--namespace", "cli",
+        "mvt", "--vector-col", "mv", "--multivec", "--max-cell-factor", "1.5",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["split_cells"] >= 1
+    hits = reg.search_by_multivec(
+        "mvt", [[5.0, 5.0, 5.0, 9.0]], topk=5, probes=2
+    ).collect()
+    assert all(h["uid"] >= 100 for h in hits)

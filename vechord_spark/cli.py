@@ -81,6 +81,11 @@ def build_parser() -> ArgumentParser:
         help="split cells larger than this multiple of the mean cell "
         "size (default 2.0)",
     )
+    recl.add_argument(
+        "--multivec", action="store_true",
+        help="the named column is a multivector (array of token "
+        "vectors); recluster the .mvivf layout instead",
+    )
 
     hist = sub.add_parser(
         "history", help="print a table's commit log (manifest versions)"
@@ -179,7 +184,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "recluster":
         from vechord_spark.registry import VechordRegistry
         from vechord_spark.session import get_spark
-        from vechord_spark.spec import Column, TableSpec, Vector
+        from vechord_spark.spec import Column, MultiVector, TableSpec, Vector
 
         spark = get_spark("vechord-recluster")
         registry = VechordRegistry(args.namespace, args.base_path, spark)
@@ -196,24 +201,30 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         first = df.select(args.vector_col).first()
-        if first is None or first[0] is None:
+        if first is None or first[0] is None or len(first[0]) == 0:
             print(f"table {args.table} is empty", file=sys.stderr)
             return 2
-        dim = len(first[0])
+        if args.multivec:
+            vtype = MultiVector(len(first[0][0]))
+        else:
+            vtype = Vector(len(first[0]))
         registry.register(
             TableSpec(
                 args.table,
                 [
-                    Column(f.name, Vector(dim))
+                    Column(f.name, vtype)
                     if f.name == args.vector_col
                     else Column(f.name, f.dataType)
                     for f in df.schema.fields
                 ],
             )
         )
-        stats = registry.recluster_vector_index(
-            args.table, max_cell_factor=args.max_cell_factor
+        recluster = (
+            registry.recluster_multivec_index
+            if args.multivec
+            else registry.recluster_vector_index
         )
+        stats = recluster(args.table, max_cell_factor=args.max_cell_factor)
         print(json.dumps(stats))
         return 0
 
