@@ -724,3 +724,78 @@ def test_recluster_multivec_index(spark, tmp_path):
     q = [[5.0, 5.0, 5.0, 9.0]]
     hits = reg.search_by_multivec("late", q, topk=5, probes=2).collect()
     assert all(h["uid"] >= 100 for h in hits)
+
+
+def test_index_stats_drives_maintenance_decisions(spark, tmp_path):
+    """index_stats reports the numbers maintenance keys on: cell skew
+    rises with drifted appends and falls after the targeted recluster;
+    the ledger-freshness bit flips once files are rewritten."""
+    import random
+
+    rng = random.Random(41)
+    reg = VechordRegistry(
+        "stats", str(tmp_path), spark, concurrency="optimistic"
+    )
+    reg.register(
+        TableSpec(
+            "emb",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("body", Keyword()),
+                Column("vec", Vector(4)),
+            ],
+        )
+    )
+
+    def rows(ids, center):
+        return [
+            {
+                "uid": i,
+                "body": f"tok{i % 7} tok{i % 3} filler",
+                "vec": [c + rng.uniform(-0.1, 0.1) for c in center],
+            }
+            for i in ids
+        ]
+
+    reg.insert_rows("emb", rows(range(10), [0, 0, 0, 0]))
+    reg.insert_rows("emb", rows(range(10, 20), [5, 5, 5, 5]))
+    reg.build_vector_index("emb", lists=2)
+    reg.build_keyword_index("emb")
+
+    s0 = reg.index_stats("emb")
+    assert set(s0) == {"ivf", "bm25"}
+    assert s0["ivf"]["lists"] == 2 and s0["ivf"]["rows"] == 20
+    assert s0["ivf"]["ledger_fresh"] and s0["bm25"]["ledger_fresh"]
+    assert not s0["ivf"]["pq"] and not s0["ivf"]["opq"]
+
+    # drift one cell -> skew exceeds the recluster threshold
+    reg.insert_rows("emb", rows(range(100, 160), [5, 5, 5, 9]))
+    reg.extend_vector_index("emb")
+    s1 = reg.index_stats("emb")
+    assert s1["ivf"]["rows"] == 80
+    assert s1["ivf"]["skew"] > 1.5
+    # the vector extend ran -> ivf coverage current; the keyword index
+    # never extended -> it is files_behind (ledger still VALID: appends
+    # keep append-only history provable)
+    assert s1["ivf"]["files_behind"] == 0
+    assert s1["bm25"]["ledger_fresh"] is True
+    assert s1["bm25"]["files_behind"] > 0
+
+    # recluster to convergence (one wave per call; a freshly split
+    # cell can still exceed the factor, transiently RAISING skew)
+    for _ in range(6):
+        if (
+            reg.recluster_vector_index("emb", max_cell_factor=1.5)[
+                "split_cells"
+            ]
+            == 0
+        ):
+            break
+    s2 = reg.index_stats("emb")
+    assert s2["ivf"]["lists"] > 2
+    # converged: no cell above the factor, by definition
+    assert s2["ivf"]["skew"] <= 1.5
+
+    # a compact rewrites table files -> the ivf ledger goes stale too
+    reg.compact("emb", target_file_bytes=1 << 30)
+    assert reg.index_stats("emb")["ivf"]["ledger_fresh"] is False

@@ -424,6 +424,15 @@ def test_maintenance_endpoint(spark, tmp_path):
     status, _, body = svc.handle(
         "POST",
         "/api/maintenance/emb",
+        body=_json.dumps({"op": "stats"}).encode(),
+    )
+    assert status == 200
+    istats = _json.loads(body)
+    assert istats["ivf"]["lists"] >= 3 and istats["ivf"]["rows"] == 85
+
+    status, _, body = svc.handle(
+        "POST",
+        "/api/maintenance/emb",
         body=_json.dumps({"op": "vacuum", "older_than_s": 0}).encode(),
     )
     assert status == 200

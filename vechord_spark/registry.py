@@ -1730,6 +1730,104 @@ class VechordRegistry:
                 "lists": int(next_id),
             }
 
+    def index_stats(self, name: str) -> dict:
+        """Observability for every persisted index layout of ``name``
+        — the numbers the maintenance decisions key on, one call:
+
+        - per layout (``ivf`` / ``mvivf`` / ``bm25``): parquet file
+          count + bytes (small-file pressure — feed
+          :meth:`compact_index` when files pile up);
+        - IVF layouts additionally: ``lists``, ``rows``, per-cell
+          min/mean/max and ``skew`` (max/mean — the ratio
+          :meth:`recluster_vector_index`'s ``max_cell_factor``
+          thresholds), plus ``pq``/``opq``/``spherical`` flags;
+        - ``ledger_fresh``: whether files.json still proves
+          append-only history against the CURRENT table files (False
+          after a compact/DELETE → the next extend pays the anti-join
+          and re-adopts);
+        - ``files_behind``: table files appended since the layout last
+          extended (0 = coverage current; >0 = run extend_*).
+
+        Driver-side file listing plus one small groupBy per IVF
+        layout; no table scan. Returns a plain dict, absent layouts
+        omitted."""
+        import json
+
+        self._spec(name)
+        out: dict = {}
+        try:
+            cur_files = set(self.load(name).inputFiles())
+        except Exception:  # noqa: BLE001 - table may be empty/missing
+            cur_files = set()
+
+        def _dir_stats(d: Path) -> tuple[int, int]:
+            files = [p for p in d.rglob("*.parquet") if p.is_file()]
+            return len(files), sum(p.stat().st_size for p in files)
+
+        def _ledger_state(ipath: Path) -> tuple[bool, int]:
+            """(fresh, files_behind): fresh = the file-diff fast path
+            is usable; files_behind = appended files not yet covered."""
+            ledger = ipath / "files.json"
+            if not ledger.exists() or (ipath / "extend.intent").exists():
+                return False, len(cur_files)
+            try:
+                seen = set(json.loads(ledger.read_text()))
+            except ValueError:
+                return False, len(cur_files)
+            if not seen <= cur_files:
+                return False, len(cur_files - seen)
+            return True, len(cur_files - seen)
+
+        for key, ipath in (
+            ("ivf", self._index_path(name)),
+            ("mvivf", self._mv_index_path(name)),
+        ):
+            if not (ipath / "data").exists():
+                continue
+            n_files, n_bytes = _dir_stats(ipath / "data")
+            cells = [
+                r["n"]
+                for r in self.spark.read.parquet(str(ipath / "data"))
+                .groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+            rows = sum(cells)
+            lists = (
+                self.spark.read.parquet(str(ipath / "centroids")).count()
+                if (ipath / "centroids").exists()
+                else len(cells)
+            )
+            mean_cell = rows / max(1, lists)
+            meta = self._vector_index_meta(ipath)
+            out[key] = {
+                "files": n_files,
+                "bytes": n_bytes,
+                "lists": int(lists),
+                "rows": int(rows),
+                "cell_min": int(min(cells)) if cells else 0,
+                "cell_max": int(max(cells)) if cells else 0,
+                "cell_mean": round(mean_cell, 2),
+                "skew": round(max(cells) / mean_cell, 3) if cells else 0.0,
+                "pq": (ipath / "codebooks").exists(),
+                "opq": bool(meta.get("opq")),
+                "spherical": bool(meta.get("spherical")),
+            }
+            fresh, behind = _ledger_state(ipath)
+            out[key]["ledger_fresh"] = fresh
+            out[key]["files_behind"] = behind
+        kpath = self.base_path / f"{self.namespace}_{name}.bm25"
+        if (kpath / "postings").exists():
+            n_files, n_bytes = _dir_stats(kpath)
+            fresh, behind = _ledger_state(kpath)
+            out["bm25"] = {
+                "files": n_files,
+                "bytes": n_bytes,
+                "ledger_fresh": fresh,
+                "files_behind": behind,
+            }
+        return out
+
     def _recover_recluster(self, ipath: Path) -> None:
         """Roll BACK a recluster that crashed mid-swap: while
         ``recluster.intent.json`` exists the pre-recluster dirs are

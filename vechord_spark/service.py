@@ -6,7 +6,8 @@ Reference: ``create_web_app`` (vechord/service.py:197-229) exposes
 - table CRUD              GET/POST/DELETE /api/table/{name}
 - dynamic pipeline run    POST   /api/run      (vechord/service.py:120-137)
 - maintenance             POST   /api/maintenance/{name} (compact /
-  compact_index / recluster / vacuum; 409 on a concurrent maintainer)
+  compact_index / recluster / vacuum / stats; 409 on a concurrent
+  maintainer)
 - registered pipeline     POST   /api/pipeline (vechord/service.py:103-117)
 - OpenAPI spec + swagger  GET    /openapi/spec.json, /openapi/swagger
 via falcon + msgspec + uvicorn. None of those packages exist in this
@@ -102,7 +103,7 @@ def _openapi_spec(registry: VechordRegistry, has_pipeline: bool) -> dict[str, An
         "/api/maintenance/{name}": {
             "post": {
                 "summary": "table/index upkeep: compact, compact_index, "
-                "recluster, vacuum"
+                "recluster, vacuum, stats"
             }
         },
     }
@@ -252,7 +253,7 @@ class VechordService:
         """POST /api/maintenance/{table}: lakehouse upkeep over the
         OWNING registry (full specs — unlike the schema-inferring
         maintenance CLI, recluster needs no --vector-col here). Body:
-        ``{"op": "compact"|"compact_index"|"recluster"|"vacuum",
+        ``{"op": "compact"|"compact_index"|"recluster"|"vacuum"|"stats",
         ...op options}``. A concurrent maintainer surfaces as 409."""
         if name not in self.registry.tables:
             raise ServiceError(404, f"unknown table {name!r}")
@@ -284,6 +285,8 @@ class VechordService:
                 raise ServiceError(
                     422, f"unknown recluster index {which!r} (vector | multivec)"
                 )
+        elif op == "stats":
+            stats = self.registry.index_stats(name)
         elif op == "vacuum":
             stats = {
                 "deleted": len(
@@ -297,7 +300,7 @@ class VechordService:
             raise ServiceError(
                 422,
                 f"unknown maintenance op {op!r} "
-                "(compact | compact_index | recluster | vacuum)",
+                "(compact | compact_index | recluster | vacuum | stats)",
             )
         return 200, "application/json", json.dumps(stats).encode()
 
