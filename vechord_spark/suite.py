@@ -8250,6 +8250,35 @@ def quality_top_fraction(spark, sf_dir):
 # semdedup_survivors (semdedup_ivf_recall stays),
 # gopher_quality_flags (ccnet_buckets + dsir_importance keep
 # quality).
+# Round-11 LATE rotation (same round, second tranche): with every
+# rotated-in entry pre-verified green at the driver's sf0.01, the
+# window takes the ENTIRE remaining never-checked backlog this round
+# instead of holding half for round 12 — 30 of the 50 slots below
+# have never had a CORRECTNESS row before r11. IN (15 more, ALL
+# never-checked): the ten r10-era entries (brand_supplier_diversity,
+# disjunctive_part_revenue, small_quantity_revenue,
+# customer_value_deciles, customer_order_distribution,
+# lost_customers_by_nation, order_priority_exists, leakage_safe_split,
+# char_entropy, ngram_diversity) plus the five NEW round-11 queries
+# (phrase_blocklist_report, minhash_calibration_report,
+# media_exif_report, mojibake_scrub_report, hard_negatives).
+# OUT (15, every one green in CORRECTNESS_r10 on its current plan,
+# family still in-window, parity-tested on every pytest run):
+# phrase_search (bm25_index_topk + phrase_blocklist keep keyword),
+# ivf_recall_expanded (pq/refined/maxsim/opq gates keep ANN recall),
+# hybrid_rrf (mmr keeps rerank/fusion), graph_triangles (pagerank
+# stays), multimodal_meta (media_exif_report + media_dedup_pairs keep
+# media), events_interval_join (events_rollup_daily stays),
+# fuzzy_name_pairs (jaccard_join_exact keeps similarity joins),
+# bucketed_customer_revenue (ten TPC-H shapes stay),
+# dedup_minhash_lsh (minhash_calibration_report audits the SAME chain
+# more strongly), cdc_shared_passages, dedup_simhash
+# (dedup_components/_bloom/_lines keep dedup), bpe_token_counts,
+# weighted_doc_sample, audio_band_report, corpus_funnel_report
+# (corpus_funnel_incremental keeps the funnel). The only registered
+# query never driver-checked after r11 is semdedup_ivf_survivors —
+# rows-only BY DESIGN (its exact witness semdedup_ivf_recall stays
+# in-window).
 _WINDOW_PRIORITY = [
     # relational / OLAP core (4 carried + 2 derived-partsupp shapes)
     "filter_project",
@@ -8258,66 +8287,59 @@ _WINDOW_PRIORITY = [
     "join_revenue_by_nation",
     "min_cost_supplier",
     "partsupp_value_share",
-    # r11 IN, never driver-checked: four more TPC-H Q shapes
+    # r11 IN, never driver-checked: TPC-H Q shapes
     "grouping_sets_pricing",
     "nation_market_share",
     "volume_shipping",
     "sole_late_supplier",
+    "brand_supplier_diversity",
+    "disjunctive_part_revenue",
+    "small_quantity_revenue",
+    "customer_value_deciles",
+    "customer_order_distribution",
+    "lost_customers_by_nation",
+    "order_priority_exists",
     # vector / ANN (knn_cosine carries K1; the r11-IN entries are the
     # never-checked recall-gate family members)
     "knn_cosine",
     "knn_matryoshka",
-    "phrase_search",
-    "ivf_recall_expanded",
     "ivf_pq_recall",
     "ivf_recall_refined",
     "maxsim_ivf_recall",
-    # keyword / hybrid search (bm25_index_topk: the round-10
-    # persisted-postings plan, never driver-checked until now).
-    # r11 swap: sparse_knn OUT (stable green since round 4, plan
-    # untouched, parity-tested every pytest run) -> opq_recall IN
-    # (NEW round-11 surface, never-checked by definition: learned
-    # OPQ rotation before IVF-PQ, recall + MSE-improvement gate)
-    "bm25_index_topk",
     "opq_recall",
-    "hybrid_rrf",
+    "hard_negatives",
+    # keyword / hybrid search + rerank
+    "bm25_index_topk",
+    "phrase_blocklist_report",
     "mmr_rerank_diverse",
     # graph + similarity joins
     "jaccard_join_exact",
     "graph_pagerank",
-    "graph_triangles",
     # document pipeline (§2 D/P rows)
     "chunk_regex",
     "delete_cascade",
-    "multimodal_meta",
-    # events / time-series (events_rollup_daily: r11 IN, never checked)
-    "events_interval_join",
+    "media_exif_report",
+    "mojibake_scrub_report",
+    # events / time-series
     "events_rollup_daily",
-    "fuzzy_name_pairs",
-    "bucketed_customer_revenue",
-    # dedup suite (+ r11 IN url_dedup_report / blocklist_report —
-    # URL-and-domain hygiene reports, never driver-checked)
-    "dedup_minhash_lsh",
+    # dedup suite
     "dedup_components",
-    "cdc_shared_passages",
     "dedup_bloom_incremental",
-    "dedup_simhash",
     "media_dedup_pairs",
+    "minhash_calibration_report",
     "url_dedup_report",
     "blocklist_report",
-    # text analysis / training-data ops (+ r11 IN dsir_importance /
-    # doc_bigram_logprob — quality-scoring members, never checked)
-    "bpe_token_counts",
-    "weighted_doc_sample",
+    # text analysis / training-data ops
     "ccnet_buckets",
     "dsir_importance",
     "doc_bigram_logprob",
-    "corpus_funnel_report",
+    "char_entropy",
+    "ngram_diversity",
+    "leakage_safe_split",
     "corpus_funnel_incremental",
     "quantile_sketch_gate",
     "dedup_lines_c4",
     "semdedup_ivf_recall",
-    "audio_band_report",
 ]
 
 
