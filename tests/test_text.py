@@ -543,3 +543,35 @@ def test_scrub_mojibake_spark(spark):
     assert got[1] == ("café", 1)
     assert got[2] == ("clean café", 0)
     assert got[3] == (None, 0)
+
+
+def test_mojibake_property_roundtrip():
+    """Property (hypothesis): over ASCII + U+00C0..U+00FF — an
+    alphabet whose non-ASCII chars map to cp1252/latin-1 bytes
+    0xC0-0xFF, which can never form valid multi-byte UTF-8 without
+    continuation bytes (0x80-0xBF, excluded) — fix_mojibake is
+    provably exact: clean text is a fixpoint (0 passes), and one
+    corruption layer repairs in exactly one pass whenever the
+    corruption changed anything."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vechord_spark.operators.normalize import fix_mojibake
+
+    safe = st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            st.characters(min_codepoint=0xC0, max_codepoint=0xFF),
+        ),
+        max_size=80,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(safe)
+    def prop(s):
+        assert fix_mojibake(s) == (s, 0)
+        m = s.encode("utf-8").decode("latin-1")
+        expected = (s, 1) if m != s else (s, 0)
+        assert fix_mojibake(m) == expected
+
+    prop()
