@@ -799,3 +799,52 @@ def test_index_stats_drives_maintenance_decisions(spark, tmp_path):
     # a compact rewrites table files -> the ivf ledger goes stale too
     reg.compact("emb", target_file_bytes=1 << 30)
     assert reg.index_stats("emb")["ivf"]["ledger_fresh"] is False
+
+
+def test_recluster_on_opq_layout(spark, tmp_path):
+    """The maintenance ops compose: an OPQ layout (rotated stored
+    copy + rotated centroids) drifts via extends, reclusters in
+    rotated space (the split children are rotated-space centroids by
+    construction), and probe search with a generous refine still
+    equals brute force — distances are rotation-invariant end to end."""
+    import random
+
+    rng = random.Random(61)
+    reg = VechordRegistry("opqrecl", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+
+    def rows(ids, center):
+        return [
+            {"uid": i, "vec": [c + rng.uniform(-0.2, 0.2) for c in center]}
+            for i in ids
+        ]
+
+    reg.insert_rows("emb", rows(range(40), [0.0] * 8))
+    reg.insert_rows("emb", rows(range(40, 80), [4.0] * 8))
+    reg.build_vector_index("emb", lists=2, pq_m=4, pq_ksub=8, opq=True)
+    # drift toward a third location; extend rotates the delta
+    reg.insert_rows("emb", rows(range(1000, 1120), [4, 4, 4, 4, 4, 4, 4, 8]))
+    assert reg.extend_vector_index("emb") == 120
+    stats = reg.recluster_vector_index("emb", max_cell_factor=1.5)
+    assert stats["split_cells"] >= 1
+    # no lost rows, PQ codes intact on every row
+    data = spark.read.parquet(str(reg._index_path("emb") / "data"))
+    assert data.count() == 200
+    assert data.filter("__pq is null").count() == 0
+    # correctness: full probes + big refine == brute force, through
+    # the rotated, reclustered, PQ-coded layout
+    q = [4.0] * 7 + [8.0]
+    exact = [r.uid for r in reg.search_by_vector("emb", q, topk=5).collect()]
+    got = [
+        r.uid
+        for r in reg.search_by_vector(
+            "emb", q, topk=5, probes=stats["lists"], refine=500
+        ).collect()
+    ]
+    assert got == exact
+    assert all(uid >= 1000 for uid in got)
