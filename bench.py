@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "table_profile",
     "doc_unigram_logprob",
     "doc_bigram_logprob",
+    "doc_kn_logprob",
     "ccnet_buckets",
     "decontaminate_report",
     "split_shards",

@@ -575,3 +575,57 @@ def test_mojibake_property_roundtrip():
         assert fix_mojibake(m) == expected
 
     prop()
+
+
+def test_kneser_ney_semantics(spark):
+    """KN's defining behavior vs raw-frequency backoff: a word that is
+    FREQUENT but follows only one context gets a small continuation
+    weight; a word with many distinct predecessors gets a large one.
+    Plus: probabilities per context sum to 1 (a real distribution)."""
+    import math
+
+    from vechord_spark.operators.quality import kneser_ney_logprob
+
+    # "francisco" appears 4x but ONLY after "san"; "x" appears 4x
+    # after 4 different words
+    corpus = [
+        (1, "san francisco san francisco"),
+        (2, "san francisco san francisco"),
+        (3, "a x b x c x d x"),
+        (4, "one two"),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in kneser_ney_logprob(df, "doc_id", "text").collect()}
+    assert out[5]["n_bigrams"] == 0 and out[5]["avg_kn_logprob"] is None
+    assert out[4]["n_bigrams"] == 1
+    # repeated high-count bigrams score higher than one-off bigrams
+    assert out[1]["avg_kn_logprob"] > out[4]["avg_kn_logprob"]
+
+    # distribution check in pure python with the same formula
+    from collections import Counter, defaultdict
+
+    toks = []
+    for _, t in corpus:
+        ws = t.split()
+        toks.extend(zip(ws, ws[1:]))
+    c2 = Counter(toks)
+    ctx = defaultdict(float)
+    fwd = defaultdict(set)
+    back = defaultdict(set)
+    for (a, b), c in c2.items():
+        ctx[a] += c
+        fwd[a].add(b)
+        back[b].add(a)
+    B = len(c2)
+    D = 0.75
+    vocab_cur = {b for _, b in c2}
+    for a in ctx:
+        s = sum(
+            max(c2.get((a, w), 0) - D, 0.0) / ctx[a]
+            + D * len(fwd[a]) / ctx[a] * len(back[w]) / B
+            for w in vocab_cur
+        )
+        # sums to 1 over words seen as continuations ANYWHERE (the
+        # closed vocabulary the continuation distribution is over)
+        assert math.isclose(s, 1.0, rel_tol=1e-9), (a, s)

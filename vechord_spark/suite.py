@@ -6066,6 +6066,62 @@ def doc_bigram_logprob(spark, sf_dir):
     return bigram_logprob(docs, "doc_id", "text", lam=0.75)
 
 
+@_q(
+    "doc_kn_logprob",
+    f"""
+    WITH toksl AS (
+      SELECT doc_id, {_TOK.format(col='text')} AS l FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(l[1:len(l) - 1]) AS prev,
+             unnest(l[2:len(l)]) AS cur
+      FROM toksl WHERE len(l) >= 2
+    ),
+    bg AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+    ctx AS (
+      SELECT prev, CAST(sum(c2) AS DOUBLE) AS c1ctx, count(*) AS n1p_fwd
+      FROM bg GROUP BY prev
+    ),
+    cont AS (SELECT cur, count(*) AS n1p_back FROM bg GROUP BY cur),
+    btypes AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bg),
+    scored AS (
+      SELECT p.doc_id,
+             ln(greatest(bg.c2 - 0.75, 0.0) / ctx.c1ctx
+                + 0.75 * ctx.n1p_fwd / ctx.c1ctx * cont.n1p_back / btypes.b
+             ) AS lp
+      FROM pairs p
+      JOIN bg USING (prev, cur)
+      JOIN ctx ON ctx.prev = p.prev
+      JOIN cont ON cont.cur = p.cur
+      CROSS JOIN btypes
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(lp), 6) AS avg_kn_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.avg_kn_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_kn_logprob(spark, sf_dir):
+    """Interpolated KNESER-NEY bigram LM score (round 11) — the
+    smoothing the n-gram literature settled on (Chen & Goodman 1999;
+    KenLM's default), one rung above doc_bigram_logprob's
+    Jelinek-Mercer mix: the backoff weight of a word is how many
+    CONTEXTS it follows (distinct-continuation counts), not how often
+    it occurs. Same scale shape: in-array bigrams, vocabulary-sized
+    aggregates, three probe joins, a 1-row type-total broadcast
+    (operators/quality.kneser_ney_logprob)."""
+    from vechord_spark.operators.quality import kneser_ney_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_logprob(docs, "doc_id", "text", discount=0.75)
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
