@@ -682,6 +682,54 @@ def test_recluster_crash_rolls_back(spark, tmp_path, monkeypatch):
     assert stats["split_cells"] >= 1
 
 
+def test_extend_recovers_crashed_recluster(spark, tmp_path, monkeypatch):
+    """extend_vector_index called FIRST after a mid-swap recluster
+    crash must roll the half-swapped layout back and then index the
+    new rows — recovery runs inside extend's own maintenance lock
+    (locked=True path), where a second flock would be denied by the
+    caller itself and recovery used to be silently skipped: extend
+    then either failed with a misleading 'no IVF index' (data renamed
+    away) or appended rows the next unlocked load rolled back while
+    files.json already marked them covered (permanently unindexed)."""
+    r, rows = _vec_registry(spark, tmp_path, ns="reclex")
+    r.insert_rows("emb", rows(range(10), [0, 0, 0, 0]))
+    r.insert_rows("emb", rows(range(10, 20), [5, 5, 5, 5]))
+    r.build_vector_index("emb", lists=2)
+    r.insert_rows("emb", rows(range(100, 160), [5, 5, 5, 9]))
+    r.extend_vector_index("emb")
+    ipath = r._index_path("emb")
+
+    real_rename = Path.rename
+
+    def crashing_rename(self, target):
+        out = real_rename(self, target)
+        if str(target).endswith("/data") and ".recluster-" in str(self):
+            raise RuntimeError("simulated crash mid-recluster")
+        return out
+
+    monkeypatch.setattr(Path, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        r.recluster_vector_index("emb", max_cell_factor=1.5)
+    monkeypatch.setattr(Path, "rename", real_rename)
+    assert (ipath / "recluster.intent.json").exists()
+    # the journal's flock died with the simulated crash; the very next
+    # maintenance call is an EXTEND, not a load — it must recover the
+    # swap itself and then append exactly the new delta
+    r.insert_rows("emb", rows(range(200, 210), [0, 0, 0, 0]))
+    assert r.extend_vector_index("emb") == 10
+    assert not (ipath / "recluster.intent.json").exists()
+    # every row is in the layout exactly once (no rollback-eaten delta)
+    ids = sorted(
+        x["uid"] for x in spark.read.parquet(str(ipath / "data")).collect()
+    )
+    assert ids == sorted(
+        list(range(20)) + list(range(100, 160)) + list(range(200, 210))
+    )
+    # and probe search still works over the recovered-and-extended layout
+    hits = r.search_by_vector("emb", [0.0, 0.0, 0.0, 0.0], topk=5, probes=2)
+    assert all(h["uid"] < 20 or h["uid"] >= 200 for h in hits.collect())
+
+
 def test_recluster_respects_maintenance_lock(spark, tmp_path):
     from vechord_spark.errors import MaintenanceBusy
 

@@ -1336,7 +1336,10 @@ class VechordRegistry:
         if pk is None:
             raise SchemaError(f"extend_vector_index needs a primary key")
         ipath = self._index_path(name)
-        self._recover_recluster(ipath)
+        # caller (extend_vector_index) holds the maintenance lock, so
+        # any journal is abandoned — recover in-lock, not via a second
+        # flock that our own lock would deny (see _recover_recluster)
+        self._recover_recluster(ipath, locked=True)
         if not (ipath / "data").exists():
             raise SchemaError(
                 f"no IVF index for {name}; call build_vector_index first"
@@ -1828,7 +1831,7 @@ class VechordRegistry:
             }
         return out
 
-    def _recover_recluster(self, ipath: Path) -> None:
+    def _recover_recluster(self, ipath: Path, *, locked: bool = False) -> None:
         """Roll BACK a recluster that crashed mid-swap: while
         ``recluster.intent.json`` exists the pre-recluster dirs are
         preserved (live or in trash), so restoring them is always safe
@@ -1839,32 +1842,50 @@ class VechordRegistry:
         concurrent load. A crashed holder's flock is OS-released, so
         abandoned journals are always recoverable. No-op without a
         journal; leftover scratch dirs from pre-journal crashes are
-        swept."""
+        swept.
+
+        ``locked=True`` is for callers that ALREADY hold this index's
+        maintenance lock (the ``_extend_*_locked`` bodies): holding
+        the lock itself proves no live recluster exists, so any
+        journal found is abandoned and is rolled back directly.
+        Re-acquiring here would be denied by the caller's own flock
+        (flock is per open file description, even same-process) and
+        recovery would be silently skipped — leaving extend to either
+        fail on the renamed-away layout or append rows that the next
+        unlocked load rolls back while files.json already marks them
+        covered."""
         import json
 
         if not (ipath / "recluster.intent.json").exists() and not (
             ipath.exists() and any(ipath.glob(".recluster-*"))
         ):
             return
+
+        def _rollback() -> None:
+            intent = ipath / "recluster.intent.json"
+            if intent.exists():
+                rec = json.loads(intent.read_text())
+                for live_name, trash_key in (
+                    ("data", "trash_data"),
+                    ("centroids", "trash_cents"),
+                ):
+                    live = ipath / live_name
+                    trash = Path(rec[trash_key])
+                    if trash.exists():
+                        if live.exists():
+                            shutil.rmtree(live)
+                        trash.rename(live)
+                intent.unlink()
+            if ipath.exists():
+                for leftover in ipath.glob(".recluster-*"):
+                    shutil.rmtree(leftover, ignore_errors=True)
+
+        if locked:
+            _rollback()
+            return
         try:
             with self._maintenance_lock(ipath):
-                intent = ipath / "recluster.intent.json"
-                if intent.exists():
-                    rec = json.loads(intent.read_text())
-                    for live_name, trash_key in (
-                        ("data", "trash_data"),
-                        ("centroids", "trash_cents"),
-                    ):
-                        live = ipath / live_name
-                        trash = Path(rec[trash_key])
-                        if trash.exists():
-                            if live.exists():
-                                shutil.rmtree(live)
-                            trash.rename(live)
-                    intent.unlink()
-                if ipath.exists():
-                    for leftover in ipath.glob(".recluster-*"):
-                        shutil.rmtree(leftover, ignore_errors=True)
+                _rollback()
         except MaintenanceBusy:
             # a live maintainer owns the journal; its swap will
             # complete (or its crash releases the flock and the next
@@ -1900,7 +1921,9 @@ class VechordRegistry:
             raise SchemaError("extend_multivec_index needs a primary key")
         ipath = self._mv_index_path(name)
         self._recover_index_swap(ipath / "data")
-        self._recover_recluster(ipath)
+        # caller (extend_multivec_index) holds the maintenance lock —
+        # recover in-lock (see _recover_recluster docstring)
+        self._recover_recluster(ipath, locked=True)
         if not (ipath / "data").exists():
             raise SchemaError(
                 f"no multivector IVF index for {name}; "
