@@ -108,6 +108,20 @@ def main() -> None:
     reg.extend_vector_index("emb")
     assert reg.index_stats("emb")["ivf"]["ledger_fresh"]
     print("ledger re-adopted; lifecycle complete")
+
+    # …or skip the hand-walk entirely: registry.maintain() reads the
+    # same index_stats signals and applies extend -> recluster ->
+    # compact_index in one call (HTTP twin: POST /api/maintenance/emb
+    # with {"op": "auto"}). On the healed layout it is a no-op:
+    auto = reg.maintain("emb", max_cell_factor=2.0)
+    print("maintain() on healed layout:", json.dumps(auto["actions"]))
+    assert auto["actions"] == []
+    # drift again and let the policy do the whole loop
+    reg.insert_rows("emb", rows(range(5000, 5120), [8.0] * 8))
+    auto = reg.maintain("emb", max_cell_factor=2.0)
+    print("maintain() after drift:", json.dumps([a["op"] for a in auto["actions"]]))
+    assert [a["op"] for a in auto["actions"]][0] == "extend"
+    assert auto["after"]["ivf"]["ledger_fresh"]
     spark.stop()
 
 

@@ -730,6 +730,85 @@ def test_extend_recovers_crashed_recluster(spark, tmp_path, monkeypatch):
     assert all(h["uid"] < 20 or h["uid"] >= 200 for h in hits.collect())
 
 
+def test_maintain_policy_heals_drifted_index(spark, tmp_path):
+    """registry.maintain(): the one-call policy reads index_stats and
+    applies extend -> recluster -> compact_index, each gated by a
+    measured signal. Drift (appends never extended + a pile landing in
+    one cell) must come out as: an extend action covering the new rows,
+    recluster waves until the skew gate holds, and probe search that
+    matches exact brute force on the drifted query. A second call on
+    the healed index is a no-op (only measured signals trigger work)."""
+    from vechord_spark.operators.knn import knn
+
+    r, rows = _vec_registry(spark, tmp_path, ns="mntn")
+    r.insert_rows("emb", rows(range(10), [0, 0, 0, 0]))
+    r.insert_rows("emb", rows(range(10, 20), [5, 5, 5, 5]))
+    r.build_vector_index("emb", lists=2)
+    # drift: appends NEVER extended (files_behind > 0) clustered at a
+    # third location the layout has no cell for
+    r.insert_rows("emb", rows(range(100, 160), [5, 5, 5, 9]))
+
+    out = r.maintain("emb", max_cell_factor=1.5)
+    ops = [a["op"] for a in out["actions"]]
+    assert ops[0] == "extend" and out["actions"][0]["rows"] == 60
+    assert "recluster" in ops
+    assert out["after"]["ivf"]["skew"] <= 1.5 or (
+        # converged: the last wave split nothing more
+        out["actions"][-1].get("split_cells") == 0
+    )
+    assert out["after"]["ivf"]["rows"] == 80
+    assert out["after"]["ivf"]["ledger_fresh"]
+
+    # full-probe search over the healed layout == exact brute force,
+    # and the cheap 2-probe search still lands in the drifted cluster
+    q = [5.0, 5.0, 5.0, 9.0]
+    base = r.load("emb")
+    brute = [
+        x.uid
+        for x in knn(
+            base, "vec", q, k=5, distance="l2", select=["uid"], tie_break="uid"
+        ).collect()
+    ]
+    lists = out["after"]["ivf"]["lists"]
+    got = [
+        x.uid
+        for x in r.search_by_vector("emb", q, topk=5, probes=lists).collect()
+    ]
+    assert got == brute
+    cheap = [
+        x.uid
+        for x in r.search_by_vector("emb", q, topk=5, probes=2).collect()
+    ]
+    assert len(set(cheap) & set(brute)) >= 4
+    assert all(uid >= 100 for uid in cheap)
+
+    # healed index: nothing left to do
+    again = r.maintain("emb", max_cell_factor=1.5)
+    assert again["actions"] == []
+    assert again["before"] == again["after"]
+
+
+def test_maintain_compacts_fragmented_layout(spark, tmp_path):
+    """Many small extends fragment the clustered layout (one file set
+    per touched partition per extend); maintain()'s hygiene step fires
+    on the measured files-per-cell signal and compact_index brings the
+    count down without changing rows."""
+    r, rows = _vec_registry(spark, tmp_path, ns="mntc")
+    r.insert_rows("emb", rows(range(10), [0, 0, 0, 0]))
+    r.insert_rows("emb", rows(range(10, 20), [5, 5, 5, 5]))
+    r.build_vector_index("emb", lists=2)
+    for day in range(4):
+        r.insert_rows("emb", rows(range(50 + day * 5, 55 + day * 5), [0, 0, 0, 0]))
+        r.extend_vector_index("emb")
+    frag = r.index_stats("emb")["ivf"]
+    assert frag["files"] > 3.0 * frag["lists"]  # the signal maintain gates on
+    out = r.maintain("emb", max_cell_factor=10.0)  # recluster gate off
+    ops = [a["op"] for a in out["actions"]]
+    assert "compact_index" in ops
+    assert out["after"]["ivf"]["files"] < frag["files"]
+    assert out["after"]["ivf"]["rows"] == frag["rows"]
+
+
 def test_recluster_respects_maintenance_lock(spark, tmp_path):
     from vechord_spark.errors import MaintenanceBusy
 

@@ -459,6 +459,69 @@ def test_maintenance_endpoint(spark, tmp_path):
     )[0] == 404
 
 
+def test_maintenance_auto_policy(spark, tmp_path):
+    """POST /api/maintenance/{table} with op=auto runs the one-call
+    registry.maintain() policy and returns the action list it took
+    plus before/after stats; a healed layout returns no actions."""
+    import json as _json
+    import random
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec, Vector
+
+    rng = random.Random(31)
+    reg = VechordRegistry("svc_auto", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(4))],
+        )
+    )
+
+    def rows(ids, center):
+        return [
+            {"uid": i, "vec": [c + rng.uniform(-0.1, 0.1) for c in center]}
+            for i in ids
+        ]
+
+    reg.insert_rows("emb", rows(range(10), [0, 0, 0, 0]))
+    reg.insert_rows("emb", rows(range(10, 20), [5, 5, 5, 5]))
+    reg.build_vector_index("emb", lists=2)
+    reg.insert_rows("emb", rows(range(100, 160), [5, 5, 5, 9]))
+    svc = VechordService(reg)
+
+    status, _, body = svc.handle(
+        "POST",
+        "/api/maintenance/emb",
+        body=_json.dumps({"op": "auto", "max_cell_factor": 1.5}).encode(),
+    )
+    assert status == 200
+    out = _json.loads(body)
+    ops = [a["op"] for a in out["actions"]]
+    assert ops[0] == "extend" and "recluster" in ops
+    assert out["after"]["ivf"]["rows"] == 80
+
+    # second call on the healed layout: measured signals, no actions
+    status, _, body = svc.handle(
+        "POST",
+        "/api/maintenance/emb",
+        body=_json.dumps({"op": "auto", "max_cell_factor": 1.5}).encode(),
+    )
+    assert status == 200
+    assert _json.loads(body)["actions"] == []
+
+    # a concurrently-held lock surfaces as 409 from whichever step
+    # collides (the policy holds no outer lock)
+    reg.insert_rows("emb", rows(range(300, 305), [0, 0, 0, 0]))
+    with reg._maintenance_lock(reg._index_path("emb")):
+        status, _, body = svc.handle(
+            "POST",
+            "/api/maintenance/emb",
+            body=_json.dumps({"op": "auto"}).encode(),
+        )
+        assert status == 409
+
+
 def test_maintenance_recluster_multivec(spark, tmp_path):
     """POST /api/maintenance/{table} with op=recluster,index=multivec
     routes to the multivector layout; unknown index values are 422."""

@@ -1831,6 +1831,100 @@ class VechordRegistry:
             }
         return out
 
+    def maintain(
+        self,
+        name: str,
+        *,
+        max_cell_factor: float = 2.0,
+        max_waves: int = 8,
+        compact_files_per_cell: float = 3.0,
+        compact_bm25_files: int = 8,
+    ) -> dict:
+        """One-call maintenance policy: read :meth:`index_stats` and
+        apply, in order, exactly the steps a drifted layout needs —
+        the ops loop ``examples/maintenance_lifecycle.py`` walks by
+        hand, as the single call a 100 TB owner schedules nightly
+        (HTTP twin: ``POST /api/maintenance/{table}`` with
+        ``op="auto"``).
+
+        Policy (every step gated by a MEASURED signal, so a healthy
+        index is a cheap no-op):
+
+        1. **extend** — any layout with ``files_behind > 0`` (appends
+           not yet covered) or a stale ledger (``ledger_fresh`` False:
+           the next extend pays the pk anti-join once and re-adopts,
+           restoring O(appended-data) extends — the example's closing
+           step after a table compact).
+        2. **recluster** — IVF/multivec layouts whose ``skew``
+           exceeds ``max_cell_factor``: targeted recluster waves (one
+           split pass per call) until the layout converges or
+           ``max_waves`` is hit. O(drifted cells) per wave.
+        3. **compact_index** — small-file hygiene when fragmentation
+           is measured: an IVF layout averaging more than
+           ``compact_files_per_cell`` files per cell (each extend
+           appends one file set per touched partition), or a BM25
+           layout over ``compact_bm25_files`` files.
+
+        Each primitive takes the per-layout maintenance lock itself;
+        this method holds NO outer lock, so a concurrent maintainer
+        surfaces as :class:`MaintenanceBusy` from whichever step
+        collides (retryable — the completed steps stand). Returns
+        ``{"actions": [...], "before": stats, "after": stats}`` with
+        one entry per step taken and its primitive's stats."""
+        actions: list[dict] = []
+        before = self.index_stats(name)
+        stats = before
+
+        # 1. coverage: bring every stale/behind layout current
+        extenders = {
+            "ivf": self.extend_vector_index,
+            "mvivf": self.extend_multivec_index,
+            "bm25": self.extend_keyword_index,
+        }
+        for key, fn in extenders.items():
+            st = stats.get(key)
+            if st is None:
+                continue
+            if st["files_behind"] > 0 or not st["ledger_fresh"]:
+                actions.append(
+                    {"op": "extend", "index": key, "rows": int(fn(name))}
+                )
+        if actions:
+            stats = self.index_stats(name)
+
+        # 2. shape: split drifted cells until the skew gate holds
+        recluster = {
+            "ivf": self.recluster_vector_index,
+            "mvivf": self.recluster_multivec_index,
+        }
+        for key, fn in recluster.items():
+            waves = 0
+            while (
+                key in stats
+                and stats[key]["skew"] > max_cell_factor
+                and waves < max_waves
+            ):
+                wave = fn(name, max_cell_factor=max_cell_factor)
+                actions.append({"op": "recluster", "index": key, **wave})
+                waves += 1
+                if wave["split_cells"] == 0:
+                    # a freshly split cell can still exceed the factor
+                    # only while splits happen; zero splits = converged
+                    break
+                stats = self.index_stats(name)
+
+        # 3. hygiene: measured fragmentation only
+        frag = any(
+            stats[key]["files"] > compact_files_per_cell * stats[key]["lists"]
+            for key in ("ivf", "mvivf")
+            if key in stats
+        ) or ("bm25" in stats and stats["bm25"]["files"] > compact_bm25_files)
+        if frag:
+            actions.append({"op": "compact_index", **self.compact_index(name)})
+            stats = self.index_stats(name)
+
+        return {"actions": actions, "before": before, "after": stats}
+
     def _recover_recluster(self, ipath: Path, *, locked: bool = False) -> None:
         """Roll BACK a recluster that crashed mid-swap: while
         ``recluster.intent.json`` exists the pre-recluster dirs are

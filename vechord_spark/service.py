@@ -5,9 +5,9 @@ Reference: ``create_web_app`` (vechord/service.py:197-229) exposes
 - health check            GET    /
 - table CRUD              GET/POST/DELETE /api/table/{name}
 - dynamic pipeline run    POST   /api/run      (vechord/service.py:120-137)
-- maintenance             POST   /api/maintenance/{name} (compact /
-  compact_index / recluster / vacuum / stats; 409 on a concurrent
-  maintainer)
+- maintenance             POST   /api/maintenance/{name} (auto /
+  compact / compact_index / recluster / vacuum / stats; 409 on a
+  concurrent maintainer)
 - registered pipeline     POST   /api/pipeline (vechord/service.py:103-117)
 - OpenAPI spec + swagger  GET    /openapi/spec.json, /openapi/swagger
 via falcon + msgspec + uvicorn. None of those packages exist in this
@@ -102,8 +102,8 @@ def _openapi_spec(registry: VechordRegistry, has_pipeline: bool) -> dict[str, An
         "/api/run": {"post": {"summary": "run a dynamic pipeline from steps"}},
         "/api/maintenance/{name}": {
             "post": {
-                "summary": "table/index upkeep: compact, compact_index, "
-                "recluster, vacuum, stats"
+                "summary": "table/index upkeep: auto (one-call policy), "
+                "compact, compact_index, recluster, vacuum, stats"
             }
         },
     }
@@ -253,8 +253,8 @@ class VechordService:
         """POST /api/maintenance/{table}: lakehouse upkeep over the
         OWNING registry (full specs — unlike the schema-inferring
         maintenance CLI, recluster needs no --vector-col here). Body:
-        ``{"op": "compact"|"compact_index"|"recluster"|"vacuum"|"stats",
-        ...op options}``. A concurrent maintainer surfaces as 409."""
+        ``{"op": "auto"|"compact"|"compact_index"|"recluster"|"vacuum"|
+        "stats", ...op options}``. A concurrent maintainer surfaces as 409."""
         if name not in self.registry.tables:
             raise ServiceError(404, f"unknown table {name!r}")
         payload = _decode_json(body) or {}
@@ -285,6 +285,14 @@ class VechordService:
                 raise ServiceError(
                     422, f"unknown recluster index {which!r} (vector | multivec)"
                 )
+        elif op == "auto":
+            # the one-call policy: extend -> recluster -> compact_index,
+            # each gated by index_stats signals (registry.maintain);
+            # returns the action list it took plus before/after stats
+            stats = self.registry.maintain(
+                name,
+                max_cell_factor=float(payload.get("max_cell_factor", 2.0)),
+            )
         elif op == "stats":
             stats = self.registry.index_stats(name)
         elif op == "vacuum":
@@ -300,7 +308,7 @@ class VechordService:
             raise ServiceError(
                 422,
                 f"unknown maintenance op {op!r} "
-                "(compact | compact_index | recluster | vacuum | stats)",
+                "(auto | compact | compact_index | recluster | vacuum | stats)",
             )
         return 200, "application/json", json.dumps(stats).encode()
 
