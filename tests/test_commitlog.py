@@ -730,6 +730,173 @@ def test_extend_recovers_crashed_recluster(spark, tmp_path, monkeypatch):
     assert all(h["uid"] < 20 or h["uid"] >= 200 for h in hits.collect())
 
 
+def test_prune_then_merge_after_heavy_delete(spark, tmp_path):
+    """The delete-heavy lifecycle the recluster DUAL exists for:
+    DELETE rewrites only the table, so the clustered copy serves
+    ghosts until prune sweeps them; the surviving starved cells then
+    fold into their nearest sibling (merge), lists shrink, and
+    full-probe search equals brute force over the survivors."""
+    import os
+
+    from vechord_spark.operators.knn import knn
+    from vechord_spark.spec import AnyOf
+
+    r, rows = _vec_registry(spark, tmp_path, ns="prmg")
+    # four natural clusters -> lists=4
+    centers = [[0, 0, 0, 0], [5, 5, 5, 5], [0, 5, 0, 5], [5, 0, 5, 0]]
+    for ci, c in enumerate(centers):
+        r.insert_rows("emb", rows(range(ci * 25, ci * 25 + 25), c))
+    r.build_vector_index("emb", lists=4)
+    ipath = r._index_path("emb")
+
+    # delete 3 of the 4 clusters: everything except uids 25..49
+    gone = [u for u in range(100) if not 25 <= u < 50]
+    assert r.remove_by("emb", {"uid": AnyOf(gone)}) == 75
+
+    # ghosts: the layout still holds every deleted row
+    stats = r.index_stats("emb")["ivf"]
+    assert stats["rows"] == 100 and r.load("emb").count() == 25
+    # an untouched cell's files must HARDLINK through the prune (no
+    # data copy) — remember their inodes
+    cluster1 = sorted(
+        x["uid"]
+        for x in spark.read.parquet(str(ipath / "data"))
+        .filter(F.col("uid").between(25, 49))
+        .collect()
+    )
+    assert cluster1 == list(range(25, 50))
+
+    pr = r.prune_vector_index("emb")
+    assert pr["pruned_rows"] == 75 and pr["lists"] == 4
+    after = r.index_stats("emb")["ivf"]
+    assert after["rows"] == 25
+    # starved/empty cells remain (cell_min hits 0 via the zero-pad)
+    assert after["lists"] == 4 and after["cell_min"] == 0
+
+    mg = r.merge_vector_index("emb", min_cell_factor=4.0)
+    assert mg["merged_cells"] >= 1
+    healed = r.index_stats("emb")["ivf"]
+    assert healed["lists"] == mg["lists"] < 4
+    assert healed["rows"] == 25
+
+    # full-probe search over the merged layout == brute force, and no
+    # ghost ever surfaces
+    q = [5.0, 5.0, 5.0, 5.0]
+    brute = [
+        x.uid
+        for x in knn(
+            r.load("emb"), "vec", q, k=10, distance="l2",
+            select=["uid"], tie_break="uid",
+        ).collect()
+    ]
+    got = [
+        x.uid
+        for x in r.search_by_vector(
+            "emb", q, topk=10, probes=healed["lists"]
+        ).collect()
+    ]
+    assert got == brute
+    assert all(25 <= u < 50 for u in got)
+    # idempotent: a second merge finds nothing starved
+    assert r.merge_vector_index("emb", min_cell_factor=4.0)["merged_cells"] == 0
+
+
+def test_prune_hardlinks_untouched_cells(spark, tmp_path):
+    """Prune rewrites ONLY cells that lost rows: a cell untouched by
+    the delete carries its parquet files through by hardlink (same
+    inode), proving the O(affected-cells) rewrite contract."""
+    import os
+
+    from vechord_spark.spec import AnyOf
+
+    r, rows = _vec_registry(spark, tmp_path, ns="prhl")
+    r.insert_rows("emb", rows(range(20), [0, 0, 0, 0]))
+    r.insert_rows("emb", rows(range(20, 40), [5, 5, 5, 5]))
+    r.build_vector_index("emb", lists=2)
+    ipath = r._index_path("emb")
+    # which cell holds the [5,5,5,5] cluster?
+    cid = (
+        spark.read.parquet(str(ipath / "data"))
+        .filter(F.col("uid") == 25)
+        .select("centroid_id")
+        .first()[0]
+    )
+    untouched = ipath / "data" / f"centroid_id={cid}"
+    inodes_before = {
+        f.name: os.stat(f).st_ino for f in untouched.iterdir() if f.is_file()
+    }
+    # delete only from the OTHER cluster
+    r.remove_by("emb", {"uid": AnyOf(list(range(10)))})
+    pr = r.prune_vector_index("emb")
+    assert pr["pruned_rows"] == 10 and pr["rewritten_cells"] == 1
+    inodes_after = {
+        f.name: os.stat(f).st_ino for f in untouched.iterdir() if f.is_file()
+    }
+    assert inodes_after == inodes_before  # hardlinked, not copied
+    # prune with nothing deleted is a no-op
+    assert r.prune_vector_index("emb")["pruned_rows"] == 0
+
+
+def test_merge_multivec_starved_cells(spark, tmp_path):
+    """The multivector twin: starved mean-space cells fold, probe
+    MaxSim search still finds the surviving cluster."""
+    import random
+
+    from vechord_spark.spec import AnyOf, Column, MultiVector, TableSpec
+
+    rng = random.Random(41)
+    r = VechordRegistry("mgmv", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "late",
+            [Column("uid", "int", primary_key=True), Column("mv", MultiVector(4))],
+        )
+    )
+
+    def mrows(ids, center):
+        return [
+            {
+                "uid": i,
+                "mv": [
+                    [c + rng.uniform(-0.1, 0.1) for c in center]
+                    for _ in range(2)
+                ],
+            }
+            for i in ids
+        ]
+
+    r.insert_rows("late", mrows(range(20), [0, 0, 0, 0]))
+    r.insert_rows("late", mrows(range(20, 40), [5, 5, 5, 5]))
+    r.build_multivec_index("late", lists=2)
+    r.remove_by("late", {"uid": AnyOf(list(range(20)))})
+    assert r.prune_multivec_index("late")["pruned_rows"] == 20
+    mg = r.merge_multivec_index("late", min_cell_factor=4.0)
+    assert mg["merged_cells"] == 1 and mg["lists"] == 1
+    hits = r.search_by_multivec(
+        "late", [[5.0, 5.0, 5.0, 5.0]], topk=5, probes=1
+    ).collect()
+    assert hits and all(h["uid"] >= 20 for h in hits)
+
+
+def test_maintain_handles_delete_churn(spark, tmp_path):
+    """maintain() after a heavy delete: the policy prunes ghosts and
+    folds the starved cells, no hand-walk needed."""
+    from vechord_spark.spec import AnyOf
+
+    r, rows = _vec_registry(spark, tmp_path, ns="mntd")
+    r.insert_rows("emb", rows(range(20), [0, 0, 0, 0]))
+    r.insert_rows("emb", rows(range(20, 40), [5, 5, 5, 5]))
+    r.build_vector_index("emb", lists=2)
+    r.remove_by("emb", {"uid": AnyOf(list(range(20)))})
+    out = r.maintain("emb", min_cell_factor=4.0)
+    ops = [a["op"] for a in out["actions"]]
+    assert "prune" in ops and "merge" in ops
+    assert out["after"]["ivf"]["rows"] == 20
+    assert out["after"]["ivf"]["lists"] == 1
+    # healed: second call is a no-op
+    assert r.maintain("emb", min_cell_factor=4.0)["actions"] == []
+
+
 def test_maintain_policy_heals_drifted_index(spark, tmp_path):
     """registry.maintain(): the one-call policy reads index_stats and
     applies extend -> recluster -> compact_index, each gated by a

@@ -1547,32 +1547,9 @@ class VechordRegistry:
         """The stage/journal/swap half of a targeted recluster, shared
         by the vector and multivector layouts (identical directory
         shapes): write reassigned partitions to a stage, HARDLINK every
-        untouched partition (no data copy; posix-rename/link warehouse
-        contract, same as the rewrite journals), stage the updated
-        centroid table, then swap both under the rollback-only
-        ``recluster.intent.json`` journal. The intent clears BEFORE
-        trash cleanup, so a crash during cleanup can never trigger a
-        rollback of the already-published layout."""
-        import json
-        import os
-        import uuid
-
-        run = uuid.uuid4().hex
-        scratch = ipath / f".recluster-{run}"
-        stage_data = scratch / "data"
-        stage_cents = scratch / "centroids"
-        reassigned.write.partitionBy("centroid_id").parquet(str(stage_data))
-        live = ipath / "data"
-        for entry in live.iterdir():
-            if entry.name.startswith("centroid_id="):
-                cid = entry.name.split("=", 1)[1]
-                if cid.isdigit() and int(cid) in split:
-                    continue
-                tgt = stage_data / entry.name
-                tgt.mkdir(parents=True, exist_ok=True)
-                for f in entry.iterdir():
-                    if f.is_file():
-                        os.link(f, tgt / f.name)
+        untouched partition, stage the updated centroid table, then
+        swap (see :meth:`_swap_cells_layout`, which prune/merge share
+        with their own cell sets)."""
         new_cents = [
             (
                 r["centroid_id"],
@@ -1585,6 +1562,74 @@ class VechordRegistry:
             (nid, list(ch[1]))
             for _, (ch, nid) in sorted(split.items(), key=lambda kv: kv[1][1])
         ]
+        self._swap_cells_layout(
+            ipath, new_cents, reassigned=reassigned, exclude=set(split)
+        )
+
+    def _swap_cells_layout(
+        self,
+        ipath: Path,
+        new_cents: list,
+        *,
+        reassigned: DataFrame | None = None,
+        exclude: set | frozenset = frozenset(),
+        relink: dict | None = None,
+    ) -> None:
+        """Stage a modified clustered layout and swap it in under the
+        rollback-only ``recluster.intent.json`` journal — the shared
+        core of recluster (split cells), prune (delete sweep), and
+        merge (undersized cells):
+
+        - ``reassigned``: rows to WRITE into the stage
+          (``partitionBy(centroid_id)`` with their NEW ids) — the only
+          distributed work; None stages no fresh data (merge is pure
+          file moves).
+        - ``exclude``: old cell ids whose live partitions are NOT
+          carried over 1:1 (they were rewritten into ``reassigned`` or
+          dropped).
+        - ``relink``: old->new cell id PURE MOVES: the partition's
+          files hardlink under the new directory name — valid because
+          ``partitionBy`` encodes the id in the directory name, not in
+          the files, so renumbering (merge) never touches row bytes.
+
+        Every untouched partition HARDLINKS into the stage (no data
+        copy; posix-rename/link warehouse contract, same as the
+        rewrite journals). The intent journal clears BEFORE trash
+        cleanup, so a crash during cleanup can never trigger a
+        rollback of the already-published layout."""
+        import json
+        import os
+        import uuid
+
+        run = uuid.uuid4().hex
+        scratch = ipath / f".recluster-{run}"
+        stage_data = scratch / "data"
+        stage_cents = scratch / "centroids"
+        if reassigned is not None:
+            reassigned.write.partitionBy("centroid_id").parquet(str(stage_data))
+        else:
+            stage_data.mkdir(parents=True, exist_ok=True)
+        live = ipath / "data"
+        relink = relink or {}
+        for entry in live.iterdir():
+            if not entry.name.startswith("centroid_id="):
+                continue
+            cid_s = entry.name.split("=", 1)[1]
+            cid = int(cid_s) if cid_s.isdigit() else None
+            if cid is not None and cid in exclude and cid not in relink:
+                continue
+            new_cid = relink.get(cid, cid) if cid is not None else cid_s
+            tgt = stage_data / f"centroid_id={new_cid}"
+            tgt.mkdir(parents=True, exist_ok=True)
+            for f in entry.iterdir():
+                if f.is_file():
+                    dest = tgt / f.name
+                    if dest.exists():
+                        # two source partitions merged into one target:
+                        # parquet part names are task-uuid-unique, but
+                        # stay safe on collision
+                        dest = tgt / f"m{cid}-{f.name}"
+                    os.link(f, dest)
         self.spark.createDataFrame(
             [(int(i), [float(x) for x in v]) for i, v in new_cents],
             "centroid_id int, vec array<double>",
@@ -1733,6 +1778,243 @@ class VechordRegistry:
                 "lists": int(next_id),
             }
 
+    def merge_vector_index(
+        self, name: str, min_cell_factor: float = 4.0, min_lists: int = 1
+    ) -> dict[str, int]:
+        """Merge undersized IVF cells into their nearest sibling — the
+        recluster DUAL. After delete-heavy churn (prune) the layout
+        keeps its list count but some cells hold almost nothing, so
+        each probe buys fewer rows: a 10-probe search over 100 starved
+        cells scans 10% of the centroid table for 1% of the data. Any
+        cell holding fewer than ``mean / min_cell_factor`` rows folds
+        into the nearest surviving centroid (spherical layouts compare
+        on unit-norm centroids), and ids renumber contiguously so probe
+        search's position->partition mapping stays exact.
+
+        ZERO distributed work: ``partitionBy`` encodes the cell id in
+        the directory name, not in the row bytes, so merging is pure
+        hardlinks — a starved cell's files link into its target's
+        directory, renumbered survivors link under their new name, and
+        untouched cells (ids below the new count that keep their id)
+        link 1:1. PQ/OPQ codes are per-vector, never per-cell, so they
+        ride through; merged centroids move to the count-weighted mean
+        of their sources (the best single representative of the merged
+        cell's contents). Same maintenance lock + rollback-only
+        journal as recluster. Returns ``{"merged_cells", "moved_rows",
+        "lists"}``."""
+        spec = self._spec(name)
+        if spec.vector_column is None:
+            raise SchemaError(f"table {name} has no vector column")
+        ipath = self._index_path(name)
+        self._recover_recluster(ipath)
+        if not (ipath / "data").exists():
+            raise SchemaError(
+                f"no IVF index for {name}; call build_vector_index first"
+            )
+        with self._maintenance_lock(ipath):
+            spherical = bool(self._vector_index_meta(ipath).get("spherical"))
+            return self._merge_cells_locked(
+                ipath, min_cell_factor, min_lists, spherical
+            )
+
+    def merge_multivec_index(
+        self, name: str, min_cell_factor: float = 4.0, min_lists: int = 1
+    ) -> dict[str, int]:
+        """The multivector twin of :meth:`merge_vector_index` — same
+        pure-hardlink cell fold over the mean-space centroid table
+        (token-centroid sets are row-level and ride through)."""
+        spec = self._spec(name)
+        if spec.multivec_column is None:
+            raise SchemaError(f"table {name} has no multivector column")
+        ipath = self._mv_index_path(name)
+        self._recover_recluster(ipath)
+        if not (ipath / "data").exists():
+            raise SchemaError(
+                f"no multivector IVF index for {name}; "
+                "call build_multivec_index first"
+            )
+        with self._maintenance_lock(ipath):
+            return self._merge_cells_locked(ipath, min_cell_factor, min_lists, False)
+
+    def _merge_cells_locked(
+        self, ipath: Path, min_cell_factor: float, min_lists: int, spherical: bool
+    ) -> dict[str, int]:
+        import numpy as np
+
+        data = self.spark.read.parquet(str(ipath / "data"))
+        cent_rows = (
+            self.spark.read.parquet(str(ipath / "centroids"))
+            .orderBy("centroid_id")
+            .collect()
+        )
+        lists = len(cent_rows)
+        got = {
+            r["centroid_id"]: r["n"]
+            for r in data.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        counts = {c: int(got.get(c, 0)) for c in range(lists)}
+        n_total = sum(counts.values())
+        if n_total == 0 or lists <= max(1, min_lists):
+            return {"merged_cells": 0, "moved_rows": 0, "lists": lists}
+        mean = n_total / lists
+        starved = sorted(
+            (c for c in range(lists) if counts[c] < mean / min_cell_factor),
+            key=lambda c: counts[c],
+        )
+        # keep at least min_lists survivors: release the fullest
+        # starved cells back to the survivor set if needed
+        max_merge = lists - max(1, min_lists)
+        starved = starved[:max_merge]
+        if not starved:
+            return {"merged_cells": 0, "moved_rows": 0, "lists": lists}
+        removed = set(starved)
+        survivors = [c for c in range(lists) if c not in removed]
+
+        cents = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
+        geo = cents
+        if spherical:
+            geo = cents / np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+            )
+        surv_geo = geo[survivors]
+        target = {
+            u: survivors[int(((surv_geo - geo[u]) ** 2).sum(axis=1).argmin())]
+            for u in removed
+        }
+
+        # contiguous renumbering that keeps the maximal stable prefix:
+        # survivors below the new count keep their id (1:1 hardlink),
+        # tail survivors slide into the holes the removed cells left
+        k = len(survivors)
+        holes = sorted(c for c in removed if c < k)
+        id_map: dict[int, int] = {}
+        for s in survivors:
+            id_map[s] = s if s < k else holes.pop(0)
+        relink = {s: id_map[s] for s in survivors if id_map[s] != s}
+        moved_rows = 0
+        for u in removed:
+            relink[u] = id_map[target[u]]
+            moved_rows += counts[u]
+
+        # merged centroid = count-weighted mean of its sources (the
+        # geometry probes will rank against)
+        weights = {s: counts[s] for s in survivors}
+        merged_vec = {s: geo[s] * counts[s] for s in survivors}
+        for u in removed:
+            t = target[u]
+            merged_vec[t] = merged_vec[t] + geo[u] * counts[u]
+            weights[t] += counts[u]
+        new_cents = [
+            (
+                id_map[s],
+                list(merged_vec[s] / weights[s]) if weights[s] else list(geo[s]),
+            )
+            for s in survivors
+        ]
+        self._swap_cells_layout(
+            ipath, sorted(new_cents), relink=relink, exclude=removed
+        )
+        return {
+            "merged_cells": len(removed),
+            "moved_rows": int(moved_rows),
+            "lists": int(k),
+        }
+
+    def prune_vector_index(self, name: str) -> dict[str, int]:
+        """Delete sweep: drop index rows whose primary key no longer
+        exists in the table. DELETE rewrites the TABLE only
+        (:meth:`remove_by`), so the clustered IVF copy keeps serving
+        deleted rows until a rebuild — this is the targeted fix: one
+        pk semi-join against the current snapshot (honest O(index)
+        cost, the price of any delete sweep), then ONLY the cells that
+        lost rows rewrite; untouched partitions hardlink. Cells left
+        empty keep their centroid (probe search returns nothing from
+        them) — run :meth:`merge_vector_index` after a heavy delete to
+        fold them away. Same lock + rollback-only journal. Returns
+        ``{"pruned_rows", "rewritten_cells", "lists"}``; the table
+        file ledger is untouched (prune never un-covers a live row —
+        the next extend re-adopts as usual)."""
+        spec = self._spec(name)
+        if spec.vector_column is None:
+            raise SchemaError(f"table {name} has no vector column")
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError("prune_vector_index needs a primary key")
+        ipath = self._index_path(name)
+        self._recover_recluster(ipath)
+        if not (ipath / "data").exists():
+            raise SchemaError(
+                f"no IVF index for {name}; call build_vector_index first"
+            )
+        with self._maintenance_lock(ipath):
+            return self._prune_cells_locked(ipath, pk.name, self.load(name))
+
+    def prune_multivec_index(self, name: str) -> dict[str, int]:
+        """The multivector twin of :meth:`prune_vector_index`."""
+        spec = self._spec(name)
+        if spec.multivec_column is None:
+            raise SchemaError(f"table {name} has no multivector column")
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError("prune_multivec_index needs a primary key")
+        ipath = self._mv_index_path(name)
+        self._recover_recluster(ipath)
+        if not (ipath / "data").exists():
+            raise SchemaError(
+                f"no multivector IVF index for {name}; "
+                "call build_multivec_index first"
+            )
+        with self._maintenance_lock(ipath):
+            return self._prune_cells_locked(ipath, pk.name, self.load(name))
+
+    def _prune_cells_locked(
+        self, ipath: Path, pk_name: str, table: DataFrame
+    ) -> dict[str, int]:
+        data = self.spark.read.parquet(str(ipath / "data"))
+        kept = data.join(table.select(pk_name), pk_name, "left_semi")
+        before = {
+            r["centroid_id"]: r["n"]
+            for r in data.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        after = {
+            r["centroid_id"]: r["n"]
+            for r in kept.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        lists = self.spark.read.parquet(str(ipath / "centroids")).count()
+        affected = {
+            c for c, n in before.items() if after.get(c, 0) != n
+        }
+        pruned = sum(before.values()) - sum(after.values())
+        if not affected:
+            return {
+                "pruned_rows": 0,
+                "rewritten_cells": 0,
+                "lists": int(lists),
+            }
+        cent_rows = (
+            self.spark.read.parquet(str(ipath / "centroids"))
+            .orderBy("centroid_id")
+            .collect()
+        )
+        new_cents = [(r["centroid_id"], list(r["vec"])) for r in cent_rows]
+        reassigned = kept.filter(
+            F.col("centroid_id").isin([int(c) for c in affected])
+        )
+        self._swap_cells_layout(
+            ipath, new_cents, reassigned=reassigned, exclude=affected
+        )
+        return {
+            "pruned_rows": int(pruned),
+            "rewritten_cells": len(affected),
+            "lists": int(lists),
+        }
+
     def index_stats(self, name: str) -> dict:
         """Observability for every persisted index layout of ``name``
         — the numbers the maintenance decisions key on, one call:
@@ -1801,6 +2083,10 @@ class VechordRegistry:
                 if (ipath / "centroids").exists()
                 else len(cells)
             )
+            # cells emptied by a prune have no partition left — pad so
+            # cell_min reflects them (the merge signal)
+            if lists > len(cells):
+                cells = cells + [0] * (int(lists) - len(cells))
             mean_cell = rows / max(1, lists)
             meta = self._vector_index_meta(ipath)
             out[key] = {
@@ -1836,6 +2122,7 @@ class VechordRegistry:
         name: str,
         *,
         max_cell_factor: float = 2.0,
+        min_cell_factor: float = 4.0,
         max_waves: int = 8,
         compact_files_per_cell: float = 3.0,
         compact_bm25_files: int = 8,
@@ -1855,11 +2142,19 @@ class VechordRegistry:
            the next extend pays the pk anti-join once and re-adopts,
            restoring O(appended-data) extends — the example's closing
            step after a table compact).
-        2. **recluster** — IVF/multivec layouts whose ``skew``
+        2. **prune** — an IVF/multivec layout holding MORE rows than
+           the table (deletes never rewrite the clustered copy): one
+           pk semi-join sweep drops the ghosts, rewriting only the
+           cells that lost rows.
+        3. **recluster** — IVF/multivec layouts whose ``skew``
            exceeds ``max_cell_factor``: targeted recluster waves (one
            split pass per call) until the layout converges or
            ``max_waves`` is hit. O(drifted cells) per wave.
-        3. **compact_index** — small-file hygiene when fragmentation
+        4. **merge** — cells starved below ``cell_mean /
+           min_cell_factor`` (delete-heavy churn) fold into their
+           nearest sibling: pure hardlinks, lists shrink, probes buy
+           full cells again.
+        5. **compact_index** — small-file hygiene when fragmentation
            is measured: an IVF layout averaging more than
            ``compact_files_per_cell`` files per cell (each extend
            appends one file set per touched partition), or a BM25
@@ -1892,7 +2187,20 @@ class VechordRegistry:
         if actions:
             stats = self.index_stats(name)
 
-        # 2. shape: split drifted cells until the skew gate holds
+        # 2. ghosts: a layout larger than its table has deleted rows
+        pruners = {
+            "ivf": self.prune_vector_index,
+            "mvivf": self.prune_multivec_index,
+        }
+        if any(k in stats for k in pruners):
+            table_rows = self.load(name).count()
+            for key, fn in pruners.items():
+                if key in stats and stats[key]["rows"] > table_rows:
+                    actions.append({"op": "prune", "index": key, **fn(name)})
+            if actions and actions[-1]["op"] == "prune":
+                stats = self.index_stats(name)
+
+        # 3. shape: split drifted cells until the skew gate holds
         recluster = {
             "ivf": self.recluster_vector_index,
             "mvivf": self.recluster_multivec_index,
@@ -1913,7 +2221,24 @@ class VechordRegistry:
                     break
                 stats = self.index_stats(name)
 
-        # 3. hygiene: measured fragmentation only
+        # 4. starved cells fold into their nearest sibling
+        mergers = {
+            "ivf": self.merge_vector_index,
+            "mvivf": self.merge_multivec_index,
+        }
+        for key, fn in mergers.items():
+            st = stats.get(key)
+            if (
+                st is not None
+                and st["lists"] > 1
+                and st["cell_min"] < st["cell_mean"] / min_cell_factor
+            ):
+                fold = fn(name, min_cell_factor=min_cell_factor)
+                if fold["merged_cells"]:
+                    actions.append({"op": "merge", "index": key, **fold})
+                    stats = self.index_stats(name)
+
+        # 5. hygiene: measured fragmentation only
         frag = any(
             stats[key]["files"] > compact_files_per_cell * stats[key]["lists"]
             for key in ("ivf", "mvivf")

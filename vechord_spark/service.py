@@ -6,8 +6,8 @@ Reference: ``create_web_app`` (vechord/service.py:197-229) exposes
 - table CRUD              GET/POST/DELETE /api/table/{name}
 - dynamic pipeline run    POST   /api/run      (vechord/service.py:120-137)
 - maintenance             POST   /api/maintenance/{name} (auto /
-  compact / compact_index / recluster / vacuum / stats; 409 on a
-  concurrent maintainer)
+  compact / compact_index / recluster / prune / merge / vacuum /
+  stats; 409 on a concurrent maintainer)
 - registered pipeline     POST   /api/pipeline (vechord/service.py:103-117)
 - OpenAPI spec + swagger  GET    /openapi/spec.json, /openapi/swagger
 via falcon + msgspec + uvicorn. None of those packages exist in this
@@ -102,8 +102,8 @@ def _openapi_spec(registry: VechordRegistry, has_pipeline: bool) -> dict[str, An
         "/api/run": {"post": {"summary": "run a dynamic pipeline from steps"}},
         "/api/maintenance/{name}": {
             "post": {
-                "summary": "table/index upkeep: auto (one-call policy), "
-                "compact, compact_index, recluster, vacuum, stats"
+                "summary": "table/index upkeep: auto (one-call policy), compact, "
+                "compact_index, recluster, prune, merge, vacuum, stats"
             }
         },
     }
@@ -253,8 +253,8 @@ class VechordService:
         """POST /api/maintenance/{table}: lakehouse upkeep over the
         OWNING registry (full specs — unlike the schema-inferring
         maintenance CLI, recluster needs no --vector-col here). Body:
-        ``{"op": "auto"|"compact"|"compact_index"|"recluster"|"vacuum"|
-        "stats", ...op options}``. A concurrent maintainer surfaces as 409."""
+        ``{"op": "auto"|"compact"|"compact_index"|"recluster"|"prune"|
+        "merge"|"vacuum"|"stats", ...op options}``. A concurrent maintainer surfaces as 409."""
         if name not in self.registry.tables:
             raise ServiceError(404, f"unknown table {name!r}")
         payload = _decode_json(body) or {}
@@ -285,6 +285,33 @@ class VechordService:
                 raise ServiceError(
                     422, f"unknown recluster index {which!r} (vector | multivec)"
                 )
+        elif op == "prune":
+            which = payload.get("index", "vector")
+            if which == "vector":
+                stats = self.registry.prune_vector_index(name)
+            elif which == "multivec":
+                stats = self.registry.prune_multivec_index(name)
+            else:
+                raise ServiceError(
+                    422, f"unknown prune index {which!r} (vector | multivec)"
+                )
+        elif op == "merge":
+            which = payload.get("index", "vector")
+            fn = (
+                self.registry.merge_vector_index
+                if which == "vector"
+                else self.registry.merge_multivec_index
+                if which == "multivec"
+                else None
+            )
+            if fn is None:
+                raise ServiceError(
+                    422, f"unknown merge index {which!r} (vector | multivec)"
+                )
+            stats = fn(
+                name,
+                min_cell_factor=float(payload.get("min_cell_factor", 4.0)),
+            )
         elif op == "auto":
             # the one-call policy: extend -> recluster -> compact_index,
             # each gated by index_stats signals (registry.maintain);
@@ -308,7 +335,8 @@ class VechordService:
             raise ServiceError(
                 422,
                 f"unknown maintenance op {op!r} "
-                "(auto | compact | compact_index | recluster | vacuum | stats)",
+                "(auto | compact | compact_index | recluster | prune | merge | "
+                "vacuum | stats)",
             )
         return 200, "application/json", json.dumps(stats).encode()
 
