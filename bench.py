@@ -273,8 +273,11 @@ def main() -> None:
     # whichever queries run first (round-10 artifact: six untouched
     # queries read 2-6x their stable walls; idle re-runs confirmed the
     # code was flat). Re-run any query whose wall exceeded 3x its
-    # best-known record (BENCH_REF.json) and report the MINIMUM, with
-    # the rerun recorded in the artifact so the correction is visible.
+    # best-known record (BENCH_REF.json) and report the RERUN (the
+    # measurement taken after the burst) — NOT min(first, rerun), which
+    # would bias the headline optimistic if a real regression happened
+    # to coincide with neighbor load (round-11 advice). Both values are
+    # recorded under "reruns" so the correction is always visible.
     reruns: dict[str, dict[str, float]] = {}
     ref_path = Path(__file__).resolve().parent / "BENCH_REF.json"
     sf_token = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -302,18 +305,24 @@ def main() -> None:
                 print(f"# rerun {name}: ERROR {exc}", file=sys.stderr)
                 continue
             first = float(timings[name])
-            best = min(first, dt2)
-            total += best - first
-            timings[name] = round(best, 3)
+            total += dt2 - first
+            timings[name] = round(dt2, 3)
             reruns[name] = {"first": round(first, 3), "rerun": round(dt2, 3)}
             print(
                 f"# rerun {name}: {first:.3f}s -> {dt2:.3f}s"
-                f" (3x ref {ref[name]:.3f}s; reporting min)",
+                f" (3x ref {ref[name]:.3f}s; reporting the rerun)",
                 file=sys.stderr,
             )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # host-contention witness: 1/5/15-minute load averages at run end.
+    # Shared-VM neighbor load is the one variable the suite cannot
+    # control; stamping it makes every artifact's recording conditions
+    # auditable (round-11 verdict: the committed closing pair was
+    # recorded at load 1.2-2.6 and read ~15% over the same-day idle
+    # run — the stamp is how the next reader tells drift from noise).
+    loadavg = [round(x, 2) for x in os.getloadavg()]
     full = {
         "metric": "suite_total_wall",
         "value": round(total, 3),
@@ -321,6 +330,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "n_queries": len(timings),
+        "loadavg": loadavg,
     }
     if errors:
         full["errors"] = errors
@@ -344,6 +354,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "loadavg": loadavg,
         "full": "BENCH_FULL.json",
     }
     if errors:
