@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "corpus_funnel_report",
     "corpus_funnel_incremental",
+    "corpus_funnel_lm",
     "nb_quality",
     "dsir_importance",
     "rerank_reorder",

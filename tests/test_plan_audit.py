@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "doc_unigram_logprob",
     "doc_bigram_logprob",  # same 1-row vocab-total scalar crossJoin
     "doc_kn_logprob",  # same 1-row bigram-type-total scalar crossJoin
+    "corpus_funnel_lm",  # composes the KN type-total scalar crossJoin
     "ccnet_buckets",  # composes unigram_logprob's vocab-total scalar crossJoin
     "nb_quality",
     "dsir_importance",  # same 1-row totals scalar crossJoin as nb_quality

@@ -333,6 +333,7 @@ def kneser_ney_logprob(
     id_col: str,
     text_col: str,
     discount: float = 0.75,
+    score_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean INTERPOLATED KNESER-NEY bigram
     log-probability — the smoothing the n-gram LM literature settled
@@ -357,6 +358,13 @@ def kneser_ney_logprob(
     window), the continuation counts come from the bigram-TYPE table
     (already aggregated, vocabulary-sized), three stream-side probe
     joins plus the 1-row type-total broadcast.
+
+    ``score_ids`` (a one-column frame of ``id_col`` values) restricts
+    the SCORING side to those documents while the model still trains
+    on all of ``df`` — the corpus-funnel LM gate scores only the
+    dedup survivors under the full-crawl reference model, so the
+    per-doc probe joins run over the survivors' bigrams only (the
+    model aggregates are vocabulary-sized either way).
     """
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
@@ -391,8 +399,13 @@ def kneser_ney_logprob(
     cont = bigrams.groupBy("cur").agg(F.count(F.lit(1)).alias("n1p_back"))
     btypes = bigrams.agg(F.count(F.lit(1)).cast("double").alias("b"))
     d = float(discount)
+    score_pairs = (
+        pairs.join(score_ids, id_col, "left_semi")
+        if score_ids is not None
+        else pairs
+    )
     scored = (
-        pairs.join(bigrams, ["prev", "cur"])
+        score_pairs.join(bigrams, ["prev", "cur"])
         .join(ctx, "prev")
         .join(cont, "cur")
         .crossJoin(F.broadcast(btypes))
@@ -413,8 +426,9 @@ def kneser_ney_logprob(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_kn_logprob"),
     )
+    base_ids = score_ids if score_ids is not None else df.select(id_col)
     return (
-        df.select(id_col)
+        base_ids
         .join(counted, id_col, "left")
         .select(
             id_col,

@@ -7369,10 +7369,12 @@ def _funnel_peek(spark, sf_dir, stage: str):
     return ent[1] if ent is not None and ent[0] is spark else None
 
 
-@_q(
-    "corpus_funnel_report",
-    f"""
-    WITH RECURSIVE
+def _funnel_surv_ctes() -> str:
+    """The oracle-side funnel chain through the near-dup SURVIVORS —
+    one definition shared by corpus_funnel_report and corpus_funnel_lm
+    so the two oracles can never drift (mirrors _funnel_stage on the
+    Spark side)."""
+    return f"""
     gq AS ({_gopher_sql()}),
     pass1 AS (
       SELECT d.* FROM documents d
@@ -7403,7 +7405,14 @@ def _funnel_peek(spark, sf_dir, stage: str):
     surv AS (
       SELECT e.* FROM exact e LEFT JOIN clusters c ON e.doc_id = c.doc_id
       WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
-    ),
+    )"""
+
+
+@_q(
+    "corpus_funnel_report",
+    f"""
+    WITH RECURSIVE
+    {_funnel_surv_ctes()},
     train AS (
       SELECT * FROM surv WHERE {_hash_frac_sql('sp1')} < {_SPLIT_T_TRAIN}
     )
@@ -7818,6 +7827,145 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     for cached in (*owned, rest):
         cached.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@_q(
+    "corpus_funnel_lm",
+    f"""
+    WITH RECURSIVE
+    {_funnel_surv_ctes()},
+    toksl AS (
+      SELECT doc_id, {_TOK.format(col='text')} AS l FROM documents
+    ),
+    kp AS (
+      SELECT doc_id,
+             unnest(l[1:len(l) - 1]) AS prev,
+             unnest(l[2:len(l)]) AS cur
+      FROM toksl WHERE len(l) >= 2
+    ),
+    bg AS (SELECT prev, cur, count(*) AS c2 FROM kp GROUP BY prev, cur),
+    ctx AS (
+      SELECT prev, CAST(sum(c2) AS DOUBLE) AS c1ctx, count(*) AS n1p_fwd
+      FROM bg GROUP BY prev
+    ),
+    cont AS (SELECT cur, count(*) AS n1p_back FROM bg GROUP BY cur),
+    btypes AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bg),
+    sc AS (
+      SELECT p.doc_id,
+             ln(greatest(bg.c2 - 0.75, 0.0) / ctx.c1ctx
+                + 0.75 * ctx.n1p_fwd / ctx.c1ctx * cont.n1p_back / btypes.b
+             ) AS lp
+      FROM kp p
+      JOIN bg USING (prev, cur)
+      JOIN ctx ON ctx.prev = p.prev
+      JOIN cont ON cont.cur = p.cur
+      CROSS JOIN btypes
+      WHERE p.doc_id IN (SELECT doc_id FROM surv)
+    ),
+    scores AS (SELECT doc_id, round(avg(lp), 6) AS s FROM sc GROUP BY doc_id),
+    hist AS (SELECT s, count(*) AS cnt FROM scores GROUP BY s),
+    cum AS (
+      SELECT s, sum(cnt) OVER (ORDER BY s) AS cum, sum(cnt) OVER () AS n
+      FROM hist
+    ),
+    thr AS (
+      SELECT min(s) AS thr FROM cum
+      WHERE floor(0.2 * n) >= 1 AND cum >= floor(0.2 * n)
+    ),
+    kept AS (
+      SELECT sv.* FROM surv sv
+      JOIN scores sc2 ON sv.doc_id = sc2.doc_id
+      CROSS JOIN thr
+      WHERE thr.thr IS NULL OR sc2.s > thr.thr
+    )
+    SELECT * FROM (
+      SELECT 3 AS stage_no, 'near_dedup' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(len({_TOK.format(col='text')})), 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+      FROM surv
+      UNION ALL
+      SELECT 5, 'lm_gate', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len({_TOK.format(col='text')})), 0) AS BIGINT),
+             CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM kept
+    )
+    """,
+)
+def corpus_funnel_lm(spark, sf_dir, drop_frac: float = 0.2):
+    """The funnel's LM-PERPLEXITY gate — CCNet's signature move, the
+    stage the Gopher-rules-only funnel lacked: dedup survivors are
+    scored under the interpolated Kneser-Ney bigram model trained on
+    the FULL crawl (the reference-corpus LM; operators/quality.
+    kneser_ney_logprob with ``score_ids``), and the bottom
+    ``drop_frac`` quantile by mean logprob-per-bigram drops. Returns
+    the two accounting rows: ``near_dedup`` (byte-identical to
+    corpus_funnel_report's stage 3 — the cross-query check) and
+    ``lm_gate`` (the survivors a CCNet-style pipeline would keep).
+
+    The quantile is EXACT and scale-honest: scores are 6-dp-rounded,
+    so the threshold comes from a histogram over DISTINCT score
+    values (a vocabulary-sized frame — the global window orders score
+    values, never documents), cum >= floor(drop_frac*n) picks the
+    cutoff, and ties at the threshold drop together (deterministic in
+    both engines, no percentile-algorithm dependence). Docs with no
+    bigrams would drop (no evidence of fluency) — the quality gate's
+    50-word floor means none exist here. Shares the funnel's
+    materialization chain (_funnel_stage 'surv'); the KN model
+    aggregates are vocabulary-sized and the per-doc probe joins run
+    over the survivors' bigrams only."""
+    from pyspark.sql import Window
+
+    surv = _funnel_stage(spark, sf_dir, "surv")
+    docs = _t(spark, sf_dir, "documents")
+    scores = (
+        QL.kneser_ney_logprob(
+            docs, "doc_id", "text", 0.75, score_ids=surv.select("doc_id")
+        )
+        .filter(F.col("avg_kn_logprob").isNotNull())
+        .select("doc_id", F.col("avg_kn_logprob").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    hist = scores.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "s",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    k = F.floor(F.lit(drop_frac) * F.col("n"))
+    # one scalar threshold, collected driver-side (the classic
+    # two-phase exact quantile: histogram -> cutoff -> filter)
+    row = cum.filter((k >= F.lit(1)) & (F.col("cum") >= k)).agg(
+        F.min("s").alias("thr")
+    ).first()
+    thr = row["thr"] if row is not None else None
+    kept = surv.join(scores, "doc_id")
+    if thr is not None:
+        kept = kept.filter(F.col("s") > F.lit(thr))
+
+    from vechord_spark.functions.text import tokenize
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.size(tokenize("text"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_sum"),
+        ).select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            "id_sum",
+        )
+
+    return stage(3, "near_dedup", surv).unionByName(stage(5, "lm_gate", kept))
 
 
 _LINE_DEDUP_NOTICE = "copyright notice all rights reserved"
