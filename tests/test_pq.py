@@ -220,6 +220,22 @@ def _correlated_df(spark, n=400, d=8, seed=5):
     )
 
 
+def test_train_opq_descent_is_monotone(spark):
+    """The alternation is TRUE coordinate descent (round-11 advice):
+    each books update warm-starts from the previous iteration's
+    codebooks, so the shared reconstruction objective can only go down
+    — asserted on the per-alternation training-MSE trace train_opq
+    records, not just observed empirically."""
+    from vechord_spark.operators.pq import train_opq
+
+    df = _correlated_df(spark)
+    rot, _ = train_opq(df, "vec", m=4, ksub=8, seed=7, opq_iters=6)
+    errs = rot.train_errors
+    assert len(errs) == 6
+    assert all(b <= a + 1e-9 for a, b in zip(errs, errs[1:])), errs
+    assert errs[-1] < errs[0]  # the rotation actually helps
+
+
 def test_train_opq_orthogonal_and_deterministic(spark):
     from vechord_spark.operators.pq import train_opq
 

@@ -138,22 +138,34 @@ def train_pq(
 
 
 def _lloyd(
-    x: np.ndarray, k: int, rng: np.random.Generator, max_iter: int, pad_to: int
+    x: np.ndarray,
+    k: int,
+    rng: np.random.Generator,
+    max_iter: int,
+    pad_to: int,
+    init: np.ndarray | None = None,
 ) -> np.ndarray:
     """Seeded kmeans++ init + Lloyd iterations; pads degenerate
     codebooks (fewer distinct points than codes) by repeating the last
-    centroid so the codebook shape stays (pad_to, dsub)."""
+    centroid so the codebook shape stays (pad_to, dsub). ``init``
+    skips the seeding and WARM-STARTS Lloyd from the given centroids
+    (the OPQ alternation's coordinate-descent contract: each books
+    update starts from the previous iteration's books, so the shared
+    objective can only go down)."""
     n = x.shape[0]
-    # kmeans++ seeding
-    cents = [x[rng.integers(n)]]
-    d2 = ((x - cents[0]) ** 2).sum(axis=1)
-    for _ in range(1, k):
-        total = d2.sum()
-        if total <= 0:
-            break
-        cents.append(x[rng.choice(n, p=d2 / total)])
-        d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
-    c = np.array(cents)
+    if init is not None:
+        c = np.asarray(init, dtype=np.float64).copy()[:k]
+    else:
+        # kmeans++ seeding
+        cents = [x[rng.integers(n)]]
+        d2 = ((x - cents[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            total = d2.sum()
+            if total <= 0:
+                break
+            cents.append(x[rng.choice(n, p=d2 / total)])
+            d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
+        c = np.array(cents)
     for _ in range(max_iter):
         assign = np.argmin(
             (x * x).sum(axis=1)[:, None] - 2.0 * x @ c.T + (c * c).sum(axis=1)[None, :],
@@ -326,14 +338,30 @@ class OpqRotation:
 
 
 def _fit_books_np(
-    sample: np.ndarray, m: int, ksub: int, rng: np.random.Generator, max_iter: int
+    sample: np.ndarray,
+    m: int,
+    ksub: int,
+    rng: np.random.Generator,
+    max_iter: int,
+    init_books: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace codebooks on an in-memory (n, m, dsub) sample —
-    the numpy core shared by train_pq and the OPQ alternation."""
+    the numpy core shared by train_pq and the OPQ alternation.
+    ``init_books`` warm-starts each subspace's Lloyd from the previous
+    alternation's codebooks (true coordinate descent)."""
     books = []
     for j in range(m):
         x = sample[:, j, :]
-        books.append(_lloyd(x, min(ksub, x.shape[0]), rng, max_iter, pad_to=ksub))
+        books.append(
+            _lloyd(
+                x,
+                min(ksub, x.shape[0]),
+                rng,
+                max_iter,
+                pad_to=ksub,
+                init=init_books[j] if init_books is not None else None,
+            )
+        )
     return np.stack(books)
 
 
@@ -395,20 +423,35 @@ def train_opq(
     rng = np.random.default_rng(seed)
     rot = np.eye(dim)
     books = None
+    errors: list[float] = []
     for _ in range(max(1, opq_iters)):
         xr = x @ rot
+        # WARM-START each alternation from the previous iteration's
+        # codebooks (true coordinate descent): Lloyd started at the
+        # previous books can only lower the fixed-R objective, and the
+        # Procrustes step can only lower the fixed-assignment one —
+        # without the warm start each alternation re-seeded kmeans++
+        # from a mutating rng and descent was only empirical
+        # (round-11 advice)
         books = _fit_books_np(
-            xr.reshape(-1, m, dim // m), m, ksub, rng, max_iter
+            xr.reshape(-1, m, dim // m), m, ksub, rng, max_iter,
+            init_books=books,
         )
         y = _encode_reconstruct_np(xr, books)
+        errors.append(float(((xr - y) ** 2).sum(axis=1).mean()))
         u, _, vt = np.linalg.svd(x.T @ y)
         rot = u @ vt
     # final codebooks against the final rotation (the loop's last
     # Procrustes step moved R after the books were fit)
     books = _fit_books_np(
-        (x @ rot).reshape(-1, m, dim // m), m, ksub, rng, max_iter
+        (x @ rot).reshape(-1, m, dim // m), m, ksub, rng, max_iter,
+        init_books=books,
     )
-    return OpqRotation(rot), PqCodebook(books)
+    out = OpqRotation(rot)
+    # per-alternation training MSE witness (the descent the warm start
+    # guarantees; test-pinned in test_pq.py)
+    out.train_errors = errors
+    return out, PqCodebook(books)
 
 
 def reconstruction_mse(
