@@ -8570,10 +8570,33 @@ def quality_top_fraction(spark, sf_dir):
 # more strongly), cdc_shared_passages, dedup_simhash
 # (dedup_components/_bloom/_lines keep dedup), bpe_token_counts,
 # weighted_doc_sample, audio_band_report, corpus_funnel_report
-# (corpus_funnel_incremental keeps the funnel). The only registered
-# query never driver-checked after r11 is semdedup_ivf_survivors —
-# rows-only BY DESIGN (its exact witness semdedup_ivf_recall stays
-# in-window).
+# (corpus_funnel_incremental keeps the funnel). Correction (round-11
+# advice): doc_kn_logprob was added AFTER that tranche's sweep, so it
+# — not only semdedup_ivf_survivors — ended round 11 without a
+# CORRECTNESS row; the round-12 rotation below closes it.
+#
+# Round-12 rotation (normal policy: new/changed plans in, stable
+# greens out with family coverage kept).
+# IN — doc_kn_logprob (the one oracled query never driver-checked,
+# added post-r11-sweep; verdict ask #5); corpus_funnel_lm (NEW: the
+# CCNet-style KN-perplexity gate); corpus_funnel_report (its plan
+# CHANGED this round — the funnel stages now build through the shared
+# _funnel_stage memo — and its near_dedup row cross-checks
+# corpus_funnel_lm's). corpus_funnel_incremental also changed (the
+# opportunistic _funnel_peek reuse) and was already in-window; NOTE
+# the driver checks each query in its own fresh session, so its
+# CORRECTNESS row exercises the cache-MISS branch — the cache-HIT
+# branch is oracle-pinned in both orders by tests (funnel family) and
+# by corpus_funnel_lm sharing the same stages in-window.
+# OUT (all green in CORRECTNESS_r11 on their current plans, family
+# still in-window, parity-tested on every pytest run): char_entropy
+# (quality keeps ccnet_buckets + dsir_importance + ngram_diversity +
+# the two logprob entries), order_priority_exists (ten TPC-H shapes
+# stay), url_dedup_report (dedup keeps components/bloom/lines/
+# minhash_calibration + blocklist_report).
+# After this rotation the only registered query without a driver
+# CORRECTNESS row is semdedup_ivf_survivors — rows-only BY DESIGN
+# (its exact witness semdedup_ivf_recall stays in-window).
 _WINDOW_PRIORITY = [
     # relational / OLAP core (4 carried + 2 derived-partsupp shapes)
     "filter_project",
@@ -8593,7 +8616,6 @@ _WINDOW_PRIORITY = [
     "customer_value_deciles",
     "customer_order_distribution",
     "lost_customers_by_nation",
-    "order_priority_exists",
     # vector / ANN (knn_cosine carries K1; the r11-IN entries are the
     # never-checked recall-gate family members)
     "knn_cosine",
@@ -8622,16 +8644,17 @@ _WINDOW_PRIORITY = [
     "dedup_bloom_incremental",
     "media_dedup_pairs",
     "minhash_calibration_report",
-    "url_dedup_report",
     "blocklist_report",
     # text analysis / training-data ops
     "ccnet_buckets",
     "dsir_importance",
     "doc_bigram_logprob",
-    "char_entropy",
+    "doc_kn_logprob",
     "ngram_diversity",
     "leakage_safe_split",
+    "corpus_funnel_report",
     "corpus_funnel_incremental",
+    "corpus_funnel_lm",
     "quantile_sketch_gate",
     "dedup_lines_c4",
     "semdedup_ivf_recall",
