@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "ivf_recall_expanded",
     "ivf_recall_refined",
     "ivf_pq_recall",
+    "rpq_recall",
     "opq_recall",
     "maxsim_ivf_recall",
     "embedding_pca_gate",
@@ -218,6 +219,8 @@ def main() -> None:
         ("bm25_index", _suite._bm25_index),
         ("ivf16_index", _suite._ivf16),
         ("ivfpq_index", _suite._ivfpq),
+        ("opq_index", _suite._opq),
+        ("rpq_index", _suite._rpq),
         # the incremental funnel's day-1 close artifacts (seen fps,
         # bands, bloom): corpus_funnel_incremental measures the DAY-2
         # O(batch) wall by contract — day-1 persistence happens at

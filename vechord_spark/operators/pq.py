@@ -185,11 +185,23 @@ def _lloyd(
     return c
 
 
-def encode_pq(df: DataFrame, vec_col: str, book: PqCodebook) -> DataFrame:
+def encode_pq(
+    df: DataFrame,
+    vec_col: str,
+    book: PqCodebook,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
     """Attach ``__pq``: array<int> of ``m`` code ids. Codebooks ride
     into executors in the UDF closure; per batch the encode is one
     matmul per subspace (argmin via the expanded-norm trick, same as
-    ivf.assign_centroids)."""
+    ivf.assign_centroids).
+
+    With ``centroids`` (the IVF centroid matrix), encodes the
+    RESIDUAL ``x - centroid[centroid_id]`` instead of the raw vector —
+    the FAISS IVFPQ default (``encode_residual``): within a cell the
+    residuals have far less variance than the raw vectors, so the
+    same code budget quantizes sharper. ``df`` must then carry
+    ``centroid_id``."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
@@ -197,16 +209,32 @@ def encode_pq(df: DataFrame, vec_col: str, book: PqCodebook) -> DataFrame:
     m, dsub = book.m, book.dsub
     c_sq = (cb * cb).sum(axis=2)  # (m, ksub)
 
-    @pandas_udf(T.ArrayType(T.IntegerType()))
-    def _encode(vecs: pd.Series) -> pd.Series:
-        x = np.array(vecs.tolist(), dtype=np.float64).reshape(len(vecs), m, dsub)
-        codes = np.empty((len(vecs), m), dtype=np.int32)
+    def _codes(x: np.ndarray) -> pd.Series:
+        xs = x.reshape(len(x), m, dsub)
+        codes = np.empty((len(x), m), dtype=np.int32)
         for j in range(m):
-            scores = x[:, j, :] @ cb[j].T * -2.0 + c_sq[j][None, :]
+            scores = xs[:, j, :] @ cb[j].T * -2.0 + c_sq[j][None, :]
             codes[:, j] = np.argmin(scores, axis=1)
         return pd.Series(list(codes))
 
-    return df.withColumn("__pq", _encode(F.col(vec_col)))
+    if centroids is None:
+
+        @pandas_udf(T.ArrayType(T.IntegerType()))
+        def _encode(vecs: pd.Series) -> pd.Series:
+            return _codes(np.array(vecs.tolist(), dtype=np.float64))
+
+        return df.withColumn("__pq", _encode(F.col(vec_col)))
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode_res(cids: pd.Series, vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        return _codes(x - cents[cids.to_numpy()])
+
+    return df.withColumn(
+        "__pq", _encode_res(F.col("centroid_id"), F.col(vec_col))
+    )
 
 
 def adc_estimate(book: PqCodebook, query: Sequence[float], kind: str = "l2") -> Column:
@@ -229,19 +257,148 @@ def adc_estimate(book: PqCodebook, query: Sequence[float], kind: str = "l2") -> 
     return _adc(F.col("__pq"))
 
 
+def train_pq_residual(
+    assigned: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    m: int = 8,
+    ksub: int = 256,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 8,
+    max_train_points: int = 100_000,
+) -> PqCodebook:
+    """Fit codebooks on IVF RESIDUALS ``x - centroid[centroid_id]`` —
+    the training half of the FAISS IVFPQ default. Same bounded
+    driver-side sample contract as :func:`train_pq`; ``assigned`` is
+    an IVF assignment frame (carries ``centroid_id``)."""
+    first = assigned.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train PQ on an empty DataFrame")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    base = assigned.select(
+        F.col("centroid_id").alias("__cid"), F.col(vec_col).alias("__vec")
+    )
+    if sample_fraction and sample_fraction < 1.0:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    rows = base.limit(max_train_points).collect()
+    cents = np.asarray(centroids, dtype=np.float64)
+    x = np.array([r["__vec"] for r in rows], dtype=np.float64) - cents[
+        np.array([r["__cid"] for r in rows], dtype=np.int64)
+    ]
+    rng = np.random.default_rng(seed)
+    return PqCodebook(
+        _fit_books_np(x.reshape(-1, m, dim // m), m, ksub, rng, max_iter)
+    )
+
+
+def build_ivf_rpq(
+    df: DataFrame,
+    vec_col: str,
+    lists: int,
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> IvfPqIndex:
+    """IVF + RESIDUAL PQ, composed the FAISS-default way
+    (``IVF{lists},PQ{m}`` with ``encode_residual``): cluster, then
+    quantize each vector's OFFSET from its cell centroid. Residuals
+    carry only the within-cell variance, so the same (m, ksub) budget
+    reconstructs markedly sharper than raw-vector PQ on clustered
+    data — the estimate gets closer to exact and the refine budget
+    buys more recall. Raw-L2 cells only (a spherical coarse quantizer
+    fits centroids in unit-norm space, where raw-vector offsets are
+    not meaningful residuals)."""
+    from vechord_spark.operators.ivf import build_ivf
+
+    ivf = build_ivf(df, vec_col, lists=lists, seed=seed)
+    book = train_pq_residual(
+        ivf.assigned, vec_col, ivf.centroids, m=m, ksub=ksub,
+        seed=seed, max_iter=max_iter,
+    )
+    return IvfPqIndex(ivf, book, residual=True)
+
+
+def adc_estimate_residual(
+    book: PqCodebook,
+    query: Sequence[float],
+    centroids: np.ndarray,
+    probe_ids: Sequence[int],
+    kind: str = "l2",
+) -> Column:
+    """ADC over RESIDUAL codes: per probed CELL the lookup table
+    shifts by the cell centroid. ``l2`` builds one (m, ksub) LUT per
+    probed cell from ``q - centroid_c`` — the sum is then the exact
+    squared distance to the reconstruction ``c + r̂``; ``dot`` shares
+    one residual LUT (``-q·r̂`` partials) across cells and adds the
+    per-cell ``-q·c`` offset. Probes are ≤ tens of cells, so the LUT
+    dict is tiny and rides in the UDF closure like the plain one."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    if kind == "l2":
+        luts = {int(c): book.lookup_table(q - cents[int(c)], "l2") for c in probe_ids}
+        offs = {int(c): 0.0 for c in probe_ids}
+    elif kind == "dot":
+        base = book.lookup_table(q, "dot")
+        luts = {int(c): base for c in probe_ids}
+        offs = {int(c): float(-(q * cents[int(c)]).sum()) for c in probe_ids}
+    else:
+        raise ValueError(f"unknown ADC kind: {kind!r}")
+
+    @pandas_udf(T.DoubleType())
+    def _adc(cids: pd.Series, codes: pd.Series) -> pd.Series:
+        c = np.array(codes.tolist(), dtype=np.int64)
+        cid = cids.to_numpy()
+        out = np.empty(len(c), dtype=np.float64)
+        for cc in np.unique(cid):
+            mask = cid == cc
+            out[mask] = (
+                np.take_along_axis(luts[int(cc)].T, c[mask], axis=0).sum(axis=1)
+                + offs[int(cc)]
+            )
+        return pd.Series(out)
+
+    return _adc(F.col("centroid_id"), F.col("__pq"))
+
+
 class IvfPqIndex:
     """IVF probe pruning + PQ-ADC estimate + exact refine — the full
     FAISS ``IVF{lists},PQ{m}`` recipe as a DataFrame plan: partition
     pruning (probe filter) -> code-column scan (ADC) -> float-column
     scan for ``refine`` rows only."""
 
-    def __init__(self, ivf, book: PqCodebook, encoded: DataFrame | None = None):
+    def __init__(
+        self,
+        ivf,
+        book: PqCodebook,
+        encoded: DataFrame | None = None,
+        residual: bool = False,
+    ):
         self.ivf = ivf  # operators.ivf.IvfIndex
         self.book = book
+        # residual=True: __pq encodes x - centroid[cell] (FAISS IVFPQ
+        # default); the ADC shifts its LUT per probed cell. NOTE the
+        # registry's persisted layouts stay raw-vector PQ on purpose —
+        # recluster/merge move rows between cells by pure rename/
+        # hardlink, which is only sound when codes are cell-independent
+        self.residual = residual
         # pass a pre-encoded frame (e.g. the persisted clustered layout,
         # which already carries __pq) to skip the encode pass on load
         self.encoded = (
-            encoded if encoded is not None else encode_pq(ivf.assigned, ivf.vec_col, book)
+            encoded
+            if encoded is not None
+            else encode_pq(
+                ivf.assigned,
+                ivf.vec_col,
+                book,
+                centroids=ivf.centroids if residual else None,
+            )
         )
 
     def search(
@@ -267,11 +424,14 @@ class IvfPqIndex:
         order = [F.col("__est").asc()]
         if tie_break:
             order.append(F.col(tie_break).asc())
-        cands = (
-            pruned.withColumn("__est", adc_estimate(self.book, query, kind))
-            .orderBy(*order)
-            .limit(refine)
+        est = (
+            adc_estimate_residual(
+                self.book, query, self.ivf.centroids, probe_ids, kind
+            )
+            if self.residual
+            else adc_estimate(self.book, query, kind)
         )
+        cands = pruned.withColumn("__est", est).orderBy(*order).limit(refine)
         scored = cands.withColumn(
             "distance", vector_distance(distance, self.ivf.vec_col, list(query))
         ).drop("__pq", "__est")
@@ -459,6 +619,7 @@ def reconstruction_mse(
     vec_col: str,
     book: PqCodebook,
     rotation: OpqRotation | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """One-row frame ``(n, mse)``: corpus-mean squared reconstruction
     error of the codebook — the objective PQ/OPQ minimize, computed
@@ -466,25 +627,44 @@ def reconstruction_mse(
     diff; map-side combined agg). Rotation preserves norms, so the
     rotated-space MSE is directly comparable to the plain one — this
     is the stable corpus-level witness that OPQ beat plain PQ (recall
-    @k on a single query is a noisier signal)."""
+    @k on a single query is a noisier signal).
+
+    With ``centroids`` the error is of the RESIDUAL coder: the
+    reconstruction is ``centroid + r̂``, so ``||x - (c + r̂)||² =
+    ||residual - r̂||²`` — the same full-vector error scale, directly
+    comparable to raw-vector PQ's. ``df`` must carry ``centroid_id``."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
     cb = book.codebooks
     r = rotation.rotation if rotation is not None else None
+    cents = np.asarray(centroids, dtype=np.float64) if centroids is not None else None
 
-    @pandas_udf(T.DoubleType())
-    def _err(vecs: pd.Series) -> pd.Series:
-        x = np.array(vecs.tolist(), dtype=np.float64)
+    def _sq_err(x: np.ndarray) -> pd.Series:
         if r is not None:
             x = x @ r
         y = _encode_reconstruct_np(x, cb)
         d = x - y
         return pd.Series((d * d).sum(axis=1))
 
-    return df.select(_err(F.col(vec_col)).alias("__e")).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("__e").alias("mse")
-    )
+    if cents is None:
+
+        @pandas_udf(T.DoubleType())
+        def _err(vecs: pd.Series) -> pd.Series:
+            return _sq_err(np.array(vecs.tolist(), dtype=np.float64))
+
+        errs = df.select(_err(F.col(vec_col)).alias("__e"))
+    else:
+
+        @pandas_udf(T.DoubleType())
+        def _err_res(cids: pd.Series, vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            return _sq_err(x - cents[cids.to_numpy()])
+
+        errs = df.select(
+            _err_res(F.col("centroid_id"), F.col(vec_col)).alias("__e")
+        )
+    return errs.agg(F.count(F.lit(1)).alias("n"), F.avg("__e").alias("mse"))
 
 
 def build_opq_ivf_pq(

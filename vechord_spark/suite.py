@@ -4150,6 +4150,145 @@ def opq_recall(spark, sf_dir):
     )
 
 
+def _rpq(spark, sf_dir):
+    """Residual IVF-PQ index (FAISS's IVFPQ DEFAULT: codes quantize
+    x - centroid[cell], not x) memoized + persisted like _ivfpq. Its
+    coarse quantizer is a fresh raw-L2 lists=16 fit — residuals are
+    raw-space offsets, so the spherical _ivf16 centroids (fit in
+    unit-norm space) are not a meaningful subtraction base."""
+    key = (sf_dir, 8, 16, "rpq")
+    ent = _PQ_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    import json as _json
+    import re as _re
+
+    import numpy as _np
+
+    from vechord_spark.operators.ivf import IvfIndex
+    from vechord_spark.operators.pq import IvfPqIndex, PqCodebook, build_ivf_rpq
+    from vechord_spark.plans.artifacts import ArtifactStore
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+
+    def _build(tmp):
+        built = build_ivf_rpq(
+            _t(spark, sf_dir, "embeddings"), "embedding",
+            lists=16, m=8, ksub=16, seed=42,
+        )
+        built.encoded.write.parquet(str(tmp / "encoded"))
+        (tmp / "centroids.bin").write_bytes(
+            _np.ascontiguousarray(built.ivf.centroids, dtype="<f8").tobytes()
+        )
+        (tmp / "codebooks.bin").write_bytes(
+            _np.ascontiguousarray(built.book.codebooks, dtype="<f8").tobytes()
+        )
+        (tmp / "rpq.json").write_text(
+            _json.dumps(
+                {
+                    "ivf_shape": list(built.ivf.centroids.shape),
+                    "pq_shape": list(built.book.codebooks.shape),
+                }
+            )
+        )
+
+    path = ArtifactStore(spark).load_or_build(
+        f"rpq_{tag}", [src], {"m": 8, "ksub": 16, "seed": 42, "v": 1}, _build
+    )
+    meta = _json.loads((path / "rpq.json").read_text())
+    cents = (
+        _np.frombuffer((path / "centroids.bin").read_bytes(), dtype="<f8")
+        .reshape(meta["ivf_shape"])
+        .copy()
+    )
+    book = PqCodebook(
+        _np.frombuffer((path / "codebooks.bin").read_bytes(), dtype="<f8")
+        .reshape(meta["pq_shape"])
+        .copy()
+    )
+    encoded = spark.read.parquet(str(path / "encoded")).persist()
+    index = IvfPqIndex(
+        IvfIndex(cents, encoded, "embedding"), book,
+        encoded=encoded, residual=True,
+    )
+    _PQ_CACHE[key] = (spark, index)
+    return index
+
+
+@_q(
+    "rpq_recall",
+    """
+    SELECT CAST(10 AS INT) AS k, CAST(4 AS INT) AS probes,
+           CAST(8 AS INT) AS m, CAST(16 AS INT) AS ksub,
+           CAST(100 AS INT) AS refine,
+           CAST(0.4 AS DOUBLE) AS recall_floor, CAST(1 AS INT) AS recall_ok,
+           CAST(1 AS INT) AS mse_improves
+    """,
+)
+def rpq_recall(spark, sf_dir):
+    """Deterministic scalar gate for RESIDUAL IVF-PQ (operators/pq.
+    build_ivf_rpq — the FAISS ``IVF16,PQ8`` default with
+    ``encode_residual``; Jégou et al., PAMI 2011 §IV): recall@10 of
+    probe-prune -> per-cell-LUT residual ADC -> exact-refine(100) vs
+    exact k-NN, PLUS the corpus-level witness that residual coding
+    earned its keep — the distributed mean squared reconstruction
+    error of centroid + r̂ must not exceed raw-vector PQ's at the
+    identical (m, ksub, seed) budget (_ivfpq's persisted codebooks;
+    both errors are full-vector scale, directly comparable). Residuals
+    carry only within-cell variance, so the same code budget
+    reconstructs sharper wherever the corpus actually clusters. Same
+    claim-style oracle as ivf_pq_recall/opq_recall (KMeans fits are
+    not SQL-expressible). NOTE the registry's persisted layouts stay
+    raw-vector PQ on purpose: recluster/merge move rows between cells
+    by pure rename/hardlink, which is only sound when codes are
+    cell-independent — residual codes would need a re-encode pass on
+    every cell move."""
+    from vechord_spark.operators.knn import knn
+    from vechord_spark.operators.pq import reconstruction_mse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = knn(
+        emb, "embedding", QVEC, k=10, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    ).select("vec_id")
+    index = _rpq(spark, sf_dir)
+    approx = index.search(
+        QVEC, k=10, probes=4, refine=100, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    )
+    tagged = (
+        approx.select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(F.lit("hits").alias("tag"), "v")
+        .unionByName(
+            reconstruction_mse(
+                emb, "embedding", _ivfpq(spark, sf_dir).book
+            ).select(F.lit("mse_pq").alias("tag"), F.col("mse").alias("v"))
+        )
+        .unionByName(
+            reconstruction_mse(
+                index.encoded, "embedding", index.book,
+                centroids=index.ivf.centroids,
+            ).select(F.lit("mse_rpq").alias("tag"), F.col("mse").alias("v"))
+        )
+    )
+    pick = lambda t: F.max(F.when(F.col("tag") == t, F.col("v")))  # noqa: E731
+    return tagged.agg(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("probes"),
+        F.lit(8).alias("m"),
+        F.lit(16).alias("ksub"),
+        F.lit(100).alias("refine"),
+        F.lit(0.4).alias("recall_floor"),
+        (pick("hits") / F.lit(10.0) >= F.lit(0.4)).cast("int").alias(
+            "recall_ok"
+        ),
+        (pick("mse_rpq") <= pick("mse_pq")).cast("int").alias("mse_improves"),
+    )
+
+
 @_q(
     "eval_precision_knn",
     _EVAL_BASE
