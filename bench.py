@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "dedup_embedding_pairs",
     "ivf_knn",
     "ivf_knn_refined",
+    "ivf_knn_batch_recall",
     "ivf_recall",
     "ivf_recall_expanded",
     "ivf_recall_refined",

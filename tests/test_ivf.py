@@ -167,6 +167,45 @@ def test_incremental_add_finds_new_and_keeps_old(ivf, spark):
     assert fresh == want
 
 
+def test_search_batch_matches_per_query_search(spark):
+    """search_batch (N queries, one pass over the unioned probed
+    partitions) must return, for every query, exactly the rows the
+    single-query search returns — same probe sets, same distances
+    (numpy scoring cross-checked against the JVM expression), same
+    tie-broken order."""
+    import random
+
+    from vechord_spark.operators.ivf import build_ivf
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_ivf(df, "embedding", lists=6, seed=3)
+    queries = [
+        [rng.uniform(-1, 1) for _ in range(8)] for _ in range(5)
+    ]
+    for dist in ("cos", "l2", "dot"):
+        batch = idx.search_batch(
+            queries, k=7, probes=2, distance=dist,
+            select=["vec_id"], tie_break="vec_id",
+        ).collect()
+        by_q: dict[int, list] = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert sorted(by_q) == list(range(5))
+        for qi, q in enumerate(queries):
+            single = idx.search(
+                q, k=7, probes=2, distance=dist,
+                select=["vec_id"], tie_break="vec_id",
+            ).collect()
+            got = by_q[qi]
+            assert [r["vec_id"] for r in got] == [r["vec_id"] for r in single]
+            for g, s in zip(got, single):
+                assert abs(g["distance"] - s["distance"]) < 1e-9
+
+
 def test_spherical_build_and_probe(spark):
     """Spherical IVF: cells fit/assigned on unit-norm vectors; a query
     and its scaled copy probe the SAME cells (cosine cannot see

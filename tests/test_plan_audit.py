@@ -69,6 +69,7 @@ BNLJ_ALLOWED = {
     # the anti-join against positives
     "hard_negatives",
     "ivf_recall_expanded",  # exact side is the knn_join batch broadcast
+    "ivf_knn_batch_recall",  # exact side is the knn_join batch broadcast
     "eval_recall_knn",
     "eval_ndcg_knn",
     "eval_mrr_knn",

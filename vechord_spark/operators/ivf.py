@@ -176,6 +176,127 @@ class IvfIndex:
             out = out.select(*select, "distance")
         return out
 
+    def search_batch(
+        self,
+        queries: Sequence[Sequence[float]],
+        k: int = 10,
+        probes: int | None = None,
+        distance: str = "cos",
+        select: Sequence[str] | None = None,
+        tie_break: str | None = None,
+        expand_margin: float = 0.0,
+    ) -> DataFrame:
+        """Batched probe search: N queries answered in ONE pass over
+        the UNION of their probed partitions — the production shape
+        for evaluation runs and hard-negative mining, where a query
+        STREAM hits the index. N separate ``search`` calls would plan
+        N jobs and re-open the shared partitions N times; here the
+        scan is amortized: each corpus row is read once and scored
+        (vectorized, one matmul per Arrow batch) against exactly the
+        queries whose probe set contains its cell, then one window
+        takes per-query top-k. The per-partition ``rank <= k`` filter
+        compiles to a partial WindowGroupLimit below the exchange
+        (same optimizer rewrite knn_join pins), so the pair space
+        never reaches the shuffle.
+
+        Returns one frame: ``query_id`` (the position in ``queries``),
+        the ``select`` columns (default: all non-vector columns), and
+        ``distance``, top-k rows per query."""
+        from pyspark.sql import Window
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        if probes is None:
+            probes = default_probes(self.lists)
+        qm = np.asarray([list(q) for q in queries], dtype=np.float64)
+        if qm.ndim != 2 or not len(qm):
+            raise ValueError("queries must be a non-empty list of vectors")
+        cell_to_q: dict[int, list[int]] = {}
+        for qi in range(len(qm)):
+            for c in self.nearest_centroids(qm[qi], probes, expand_margin):
+                cell_to_q.setdefault(int(c), []).append(qi)
+        pruned = self.assigned.filter(
+            F.col("centroid_id").isin(sorted(cell_to_q))
+        )
+
+        kind = distance
+        if kind not in ("l2", "cos", "dot"):
+            raise ValueError(f"unknown distance {kind!r}")
+        q_norm = np.sqrt((qm * qm).sum(axis=1))
+
+        @pandas_udf(
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("qid", T.IntegerType()),
+                        T.StructField("d", T.DoubleType()),
+                    ]
+                )
+            )
+        )
+        def _score(cids: pd.Series, vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            cid = cids.to_numpy()
+            res: list = [None] * len(x)
+            for c in np.unique(cid):
+                qs = cell_to_q.get(int(c))
+                mask = cid == c
+                rows_idx = np.flatnonzero(mask)
+                if not qs:
+                    for ri in rows_idx:
+                        res[ri] = []
+                    continue
+                sub = x[mask]
+                qsub = qm[qs]
+                dots = sub @ qsub.T  # (rows, nq)
+                if kind == "dot":
+                    d = -dots
+                elif kind == "cos":
+                    xn = np.sqrt((sub * sub).sum(axis=1))
+                    d = 1.0 - dots / (
+                        np.maximum(xn, 1e-300)[:, None] * q_norm[qs][None, :]
+                    )
+                else:  # l2
+                    xn2 = (sub * sub).sum(axis=1)
+                    qn2 = (qsub * qsub).sum(axis=1)
+                    d = np.sqrt(
+                        np.maximum(
+                            xn2[:, None] - 2.0 * dots + qn2[None, :], 0.0
+                        )
+                    )
+                for ri, drow in zip(rows_idx, d):
+                    res[ri] = [
+                        {"qid": int(q), "d": float(v)}
+                        for q, v in zip(qs, drow)
+                    ]
+            return pd.Series(res)
+
+        keep = (
+            list(select)
+            if select is not None
+            else [c for c in pruned.columns if c not in (self.vec_col, "centroid_id")]
+        )
+        scored = (
+            pruned.withColumn(
+                "__hits", _score(F.col("centroid_id"), F.col(self.vec_col))
+            )
+            .select(*keep, F.explode("__hits").alias("__h"))
+            .select(
+                F.col("__h.qid").alias("query_id"),
+                *keep,
+                F.col("__h.d").alias("distance"),
+            )
+        )
+        order = [F.col("distance").asc()]
+        if tie_break:
+            order.append(F.col(tie_break).asc())
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def search_refined(
         self,
         query: Sequence[float],

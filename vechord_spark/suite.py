@@ -4150,6 +4150,63 @@ def opq_recall(spark, sf_dir):
     )
 
 
+@_q(
+    "ivf_knn_batch_recall",
+    """
+    SELECT CAST(8 AS INT) AS n_queries, CAST(10 AS INT) AS k,
+           CAST(4 AS INT) AS probes,
+           CAST(0.5 AS DOUBLE) AS mean_recall_floor,
+           CAST(1 AS INT) AS recall_ok
+    """,
+)
+def ivf_knn_batch_recall(spark, sf_dir):
+    """Deterministic gate for BATCHED probe search
+    (operators/ivf.IvfIndex.search_batch — the production eval/mining
+    shape: a query stream answered in ONE pass over the union of the
+    probed partitions, each corpus row scored vectorized against
+    exactly the queries whose probe set contains its cell, one window
+    top-k). The batch is the 8 lowest-vec_id embeddings themselves
+    (self-queries, deterministic); exact ground truth is knn_join's
+    broadcast batch brute force; the claim-style oracle pins config +
+    floor + pass bit on the MEAN recall@10 across the batch (per-row
+    equivalence with single-query search is pinned in
+    tests/test_ivf.py::test_search_batch_matches_per_query_search).
+    N single searches would plan N jobs and re-open shared partitions
+    N times — at a 100 TB index with a 10k-query eval stream, the
+    amortized single scan is the difference between an eval run and a
+    week."""
+    from vechord_spark.operators.knn import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.orderBy("vec_id").limit(8).select("vec_id", "embedding").collect()
+    )
+    queries = [list(r["embedding"]) for r in qrows]
+    index = _ivf16(spark, sf_dir)
+    approx = index.search_batch(
+        queries, k=10, probes=4, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    ).select("query_id", "vec_id")
+    qdf = spark.createDataFrame(
+        [(i, queries[i]) for i in range(len(queries))],
+        "query_id int, qvec array<double>",
+    )
+    exact = knn_join(
+        qdf, emb, "qvec", "embedding", "query_id", "vec_id",
+        k=10, distance="cos",
+    ).select("query_id", "vec_id")
+    hits = approx.join(exact, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("double").alias("h")
+    )
+    return hits.select(
+        F.lit(8).alias("n_queries"),
+        F.lit(10).alias("k"),
+        F.lit(4).alias("probes"),
+        F.lit(0.5).alias("mean_recall_floor"),
+        (F.col("h") / F.lit(80.0) >= F.lit(0.5)).cast("int").alias("recall_ok"),
+    )
+
+
 def _rpq(spark, sf_dir):
     """Residual IVF-PQ index (FAISS's IVFPQ DEFAULT: codes quantize
     x - centroid[cell], not x) memoized + persisted like _ivfpq. Its
