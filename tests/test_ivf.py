@@ -245,6 +245,54 @@ def test_spherical_build_and_probe(spark):
     assert grown.assigned.filter("vec_id = 1000").count() == 1
 
 
+def test_registry_batch_search_matches_single(spark, tmp_path):
+    """search_by_vector_batch: probes path answers the whole batch in
+    one pass and matches per-query search_by_vector; the brute path
+    (no probes) matches the exact scan; wrong dims raise."""
+    import random
+
+    import pytest as _pytest
+
+    from vechord_spark.errors import DimensionMismatch
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec, Vector
+
+    rng = random.Random(23)
+    r = VechordRegistry("bsrch", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "emb",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(4))],
+        )
+    )
+    r.insert_rows(
+        "emb",
+        [
+            {"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(4)]}
+            for i in range(200)
+        ],
+    )
+    r.build_vector_index("emb", lists=4)
+    queries = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(3)]
+
+    for probes in (2, None):
+        batch = r.search_by_vector_batch(
+            "emb", queries, topk=5, probes=probes
+        ).collect()
+        by_q: dict[int, list] = {}
+        for row in batch:
+            by_q.setdefault(row["query_id"], []).append(row)
+        assert sorted(by_q) == [0, 1, 2]
+        for qi, q in enumerate(queries):
+            single = r.search_by_vector(
+                "emb", q, topk=5, probes=probes
+            ).collect()
+            assert [x["uid"] for x in by_q[qi]] == [x["uid"] for x in single]
+
+    with _pytest.raises(DimensionMismatch):
+        r.search_by_vector_batch("emb", [[1.0, 2.0]], topk=3)
+
+
 def test_registry_spherical_index_persists_flag(spark, tmp_path):
     """build_vector_index(spherical=True) persists the flag; a fresh
     load probes spherically and extend assigns spherically."""

@@ -2628,6 +2628,97 @@ class VechordRegistry:
             tie_break=pk.name if pk else None,
         )
 
+    def search_by_vector_batch(
+        self,
+        name: str,
+        vectors: Sequence[Sequence[float]],
+        topk: int = 10,
+        return_fields: Sequence[str] | None = None,
+        distance: str | None = None,
+        probes: int | None = None,
+    ) -> DataFrame:
+        """Batch k-NN: top-k rows for EVERY query vector, one frame
+        with a ``query_id`` column (the position in ``vectors``) — the
+        eval/mining shape. With ``probes`` the persisted IVF layout
+        answers the whole batch in ONE pass over the union of the
+        probed partitions (:meth:`IvfIndex.search_batch`); without,
+        the exact broadcast batch brute force (operators/knn.knn_join:
+        the query set broadcasts against one corpus scan, per-query
+        window top-k). N single :meth:`search_by_vector` calls would
+        plan N jobs and re-open shared partitions N times."""
+        from vechord_spark.errors import DimensionMismatch
+        from vechord_spark.operators.knn import knn_join
+
+        spec = self._spec(name)
+        vec_col = spec.vector_column
+        if vec_col is None:
+            raise SchemaError(f"table {name} has no vector column")
+        if not len(vectors):
+            raise ValueError("vectors must be a non-empty list")
+        for v in vectors:
+            if len(v) != vec_col.engine_type.dim:
+                raise DimensionMismatch(
+                    f"query vector has {len(v)} dims, "
+                    f"{name}.{vec_col.name} is Vector({vec_col.engine_type.dim})"
+                )
+        dist = distance or (vec_col.index.distance if vec_col.index else "l2")
+        fields = list(return_fields) if return_fields else spec.non_vec_columns()
+        pk = spec.primary_key
+        if probes is not None:
+            index = self._load_vector_index(name)
+            if index is None:
+                raise SchemaError(
+                    f"no IVF index for {name}; call build_vector_index first"
+                )
+            from vechord_spark.operators.pq import IvfPqIndex
+
+            if isinstance(index, IvfPqIndex):
+                raise SchemaError(
+                    "batch search is not supported on the PQ index path yet; "
+                    "use the plain IVF index or the brute-force path"
+                )
+            out = index.search_batch(
+                [list(v) for v in vectors],
+                k=topk,
+                probes=probes,
+                distance=dist,
+                select=fields,
+                tie_break=pk.name if pk else None,
+            )
+            # the result is bounded (n_queries x k): pin a deterministic
+            # presentation order like the single-query path's top-k sort
+            order = [F.col("query_id").asc(), F.col("distance").asc()]
+            if pk:
+                order.append(F.col(pk.name).asc())
+            return out.orderBy(*order)
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+            "query_id int, __qvec array<double>",
+        )
+        joined = knn_join(
+            qdf,
+            self.load(name),
+            "__qvec",
+            vec_col.name,
+            "query_id",
+            pk.name if pk else fields[0],
+            k=topk,
+            distance=dist,
+        )
+        corpus_id = pk.name if pk else fields[0]
+        out = joined.select(
+            "query_id", F.col(corpus_id), "distance"
+        )
+        extra = [f for f in fields if f != corpus_id]
+        if extra:
+            out = out.join(
+                self.load(name).select(corpus_id, *extra), corpus_id
+            ).select("query_id", *fields, "distance")
+        order = [F.col("query_id").asc(), F.col("distance").asc()]
+        if pk:
+            order.append(F.col(pk.name).asc())
+        return out.orderBy(*order)
+
     def search_by_multivec(
         self,
         name: str,
