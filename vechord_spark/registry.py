@@ -711,6 +711,8 @@ class VechordRegistry:
         name: str,
         target_file_bytes: int = 128 << 20,
         shuffle: bool = False,
+        order_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
     ) -> dict[str, int]:
         """Rewrite ``name``'s storage into ~``target_file_bytes`` files.
 
@@ -722,6 +724,20 @@ class VechordRegistry:
         in place), publish through the crash-recoverable ``_rewrite``
         journal. Pass ``shuffle=True`` to ``repartition`` instead when
         the batches were skewed and merged files must come out even.
+
+        ``order_by`` — OPTIMIZE ... ORDER BY: range-repartition on the
+        named columns and sort within partitions, so every output file
+        covers a disjoint slice of the sort key and parquet footer
+        min/max statistics (zone maps) let a range predicate SKIP whole
+        files and row groups — the 100 TB lever for time/id-range
+        scans. ``zorder_by`` — OPTIMIZE ZORDER BY: for MULTI-column
+        predicates a plain sort only prunes its leading column; the
+        Z-curve interleaves the bits of per-column quantile-bucket
+        ranks (boundaries from one approxQuantile pass, so skew cannot
+        starve buckets) and clusters on that key, keeping every named
+        column's per-file min/max range narrow simultaneously. Both
+        are pure layout changes: row set, schema, and every reader are
+        unchanged.
 
         Index-ledger contract: a rewrite invalidates every index's
         files.json (the ledger can no longer prove append-only
@@ -760,7 +776,9 @@ class VechordRegistry:
                 if not sizes:
                     return None
                 n_out = max(1, -(-stats["bytes"] // max(1, target_file_bytes)))
-                return df.repartition(n_out) if shuffle else df.coalesce(n_out)
+                return self._compact_transform(
+                    df, n_out, shuffle, order_by, zorder_by
+                )
 
             final = self._optimistic_rewrite(name, build, op="compact")
             stats["files_after"] = len(final.files) if stats.get("bytes") else 0
@@ -783,8 +801,9 @@ class VechordRegistry:
         files = [p for p in live.rglob("*.parquet") if p.is_file()]
         total = sum(p.stat().st_size for p in files)
         n_out = max(1, -(-total // max(1, target_file_bytes)))
-        df = self.load(name)
-        df = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+        df = self._compact_transform(
+            self.load(name), n_out, shuffle, order_by, zorder_by
+        )
         self._rewrite(name, df)
         after = sum(1 for p in live.rglob("*.parquet") if p.is_file())
         self._snapshot_index_ledgers(name, ledgered, self.load(name))
@@ -793,6 +812,81 @@ class VechordRegistry:
             "files_after": after,
             "bytes": total,
         }
+
+    def _compact_transform(
+        self,
+        df: DataFrame,
+        n_out: int,
+        shuffle: bool,
+        order_by: Sequence[str] | None,
+        zorder_by: Sequence[str] | None,
+    ) -> DataFrame:
+        """The compaction layout transform: plain coalesce/repartition,
+        ORDER BY range-clustering, or Z-ORDER clustering (see
+        :meth:`compact`). The clustering key never reaches the files —
+        the staging writes project ``spec.field_names`` after the sort
+        (narrow projection, partitioning and sort order preserved)."""
+        if order_by and zorder_by:
+            raise ValueError("pass order_by or zorder_by, not both")
+        if order_by:
+            cols = [F.col(c) for c in order_by]
+            return df.repartitionByRange(n_out, *cols).sortWithinPartitions(
+                *cols
+            )
+        if zorder_by:
+            if len(zorder_by) < 2:
+                raise ValueError(
+                    "zorder_by needs >= 2 columns (one column is just "
+                    "order_by)"
+                )
+            keyed = df.withColumn(
+                "__zkey", self._zorder_key(df, list(zorder_by))
+            )
+            return keyed.repartitionByRange(
+                n_out, F.col("__zkey")
+            ).sortWithinPartitions("__zkey")
+        return df.repartition(n_out) if shuffle else df.coalesce(n_out)
+
+    _ZORDER_BITS = 6  # 64 quantile buckets per column
+
+    def _zorder_key(self, df: DataFrame, cols: list[str]):
+        """Z-curve (Morton) key column: per column, one approxQuantile
+        pass yields 2^bits - 1 bucket boundaries (equi-DEPTH, so a
+        skewed column cannot starve buckets the way equi-width would);
+        each value maps to its bucket rank via a bounded when-chain
+        (whole-stage codegen, no UDF), and the per-column ranks
+        interleave bit-by-bit into one long. Sorting by the key keeps
+        EVERY named column's per-file min/max range narrow at once —
+        the multi-dimensional zone-map property ORDER BY only gives
+        its leading column. NULLs sort to bucket 0."""
+        bits = self._ZORDER_BITS
+        nq = (1 << bits) - 1
+        quantiles = [i / (nq + 1) for i in range(1, nq + 1)]
+        bucket_cols = []
+        for c in cols:
+            cuts = df.select(F.col(c).cast("double").alias("__c")).stat.approxQuantile(
+                "__c", quantiles, 0.001
+            )
+            # strictly increasing cut set (duplicates collapse when the
+            # column has < 2^bits distinct values)
+            uniq: list[float] = []
+            for v in cuts:
+                if not uniq or v > uniq[-1]:
+                    uniq.append(v)
+            expr = F.lit(0)
+            for i, cut in enumerate(uniq, start=1):
+                expr = F.when(
+                    F.col(c).cast("double") > F.lit(cut), F.lit(i)
+                ).otherwise(expr)
+            bucket_cols.append(expr.cast("long"))
+        zkey = F.lit(0).cast("long")
+        for b in range(bits):
+            for ci, bc in enumerate(bucket_cols):
+                bit = F.shiftright(bc, b).bitwiseAND(F.lit(1).cast("long"))
+                zkey = zkey.bitwiseOR(
+                    F.shiftleft(bit, b * len(bucket_cols) + ci)
+                )
+        return zkey
 
     def compact_index(self, name: str) -> dict[str, int]:
         """Small-file hygiene for the INDEX layouts — the index-side

@@ -266,6 +266,8 @@ class VechordService:
                 name,
                 target_file_bytes=int(payload.get("target_file_mb", 128)) << 20,
                 shuffle=bool(payload.get("shuffle", False)),
+                order_by=payload.get("order_by"),
+                zorder_by=payload.get("zorder_by"),
             )
         elif op == "compact_index":
             stats = self.registry.compact_index(name)
