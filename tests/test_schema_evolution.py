@@ -1,0 +1,113 @@
+"""ALTER TABLE ADD COLUMN — metadata-only schema evolution.
+
+load() reads with the spec's explicit schema, so pre-alter parquet
+files surface the new column as NULL without any rewrite; the alter
+persists in the table's _alters.json overlay and replays in every
+later session's register(); backfill_column is the explicit journaled
+rewrite for materializing a value into history.
+"""
+
+import pytest
+
+from vechord_spark.errors import SchemaError
+from vechord_spark.registry import VechordRegistry
+from vechord_spark.spec import Column, TableSpec
+
+
+def _spec():
+    return TableSpec(
+        "doc",
+        [
+            Column("uid", "int", primary_key=True),
+            Column("text", "string"),
+        ],
+    )
+
+
+def _rows(lo, hi):
+    return [{"uid": i, "text": f"doc {i}"} for i in range(lo, hi)]
+
+
+def test_add_column_is_metadata_only(spark, tmp_path):
+    r = VechordRegistry("evo", str(tmp_path), spark)
+    r.register(_spec())
+    r.insert_rows("doc", _rows(0, 5))
+    files_before = sorted(r.load("doc").inputFiles())
+
+    r.alter_table_add_column("doc", "lang", "string", insert_default="en")
+    # NO file rewritten
+    assert sorted(r.load("doc").inputFiles()) == files_before
+    # pre-alter rows read NULL
+    got = {x["uid"]: x["lang"] for x in r.load("doc").collect()}
+    assert got == {i: None for i in range(5)}
+
+    # post-alter inserts: omitted key -> default; explicit None -> NULL;
+    # explicit value -> value
+    r.insert_rows(
+        "doc",
+        [
+            {"uid": 10, "text": "a"},
+            {"uid": 11, "text": "b", "lang": None},
+            {"uid": 12, "text": "c", "lang": "fr"},
+        ],
+    )
+    got = {x["uid"]: x["lang"] for x in r.load("doc").collect()}
+    assert got[10] == "en" and got[11] is None and got[12] == "fr"
+
+
+def test_alter_overlay_replays_in_new_session(spark, tmp_path):
+    r1 = VechordRegistry("evo2", str(tmp_path), spark)
+    r1.register(_spec())
+    r1.insert_rows("doc", _rows(0, 3))
+    r1.alter_table_add_column("doc", "score", "double", insert_default=1.5)
+
+    # a registry built from YESTERDAY'S spec sees the evolved schema
+    r2 = VechordRegistry("evo2", str(tmp_path), spark)
+    r2.register(_spec())
+    assert [c.name for c in r2.tables["doc"].columns] == ["uid", "text", "score"]
+    r2.insert_rows("doc", [{"uid": 9, "text": "z"}])
+    got = {x["uid"]: x["score"] for x in r2.load("doc").collect()}
+    assert got[9] == 1.5 and got[0] is None
+
+
+def test_backfill_column_rewrites_once(spark, tmp_path):
+    r = VechordRegistry("evo3", str(tmp_path), spark, concurrency="optimistic")
+    r.register(_spec())
+    r.insert_rows("doc", _rows(0, 4))
+    r.alter_table_add_column("doc", "lang", "string")
+    r.insert_rows("doc", [{"uid": 8, "text": "x", "lang": "de"}])
+    assert r.backfill_column("doc", "lang", "en") == 4
+    got = {x["uid"]: x["lang"] for x in r.load("doc").collect()}
+    assert got == {0: "en", 1: "en", 2: "en", 3: "en", 8: "de"}
+    assert r.history("doc")[-1]["op"] == "backfill"
+    # nothing left to fill: no-op, no new version
+    v = r.table_version("doc")
+    assert r.backfill_column("doc", "lang", "en") == 0
+    assert r.table_version("doc") == v
+
+
+def test_alter_validations(spark, tmp_path):
+    r = VechordRegistry("evo4", str(tmp_path), spark)
+    r.register(_spec())
+    with pytest.raises(SchemaError, match="already has"):
+        r.alter_table_add_column("doc", "text", "string")
+    with pytest.raises(ValueError, match="vector"):
+        r.alter_table_add_column("doc", "emb", "Vector(8)")
+    with pytest.raises(SchemaError, match="no column"):
+        r.backfill_column("doc", "missing", 1)
+
+
+def test_alter_composes_with_select_and_delete(spark, tmp_path):
+    """The evolved column behaves like any declared one: predicates,
+    projections, DELETE rewrites (which materialize the schema) all
+    see it."""
+    r = VechordRegistry("evo5", str(tmp_path), spark)
+    r.register(_spec())
+    r.insert_rows("doc", _rows(0, 4))
+    r.alter_table_add_column("doc", "lang", "string", insert_default="en")
+    r.insert_rows("doc", [{"uid": 7, "text": "y"}])
+    assert r.select_by("doc", {"lang": "en"}).count() == 1
+    # a DELETE rewrite materializes the evolved schema into the files
+    r.remove_by("doc", {"uid": 0})
+    got = {x["uid"]: x["lang"] for x in r.load("doc").collect()}
+    assert got == {1: None, 2: None, 3: None, 7: "en"}

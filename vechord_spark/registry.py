@@ -39,7 +39,7 @@ from vechord_spark.errors import (
     TableNotFound,
     UniqueViolation,
 )
-from vechord_spark.spec import AnyOf, TableSpec
+from vechord_spark.spec import AnyOf, Column, TableSpec
 
 
 def _cast_target(dt: T.DataType) -> T.DataType:
@@ -124,6 +124,8 @@ class VechordRegistry:
         self.spark = spark
         self.concurrency = concurrency
         self.tables: dict[str, TableSpec] = {}
+        # (table, column) -> INSERT-time default for ALTER-added columns
+        self._column_defaults: dict[tuple[str, str], Any] = {}
 
     # ------------------------------------------------------------------ DDL
     def table_path(self, name: str) -> str:
@@ -132,8 +134,112 @@ class VechordRegistry:
     def register(self, spec: TableSpec) -> None:
         """Declare a table (reference create_table_if_not_exists,
         vechord/client.py:112-128). Storage is created lazily on first
-        append; an empty registered table reads as an empty DataFrame."""
+        append; an empty registered table reads as an empty DataFrame.
+
+        Columns added by :meth:`alter_table_add_column` in ANY session
+        are replayed from the table's persisted ``_alters.json``
+        overlay on top of the declared spec, so a registry created
+        from yesterday's code still sees (and writes) today's evolved
+        schema."""
         self.tables[spec.name] = spec
+        self._apply_alter_overlay(spec.name)
+
+    # ------------------------------------------------- schema evolution
+    def _alters_path(self, name: str) -> Path:
+        # leading underscore: Spark's file listing treats _-prefixed
+        # entries as metadata and never feeds them to the parquet reader
+        return Path(self.table_path(name)) / "_alters.json"
+
+    def _apply_alter_overlay(self, name: str) -> None:
+        import json
+
+        p = self._alters_path(name)
+        if not p.exists():
+            return
+        spec = self.tables[name]
+        have = {c.name for c in spec.columns}
+        for ent in json.loads(p.read_text()):
+            if ent["column"] in have:
+                continue
+            spec.columns.append(Column(ent["column"], ent["dtype"]))
+            have.add(ent["column"])
+            if ent.get("insert_default") is not None:
+                self._column_defaults[(name, ent["column"])] = ent[
+                    "insert_default"
+                ]
+
+    def alter_table_add_column(
+        self,
+        name: str,
+        column: str,
+        dtype: str,
+        insert_default=None,
+    ) -> None:
+        """ALTER TABLE ADD COLUMN — metadata-only schema evolution, the
+        lakehouse way: NO file is rewritten. :meth:`load` already reads
+        with the spec's explicit schema, so parquet fills the new
+        column with NULL for every pre-alter file; rows inserted
+        after the alter carry real values (``insert_default`` fills
+        rows that omit the key — a column default, applied at INSERT
+        time only, never rewriting history). To materialize a value
+        into existing rows, run :meth:`backfill_column` (one journaled
+        rewrite). The alter persists in the table's ``_alters.json``
+        overlay and replays in every later session's :meth:`register`.
+
+        Added columns are plain nullable scalars/arrays/json —
+        constraints (primary key, unique, serial) and engine vector
+        types belong in the declared spec, where their index and
+        enforcement machinery is wired from row one."""
+        import json
+
+        spec = self._spec(name)
+        if any(c.name == column for c in spec.columns):
+            raise SchemaError(f"{name} already has a column {column!r}")
+        if not isinstance(dtype, str):
+            raise ValueError("alter_table_add_column takes a dtype STRING")
+        low = dtype.lower()
+        if "vector" in low:
+            raise ValueError(
+                "adding engine vector columns via ALTER is not supported: "
+                "declare them in the TableSpec (their index machinery is "
+                "wired at registration), backfill, then build the index"
+            )
+        spec.columns.append(Column(column, dtype))
+        if insert_default is not None:
+            self._column_defaults[(name, column)] = insert_default
+        p = self._alters_path(name)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        ents = json.loads(p.read_text()) if p.exists() else []
+        ents.append(
+            {"column": column, "dtype": dtype, "insert_default": insert_default}
+        )
+        p.write_text(json.dumps(ents))
+
+    def backfill_column(self, name: str, column: str, value) -> int:
+        """Materialize ``value`` into every existing NULL of an added
+        column — the explicit, journaled rewrite
+        :meth:`alter_table_add_column` deliberately does not do.
+        Returns the number of rows filled."""
+        spec = self._spec(name)
+        if not any(c.name == column for c in spec.columns):
+            raise SchemaError(f"{name} has no column {column!r}")
+        filled = [0]
+
+        def build(df: DataFrame) -> DataFrame | None:
+            filled[0] = df.filter(F.col(column).isNull()).count()
+            if filled[0] == 0:
+                return None
+            return df.withColumn(
+                column, F.coalesce(F.col(column), F.lit(value))
+            )
+
+        if self.concurrency == "optimistic":
+            self._optimistic_rewrite(name, build, op="backfill")
+            return filled[0]
+        out = build(self.load(name))
+        if out is not None:
+            self._rewrite(name, out)
+        return filled[0]
 
     def _spec(self, name: str) -> TableSpec:
         if name not in self.tables:
@@ -544,8 +650,17 @@ class VechordRegistry:
         cols = list(spec.columns)
         ai = spec.auto_increment_column
 
+        def _cell(c, r):
+            # ALTER-added columns may carry an INSERT-time default:
+            # it fills only rows that OMIT the key (an explicit None
+            # stays NULL — the Postgres DEFAULT contract)
+            if c.name not in r:
+                dflt = self._column_defaults.get((name, c.name))
+                return _coerce(c, dflt) if dflt is not None else None
+            return _coerce(c, r[c.name])
+
         def _frame(subset, columns):
-            full = [{c.name: _coerce(c, r.get(c.name)) for c in columns} for r in subset]
+            full = [{c.name: _cell(c, r) for c in columns} for r in subset]
             return self.spark.createDataFrame(
                 full, T.StructType([c.to_field() for c in columns])
             )
