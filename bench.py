@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "delete_cascade",
     "sparse_knn",
+    "sparse_index_topk",
     "groundtruth_generate",
     "maxsim_topk_docs",
     "lsh_knn",
@@ -222,6 +223,7 @@ def main() -> None:
         ("ivfpq_index", _suite._ivfpq),
         ("opq_index", _suite._opq),
         ("rpq_index", _suite._rpq),
+        ("sparse_postings", _suite._sparse_postings),
         # the incremental funnel's day-1 close artifacts (seen fps,
         # bands, bloom): corpus_funnel_incremental measures the DAY-2
         # O(batch) wall by contract — day-1 persistence happens at

@@ -25,6 +25,68 @@ from vechord_spark.functions.embed import SPARSE_DIM, _term_index, sparse_query_
 from vechord_spark.functions.text import tokenize
 
 
+def build_sparse_postings(
+    df: DataFrame,
+    doc_id: str,
+    text_col: str,
+    dim: int = SPARSE_DIM,
+) -> DataFrame:
+    """The PERSISTED inverted-postings layout ``(idx, doc_id, v)`` —
+    build-once CREATE INDEX work (the bm25 postings twin for sparse
+    vectors): per (doc, term) ``ln(1 + tf)``, summed per (doc, dim)
+    across hash collisions. Query-time cost then never re-tokenizes
+    the corpus; write the frame range-clustered on ``idx`` (e.g.
+    ``repartitionByRange(n, 'idx').sortWithinPartitions('idx')``) so a
+    query's handful of dimensions skip whole files on parquet footer
+    min/max alone."""
+    tokens = df.select(
+        F.col(doc_id).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
+    ).withColumn("idx", _term_index(F.col("tok"), dim))
+    return (
+        tokens.groupBy("doc_id", "tok", "idx")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("v", F.log(F.lit(1.0) + F.col("tf")))
+        .groupBy("idx", "doc_id")
+        .agg(F.sum("v").alias("v"))
+    )
+
+
+def sparse_topk_postings(
+    postings: DataFrame,
+    query: str,
+    dim: int = SPARSE_DIM,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k ``(doc_id, score, rank)`` against a PERSISTED postings
+    layout (:func:`build_sparse_postings`): prune to the query's
+    dimensions (an ``idx IN (...)`` the parquet scan pushes down —
+    with a range-clustered layout that is file/row-group SKIPPING, not
+    just filtering), broadcast the query weights, one per-doc sum.
+    Steady-state query cost is O(matched postings), independent of
+    corpus text size."""
+    from vechord_spark.operators.topk import ranked_topk
+
+    spark = postings.sparkSession
+    qv = sparse_query_vector(query, dim)
+    if not qv:
+        return (
+            postings.select("doc_id")
+            .limit(0)
+            .withColumn("score", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(0))
+        )
+    qdf = spark.createDataFrame(
+        [(i, w) for i, w in qv.items()], "idx int, qw double"
+    )
+    scored = (
+        postings.filter(F.col("idx").isin([int(i) for i in qv]))
+        .join(F.broadcast(qdf), "idx")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("v") * F.col("qw")), 6).alias("score"))
+    )
+    return ranked_topk(scored, [F.col("score").desc(), F.col("doc_id").asc()], k)
+
+
 def sparse_topk(
     df: DataFrame,
     doc_id: str,
