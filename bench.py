@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "minhash_calibration_report",
     "dedup_components",
     "dedup_survivors",
+    "dedup_best_quality_survivors",
     "dedup_simhash",
     "dedup_exact_fingerprint",
     "dedup_incremental",
@@ -132,6 +133,7 @@ BENCH_QUERIES = [
     "dedup_bloom_incremental",
     "corpus_mix",
     "temperature_mix",
+    "token_budget_mix",
     "table_profile",
     "doc_unigram_logprob",
     "doc_bigram_logprob",

@@ -124,6 +124,38 @@ def test_drop_near_duplicates_keeps_survivor(spark):
     assert kept == [1, 9]  # min-id survivor + untouched singleton
 
 
+def test_drop_near_duplicates_keep_best_prefers_quality(spark):
+    """keep_best keeps the BEST cluster member (prefer desc, id asc on
+    ties), not the min-id one — the production representative choice."""
+    from pyspark.sql import functions as F
+
+    from vechord_spark.operators.dedup import drop_near_duplicates_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the much longer duplicate body"),
+            (3, "mid body"),
+            (5, "tie"),
+            (6, "tie"),
+            (9, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in drop_near_duplicates_keep_best(
+            df, "doc_id", pairs, prefer=F.length("text")
+        ).collect()
+    )
+    # cluster {1,2,3}: 2 is longest; cluster {5,6}: equal length ->
+    # min id 5; 9 untouched
+    assert kept == [2, 5, 9]
+
+
 import pytest
 
 

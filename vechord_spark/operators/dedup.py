@@ -807,6 +807,46 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def drop_near_duplicates_keep_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    prefer,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Keep the BEST member per near-dup component instead of the
+    min-id one — the production choice: duplicates differ (truncated
+    copies, boilerplate-wrapped mirrors, OCR variants), so the kept
+    representative should be the highest-quality member, not the one
+    that happened to crawl first. ``prefer`` is a Column sort key
+    (DESCENDING = better), e.g. ``F.length("text")`` or a quality
+    score; ties break on ascending id so the choice is deterministic.
+    Rows in no pair pass through untouched. One window over the
+    CLUSTERED rows only (a tiny fraction of the corpus), then an
+    anti-join on the losers — same scale shape as
+    :func:`drop_near_duplicates`. Pass ``clusters`` to reuse an
+    already-computed component labeling."""
+    from pyspark.sql import Window
+
+    if clusters is None:
+        clusters = connected_components(pairs)
+    members = df.join(
+        clusters.select(
+            F.col("doc_id").alias(id_col), F.col("cluster_id")
+        ),
+        id_col,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        prefer.desc(), F.col(id_col).asc()
+    )
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_pair_count(
     df: DataFrame,
     id_col: str,

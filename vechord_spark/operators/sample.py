@@ -292,6 +292,70 @@ def temperature_sample(
     )
 
 
+def token_budget_rates(
+    df: DataFrame,
+    source_col: str,
+    token_count,
+    weights: Mapping[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-source sampling rates that hit a TOKEN budget, not a doc
+    count — the quantity a training run is actually provisioned in.
+    Each source's target is ``budget * w_s`` tokens; the rate is
+    ``min(1, target / available_tokens_s)`` (a source too small for
+    its share keeps everything — the shortfall is reported, not
+    silently redistributed). ``token_count`` is a Column with the
+    per-row token count. One map-side-combined sum per source, scalar
+    arithmetic on the |sources|-row table. Returns ``(source,
+    n_tokens, rate)``."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    totals = df.groupBy(source_col).agg(
+        F.sum(token_count).cast("double").alias("n_tokens")
+    )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in weights.items()], f"{source_col} string, w double"
+    )
+    return totals.join(wdf, source_col).select(
+        source_col,
+        "n_tokens",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens)) * F.col("w") / F.col("n_tokens"),
+        ).alias("rate"),
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_count,
+    weights: Mapping[str, float],
+    budget_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically sample ``df`` so each source contributes
+    ~``budget * w_s`` TOKENS (:func:`token_budget_rates`); membership
+    is the same md5(salt || id) rule as the other samplers — stable
+    under repartitioning and appends, and the floor(rate * 2^32)
+    threshold uses only scalar IEEE ops, identical in the DuckDB
+    oracle. The rate table broadcasts; the corpus never shuffles
+    before the filter."""
+    rates = token_budget_rates(
+        df, source_col, token_count, weights, budget_tokens
+    ).select(
+        source_col,
+        F.floor(F.col("rate") * F.lit(float(HASH_SPACE))).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_fraction(id_col, salt) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,

@@ -968,6 +968,65 @@ def dedup_survivors(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_best_quality_survivors",
+    f"""
+    WITH RECURSIVE jp AS ({_jaccard_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_sum
+    FROM documents d
+    LEFT JOIN losers l ON d.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+    """,
+)
+def dedup_best_quality_survivors(spark, sf_dir):
+    """Near-dup dedup keeping the BEST member per cluster (longest
+    n_chars, ties on min id) instead of the min-id one — the
+    production representative choice: duplicates are rarely equal
+    (truncated copies, boilerplate-wrapped mirrors), so the kept copy
+    should be the highest-quality member, not the first-crawled
+    (operators/dedup.drop_near_duplicates_keep_best). Reuses the
+    memoized candidates -> verified pairs -> components chain; the
+    preference window runs over CLUSTERED rows only. chars_sum is the
+    discriminating scalar — a min-id keep reads lower whenever any
+    cluster's first member is not its longest."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = DD.drop_near_duplicates_keep_best(
+        docs,
+        "doc_id",
+        None,
+        prefer=F.col("n_chars"),
+        clusters=_dedup_stage(spark, sf_dir, "components"),
+    )
+    return kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+    )
+
+
 def _simhash_sql() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -6454,6 +6513,72 @@ def temperature_mix(spark, sf_dir):
     kept = temperature_sample(docs, "doc_id", "source", alpha=0.5, salt="temp-v1")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+_TOKEN_BUDGET = 60_000
+
+
+@_q(
+    "token_budget_mix",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, len({_TOK.format(col='text')}) AS n_tok
+      FROM documents
+    ),
+    w(source, w) AS (
+      VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+             ('src2', CAST(0.2 AS DOUBLE))
+    ),
+    totals AS (
+      SELECT source, CAST(sum(n_tok) AS DOUBLE) AS n_tokens
+      FROM tok GROUP BY source
+    ),
+    rates AS (
+      SELECT t.source,
+             CAST(floor(least(1.0, {_TOKEN_BUDGET}.0 * w.w / t.n_tokens)
+                        * 4294967296.0) AS BIGINT) AS thr
+      FROM totals t JOIN w ON t.source = w.source
+    )
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(k.n_tok) AS BIGINT) AS tokens_kept,
+           CAST(sum(k.doc_id) AS BIGINT) AS id_sum
+    FROM tok k JOIN rates r ON k.source = r.source
+    WHERE {_hash_frac_sql('tokbudget-v1')} < r.thr
+    GROUP BY k.source
+    """,
+)
+def token_budget_mix(spark, sf_dir):
+    """Token-BUDGET mixture planning (operators/sample
+    .token_budget_sample): a training run is provisioned in tokens,
+    not documents, so the per-source sampling rate comes from each
+    source's token mass — rate_s = min(1, budget*w_s / tokens_s), a
+    source too small for its share keeps everything (the shortfall is
+    visible in tokens_kept, never silently redistributed to other
+    sources). Rates computed IN-PLAN from one map-side-combined token
+    sum per source; membership by the deterministic md5 rule, so the
+    kept set is bit-reproducible in the oracle and stable under
+    repartitioning and appends."""
+    from vechord_spark.functions.text import tokenize
+    from vechord_spark.operators.sample import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__ntok", F.size(tokenize("text"))
+    )
+    kept = token_budget_sample(
+        docs,
+        "doc_id",
+        "source",
+        F.col("__ntok"),
+        _MIX_WEIGHTS,
+        budget_tokens=_TOKEN_BUDGET,
+        salt="tokbudget-v1",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("__ntok").cast("bigint").alias("tokens_kept"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
 
