@@ -897,6 +897,74 @@ def test_maintain_handles_delete_churn(spark, tmp_path):
     assert r.maintain("emb", min_cell_factor=4.0)["actions"] == []
 
 
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_maintain_invariants_random_churn(spark, tmp_path, seed):
+    """Randomized (seeded) churn — appends at random centers, random
+    delete fractions, never any hand extend — then ONE maintain()
+    call. Invariants, whatever the churn: the layout holds exactly the
+    live rows exactly once; centroid ids stay contiguous 0..lists-1;
+    full-probe search equals brute force; a second maintain() is a
+    no-op."""
+    import random
+
+    from vechord_spark.operators.knn import knn
+    from vechord_spark.spec import AnyOf
+
+    rng = random.Random(seed)
+    r, rows = _vec_registry(spark, tmp_path, ns=f"mrnd{seed}")
+    centers = [[0, 0, 0, 0], [5, 5, 5, 5], [0, 5, 0, 5]]
+    uid = 0
+    live: set[int] = set()
+    for ci, c in enumerate(centers[:2]):
+        ids = list(range(uid, uid + 20))
+        uid += 20
+        r.insert_rows("emb", rows(ids, c))
+        live.update(ids)
+    r.build_vector_index("emb", lists=2)
+    # churn: random appends (never extended) + random deletes
+    for _ in range(rng.randint(2, 4)):
+        n = rng.randint(5, 40)
+        ids = list(range(uid, uid + n))
+        uid += n
+        r.insert_rows("emb", rows(ids, rng.choice(centers)))
+        live.update(ids)
+        if rng.random() < 0.7 and len(live) > 10:
+            victims = rng.sample(sorted(live), rng.randint(1, len(live) // 3))
+            r.remove_by("emb", {"uid": AnyOf(victims)})
+            live.difference_update(victims)
+
+    out = r.maintain("emb", max_cell_factor=2.0, min_cell_factor=4.0)
+    ipath = r._index_path("emb")
+    layout_ids = sorted(
+        x["uid"] for x in spark.read.parquet(str(ipath / "data")).collect()
+    )
+    assert layout_ids == sorted(live)  # every live row exactly once
+    stats = out["after"]["ivf"]
+    cents = sorted(
+        x["centroid_id"]
+        for x in spark.read.parquet(str(ipath / "centroids")).collect()
+    )
+    assert cents == list(range(stats["lists"]))  # contiguous ids
+    q = [5.0, 5.0, 5.0, 5.0]
+    brute = [
+        x.uid
+        for x in knn(
+            r.load("emb"), "vec", q, k=5, distance="l2",
+            select=["uid"], tie_break="uid",
+        ).collect()
+    ]
+    got = [
+        x.uid
+        for x in r.search_by_vector(
+            "emb", q, topk=5, probes=stats["lists"]
+        ).collect()
+    ]
+    assert got == brute
+    assert r.maintain("emb", max_cell_factor=2.0, min_cell_factor=4.0)[
+        "actions"
+    ] == []
+
+
 def test_maintain_policy_heals_drifted_index(spark, tmp_path):
     """registry.maintain(): the one-call policy reads index_stats and
     applies extend -> recluster -> compact_index, each gated by a
