@@ -199,6 +199,11 @@ def main() -> None:
     import vechord_spark as vs
     from vechord_spark.suite import QUERIES
 
+    # NEIGHBOR-load witness: captured BEFORE the session spins up — the
+    # run-end average is dominated by our own local[32] executors, so
+    # only the start value says whether the host was quiet when the
+    # run began (the signal the round-11 verdict asked to audit)
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = vs.get_spark("vechord-bench")
     # warm up the JVM codegen + parquet reader paths so timings measure
     # the queries (NOT the Python worker pool — resident Python workers
@@ -325,13 +330,14 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # host-contention witness: 1/5/15-minute load averages at run end.
-    # Shared-VM neighbor load is the one variable the suite cannot
-    # control; stamping it makes every artifact's recording conditions
-    # auditable (round-11 verdict: the committed closing pair was
-    # recorded at load 1.2-2.6 and read ~15% over the same-day idle
-    # run — the stamp is how the next reader tells drift from noise).
-    loadavg = [round(x, 2) for x in os.getloadavg()]
+    # host-contention witness: the pre-run (neighbor) load plus the
+    # run-end average (the latter mostly our own executors). Shared-VM
+    # neighbor load is the one variable the suite cannot control;
+    # stamping it makes every artifact's recording conditions auditable
+    # (round-11 verdict: the committed closing pair was recorded under
+    # neighbor load and read ~15% over the same-day idle run).
+    loadavg = load_start
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
     full = {
         "metric": "suite_total_wall",
         "value": round(total, 3),
@@ -340,6 +346,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "loadavg": loadavg,
+        "loadavg_end": loadavg_end,
     }
     if errors:
         full["errors"] = errors
