@@ -328,12 +328,62 @@ def bigram_logprob(
     )
 
 
+def _kn_bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, cur) bigram stream, built in-array (no self-join,
+    no window) — shared by the KN model build and the scoring side."""
+    from vechord_spark.parallel import spread
+
+    base = spread(df).select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    return (
+        base.filter(F.size("__toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1),"
+                    " i -> struct(element_at(__toks, i) as prev,"
+                    "             element_at(__toks, i + 1) as cur))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+
+
+def build_kn_bigram_model(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The Kneser-Ney reference model's four tables, built from ONE
+    corpus bigram pass: ``(bigrams, ctx, cont, btypes)`` — bigram-type
+    counts (eagerly checkpointed; everything else derives from it),
+    per-context totals + distinct-continuation counts, backward
+    continuation counts, and the 1-row type total. All
+    vocabulary-sized. Build once per corpus and pass to
+    :func:`kneser_ney_logprob` as ``model`` when several scorers run
+    in one session (the per-doc scorer and the funnel LM gate share
+    the same reference model)."""
+    pairs = _kn_bigram_pairs(df, id_col, text_col)
+    bigrams = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bigrams.groupBy("prev").agg(
+        F.sum("c2").cast("double").alias("c1ctx"),
+        F.count(F.lit(1)).alias("n1p_fwd"),
+    )
+    cont = bigrams.groupBy("cur").agg(F.count(F.lit(1)).alias("n1p_back"))
+    btypes = bigrams.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    return bigrams, ctx, cont, btypes
+
+
 def kneser_ney_logprob(
     df: DataFrame,
     id_col: str,
     text_col: str,
     discount: float = 0.75,
     score_ids: DataFrame | None = None,
+    model: tuple | None = None,
 ) -> DataFrame:
     """Per-document mean INTERPOLATED KNESER-NEY bigram
     log-probability — the smoothing the n-gram LM literature settled
@@ -362,48 +412,25 @@ def kneser_ney_logprob(
     ``score_ids`` (a one-column frame of ``id_col`` values) restricts
     the SCORING side to those documents while the model still trains
     on all of ``df`` — the corpus-funnel LM gate scores only the
-    dedup survivors under the full-crawl reference model, so the
-    per-doc probe joins run over the survivors' bigrams only (the
-    model aggregates are vocabulary-sized either way).
+    dedup survivors under the full-crawl reference model: the scoring
+    tokenize scan then reads only the survivors (the semi-join lands
+    BEFORE the bigram explode), and the model aggregates are
+    vocabulary-sized either way. ``model`` (a
+    :func:`build_kn_bigram_model` result) reuses an already-built
+    reference model — several scorers in one session then share the
+    one corpus bigram pass.
     """
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    from vechord_spark.parallel import spread
 
-    base = spread(df).select(
-        F.col(id_col), tokenize(text_col).alias("__toks")
-    )
-    pairs = (
-        base.filter(F.size("__toks") >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(__toks) - 1),"
-                    " i -> struct(element_at(__toks, i) as prev,"
-                    "             element_at(__toks, i + 1) as cur))"
-                )
-            ).alias("bg"),
-        )
-        .select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    )
-    bigrams = (
-        pairs.groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=True)
-    )
-    ctx = bigrams.groupBy("prev").agg(
-        F.sum("c2").cast("double").alias("c1ctx"),
-        F.count(F.lit(1)).alias("n1p_fwd"),
-    )
-    cont = bigrams.groupBy("cur").agg(F.count(F.lit(1)).alias("n1p_back"))
-    btypes = bigrams.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    if model is None:
+        model = build_kn_bigram_model(df, id_col, text_col)
+    bigrams, ctx, cont, btypes = model
     d = float(discount)
-    score_pairs = (
-        pairs.join(score_ids, id_col, "left_semi")
-        if score_ids is not None
-        else pairs
+    score_df = (
+        df.join(score_ids, id_col, "left_semi") if score_ids is not None else df
     )
+    score_pairs = _kn_bigram_pairs(score_df, id_col, text_col)
     scored = (
         score_pairs.join(bigrams, ["prev", "cur"])
         .join(ctx, "prev")

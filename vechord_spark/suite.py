@@ -6423,11 +6423,38 @@ def doc_kn_logprob(spark, sf_dir):
     CONTEXTS it follows (distinct-continuation counts), not how often
     it occurs. Same scale shape: in-array bigrams, vocabulary-sized
     aggregates, three probe joins, a 1-row type-total broadcast
-    (operators/quality.kneser_ney_logprob)."""
+    (operators/quality.kneser_ney_logprob). The reference model is the
+    memoized ``_kn_model`` — one corpus bigram pass shared with
+    corpus_funnel_lm."""
     from vechord_spark.operators.quality import kneser_ney_logprob
 
     docs = _t(spark, sf_dir, "documents")
-    return kneser_ney_logprob(docs, "doc_id", "text", discount=0.75)
+    return kneser_ney_logprob(
+        docs, "doc_id", "text", discount=0.75, model=_kn_model(spark, sf_dir)
+    )
+
+
+_KN_CACHE: dict = {}
+
+
+def _kn_model(spark, sf_dir):
+    """build_kn_bigram_model memoized per (session, corpus) — the
+    KN reference model (bigram types + context/continuation counts) is
+    scorer-independent, so the per-doc scorer and the funnel LM gate
+    share one corpus bigram pass. The derived vocabulary-sized tables
+    persist; the bigram base is an eager checkpoint inside the
+    builder."""
+    ent = _KN_CACHE.get(sf_dir)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    from vechord_spark.operators.quality import build_kn_bigram_model
+
+    bigrams, ctx, cont, btypes = build_kn_bigram_model(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    model = (bigrams, ctx.persist(), cont.persist(), btypes)
+    _KN_CACHE[sf_dir] = (spark, model)
+    return model
 
 
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
@@ -8293,7 +8320,12 @@ def corpus_funnel_lm(spark, sf_dir, drop_frac: float = 0.2):
     docs = _t(spark, sf_dir, "documents")
     scores = (
         QL.kneser_ney_logprob(
-            docs, "doc_id", "text", 0.75, score_ids=surv.select("doc_id")
+            docs,
+            "doc_id",
+            "text",
+            0.75,
+            score_ids=surv.select("doc_id"),
+            model=_kn_model(spark, sf_dir),
         )
         .filter(F.col("avg_kn_logprob").isNotNull())
         .select("doc_id", F.col("avg_kn_logprob").alias("s"))
