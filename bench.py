@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "sequence_pack",
     "pack_utilization",
     "lang_id",
+    "script_mix_report",
     "token_count_by_source",
     "chunk_fixed_windows",
     "graph_entity_merge",

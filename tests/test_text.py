@@ -629,3 +629,25 @@ def test_kneser_ney_semantics(spark):
         # sums to 1 over words seen as continuations ANYWHERE (the
         # closed vocabulary the continuation distribution is over)
         assert math.isclose(s, 1.0, rel_tol=1e-9), (a, s)
+
+
+def test_script_mix_counts_ranges(spark):
+    """script_mix fractions per script class on a mixed-script doc;
+    literal codepoint ranges, BMP classes (the cross-engine contract)."""
+    from vechord_spark.operators.quality import script_mix
+
+    df = spark.createDataFrame(
+        [(1, "abc МИР 中文 123"), (2, ""), (3, "....")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in script_mix(df, "doc_id", "text").collect()}
+    r1 = rows[1]  # 15 chars: 3 latin, 3 cyr, 2 cjk, 3 digit, 3 space, 1? -> recount
+    n = len("abc МИР 中文 123")
+    assert abs(r1["latin_frac"] - round(3 / n, 6)) < 1e-9
+    assert abs(r1["cyrillic_frac"] - round(3 / n, 6)) < 1e-9
+    assert abs(r1["cjk_frac"] - round(2 / n, 6)) < 1e-9
+    assert abs(r1["digit_frac"] - round(3 / n, 6)) < 1e-9
+    assert abs(r1["space_frac"] - round(3 / n, 6)) < 1e-9
+    assert abs(r1["other_frac"] - 0.0) < 1e-9
+    assert rows[2]["latin_frac"] is None  # empty doc -> NULL fractions
+    assert rows[3]["other_frac"] == 1.0  # punctuation is unclassified

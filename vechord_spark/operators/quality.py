@@ -465,6 +465,50 @@ def kneser_ney_logprob(
     )
 
 
+# Unicode script classes as explicit codepoint ranges — NOT \p{Script}
+# properties, whose tables differ across regex engines (Java vs RE2 vs
+# Python); literal ranges count identically everywhere, which is what
+# lets the DuckDB oracle pin the exact fractions.
+SCRIPT_RANGES = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "digit": "[0-9]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "cjk": "[぀-ヿ一-鿿가-힯]",
+    "space": "[ \\t\\n\\r]",
+}
+
+
+def script_mix(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Unicode SCRIPT composition: the fraction of
+    characters in each major script class (:data:`SCRIPT_RANGES`) plus
+    ``other_frac`` for everything unclassified — the multilingual
+    triage signal language-ID models key on, and the cheap detector
+    for script-mixing spam, mojibake residue, and mislabeled-language
+    docs (a ``lang='en'`` row that is 40% CJK is a routing bug). Pure
+    zero-shuffle scan: one ``length(regexp_replace(...))`` per class,
+    all whole-stage codegen, fractions 6-dp-rounded for cross-engine
+    hash stability. Empty docs report NULL fractions."""
+    n = F.length(F.col(text_col)).cast("double")
+    cols = [F.col(id_col)]
+    covered = None
+    for name, pattern in SCRIPT_RANGES.items():
+        cnt = F.length(F.col(text_col)) - F.length(
+            F.regexp_replace(F.col(text_col), pattern, "")
+        )
+        covered = cnt if covered is None else covered + cnt
+        cols.append(
+            F.when(n > 0, F.round(cnt / n, 6)).alias(f"{name}_frac")
+        )
+    cols.append(
+        F.when(n > 0, F.round((F.length(F.col(text_col)) - covered) / n, 6)).alias(
+            "other_frac"
+        )
+    )
+    return df.select(*cols)
+
+
 def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document Shannon entropy of the character distribution, in
     bits — the classic gibberish/noise detector: natural language sits

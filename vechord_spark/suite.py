@@ -6610,6 +6610,71 @@ def token_budget_mix(spark, sf_dir):
     )
 
 
+_SCRIPT_RANGES_SQL = {
+    "latin": r"[A-Za-z\x{00c0}-\x{024f}]",
+    "digit": "[0-9]",
+    "cyrillic": r"[\x{0400}-\x{04ff}]",
+    "greek": r"[\x{0370}-\x{03ff}]",
+    "arabic": r"[\x{0600}-\x{06ff}]",
+    "cjk": r"[\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]",
+    "space": "[ \\t\\n\\r]",
+}
+
+
+def _script_mix_sql() -> str:
+    per = ",\n             ".join(
+        f"CASE WHEN length(text) > 0 THEN round((length(text) - "
+        f"length(regexp_replace(text, '{pat}', '', 'g'))) * 1.0 / length(text), 6)"
+        f" END AS {name}_frac"
+        for name, pat in _SCRIPT_RANGES_SQL.items()
+    )
+    covered = " + ".join(
+        f"(length(text) - length(regexp_replace(text, '{pat}', '', 'g')))"
+        for pat in _SCRIPT_RANGES_SQL.values()
+    )
+    fracs = list(_SCRIPT_RANGES_SQL) + ["other"]
+    means = ",\n           ".join(
+        f"round(avg({n}_frac), 6) AS {n}_frac" for n in fracs
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             {per},
+             CASE WHEN length(text) > 0 THEN
+               round((length(text) - ({covered})) * 1.0 / length(text), 6)
+             END AS other_frac
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           {means}
+    FROM per_doc GROUP BY source
+    """
+
+
+@_q("script_mix_report", _script_mix_sql())
+def script_mix_report(spark, sf_dir):
+    """Unicode SCRIPT composition per source (operators/quality
+    .script_mix): mean fraction of characters in each major script
+    class — the multilingual triage signal (mislabeled-language and
+    script-mixing-spam detector; a lang='en' source drifting CJK is a
+    routing bug surfacing here first). Script classes are literal
+    codepoint RANGES, not \\p{{Script}} properties, because property
+    tables differ across regex engines while ranges count identically
+    — that is what makes the DuckDB oracle exact. Zero-shuffle scan +
+    one small per-source aggregate."""
+    from vechord_spark.operators.quality import script_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    per = script_mix(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    fracs = [c for c in per.columns if c.endswith("_frac")]
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[F.round(F.avg(c), 6).alias(c) for c in fracs],
+    )
+
+
 @_q(
     "table_profile",
     """
