@@ -28,6 +28,7 @@ from vechord_spark.spec import (
     KeywordIndex,
     MultiVector,
     MultiVectorIndex,
+    SparseVector,
     TableSpec,
     UniqueIndex,
     Vector,
@@ -75,6 +76,7 @@ __all__ = [
     "KeywordIndex",
     "MultiVector",
     "MultiVectorIndex",
+    "SparseVector",
     "TableLog",
     "TableSpec",
     "UniqueIndex",

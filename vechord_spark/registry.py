@@ -617,7 +617,7 @@ class VechordRegistry:
         """Insert Python rows (reference single-row insert,
         vechord/client.py:240-251 — batched here, per-row inserts do not
         exist at Spark scale)."""
-        from vechord_spark.spec import MultiVector, Vector
+        from vechord_spark.spec import MultiVector, SparseVector, Vector
 
         spec = self._spec(name)
 
@@ -631,6 +631,26 @@ class VechordRegistry:
                 return [float(x) for x in v]
             if isinstance(col.engine_type, MultiVector):
                 return [[float(x) for x in inner] for inner in v]
+            if isinstance(col.engine_type, SparseVector):
+                # accept {"indices": [...], "values": [...]} or a
+                # (indices, values) pair — normalized to the struct
+                if isinstance(v, Mapping):
+                    idx, vals = v["indices"], v["values"]
+                else:
+                    idx, vals = v
+                if len(idx) != len(vals):
+                    raise SchemaError(
+                        f"sparse vector for {col.name!r}: indices and "
+                        f"values lengths differ ({len(idx)} vs {len(vals)})"
+                    )
+                dim = col.engine_type.dim
+                idx = [int(i) for i in idx]
+                if any(i < 0 or i >= dim for i in idx):
+                    raise SchemaError(
+                        f"sparse vector for {col.name!r}: index out of "
+                        f"range for SparseVector({dim})"
+                    )
+                return (idx, [float(x) for x in vals])
             if col.spark_type.typeName() in ("double", "float"):
                 return float(v)
             if (
@@ -1030,7 +1050,9 @@ class VechordRegistry:
 
         out: dict[str, int] = {}
 
-        def _rewrite_dir(d: Path, partition: str | None) -> int:
+        def _rewrite_dir(
+            d: Path, partition: str | None, order_col: str | None = None
+        ) -> int:
             self._recover_index_swap(d)
             df = self.spark.read.parquet(str(d))
             tmp = d.parent / f".{d.name}.compact-{uuid.uuid4().hex}"
@@ -1041,6 +1063,19 @@ class VechordRegistry:
                     df.repartition(F.col(partition))
                     .write.partitionBy(partition)
                     .parquet(str(tmp))
+                )
+            elif order_col is not None:
+                # range-clustered layouts (sparse postings) must come
+                # out of the rewrite still clustered — footer pruning
+                # is their whole point
+                total = sum(
+                    p.stat().st_size for p in d.rglob("*.parquet") if p.is_file()
+                )
+                n_out = max(1, -(-total // (128 << 20)))
+                (
+                    df.repartitionByRange(max(2, n_out), F.col(order_col))
+                    .sortWithinPartitions(order_col)
+                    .write.parquet(str(tmp))
                 )
             else:
                 total = sum(
@@ -1081,6 +1116,12 @@ class VechordRegistry:
                     kpath / "postings", None
                 )
                 out["bm25_doclen_files"] = _rewrite_dir(kpath / "doclen", None)
+        spath = self._sparse_index_path(name)
+        if (spath / "postings").exists():
+            with self._maintenance_lock(spath):
+                out["sparse_postings_files"] = _rewrite_dir(
+                    spath / "postings", None, order_col="idx"
+                )
         return out
 
     def _recover_index_swap(self, d: Path) -> None:
@@ -2324,6 +2365,16 @@ class VechordRegistry:
                 "ledger_fresh": fresh,
                 "files_behind": behind,
             }
+        spath = self._sparse_index_path(name)
+        if (spath / "postings").exists():
+            n_files, n_bytes = _dir_stats(spath)
+            fresh, behind = _ledger_state(spath)
+            out["sparse"] = {
+                "files": n_files,
+                "bytes": n_bytes,
+                "ledger_fresh": fresh,
+                "files_behind": behind,
+            }
         return out
 
     def maintain(
@@ -2384,6 +2435,7 @@ class VechordRegistry:
             "ivf": self.extend_vector_index,
             "mvivf": self.extend_multivec_index,
             "bm25": self.extend_keyword_index,
+            "sparse": self.extend_sparse_index,
         }
         for key, fn in extenders.items():
             st = stats.get(key)
@@ -3244,6 +3296,156 @@ class VechordRegistry:
         idx.docfreq = self.spark.read.parquet(str(ipath / "docfreq"))
         idx.stats = self.spark.read.parquet(str(ipath / "stats"))
         return idx
+
+    # ------------------------------------------------------ sparse vectors
+    def _sparse_index_path(self, name: str) -> Path:
+        return self.base_path / f"{self.namespace}_{name}.sparse"
+
+    def build_sparse_index(self, name: str) -> int:
+        """Build + persist the inverted-postings layout for the
+        table's :class:`SparseVector` column — CREATE INDEX for sparse
+        retrieval (the reference produces SparseEmbedding values,
+        vechord/embedding.py:413-441, but has no sparse column type or
+        index to put them in; SURVEY §1.2). One explode of the stored
+        ``(indices, values)`` struct into ``(idx, pk, v)`` rows,
+        written RANGE-CLUSTERED on ``idx`` (repartitionByRange + sort)
+        so a query's handful of dimensions skip whole files on parquet
+        footer min/max. Returns the number of postings rows; records
+        the table file ledger so :meth:`extend_sparse_index` stays
+        O(appended data)."""
+        spec = self._spec(name)
+        sv = spec.sparse_column
+        if sv is None:
+            raise SchemaError(f"table {name} has no sparse vector column")
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError(f"table {name} needs a primary key for sparse search")
+        df = self.load(name)
+        scanned_files = sorted(df.inputFiles())
+        posts = self._sparse_postings_frame(df, pk.name, sv.name)
+        ipath = self._sparse_index_path(name)
+        if ipath.exists():
+            shutil.rmtree(ipath)
+        posts.repartitionByRange(8, F.col("idx")).sortWithinPartitions(
+            "idx"
+        ).write.parquet(str(ipath / "postings"))
+        n = self.spark.read.parquet(str(ipath / "postings")).count()
+        self._record_index_files(name, ipath, files=scanned_files)
+        return int(n)
+
+    @staticmethod
+    def _sparse_postings_frame(df: DataFrame, pk: str, sv_col: str) -> DataFrame:
+        """(idx, pk, v) rows from the stored struct column — NULL
+        sparse cells contribute nothing."""
+        return (
+            df.filter(F.col(sv_col).isNotNull())
+            .select(
+                F.col(pk),
+                F.explode(
+                    F.arrays_zip(
+                        F.col(f"{sv_col}.indices").alias("idx"),
+                        F.col(f"{sv_col}.values").alias("v"),
+                    )
+                ).alias("__p"),
+            )
+            .select(
+                F.col("__p.idx").alias("idx"),
+                F.col(pk),
+                F.col("__p.v").cast("double").alias("v"),
+            )
+        )
+
+    def extend_sparse_index(self, name: str) -> int:
+        """Assignment-free sparse index maintenance: postings for rows
+        appended since the build/last extend append as new files (the
+        file-ledger fast path reads ONLY the new table files; the pk
+        anti-join fallback covers rewritten history). Appended files
+        are individually idx-sorted — footer pruning stays effective,
+        and :meth:`compact_index` re-clusters the whole layout when
+        fragmentation accumulates. Holds the maintenance lock (same
+        check-then-append double-append window as the other
+        extends)."""
+        spec = self._spec(name)
+        sv = spec.sparse_column
+        if sv is None:
+            raise SchemaError(f"table {name} has no sparse vector column")
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError("extend_sparse_index needs a primary key")
+        ipath = self._sparse_index_path(name)
+        if not (ipath / "postings").exists():
+            raise SchemaError(
+                f"no sparse index for {name}; call build_sparse_index first"
+            )
+        with self._maintenance_lock(ipath):
+            new, covered = self._new_rows_since_index(name, ipath)
+            if new is None:
+                base = self.load(name)
+                covered = sorted(base.inputFiles())
+                indexed = self.spark.read.parquet(
+                    str(ipath / "postings")
+                ).select(pk.name).distinct()
+                new = base.join(indexed, pk.name, "left_anti")
+            n_new = new.count()
+            if n_new:
+                self._mark_extend_intent(ipath)
+                self._sparse_postings_frame(
+                    new, pk.name, sv.name
+                ).repartitionByRange(2, F.col("idx")).sortWithinPartitions(
+                    "idx"
+                ).write.mode("append").parquet(str(ipath / "postings"))
+            self._record_index_files(name, ipath, files=covered)
+            return int(n_new)
+
+    def search_by_sparse(
+        self,
+        name: str,
+        query: Mapping[int, float],
+        topk: int = 10,
+        return_fields: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Sparse dot-product top-k against the persisted postings
+        (build_sparse_index): prune to the query's dimensions (an
+        ``idx IN (...)`` the range-clustered parquet answers by
+        skipping files), broadcast the query weights, one per-doc sum
+        — O(matched postings), independent of corpus size. ``query``
+        maps dimension index -> weight (the reference SparseEmbedding's
+        indices/values pairs)."""
+        spec = self._spec(name)
+        if spec.sparse_column is None:
+            raise SchemaError(f"table {name} has no sparse vector column")
+        pk = spec.primary_key
+        ipath = self._sparse_index_path(name)
+        if not (ipath / "postings").exists():
+            raise SchemaError(
+                f"no sparse index for {name}; call build_sparse_index first"
+            )
+        fields = list(return_fields) if return_fields else spec.non_vec_columns()
+        posts = self.spark.read.parquet(str(ipath / "postings"))
+        if not query:
+            return (
+                self.load(name).select(*fields).limit(0)
+                .withColumn("score", F.lit(None).cast("double"))
+            )
+        qdf = self.spark.createDataFrame(
+            [(int(i), float(w)) for i, w in query.items()], "idx int, qw double"
+        )
+        scored = (
+            posts.filter(F.col("idx").isin([int(i) for i in query]))
+            .join(F.broadcast(qdf), "idx")
+            .groupBy(pk.name)
+            .agg(F.round(F.sum(F.col("v") * F.col("qw")), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(pk.name).asc())
+            .limit(topk)
+        )
+        extra = [f for f in fields if f != pk.name]
+        if extra:
+            scored = scored.join(
+                self.load(name).select(pk.name, *extra), pk.name
+            )
+        return scored.select(*fields, "score").orderBy(
+            F.col("score").desc(), F.col(pk.name).asc()
+        )
 
     def search_by_keyword(
         self,

@@ -64,6 +64,32 @@ class MultiVector:
 
 
 @dataclass(frozen=True)
+class SparseVector:
+    """Sparse vector column type: parallel ``indices``/``values``
+    arrays over a fixed dimensionality — the reference's
+    SparseEmbedding shape (vechord/model/internal.py:43-46, produced
+    by its Splade++ provider but never stored or searched there; no
+    sparse column type exists in its schema layer, SURVEY §1.2). Here
+    it is a first-class column: stored as a struct, searched through a
+    persisted inverted-postings index
+    (registry.build_sparse_index / search_by_sparse)."""
+
+    dim: int
+
+    def spark_type(self) -> T.DataType:
+        return T.StructType(
+            [
+                T.StructField(
+                    "indices", T.ArrayType(T.IntegerType(), containsNull=False)
+                ),
+                T.StructField(
+                    "values", T.ArrayType(T.FloatType(), containsNull=False)
+                ),
+            ]
+        )
+
+
+@dataclass(frozen=True)
 class Keyword:
     """Raw text destined for BM25 keyword search.
 
@@ -174,7 +200,7 @@ _PRIMITIVES: dict[str, T.DataType] = {
 def _resolve_type(dtype: Any) -> tuple[T.DataType, Any]:
     """Return (spark_type, engine_type). engine_type keeps Vector/Keyword
     metadata that StructType cannot carry."""
-    if isinstance(dtype, (Vector, MultiVector, Keyword)):
+    if isinstance(dtype, (Vector, MultiVector, Keyword, SparseVector)):
         return dtype.spark_type(), dtype
     if isinstance(dtype, T.DataType):
         return dtype, None
@@ -316,6 +342,13 @@ class TableSpec:
                 return c
         return None
 
+    @property
+    def sparse_column(self) -> Column | None:
+        for c in self.columns:
+            if isinstance(c.engine_type, SparseVector):
+                return c
+        return None
+
     def non_vec_columns(self) -> list[str]:
         """Default projection for search results: every column except
         vector / multivector / keyword payloads
@@ -325,7 +358,9 @@ class TableSpec:
         return [
             c.name
             for c in self.columns
-            if not isinstance(c.engine_type, (Vector, MultiVector, Keyword))
+            if not isinstance(
+                c.engine_type, (Vector, MultiVector, Keyword, SparseVector)
+            )
         ]
 
     def foreign_keys(self) -> list[tuple[str, str, str]]:
