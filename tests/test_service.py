@@ -623,3 +623,51 @@ def test_cli_recluster_multivec(spark, tmp_path, capsys):
         "mvt", [[5.0, 5.0, 5.0, 9.0]], topk=5, probes=2
     ).collect()
     assert all(h["uid"] >= 100 for h in hits)
+
+
+def test_maintenance_schema_evolution_ops(spark, tmp_path):
+    """POST /api/maintenance/{table} op=alter_add_column / backfill —
+    the HTTP twin of the metadata-only schema evolution."""
+    import json as _json
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, TableSpec
+
+    reg = VechordRegistry("svc_evo", str(tmp_path), spark)
+    reg.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("text", "string")],
+        )
+    )
+    reg.insert_rows("doc", [{"uid": i, "text": f"d{i}"} for i in range(3)])
+    svc = VechordService(reg)
+
+    status, _, body = svc.handle(
+        "POST",
+        "/api/maintenance/doc",
+        body=_json.dumps(
+            {"op": "alter_add_column", "column": "lang", "dtype": "string",
+             "insert_default": "en"}
+        ).encode(),
+    )
+    assert status == 200
+    assert _json.loads(body)["columns"] == ["uid", "text", "lang"]
+
+    status, _, body = svc.handle(
+        "POST",
+        "/api/maintenance/doc",
+        body=_json.dumps({"op": "backfill", "column": "lang", "value": "en"}).encode(),
+    )
+    assert status == 200 and _json.loads(body)["filled"] == 3
+    got = {x["uid"]: x["lang"] for x in reg.load("doc").collect()}
+    assert got == {0: "en", 1: "en", 2: "en"}
+    # duplicate column -> 422, not a traceback
+    status, _, _ = svc.handle(
+        "POST",
+        "/api/maintenance/doc",
+        body=_json.dumps(
+            {"op": "alter_add_column", "column": "lang", "dtype": "string"}
+        ).encode(),
+    )
+    assert status == 422

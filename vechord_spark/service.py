@@ -254,7 +254,8 @@ class VechordService:
         OWNING registry (full specs — unlike the schema-inferring
         maintenance CLI, recluster needs no --vector-col here). Body:
         ``{"op": "auto"|"compact"|"compact_index"|"recluster"|"prune"|
-        "merge"|"vacuum"|"stats", ...op options}``. A concurrent maintainer surfaces as 409."""
+        "merge"|"alter_add_column"|"backfill"|"vacuum"|"stats",
+        ...op options}``. A concurrent maintainer surfaces as 409."""
         if name not in self.registry.tables:
             raise ServiceError(404, f"unknown table {name!r}")
         payload = _decode_json(body) or {}
@@ -322,6 +323,24 @@ class VechordService:
                 name,
                 max_cell_factor=float(payload.get("max_cell_factor", 2.0)),
             )
+        elif op == "alter_add_column":
+            self.registry.alter_table_add_column(
+                name,
+                str(payload["column"]),
+                str(payload["dtype"]),
+                insert_default=payload.get("insert_default"),
+            )
+            stats = {
+                "columns": [
+                    c.name for c in self.registry.tables[name].columns
+                ]
+            }
+        elif op == "backfill":
+            stats = {
+                "filled": self.registry.backfill_column(
+                    name, str(payload["column"]), payload.get("value")
+                )
+            }
         elif op == "stats":
             stats = self.registry.index_stats(name)
         elif op == "vacuum":
@@ -338,7 +357,7 @@ class VechordService:
                 422,
                 f"unknown maintenance op {op!r} "
                 "(auto | compact | compact_index | recluster | prune | merge | "
-                "vacuum | stats)",
+                "alter_add_column | backfill | vacuum | stats)",
             )
         return 200, "application/json", json.dumps(stats).encode()
 
