@@ -1054,3 +1054,28 @@ def test_recluster_respects_maintenance_lock(spark, tmp_path):
     with r._maintenance_lock(ipath):
         with pytest.raises(MaintenanceBusy):
             r.recluster_vector_index("emb")
+
+
+def test_drop_removes_index_layouts(spark, tmp_path):
+    """DROP TABLE must drop the derived index layouts too: a
+    re-created same-name table previously LOADED the stale .ivf
+    directory and probe search served the dropped rows."""
+    from vechord_spark.errors import SchemaError as _SE
+
+    r, rows = _vec_registry(spark, tmp_path, ns="dropidx")
+    r.insert_rows("emb", rows(range(10), [0, 0, 0, 0]))
+    r.insert_rows("emb", rows(range(10, 20), [5, 5, 5, 5]))
+    r.build_vector_index("emb", lists=2)
+    ipath = r._index_path("emb")
+    assert (ipath / "data").exists()
+    r.drop("emb")
+    assert not ipath.exists()
+
+    # re-created table: no ghost index, search demands a fresh build
+    r2, rows2 = _vec_registry(spark, tmp_path, ns="dropidx")
+    r2.insert_rows("emb", rows2(range(100, 105), [1, 1, 1, 1]))
+    with pytest.raises(_SE, match="no IVF index"):
+        r2.search_by_vector("emb", [1.0, 1.0, 1.0, 1.0], topk=3, probes=1)
+    r2.build_vector_index("emb", lists=1)
+    hits = r2.search_by_vector("emb", [1.0, 1.0, 1.0, 1.0], topk=3, probes=1)
+    assert all(h["uid"] >= 100 for h in hits.collect())

@@ -247,11 +247,26 @@ class VechordRegistry:
         return self.tables[name]
 
     def drop(self, name: str) -> None:
-        """DROP TABLE (reference vechord/client.py:382-388)."""
+        """DROP TABLE (reference vechord/client.py:382-388) — including
+        every derived index layout (.ivf/.mvivf/.bm25/.sparse). The
+        reference gets index-drops-with-table from Postgres; without
+        this a re-created same-name table would LOAD the stale layouts
+        and probe search would serve the dropped rows."""
         spec = self._spec(name)
         path = Path(self.table_path(name))
         if path.exists():
             shutil.rmtree(path)
+        for layout in (
+            self._index_path(name),
+            self._mv_index_path(name),
+            self.base_path / f"{self.namespace}_{name}.bm25",
+            self._sparse_index_path(name),
+        ):
+            if layout.exists():
+                shutil.rmtree(layout)
+        self._column_defaults = {
+            k: v for k, v in self._column_defaults.items() if k[0] != name
+        }
         del self.tables[spec.name]
 
     def clear_storage(self, drop_table: bool = True) -> None:
