@@ -111,3 +111,28 @@ def test_alter_composes_with_select_and_delete(spark, tmp_path):
     r.remove_by("doc", {"uid": 0})
     got = {x["uid"]: x["lang"] for x in r.load("doc").collect()}
     assert got == {1: None, 2: None, 3: None, 7: "en"}
+
+
+def test_evolved_column_visible_to_column_lookup_and_http(spark, tmp_path):
+    """spec.column() (the name lookup HTTP param coercion goes
+    through) must see ALTER-added columns — appending to the columns
+    list alone left the _by_name cache stale and ?lang=en returned
+    422 from the service."""
+    import json as _json
+
+    from vechord_spark.service import VechordService
+
+    r = VechordRegistry("evo6", str(tmp_path), spark)
+    r.register(_spec())
+    r.insert_rows("doc", _rows(0, 2))
+    r.alter_table_add_column("doc", "lang", "string", insert_default="en")
+    assert r.tables["doc"].column("lang").name == "lang"
+    r.insert_rows("doc", [{"uid": 5, "text": "x"}])
+    svc = VechordService(r)
+    status, _, body = svc.handle("GET", "/api/table/doc", {"lang": "en"})
+    assert status == 200
+    assert [x["uid"] for x in _json.loads(body)] == [5]
+    # overlay replay path keeps the lookup coherent too
+    r2 = VechordRegistry("evo6", str(tmp_path), spark)
+    r2.register(_spec())
+    assert r2.tables["doc"].column("lang").dtype == "string"

@@ -161,7 +161,7 @@ class VechordRegistry:
         for ent in json.loads(p.read_text()):
             if ent["column"] in have:
                 continue
-            spec.columns.append(Column(ent["column"], ent["dtype"]))
+            spec.add_column(Column(ent["column"], ent["dtype"]))
             have.add(ent["column"])
             if ent.get("insert_default") is not None:
                 self._column_defaults[(name, ent["column"])] = ent[
@@ -204,7 +204,7 @@ class VechordRegistry:
                 "declare them in the TableSpec (their index machinery is "
                 "wired at registration), backfill, then build the index"
             )
-        spec.columns.append(Column(column, dtype))
+        spec.add_column(Column(column, dtype))
         if insert_default is not None:
             self._column_defaults[(name, column)] = insert_default
         p = self._alters_path(name)

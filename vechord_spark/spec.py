@@ -300,6 +300,19 @@ class TableSpec:
         except KeyError:
             raise SchemaError(f"no column {name!r} in table {self.name}") from None
 
+    def add_column(self, col: Column) -> None:
+        """Append a column keeping the name lookup coherent — the ONLY
+        sanctioned way to grow a spec after construction (ALTER TABLE:
+        registry.alter_table_add_column and its overlay replay).
+        Appending to ``columns`` directly would leave ``column()``
+        blind to the new name."""
+        if col.name in self._by_name:
+            raise SchemaError(
+                f"table {self.name} already has a column {col.name!r}"
+            )
+        self.columns.append(col)
+        self._by_name[col.name] = col
+
     @property
     def field_names(self) -> list[str]:
         return [c.name for c in self.columns]
