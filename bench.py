@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     # queries so its entry measures querying the prebuilt indexes (the
     # production run_search shape), not building them
     "hybrid_rrf",
+    "hybrid_rrf_tri",
     "embedding_quantize",
     "text_stats",
     "text_repetition",

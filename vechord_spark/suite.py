@@ -3654,6 +3654,66 @@ def sparse_knn(spark, sf_dir):
     return sparse_topk(docs, "doc_id", "text", BM25_QUERY)
 
 
+@_q(
+    "hybrid_rrf_tri",
+    f"""
+    WITH vec_ranked AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QV_SQL}), vec_id
+             ) AS INT) AS rank
+      FROM embeddings
+      QUALIFY rank <= 10
+    ),
+    kw_ranked AS (SELECT doc_id, rank FROM ({_BM25_ORACLE})),
+    sparse_ranked AS (SELECT doc_id, rank FROM ({_sparse_sql()})),
+    unioned AS (
+      SELECT doc_id, rank FROM vec_ranked
+      UNION ALL
+      SELECT doc_id, rank FROM kw_ranked
+      UNION ALL
+      SELECT doc_id, rank FROM sparse_ranked
+    ),
+    fused AS (
+      SELECT doc_id, round(sum(1.0 / (59 + rank)), 6) AS rrf_score
+      FROM unioned GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+    FROM fused
+    ORDER BY rank
+    LIMIT 10
+    """,
+)
+def hybrid_rrf_tri(spark, sf_dir):
+    """TRI-hybrid retrieval — the modern RAG stack's full first stage:
+    dense top-10 ∪ BM25 top-10 ∪ SPARSE (Splade-shaped) top-10 fused
+    by Reciprocal Rank Fusion (k=60). All three legs are steady-state
+    queries against PERSISTED index structures: the IVF-clustered
+    layout (all 16 cells = exhaustive, so the oracle stays exact), the
+    cached BM25 postings, and the range-clustered sparse postings
+    (_sparse_postings). The reference fuses two legs
+    (vechord/rerank.py:95-113) and produces sparse embeddings it can
+    never retrieve with — this closes that loop."""
+    from vechord_spark.operators.sparse import sparse_topk_postings
+    from vechord_spark.operators.topk import ranked_topk
+
+    index = _ivf16(spark, sf_dir)
+    scored = index.assigned.select(
+        "vec_id", cosine_distance("embedding", QVEC).alias("distance")
+    )
+    vec = ranked_topk(
+        scored, [F.col("distance").asc(), F.col("vec_id").asc()], 10
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    kw = _bm25_index(spark, sf_dir).topk(BM25_QUERY, k=10).select(
+        "doc_id", "rank"
+    )
+    sp = sparse_topk_postings(
+        _sparse_postings(spark, sf_dir), BM25_QUERY
+    ).select("doc_id", "rank")
+    return rrf_topk([vec, kw, sp], "doc_id", topk=10)
+
+
 _SPARSE_IDX_CACHE: dict = {}
 
 
