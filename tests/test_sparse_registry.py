@@ -123,3 +123,19 @@ def test_sparse_validations(spark, tmp_path):
     )
     with pytest.raises(SchemaError, match="no sparse vector column"):
         r2.build_sparse_index("plain")
+
+
+def test_sparse_search_prefilter_conditions(spark, tmp_path):
+    """conditions is a PRE-filter: the result is the top-k MATCHING
+    docs, never fewer because better-scoring non-matches were cut."""
+    r = _registry(spark, tmp_path, "spv5")
+    r.insert_rows("doc", _rows())
+    r.build_sparse_index("doc")
+    q = {7: 2.0, 50: 1.0}
+    # unfiltered winner is uid 2 (title b); restrict to title a/c
+    from vechord_spark.spec import AnyOf
+
+    hits = r.search_by_sparse(
+        "doc", q, topk=2, conditions={"title": AnyOf(["a", "c"])}
+    ).collect()
+    assert [(h["uid"], h["score"]) for h in hits] == [(1, 4.0), (3, 3.0)]

@@ -3418,6 +3418,7 @@ class VechordRegistry:
         query: Mapping[int, float],
         topk: int = 10,
         return_fields: Sequence[str] | None = None,
+        conditions: Mapping[str, Any] | None = None,
     ) -> DataFrame:
         """Sparse dot-product top-k against the persisted postings
         (build_sparse_index): prune to the query's dimensions (an
@@ -3425,7 +3426,11 @@ class VechordRegistry:
         skipping files), broadcast the query weights, one per-doc sum
         — O(matched postings), independent of corpus size. ``query``
         maps dimension index -> weight (the reference SparseEmbedding's
-        indices/values pairs)."""
+        indices/values pairs). ``conditions`` applies BEFORE ranking
+        (PRE-filter semantics, same contract as search_by_vector): the
+        result is the top-k matching docs, never fewer because
+        neighbors were discarded after the fact — a pk semi-join from
+        the filtered table into the matched postings."""
         spec = self._spec(name)
         if spec.sparse_column is None:
             raise SchemaError(f"table {name} has no sparse vector column")
@@ -3445,8 +3450,16 @@ class VechordRegistry:
         qdf = self.spark.createDataFrame(
             [(int(i), float(w)) for i, w in query.items()], "idx int, qw double"
         )
+        matched = posts.filter(F.col("idx").isin([int(i) for i in query]))
+        if conditions:
+            eligible = self.load(name).filter(
+                build_predicate(self.load(name), conditions)
+            )
+            matched = matched.join(
+                eligible.select(pk.name), pk.name, "left_semi"
+            )
         scored = (
-            posts.filter(F.col("idx").isin([int(i) for i in query]))
+            matched
             .join(F.broadcast(qdf), "idx")
             .groupBy(pk.name)
             .agg(F.round(F.sum(F.col("v") * F.col("qw")), 6).alias("score"))
