@@ -3400,7 +3400,12 @@ class VechordRegistry:
                 indexed = self.spark.read.parquet(
                     str(ipath / "postings")
                 ).select(pk.name).distinct()
-                new = base.join(indexed, pk.name, "left_anti")
+                # NULL sparse cells never enter the postings, so the
+                # anti-join must skip them or they read as "new" on
+                # every ledger-less extend forever
+                new = base.filter(F.col(sv.name).isNotNull()).join(
+                    indexed, pk.name, "left_anti"
+                )
             n_new = new.count()
             if n_new:
                 self._mark_extend_intent(ipath)
