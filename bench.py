@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "mojibake_scrub_report",
     "audio_band_report",
     "bpe_token_counts",
+    "unigram_token_counts",
     "mmr_rerank_diverse",
     "cdc_shared_passages",
     "dedup_embedding_pairs",

@@ -3388,6 +3388,65 @@ def bpe_token_counts(spark, sf_dir):
 
 
 @_q(
+    "unigram_token_counts",
+    """
+    -- same synthesized corpus and arithmetic as bpe_token_counts:
+    -- text(doc) = one 5-letter word repeated n = (doc_id % 7) + 1
+    -- times. A unigram model fitted on this corpus keeps every
+    -- pre-token ("word" and " word") as a whole piece (the full-word
+    -- piece dominates any split under the independence model), so the
+    -- Viterbi count is exactly n per doc and the char count 6n - 1
+    SELECT CAST((doc_id % 7) + 1 AS INT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(6 * ((doc_id % 7) + 1) - 1) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY n_tokens
+    """,
+)
+def unigram_token_counts(spark, sf_dir):
+    """Unigram-LM tokenizer train + encode end-to-end (functions/
+    unigram.py — SentencePiece's algorithm, Kudo 2018; the third
+    production tokenizer beside BPE and WordPiece, pruning a seeded
+    substring vocabulary by Viterbi-EM instead of growing one by
+    merges). Same corpus-synthesis trick as bpe_token_counts: 10
+    distinct pre-tokens, so the fitted model keeps each whole word as
+    one piece and the per-doc token count is pure doc_id arithmetic
+    the oracle states in SQL. Same scale plan too: ONE word-count
+    shuffle (vocabulary-bounded), driver-side seed/EM/prune fit,
+    Arrow-batched Viterbi counting scan."""
+    from vechord_spark.functions.unigram import train_unigram
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    words = F.array(
+        *[F.lit(w) for w in ("alpha", "gamma", "delta", "omega", "theta")]
+    )
+    synth = docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_repeat(
+                F.element_at(words, (F.col("doc_id") % 5 + 1).cast("int")),
+                (F.col("doc_id") % 7 + 1).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    tok = train_unigram(synth, vocab_size=64, em_iters=2, max_words=1024)
+    counted = synth.select(
+        tok.token_count_column("text").cast("int").alias("n_tokens"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        counted.groupBy("n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("n_tokens")
+    )
+
+
+@_q(
     "cdc_shared_passages",
     """
     -- the synthesized corpus makes the shared-passage pair set pure
