@@ -9194,6 +9194,19 @@ def quality_top_fraction(spark, sf_dir):
 # including the grouping-sets/exists/decile members),
 # doc_bigram_logprob (doc_kn_logprob keeps the bigram-LM family
 # in-window; ccnet_buckets composes the unigram score).
+# Round-12 THIRD tranche (queries built in the round's second half,
+# pre-verified at the driver's sf0.01 — BASELINE.md).
+# IN (all NEW): hybrid_rrf_tri (dense+bm25+sparse RRF over three
+# persisted indexes), unigram_token_counts (the SentencePiece-family
+# tokenizer, arithmetic oracle), dedup_best_quality_survivors
+# (keep-best representatives), token_budget_mix (token-provisioned
+# mixing), script_mix_report (Unicode script composition).
+# OUT (green in CORRECTNESS_r11 on unchanged plans, family covered):
+# grouping_sets_pricing (eight TPC-H shapes stay), knn_matryoshka
+# (knn_cosine + six recall gates keep ANN), ccnet_buckets
+# (dsir_importance + doc_kn_logprob + corpus_funnel_lm keep quality
+# scoring), blocklist_report (phrase_blocklist_report keeps
+# blocklists), dedup_bloom_incremental (five dedup entries stay).
 # After this rotation the only registered query without a driver
 # CORRECTNESS row is semdedup_ivf_survivors — rows-only BY DESIGN
 # (its exact witness semdedup_ivf_recall stays in-window).
@@ -9204,7 +9217,6 @@ _WINDOW_PRIORITY = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
     # r11 IN, never driver-checked: TPC-H Q shapes
-    "grouping_sets_pricing",
     "nation_market_share",
     "volume_shipping",
     "sole_late_supplier",
@@ -9217,7 +9229,6 @@ _WINDOW_PRIORITY = [
     # vector / ANN (knn_cosine carries K1; the r11-IN entries are the
     # never-checked recall-gate family members)
     "knn_cosine",
-    "knn_matryoshka",
     "ivf_pq_recall",
     "rpq_recall",
     "ivf_knn_batch_recall",
@@ -9228,6 +9239,7 @@ _WINDOW_PRIORITY = [
     # keyword / hybrid search + rerank
     "bm25_index_topk",
     "sparse_index_topk",
+    "hybrid_rrf_tri",
     "phrase_blocklist_report",
     "mmr_rerank_diverse",
     # graph + similarity joins
@@ -9242,12 +9254,13 @@ _WINDOW_PRIORITY = [
     "events_rollup_daily",
     # dedup suite
     "dedup_components",
-    "dedup_bloom_incremental",
+    "dedup_best_quality_survivors",
     "media_dedup_pairs",
     "minhash_calibration_report",
-    "blocklist_report",
     # text analysis / training-data ops
-    "ccnet_buckets",
+    "script_mix_report",
+    "token_budget_mix",
+    "unigram_token_counts",
     "dsir_importance",
     "doc_kn_logprob",
     "ngram_diversity",
