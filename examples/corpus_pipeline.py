@@ -1,6 +1,8 @@
 """Training-corpus preparation, end to end: quality filter -> NB
-classifier filter -> near-dup removal -> benchmark decontamination ->
-deterministic subsample -> train/val split -> token-budget packing.
+classifier filter -> near-dup removal (keeping the BEST cluster
+member) -> Kneser-Ney LM-perplexity gate (CCNet's signature stage) ->
+benchmark decontamination -> token-budget source mixing ->
+train/val split -> token-budget packing.
 
 This is the 100 TB pipeline shape the engine's dedup/quality/sample/
 pack operators compose into (no reference equivalent — these are the
@@ -20,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from vechord_spark.operators.dedup import (
-    drop_near_duplicates,
+    drop_near_duplicates_keep_best,
     minhash_candidate_pairs,
     ngram_jaccard,
 )
@@ -34,7 +36,6 @@ from vechord_spark.operators.quality import (
 from vechord_spark.operators.sample import (
     hash_fraction,
     split_assign,
-    stratified_sample,
 )
 from vechord_spark.functions.text import token_count
 from vechord_spark.session import get_spark
@@ -78,13 +79,23 @@ def main() -> None:
     n2 = docs.count()
 
     # 3. near-dup removal: MinHash candidates -> Jaccard verify ->
-    #    connected components -> keep min-id survivor per cluster
+    #    connected components -> keep the BEST member per cluster
+    #    (longest text, not first-crawled: duplicates are rarely equal)
     cands = minhash_candidate_pairs(docs, "doc_id", "text")
     pairs = ngram_jaccard(
         docs, "doc_id", "text", threshold=0.35, candidates=cands
     ).select("doc_a", "doc_b")
-    docs = drop_near_duplicates(docs, "doc_id", pairs)
+    docs = drop_near_duplicates_keep_best(
+        docs, "doc_id", pairs, prefer=F.length("text")
+    )
     n3 = docs.count()
+
+    # 3b. LM-perplexity gate (the CCNet stage): score survivors under
+    #     a Kneser-Ney bigram model of the corpus, drop the bottom 15%
+    from vechord_spark.operators.quality import kn_perplexity_gate
+
+    docs = kn_perplexity_gate(docs, "doc_id", "text", drop_frac=0.15)
+    n3b = docs.count()
 
     # 4. benchmark decontamination: the held-out eval slice (5% hash
     #    sample) must not leak into training via shared n-grams
@@ -96,11 +107,16 @@ def main() -> None:
     )
     n4 = docs.count()
 
-    # 5. reproducible training mix: per-source rates, md5-keyed
-    rates = {"src0": 1.0, "src1": 0.5}
-    docs = stratified_sample(
-        docs, "doc_id", "source", rates, default_rate=0.25, salt="mix-v1"
-    )
+    # 5. reproducible training mix, provisioned in TOKENS (what the
+    #    training run is actually budgeted in), md5-keyed membership
+    from vechord_spark.operators.sample import token_budget_sample
+
+    docs = docs.withColumn("__ntok", token_count("text"))
+    docs = token_budget_sample(
+        docs, "doc_id", "source", F.col("__ntok"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        budget_tokens=30_000, salt="mix-v1",
+    ).drop("__ntok")
     n5 = docs.count()
 
     # 6. train/val split (append-stable) + token-budget packing per split
@@ -119,7 +135,7 @@ def main() -> None:
 
     print(
         f"corpus: {n0} docs -> gopher {n_g} -> quality {n1} -> classifier {n2} -> dedup {n3} "
-        f"-> decontaminated {n4} -> sample {n5} "
+        f"-> lm_gate {n3b} -> decontaminated {n4} -> token-budget mix {n5} "
         f"-> {n_bins} bins of {PACK_BUDGET} tokens (mean fill {mean_fill})"
     )
     spark.stop()

@@ -651,3 +651,28 @@ def test_script_mix_counts_ranges(spark):
     assert abs(r1["other_frac"] - 0.0) < 1e-9
     assert rows[2]["latin_frac"] is None  # empty doc -> NULL fractions
     assert rows[3]["other_frac"] == 1.0  # punctuation is unclassified
+
+
+def test_kn_perplexity_gate_drops_gibberish_tail(spark):
+    """The LM gate drops the bottom drop_frac quantile by KN logprob:
+    fluent repeated-pattern docs survive, the shuffled-token outliers
+    drop first; drop_frac=0 keeps everything."""
+    from vechord_spark.operators.quality import kn_perplexity_gate
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, fluent) for i in range(8)]
+    # gibberish: same tokens, orders never repeated elsewhere
+    rows += [(100, "dog the over fox quick jumps brown lazy the")]
+    rows += [(101, "lazy jumps the dog brown over quick the fox")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept = kn_perplexity_gate(df, "doc_id", "text", drop_frac=0.2)
+    ids = sorted(x["doc_id"] for x in kept.collect())
+    assert 100 not in ids and 101 not in ids  # the unpredictable tail
+    assert ids == list(range(8))
+
+    assert kn_perplexity_gate(df, "doc_id", "text", drop_frac=0.0).count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="drop_frac"):
+        kn_perplexity_gate(df, "doc_id", "text", drop_frac=1.0)

@@ -465,6 +465,68 @@ def kneser_ney_logprob(
     )
 
 
+def kn_perplexity_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    drop_frac: float = 0.2,
+    discount: float = 0.75,
+    reference: DataFrame | None = None,
+    model: tuple | None = None,
+) -> DataFrame:
+    """The CCNet LM gate as ONE operator: score ``df``'s documents
+    under a Kneser-Ney bigram model trained on ``reference`` (default:
+    ``df`` itself — self-referential filtering; pass the full crawl to
+    judge a subset under the corpus-wide model, or a prebuilt
+    ``model`` from :func:`build_kn_bigram_model`), then drop the
+    bottom ``drop_frac`` quantile by mean logprob. The quantile is
+    exact and scale-honest: scores are 6-dp-rounded, so the cutoff
+    comes from a histogram over DISTINCT score values (a
+    vocabulary-sized frame — the global window orders score values,
+    never documents), and threshold ties drop together. Docs with no
+    bigrams drop (no evidence of fluency). Returns the kept rows of
+    ``df`` unchanged."""
+    from pyspark.sql import Window
+
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    ref = reference if reference is not None else df
+    scores = (
+        kneser_ney_logprob(
+            ref,
+            id_col,
+            text_col,
+            discount,
+            score_ids=df.select(id_col),
+            model=model,
+        )
+        .filter(F.col("avg_kn_logprob").isNotNull())
+        .select(id_col, F.col("avg_kn_logprob").alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    hist = scores.groupBy("__s").agg(F.count(F.lit(1)).alias("__cnt"))
+    wcum = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "__s",
+        F.sum("__cnt").over(wcum).alias("__cum"),
+        F.sum("__cnt").over(wall).alias("__n"),
+    )
+    k = F.floor(F.lit(drop_frac) * F.col("__n"))
+    row = (
+        cum.filter((k >= F.lit(1)) & (F.col("__cum") >= k))
+        .agg(F.min("__s").alias("thr"))
+        .first()
+    )
+    thr = row["thr"] if row is not None else None
+    kept = scores if thr is None else scores.filter(F.col("__s") > F.lit(thr))
+    return df.join(kept.select(id_col), id_col, "left_semi")
+
+
 # Unicode script classes as explicit codepoint ranges — NOT \p{Script}
 # properties, whose tables differ across regex engines (Java vs RE2 vs
 # Python); literal ranges count identically everywhere, which is what
