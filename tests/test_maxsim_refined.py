@@ -200,3 +200,59 @@ def test_registry_multivec_token_index_roundtrip(spark, tmp_path):
         "mvt", [[1.0, 0.0, 0.0, 0.0]], topk=5, probes=4, maxsim_refine=40
     ).collect()
     assert [r.id for r in got2] == [r.id for r in exact]
+
+
+def test_multivec_batch_matches_per_query(spark, tmp_path):
+    """search_by_multivec_batch: both the probed path (one pass over
+    the unioned probes) and the exact batch scan return, per query,
+    exactly what the single-query search returns."""
+    import random
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, MultiVector, TableSpec
+
+    rng = random.Random(37)
+    r = VechordRegistry("mvb", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "late",
+            [Column("uid", "int", primary_key=True), Column("mv", MultiVector(4))],
+        )
+    )
+
+    def rows(ids, center):
+        return [
+            {
+                "uid": i,
+                "mv": [
+                    [c + rng.uniform(-0.2, 0.2) for c in center]
+                    for _ in range(3)
+                ],
+            }
+            for i in ids
+        ]
+
+    r.insert_rows("late", rows(range(30), [0, 0, 0, 0]))
+    r.insert_rows("late", rows(range(30, 60), [5, 5, 5, 5]))
+    r.build_multivec_index("late", lists=2)
+    queries = [
+        [[0.1, 0.0, 0.1, 0.0], [0.0, 0.2, 0.0, 0.1]],
+        [[5.0, 5.0, 5.0, 5.0]],
+        [[2.5, 2.5, 2.5, 2.5], [0.0, 5.0, 0.0, 5.0]],
+    ]
+
+    for probes in (2, None):
+        batch = r.search_by_multivec_batch(
+            "late", queries, topk=5, probes=probes
+        ).collect()
+        by_q: dict[int, list] = {}
+        for row in batch:
+            by_q.setdefault(row["query_id"], []).append(row)
+        assert sorted(by_q) == [0, 1, 2]
+        for qi, q in enumerate(queries):
+            single = r.search_by_multivec(
+                "late", q, topk=5, probes=probes
+            ).collect()
+            assert [x["uid"] for x in by_q[qi]] == [x["uid"] for x in single]
+            for g, s in zip(by_q[qi], single):
+                assert abs(g["maxsim_distance"] - s["maxsim_distance"]) < 1e-9

@@ -559,6 +559,102 @@ class MultiVecIvfIndex:
             select=select, tie_break=tie_break,
         )
 
+    def search_batch(
+        self,
+        queries: Sequence[Sequence[Sequence[float]]],
+        k: int = 10,
+        probes: int | None = None,
+        select: Sequence[str] | None = None,
+        tie_break: str | None = None,
+    ) -> DataFrame:
+        """Batched MaxSim probe search — the multivector twin of
+        :meth:`IvfIndex.search_batch`: every query's probe set (union
+        over its token vectors) is computed driver-side, ONE scan
+        covers the union of all probed partitions, each row's token
+        matrix stacks once per Arrow batch and scores against exactly
+        the queries whose probe set contains its cell, and one window
+        takes per-query top-k. Returns ``query_id`` + ``select``
+        columns + ``maxsim_distance``."""
+        from pyspark.sql import Window
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        if probes is None:
+            probes = default_probes(self.lists)
+        qlist = [
+            np.asarray([list(v) for v in q], dtype=np.float64)
+            for q in queries
+        ]
+        if not qlist:
+            raise ValueError("queries must be a non-empty list of multivectors")
+        cell_to_q: dict[int, list[int]] = {}
+        for qi, q in enumerate(qlist):
+            for c in self.probe_ids(q, probes):
+                qs = cell_to_q.setdefault(int(c), [])
+                if qi not in qs:
+                    qs.append(qi)
+        pruned = self.inner.assigned.filter(
+            F.col("centroid_id").isin(sorted(cell_to_q))
+        )
+
+        @pandas_udf(
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("qid", T.IntegerType()),
+                        T.StructField("d", T.DoubleType()),
+                    ]
+                )
+            )
+        )
+        def _score(cids: pd.Series, docs: pd.Series) -> pd.Series:
+            out = []
+            for cid, dv in zip(cids.to_numpy(), docs):
+                qs = cell_to_q.get(int(cid), [])
+                if not qs:
+                    out.append([])
+                    continue
+                dm = np.asarray(
+                    [np.asarray(t, dtype=np.float64) for t in dv]
+                )
+                out.append(
+                    [
+                        {
+                            "qid": int(qi),
+                            "d": float(-(qlist[qi] @ dm.T).max(axis=1).sum()),
+                        }
+                        for qi in qs
+                    ]
+                )
+            return pd.Series(out)
+
+        internal = {self.mv_col, "centroid_id", "__mean", "__centroid_ids"}
+        keep = (
+            list(select)
+            if select is not None
+            else [c for c in pruned.columns if c not in internal]
+        )
+        scored = (
+            pruned.withColumn(
+                "__hits", _score(F.col("centroid_id"), F.col(self.mv_col))
+            )
+            .select(*keep, F.explode("__hits").alias("__h"))
+            .select(
+                F.col("__h.qid").alias("query_id"),
+                *keep,
+                F.col("__h.d").alias("maxsim_distance"),
+            )
+        )
+        order = [F.col("maxsim_distance").asc()]
+        if tie_break:
+            order.append(F.col(tie_break).asc())
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def write_clustered(self, path: str) -> None:
         self.inner.write_clustered(path)
 

@@ -90,6 +90,84 @@ def maxsim_topk(
     return out
 
 
+def maxsim_topk_batch(
+    df: DataFrame,
+    doc_col: str,
+    queries: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    select: Sequence[str] | None = None,
+    tie_break: str | None = None,
+    score_alias: str = "maxsim_distance",
+) -> DataFrame:
+    """Batched exact MaxSim: N late-interaction queries against the
+    corpus in ONE pass — each row's token matrix is stacked once per
+    Arrow batch and scored against every query with one matmul each,
+    then a single window takes per-query top-k (the partial
+    WindowGroupLimit keeps the |Q| x |corpus| pair space below the
+    exchange). N separate maxsim_topk calls would re-scan and re-stack
+    the corpus N times. Returns ``query_id`` (position in
+    ``queries``) + the ``select`` columns + the negated-score
+    distance, top-k per query."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from vechord_spark.parallel import spread
+
+    qlist = [
+        np.asarray([list(v) for v in q], dtype=np.float64) for q in queries
+    ]
+    if not qlist:
+        raise ValueError("queries must be a non-empty list of multivectors")
+
+    @pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("qid", T.IntegerType()),
+                    T.StructField("d", T.DoubleType()),
+                ]
+            )
+        )
+    )
+    def _score(docs: pd.Series) -> pd.Series:
+        out = []
+        for dv in docs:
+            dm = np.asarray([np.asarray(t, dtype=np.float64) for t in dv])
+            hits = []
+            for qi, qm in enumerate(qlist):
+                sims = qm @ dm.T
+                hits.append({"qid": qi, "d": float(-sims.max(axis=1).sum())})
+            out.append(hits)
+        return pd.Series(out)
+
+    keep = (
+        list(select)
+        if select is not None
+        else [c for c in df.columns if c != doc_col]
+    )
+    scored = (
+        spread(df)
+        .withColumn("__hits", _score(F.col(doc_col)))
+        .select(*keep, F.explode("__hits").alias("__h"))
+        .select(
+            F.col("__h.qid").alias("query_id"),
+            *keep,
+            F.col("__h.d").alias(score_alias),
+        )
+    )
+    order = [F.col(score_alias).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def maxsim_pandas_scorer(query_vectors: Sequence[Sequence[float]]):
     """Arrow-batched numpy MaxSim for wide query sets (slow path).
 

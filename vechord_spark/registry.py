@@ -3064,6 +3064,70 @@ class VechordRegistry:
             tie_break=pk.name if pk else None,
         )
 
+    def search_by_multivec_batch(
+        self,
+        name: str,
+        queries: Sequence[Sequence[Sequence[float]]],
+        topk: int = 10,
+        return_fields: Sequence[str] | None = None,
+        probes: int | None = None,
+    ) -> DataFrame:
+        """Batch MaxSim: top-k rows for EVERY late-interaction query,
+        one frame with a ``query_id`` column — the multivector twin of
+        :meth:`search_by_vector_batch`. With ``probes`` the persisted
+        clustered layout answers the whole batch in one pass over the
+        union of the probed partitions
+        (:meth:`MultiVecIvfIndex.search_batch`); without, the exact
+        batched scan (operators/maxsim.maxsim_topk_batch — each row's
+        token matrix stacks once and scores against every query)."""
+        from vechord_spark.errors import DimensionMismatch
+        from vechord_spark.operators.maxsim import maxsim_topk_batch
+
+        spec = self._spec(name)
+        mv_col = spec.multivec_column
+        if mv_col is None:
+            raise SchemaError(f"table {name} has no multivector column")
+        if not len(queries):
+            raise ValueError("queries must be a non-empty list")
+        for q in queries:
+            for v in q:
+                if len(v) != mv_col.engine_type.dim:
+                    raise DimensionMismatch(
+                        f"query vector has {len(v)} dims, "
+                        f"{name}.{mv_col.name} is "
+                        f"MultiVector({mv_col.engine_type.dim})"
+                    )
+        fields = list(return_fields) if return_fields else spec.non_vec_columns()
+        pk = spec.primary_key
+        qs = [[list(v) for v in q] for q in queries]
+        if probes is not None:
+            index = self._load_multivec_index(name)
+            if index is None:
+                raise SchemaError(
+                    f"no multivector IVF index for {name}; "
+                    "call build_multivec_index first"
+                )
+            out = index.search_batch(
+                qs,
+                k=topk,
+                probes=probes,
+                select=fields,
+                tie_break=pk.name if pk else None,
+            )
+        else:
+            out = maxsim_topk_batch(
+                self.load(name),
+                mv_col.name,
+                qs,
+                k=topk,
+                select=fields,
+                tie_break=pk.name if pk else None,
+            )
+        order = [F.col("query_id").asc(), F.col("maxsim_distance").asc()]
+        if pk:
+            order.append(F.col(pk.name).asc())
+        return out.orderBy(*order)
+
     def build_keyword_index(self, name: str, tokenizer=None) -> int:
         """Build + persist the BM25 postings/statistics tables — the
         engine's rendition of the reference's bm25 index DDL
