@@ -203,3 +203,34 @@ def test_bm25_phrase_topk_no_match_is_empty(spark, docs):
 
     got = bm25_phrase_topk(docs, "doc_id", "text", "zzz qqq", k=5)
     assert got.count() == 0
+
+
+def test_bm25_topk_batch_matches_per_query(spark):
+    """topk_batch (one postings scan, union term filter, broadcast
+    (query_id, term) fan-out) returns per query exactly what topk
+    returns — ids, scores, ranks."""
+    from vechord_spark.operators.bm25 import Bm25Index
+
+    rows = [
+        (1, "spark engine distributed compute"),
+        (2, "spark spark spark streaming"),
+        (3, "ducks are birds and ducks swim"),
+        (4, "distributed ducks engine"),
+        (5, "unrelated text entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = Bm25Index(df, "doc_id", "text")
+    queries = ["spark engine", "ducks", "distributed streaming ducks", "zzz"]
+    batch = idx.topk_batch(queries, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert 3 not in by_q  # no-match query contributes no rows
+    for qi, q in enumerate(queries):
+        single = idx.topk(q, k=3).collect()
+        got = by_q.get(qi, [])
+        assert [(r["doc_id"], r["score"], r["rank"]) for r in got] == [
+            (r["doc_id"], r["score"], r["rank"]) for r in single
+        ]
+    # all-empty batch: schema-stable empty frame
+    assert idx.topk_batch(["zzz", ""], k=3).count() == 0

@@ -174,6 +174,15 @@ class Bm25Index:
         rank stability. Unique terms contribute once each (query term
         frequency is ignored, the common IR default).
         """
+        return self._term_scores(terms).groupBy("doc_id").agg(
+            F.round(F.sum("term_score"), 6).alias("score")
+        )
+
+    def _term_scores(self, terms: Sequence[str]) -> DataFrame:
+        """``(term, doc_id, term_score)`` for the unique terms — the
+        shared scoring core of the single-query :meth:`topk` and the
+        batched :meth:`topk_batch` (which joins a (query_id, term)
+        table onto it so one postings scan serves every query)."""
         # enforce the unique-terms contract here rather than assuming
         # the caller deduped: a duplicated term would double its
         # contribution (and inflate df under the r9 window derivation;
@@ -203,9 +212,9 @@ class Bm25Index:
             present = [t for t in terms if t in df_map]
             if not present:
                 return (
-                    self.postings.select(F.col("doc_id"))
+                    self.postings.select("term", "doc_id")
                     .limit(0)
-                    .withColumn("score", F.lit(None).cast("double"))
+                    .withColumn("term_score", F.lit(None).cast("double"))
                 )
             matched = self.postings.filter(F.col("term").isin(*present))
             if "dl" not in self.postings.columns:
@@ -253,9 +262,7 @@ class Bm25Index:
                 ),
             )
         )
-        return scored.groupBy("doc_id").agg(
-            F.round(F.sum("term_score"), 6).alias("score")
-        )
+        return scored.select("term", "doc_id", "term_score")
 
     def topk(
         self,
@@ -290,6 +297,62 @@ class Bm25Index:
         return ranked_topk(
             scores, [F.col("score").desc(), F.col("doc_id").asc()], k
         )
+
+    def topk_batch(self, queries: Sequence[str], k: int = 10) -> DataFrame:
+        """Batched top-k: N query strings from ONE postings scan (see
+        :func:`_index_topk_batch`)."""
+        return _index_topk_batch(self, queries, k)
+
+
+def _index_topk_batch(index: "Bm25Index", queries, k: int = 10) -> DataFrame:
+    """Batched BM25 against a prebuilt index: N query strings answered
+    from ONE postings scan — the union of every query's terms drives
+    the pushed term IN-filter, a broadcast (query_id, term) table fans
+    each matched posting to exactly the queries containing its term,
+    and one window takes per-query top-k. N topk() calls would re-scan
+    the postings (and re-look-up the term dictionary) N times — the
+    eval-stream shape, like the vector/multivec search_batch twins.
+    Returns ``(query_id, doc_id, score, rank)``."""
+    from pyspark.sql import Window
+
+    spark = index.postings.sparkSession
+    per_q: list[list[str]] = []
+    for q in queries:
+        if index.tokenizer is not None:
+            seen: dict[str, None] = {}
+            for t in index.tokenizer.tokenize(q):
+                seen.setdefault(t)
+            per_q.append(list(seen))
+        else:
+            per_q.append(list(dict.fromkeys(_query_terms(spark, q))))
+    union_terms = sorted({t for ts in per_q for t in ts})
+    if not union_terms:
+        return (
+            index.postings.select("doc_id")
+            .limit(0)
+            .withColumn("query_id", F.lit(0))
+            .withColumn("score", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(0))
+            .select("query_id", "doc_id", "score", "rank")
+        )
+    pairs = spark.createDataFrame(
+        [(qi, t) for qi, ts in enumerate(per_q) for t in ts],
+        "query_id int, term string",
+    )
+    scored = (
+        index._term_scores(union_terms)
+        .join(F.broadcast(pairs), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
 
 
 def bm25_topk(
