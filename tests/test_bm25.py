@@ -234,3 +234,40 @@ def test_bm25_topk_batch_matches_per_query(spark):
         ]
     # all-empty batch: schema-stable empty frame
     assert idx.topk_batch(["zzz", ""], k=3).count() == 0
+
+
+def test_registry_keyword_batch_matches_single(spark, tmp_path):
+    from vechord_spark.errors import SchemaError
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, Keyword, TableSpec
+
+    r = VechordRegistry("kwb", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("body", Keyword())],
+        )
+    )
+    r.insert_rows(
+        "doc",
+        [
+            {"uid": 1, "body": "spark engine distributed compute"},
+            {"uid": 2, "body": "spark spark streaming"},
+            {"uid": 3, "body": "ducks are birds and ducks swim"},
+        ],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaError, match="no keyword index"):
+        r.search_by_keyword_batch("doc", ["spark"], topk=2)
+    r.build_keyword_index("doc")
+    queries = ["spark engine", "ducks"]
+    batch = r.search_by_keyword_batch("doc", queries, topk=2).collect()
+    by_q: dict[int, list] = {}
+    for row in batch:
+        by_q.setdefault(row["query_id"], []).append(row)
+    for qi, q in enumerate(queries):
+        single = r.search_by_keyword("doc", q, topk=2).collect()
+        assert [(x["uid"], x["score"]) for x in by_q[qi]] == [
+            (x["uid"], x["score"]) for x in single
+        ]

@@ -3544,6 +3544,42 @@ class VechordRegistry:
             F.col("score").desc(), F.col(pk.name).asc()
         )
 
+    def search_by_keyword_batch(
+        self,
+        name: str,
+        queries: Sequence[str],
+        topk: int = 10,
+        return_fields: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Batch BM25: top-k rows for EVERY query string, one frame
+        with a ``query_id`` column — the keyword member of the batch
+        family (search_by_vector_batch / search_by_multivec_batch /
+        the batched probe search). Requires the persisted postings
+        index (build_keyword_index): the whole batch is answered from
+        ONE postings scan (:meth:`Bm25Index.topk_batch`)."""
+        spec = self._spec(name)
+        if spec.keyword_column is None:
+            raise SchemaError(f"table {name} has no keyword column")
+        pk = spec.primary_key
+        if pk is None:
+            raise SchemaError(f"table {name} needs a primary key for BM25")
+        if not len(queries):
+            raise ValueError("queries must be a non-empty list")
+        index = self._load_keyword_index(name)
+        if index is None:
+            raise SchemaError(
+                f"no keyword index for {name}; call build_keyword_index first"
+            )
+        fields = list(return_fields) if return_fields else spec.non_vec_columns()
+        hits = index.topk_batch(list(queries), k=topk)
+        payload = self.load(name).select(*{*fields, pk.name})
+        out = (
+            hits.withColumnRenamed("doc_id", "__hit_id")
+            .join(payload, F.col("__hit_id") == F.col(pk.name))
+            .select("query_id", *fields, "score", "rank")
+        )
+        return out.orderBy(F.col("query_id").asc(), F.col("rank").asc())
+
     def search_by_keyword(
         self,
         name: str,
