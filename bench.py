@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "maxsim_by_label",
     "bm25_topk",
     "bm25_index_topk",
+    "bm25_batch_topk",
     "phrase_search",
     "dedup_minhash_lsh",
     "graph_triangles",

@@ -500,6 +500,31 @@ def bm25_index_topk(spark, sf_dir):
     return _bm25_index(spark, sf_dir).topk(BM25_QUERY2, k=10)
 
 
+@_q(
+    "bm25_batch_topk",
+    f"""
+    SELECT CAST(0 AS INT) AS query_id, doc_id, score, rank
+    FROM ({_bm25_oracle_sql(_BM25_TERMS)})
+    UNION ALL
+    SELECT CAST(1 AS INT) AS query_id, doc_id, score, rank
+    FROM ({_bm25_oracle_sql(_BM25_TERMS2)})
+    """,
+)
+def bm25_batch_topk(spark, sf_dir):
+    """K3 batched: TWO query strings answered from ONE scan of the
+    persisted postings (Bm25Index.topk_batch — the union of both
+    queries' terms drives the pushed term IN-filter, a broadcast
+    (query_id, term) table fans each matched posting to exactly the
+    queries containing its term, one window takes per-query top-k).
+    The eval-stream shape: N topk() calls would re-scan the postings
+    and re-look-up the term dictionary N times. Oracle: the two
+    single-query oracles, union-tagged — the batch must reproduce
+    both exactly."""
+    return _bm25_index(spark, sf_dir).topk_batch(
+        [BM25_QUERY, BM25_QUERY2], k=10
+    )
+
+
 _PHRASE = ["table", "scan"]
 
 
