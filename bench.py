@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "sparse_index_topk",
     "groundtruth_generate",
     "maxsim_topk_docs",
+    "maxsim_batch_topk",
     "lsh_knn",
     "approx_distinct_users",
     "ngram_diversity",

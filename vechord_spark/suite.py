@@ -3894,6 +3894,65 @@ def maxsim_topk_docs(spark, sf_dir):
     return hits.select("mv_id", F.round("maxsim_distance", 6).alias("distance"))
 
 
+@_q(
+    "maxsim_batch_topk",
+    f"""
+    WITH mv AS (
+      SELECT CAST(floor(vec_id / 5) AS BIGINT) AS mv_id,
+             list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vecs
+      FROM embeddings GROUP BY 1
+    ),
+    s0 AS (
+      SELECT mv_id,
+             -list_max(list_transform(vecs, d -> list_dot_product(d, {_QV_SQL}))) AS d
+      FROM mv
+    ),
+    s1 AS (
+      SELECT mv_id,
+             -(list_max(list_transform(vecs, d -> list_dot_product(d, {_QV_SQL}))) +
+               list_max(list_transform(vecs, d -> list_dot_product(d, {_QV2_SQL})))) AS d
+      FROM mv
+    ),
+    r0 AS (
+      SELECT CAST(0 AS INT) AS query_id, mv_id, round(d, 6) AS distance
+      FROM s0 ORDER BY d, mv_id LIMIT 10
+    ),
+    r1 AS (
+      SELECT CAST(1 AS INT) AS query_id, mv_id, round(d, 6) AS distance
+      FROM s1 ORDER BY d, mv_id LIMIT 10
+    )
+    SELECT * FROM r0 UNION ALL SELECT * FROM r1
+    """,
+)
+def maxsim_batch_topk(spark, sf_dir):
+    """K2 batched: TWO late-interaction queries (one single-token, one
+    two-token) scored against the synthesized multivector corpus in
+    ONE pass (operators/maxsim.maxsim_topk_batch — each row's token
+    matrix stacks once per Arrow batch and scores against every
+    query), per-query top-10 through one window. Oracle: the two
+    single-query MaxSim oracles union-tagged — the batch must
+    reproduce both exactly (same negated-sum-of-maxes convention as
+    maxsim_topk_docs)."""
+    from vechord_spark.operators.maxsim import maxsim_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mv = emb.groupBy(
+        F.floor(F.col("vec_id") / 5).cast("long").alias("mv_id")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+            lambda s: s["embedding"],
+        ).alias("vecs")
+    )
+    hits = maxsim_topk_batch(
+        mv, "vecs", [[QVEC], [QVEC, QVEC2]], k=10,
+        select=["mv_id"], tie_break="mv_id",
+    )
+    return hits.select(
+        "query_id", "mv_id", F.round("maxsim_distance", 6).alias("distance")
+    )
+
+
 @_q("ivf_knn_refined")  # rows-only: approximate two-phase search
 def ivf_knn_refined(spark, sf_dir):
     """K1 at scale, phase 2: int8-quantized estimate pass + exact
