@@ -178,3 +178,27 @@ def test_sparse_extend_crash_is_idempotent(spark, tmp_path, monkeypatch):
     assert hits[0]["uid"] == 9 and hits[0]["score"] == 10.0
     # ledger re-adopted by the successful retry
     assert r.index_stats("doc")["sparse"]["ledger_fresh"]
+
+
+def test_maintain_compacts_fragmented_sparse_layout(spark, tmp_path):
+    """Many small sparse extends fragment the postings; maintain()'s
+    hygiene signal now covers the sparse layout (flat postings, same
+    file-count gate as bm25)."""
+    r = _registry(spark, tmp_path, "spv7")
+    r.insert_rows("doc", _rows())
+    r.build_sparse_index("doc")
+    for i in range(5):
+        r.insert_rows(
+            "doc",
+            [{"uid": 20 + i, "title": "t", "sv": ([i % 9], [1.0])}],
+        )
+        r.extend_sparse_index("doc")
+    frag = r.index_stats("doc")["sparse"]
+    assert frag["files"] > 6  # the signal maintain gates on
+    out = r.maintain("doc", compact_bm25_files=6)
+    ops = [a["op"] for a in out["actions"]]
+    assert "compact_index" in ops
+    assert out["after"]["sparse"]["files"] < frag["files"]
+    # search still exact over the re-clustered layout
+    hits = r.search_by_sparse("doc", {7: 1.0}, topk=1).collect()
+    assert hits[0]["uid"] == 2  # weight 4.0 on dim 7

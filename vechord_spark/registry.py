@@ -2519,7 +2519,10 @@ class VechordRegistry:
             stats[key]["files"] > compact_files_per_cell * stats[key]["lists"]
             for key in ("ivf", "mvivf")
             if key in stats
-        ) or ("bm25" in stats and stats["bm25"]["files"] > compact_bm25_files)
+        ) or any(
+            key in stats and stats[key]["files"] > compact_bm25_files
+            for key in ("bm25", "sparse")  # both are flat postings layouts
+        )
         if frag:
             actions.append({"op": "compact_index", **self.compact_index(name)})
             stats = self.index_stats(name)
