@@ -202,3 +202,45 @@ def test_maintain_compacts_fragmented_sparse_layout(spark, tmp_path):
     # search still exact over the re-clustered layout
     hits = r.search_by_sparse("doc", {7: 1.0}, topk=1).collect()
     assert hits[0]["uid"] == 2  # weight 4.0 on dim 7
+
+
+def test_maintenance_locks_are_per_layout(spark, tmp_path):
+    """The maintenance flock is per INDEX LAYOUT, not per table:
+    holding the vector layout's lock must not block sparse
+    maintenance (different ops on different layouts proceed in
+    parallel), while the same layout stays exclusive."""
+    from vechord_spark.errors import MaintenanceBusy
+    from vechord_spark.spec import Vector
+
+    r = VechordRegistry("spv8", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("vec", Vector(4)),
+                Column("sv", SparseVector(100)),
+            ],
+        )
+    )
+    r.insert_rows(
+        "doc",
+        [
+            {"uid": i, "vec": [float(i % 3), 0.0, 1.0, 0.0], "sv": ([i % 9], [1.0])}
+            for i in range(24)
+        ],
+    )
+    r.build_vector_index("doc", lists=2)
+    r.build_sparse_index("doc")
+    r.insert_rows(
+        "doc",
+        [{"uid": 50, "vec": [9.0, 9.0, 9.0, 9.0], "sv": ([5], [2.0])}],
+    )
+    with r._maintenance_lock(r._index_path("doc")):
+        # same layout: excluded
+        with pytest.raises(MaintenanceBusy):
+            r.extend_vector_index("doc")
+        # DIFFERENT layout: proceeds under its own lock
+        assert r.extend_sparse_index("doc") == 1
+    # vector extend goes through once the lock releases
+    assert r.extend_vector_index("doc") == 1
