@@ -9291,6 +9291,17 @@ def quality_top_fraction(spark, sf_dir):
 # (dsir_importance + doc_kn_logprob + corpus_funnel_lm keep quality
 # scoring), blocklist_report (phrase_blocklist_report keeps
 # blocklists), dedup_bloom_incremental (five dedup entries stay).
+# Round-12 FOURTH tranche (the two batch queries landed after the
+# third sweep — rotating them in immediately closes the
+# added-post-sweep gap the round-11 verdict flagged on
+# doc_kn_logprob; window re-swept at sf0.01 after the swap).
+# IN: bm25_batch_topk, maxsim_batch_topk (union-tagged exact oracles
+# for the batched keyword/MaxSim paths).
+# OUT (green in CORRECTNESS_r11 on unchanged plans, family covered):
+# phrase_blocklist_report (bm25_index_topk + sparse_index_topk +
+# hybrid_rrf_tri + bm25_batch_topk keep keyword), dedup_lines_c4
+# (components/best_quality/media_dedup/minhash_calibration keep
+# dedup).
 # After this rotation the only registered query without a driver
 # CORRECTNESS row is semdedup_ivf_survivors — rows-only BY DESIGN
 # (its exact witness semdedup_ivf_recall stays in-window).
@@ -9322,9 +9333,9 @@ _WINDOW_PRIORITY = [
     "hard_negatives",
     # keyword / hybrid search + rerank
     "bm25_index_topk",
+    "bm25_batch_topk",
     "sparse_index_topk",
     "hybrid_rrf_tri",
-    "phrase_blocklist_report",
     "mmr_rerank_diverse",
     # graph + similarity joins
     "jaccard_join_exact",
@@ -9353,7 +9364,7 @@ _WINDOW_PRIORITY = [
     "corpus_funnel_incremental",
     "corpus_funnel_lm",
     "quantile_sketch_gate",
-    "dedup_lines_c4",
+    "maxsim_batch_topk",
     "semdedup_ivf_recall",
 ]
 
