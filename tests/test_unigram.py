@@ -87,3 +87,45 @@ def test_train_unigram_distributed_and_count_column(spark):
     assert sorted(x["n"] for x in out) == [1, 2, 3]
     with pytest.raises(ValueError):
         train_from_frequencies([], vocab_size=10)
+
+
+def test_viterbi_matches_brute_force_fuzzed():
+    """Hypothesis fuzz of the DP against brute-force enumeration:
+    random piece vocabularies (chars always present) and random words
+    over a 3-letter alphabet — the DP's best score must equal the
+    exhaustive optimum for every case."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = "abc"
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        word=st.text(alphabet=alphabet, min_size=1, max_size=7),
+        pieces=st.sets(
+            st.text(alphabet=alphabet, min_size=2, max_size=4), max_size=8
+        ),
+        weights=st.data(),
+    )
+    def run(word, pieces, weights):
+        vocab = sorted(set(alphabet) | pieces)
+        logp = {
+            p: weights.draw(
+                st.floats(min_value=-8.0, max_value=-0.1), label=p
+            )
+            for p in vocab
+        }
+        max_len = max(len(p) for p in vocab)
+        got = _viterbi(word, logp, max_len)
+        assert "".join(got) == word
+        got_score = sum(logp[p] for p in got)
+
+        n = len(word)
+        best = -math.inf
+        for mask in range(1 << (n - 1)):
+            cuts = [0] + [i + 1 for i in range(n - 1) if mask >> i & 1] + [n]
+            seg = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+            if all(p in logp for p in seg):
+                best = max(best, sum(logp[p] for p in seg))
+        assert abs(got_score - best) < 1e-9, (word, got, got_score, best)
+
+    run()
