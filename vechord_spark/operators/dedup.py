@@ -910,6 +910,76 @@ def embedding_pair_count(
     return local.agg(F.sum("n_pairs").cast("bigint").alias("n_pairs"))
 
 
+def embedding_exact_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT distinct pairs with cosine >= ``threshold`` — the
+    pair-emitting twin of :func:`embedding_pair_count` (same blocked
+    all-pairs matmul, same sequential-einsum summation order and
+    6-decimal rounding as the DuckDB oracle). Use where a recall gate
+    needs the exact pair SET, not just its size — e.g. computing the
+    exact-survivor ground truth that the IVF-bucketed survivor set is
+    checked against (semdedup_ivf_survivors). Verification-scale by
+    contract like every exact all-pairs tool here: at cluster scale
+    the bucketed generators are the production path and this is the
+    sampled ground-truth auditor. Returns ``(id_a, id_b)`` with
+    ``id_a < id_b``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField("id_a", id_type), T.StructField("id_b", id_type)]
+    )
+
+    def _pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = key
+        if i == j:
+            a = b = pdf
+        else:
+            a = pdf[pdf["__blk"] == i]
+            b = pdf[pdf["__blk"] == j]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ma = np.array(a["__v"].tolist(), dtype=np.float64)
+        mb = np.array(b["__v"].tolist(), dtype=np.float64)
+        dots = np.einsum("ik,jk->ij", ma, mb)
+        na = np.sqrt(np.einsum("ik,ik->i", ma, ma))
+        nb = np.sqrt(np.einsum("ik,ik->i", mb, mb))
+        sims = np.round(dots / (na[:, None] * nb[None, :]), 6)
+        ida = a[id_col].to_numpy()
+        idb = b[id_col].to_numpy()
+        hit = sims >= threshold
+        if i == j:
+            hit &= ida[:, None] < idb[None, :]
+        ia, ib = np.where(hit)
+        pa, pb = ida[ia], idb[ib]
+        if i != j:  # blocks are disjoint; normalize orientation
+            pa, pb = np.minimum(pa, pb), np.maximum(pa, pb)
+        return pd.DataFrame({"id_a": pa, "id_b": pb})
+
+    spark = df.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "__bi int, __bj int",
+    )
+    tagged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
+    )
+    replicated = tagged.join(
+        F.broadcast(block_pairs),
+        (F.col("__blk") == F.col("__bi")) | (F.col("__blk") == F.col("__bj")),
+    )
+    return replicated.groupBy("__bi", "__bj").applyInPandas(_pairs, out_schema)
+
+
 def embedding_bucketed_pairs_matmul(
     df: DataFrame,
     id_col: str,

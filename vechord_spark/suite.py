@@ -1232,7 +1232,42 @@ def semdedup_survivors(spark, sf_dir):
     )
 
 
-@_q("semdedup_ivf_survivors")  # rows-only: KMeans bucketing not SQL-expressible
+@_q(
+    "semdedup_ivf_survivors",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    kept AS (
+      SELECT e.vec_id FROM embeddings e
+      LEFT JOIN clusters c ON e.vec_id = c.vec_id
+      WHERE c.vec_id IS NULL OR c.cluster_id = c.vec_id
+    )
+    SELECT CAST(0.35 AS DOUBLE) AS threshold, CAST(16 AS INT) AS lists,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept_exact,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum_exact,
+           CAST(1 AS INT) AS exact_subset_ok,
+           CAST(1 AS INT) AS kept_bounds_ok
+    FROM kept
+    """,
+)
 def semdedup_ivf_survivors(spark, sf_dir):
     """SemDeDup with the PRODUCTION bucketer — IVF centroid assignment
     (operators/ivf.build_ivf, lists=16, the memoized suite index) in
@@ -1240,24 +1275,68 @@ def semdedup_ivf_survivors(spark, sf_dir):
     grows with the corpus (lists ~ sqrt(n) in the registry default), so
     the within-bucket cosine self-join stays bucket-local at any scale
     — the label-bucketed ``semdedup_survivors`` keeps ~10 buckets
-    forever and is the O(n²/10) verification-scale oracle twin.
-    Measured at 10x/20k vectors: 13.9 s (IVF) vs 34.8 s (labels), see
-    BASELINE.md round-6c. Round 9: the bucketer is TOP-2
-    multi-assignment (``_ivf16_buckets2``) — candidate pair recall
-    0.61-0.67 vs 0.25-0.30 single-assignment, at ≤2x bucket rows.
-    Deterministic (seeded, hash-ordered KMeans sample) but not
-    SQL-expressible -> rows-only, gated by the green
-    ``semdedup_ivf_recall`` scalar."""
+    forever and is the O(n²/10) verification-scale twin. Measured at
+    10x/20k vectors: 13.9 s (IVF) vs 34.8 s (labels), BASELINE.md
+    round-6c. The bucketer is TOP-2 multi-assignment
+    (``_ivf16_buckets2``), recall-gated by ``semdedup_ivf_recall``.
+
+    EXACT gate (round-12 verdict ask #3 — this was the last rows-only
+    ledger entry): the KMeans bucketing itself is not SQL-expressible,
+    but the survivor SET admits an exact containment theorem. The
+    bucketed pair set is a subset of the exact all-pairs set (same
+    threshold + rounding, restricted comparisons), and min-id survivor
+    selection is ANTITONE in the edge set: the min of each exact
+    component is also the min of its (refined) component under any
+    edge subset, and isolated rows stay isolated — so
+    exact-survivors ⊆ IVF-survivors, ALWAYS. The query therefore
+    emits the exact-survivor scalars (independently recomputed by the
+    oracle's recursive-CTE connected components over the full
+    all-pairs graph) plus two claim columns verified Spark-side
+    against the real IVF survivor set: ``exact_subset_ok`` (the
+    containment holds on the actual sets) and ``kept_bounds_ok``
+    (n_kept_exact <= n_kept_ivf <= n_total). A hash mismatch on ANY
+    column means the IVF path produced a survivor set inconsistent
+    with exact semantics. Exact side via the blocked all-pairs matmul
+    (``embedding_exact_pairs``) — verification-scale by contract."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = _semdedup_pairs2(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    kept = DD.drop_near_duplicates(emb, "vec_id", pairs)
-    return kept.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        F.sum("vec_id").cast("bigint").alias("id_sum"),
-        F.min("vec_id").cast("bigint").alias("id_min"),
-        F.max("vec_id").cast("bigint").alias("id_max"),
+    kept_ivf = DD.drop_near_duplicates(emb, "vec_id", pairs).select("vec_id")
+    exact_pairs = DD.embedding_exact_pairs(
+        emb, "vec_id", "embedding", threshold=0.35
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    kept_exact = DD.drop_near_duplicates(emb, "vec_id", exact_pairs).select(
+        "vec_id"
+    )
+    exact_stats = kept_exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept_exact"),
+        F.sum("vec_id").cast("bigint").alias("id_sum_exact"),
+    )
+    n_missed = (
+        kept_exact.join(kept_ivf, "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    n_ivf = kept_ivf.agg(F.count(F.lit(1)).alias("n_kept_ivf"))
+    n_total = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        exact_stats.crossJoin(n_missed)
+        .crossJoin(n_ivf)
+        .crossJoin(n_total)
+        .select(
+            F.lit(0.35).alias("threshold"),
+            F.lit(16).alias("lists"),
+            F.col("n_total"),
+            F.col("n_kept_exact"),
+            F.col("id_sum_exact"),
+            (F.col("n_missed") == 0).cast("int").alias("exact_subset_ok"),
+            (
+                (F.col("n_kept_exact") <= F.col("n_kept_ivf"))
+                & (F.col("n_kept_ivf") <= F.col("n_total"))
+            )
+            .cast("int")
+            .alias("kept_bounds_ok"),
+        )
     )
 
 
