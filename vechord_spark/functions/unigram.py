@@ -102,6 +102,34 @@ class UnigramTokenizer:
     def token_count(self, text: str) -> int:
         return len(self.encode(text))
 
+    # --- Bm25Index tokenizer protocol (operators/bm25.py:67-80): the
+    # reference persists the tokenizer as a per-index model choice
+    # (vechord/spec.py:258-295, client.py:230-238) — any trained
+    # tokenizer must be usable as a keyword index's corpus/query
+    # tokenizer, so Unigram exposes the same column()/tokenize()
+    # surface as WordPieceTokenizer.
+    def tokenize(self, text: str) -> list[str]:
+        """Query-side tokenization — same pieces as the corpus path
+        (``encode``), so query terms meet the postings exactly."""
+        return self.encode(text)
+
+    def column(self, col: Column | str) -> Column:
+        """Corpus-side tokenization as an Arrow-batched array<string>
+        column; the piece table rides in the UDF closure."""
+        logp, max_len = self.logp, self.max_len
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _tok(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                toks: list[str] = []
+                for w in pretokenize(t or ""):
+                    toks.extend(_viterbi(w, logp, max_len))
+                out.append(toks)
+            return pd.Series(out)
+
+        return _tok(F.col(col) if isinstance(col, str) else col)
+
     def token_count_column(self, col: Column | str) -> Column:
         """Arrow-batched token counting; the piece table rides in the
         UDF closure (same shape as BpeTokenizer.token_count_column)."""

@@ -3179,8 +3179,17 @@ class VechordRegistry:
             index.postings.unpersist()
             index.doclen.unpersist()
             index.docfreq.unpersist()
+        from vechord_spark.functions.unigram import UnigramTokenizer
+
         if tokenizer is None:
             meta = {"tokenizer": "simple"}
+        elif isinstance(tokenizer, UnigramTokenizer):
+            # the unigram model is piece -> logprob, not a bare vocab
+            # list: persist the full probability table (save() writes
+            # sorted JSON) so a fresh session's Viterbi segments
+            # queries EXACTLY as the corpus was segmented
+            tokenizer.save(str(ipath / "unigram.json"))
+            meta = {"tokenizer": "unigram"}
         else:
             (ipath / "vocab.txt").write_text(
                 "\n".join(sorted(tokenizer.vocab)) + "\n"
@@ -3372,6 +3381,12 @@ class VechordRegistry:
                     unk_token=meta["unk_token"],
                     lowercase=meta["lowercase"],
                     max_input_chars_per_word=meta["max_input_chars_per_word"],
+                )
+            elif meta.get("tokenizer") == "unigram":
+                from vechord_spark.functions.unigram import UnigramTokenizer
+
+                idx.tokenizer = UnigramTokenizer.load(
+                    str(ipath / "unigram.json")
                 )
         idx.postings = self.spark.read.parquet(str(ipath / "postings"))
         idx.doclen = self.spark.read.parquet(str(ipath / "doclen"))
