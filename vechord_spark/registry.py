@@ -168,6 +168,76 @@ class VechordRegistry:
                     "insert_default"
                 ]
 
+    def _evolved_columns(self, name: str) -> set[str]:
+        """Names of ALTER-added columns (the persisted ``_alters.json``
+        overlay). These are TABLE-resident by contract: the IVF/
+        multivec layouts denormalize the row payload at build/extend
+        time, so an evolved column can be absent from pre-alter layout
+        files entirely and goes silently STALE when
+        :meth:`backfill_column` rewrites history — the index search
+        paths therefore serve evolved return fields from the table
+        itself (:meth:`_serve_evolved_fields`), never from the layout
+        copy."""
+        import json
+
+        p = self._alters_path(name)
+        if not p.exists():
+            return set()
+        try:
+            return {e["column"] for e in json.loads(p.read_text())}
+        except ValueError:
+            return set()
+
+    def _plan_evolved_fields(self, name: str, fields: list[str], pk):
+        """Split requested return fields for an index-path search:
+        ``(layout_fields, evolved, forced_pk)`` — evolved columns are
+        excluded from the layout projection (they may not exist in
+        pre-alter layout files) and the pk rides along when needed as
+        the join-back key."""
+        evolved = [f for f in fields if f in self._evolved_columns(name)]
+        if not evolved:
+            return fields, [], False
+        if pk is None:
+            raise SchemaError(
+                f"{name}: returning ALTER-added columns from an index "
+                "search needs a primary key to join them back from the "
+                "table"
+            )
+        layout_fields = [f for f in fields if f not in set(evolved)]
+        forced_pk = pk.name not in layout_fields
+        if forced_pk:
+            layout_fields = layout_fields + [pk.name]
+        return layout_fields, evolved, forced_pk
+
+    def _serve_evolved_fields(
+        self,
+        name: str,
+        out: DataFrame,
+        fields: list[str],
+        evolved: list[str],
+        forced_pk: bool,
+    ) -> DataFrame:
+        """Join ALTER-added return fields back from the TABLE onto the
+        (bounded, <= queries x k) index-search result. Scale shape: one
+        broadcast-SEMI scan of the table narrows it to the matched pks
+        (the broadcast carries only result keys), then the tiny matched
+        frame broadcasts onto the results — the table is never
+        shuffled. Values are always current (a later backfill_column
+        is visible immediately), unlike the layout's build-time
+        snapshot."""
+        pk = self._spec(name).primary_key.name
+        table_side = self.load(name).select(pk, *evolved)
+        matched = table_side.join(
+            F.broadcast(out.select(pk).distinct()), pk, "left_semi"
+        )
+        joined = out.join(F.broadcast(matched), pk, "left")
+        extras = [
+            c
+            for c in out.columns
+            if c not in fields and not (forced_pk and c == pk)
+        ]
+        return joined.select(*fields, *extras)
+
     def alter_table_add_column(
         self,
         name: str,
@@ -835,6 +905,13 @@ class VechordRegistry:
         staging = self.base_path / ".staging" / f"rewrite-{run_id}" / name
         df.select(*spec.field_names).write.mode("overwrite").parquet(str(staging))
         live = Path(self.table_path(name))
+        # table metadata rides INSIDE the table dir (the _alters.json
+        # schema-evolution overlay): carry it into the staging copy, or
+        # the dir swap below would silently revert the evolved schema
+        # for every future session (the overlay replays at register())
+        alters = live / "_alters.json"
+        if alters.exists():
+            shutil.copy2(alters, staging / "_alters.json")
         trash = self.base_path / ".trash" / f"rewrite-{run_id}" / name
         intent_path = staging.parent / "INTENT.json"
         intent_path.write_text(
@@ -2845,6 +2922,9 @@ class VechordRegistry:
         fields = list(return_fields) if return_fields else spec.non_vec_columns()
         pk = spec.primary_key
         if probes is not None:
+            layout_fields, evolved, forced_pk = self._plan_evolved_fields(
+                name, fields, pk
+            )
             index = self._load_vector_index(name)
             if index is None:
                 raise SchemaError(
@@ -2866,16 +2946,34 @@ class VechordRegistry:
                     # query rotates too — distances are unchanged
                     # (orthogonality), codes are sharper
                     qv = [float(x) for x in rot.apply(qv)]
-                return index.search(
+                out = index.search(
                     qv,
                     k=topk,
                     probes=probes,
                     refine=refine,
                     distance=dist,
-                    select=fields,
+                    select=layout_fields,
                     tie_break=pk.name if pk else None,
                 )
+                if evolved:
+                    out = self._serve_evolved_fields(
+                        name, out, fields, evolved, forced_pk
+                    )
+                return out
             if conditions:
+                evolved_cond = set(conditions) & self._evolved_columns(name)
+                if evolved_cond:
+                    # the layout's denormalized copy may predate the
+                    # ALTER (column missing) or a backfill (stale
+                    # values) — filtering on it would silently drop or
+                    # mismatch rows; the brute-force path reads the
+                    # table and is always current
+                    raise SchemaError(
+                        f"conditions on ALTER-added columns "
+                        f"{sorted(evolved_cond)} are not supported on the "
+                        "index path (the clustered copy snapshots rows at "
+                        "build time); use the brute-force path (probes=None)"
+                    )
                 index = IvfIndex(
                     index.centroids,
                     index.assigned.filter(
@@ -2886,14 +2984,19 @@ class VechordRegistry:
                     # normalize the query on the filtered path too
                     spherical=index.spherical,
                 )
-            return index.search(
+            out = index.search(
                 list(vector),
                 k=topk,
                 probes=probes,
                 distance=dist,
-                select=fields,
+                select=layout_fields,
                 tie_break=pk.name if pk else None,
             )
+            if evolved:
+                out = self._serve_evolved_fields(
+                    name, out, fields, evolved, forced_pk
+                )
+            return out
         base = self.load(name)
         if conditions:
             base = base.filter(build_predicate(base, conditions))
@@ -2956,18 +3059,25 @@ class VechordRegistry:
                     "batch search is not supported on the PQ index path yet; "
                     "use the plain IVF index or the brute-force path"
                 )
+            layout_fields, evolved, forced_pk = self._plan_evolved_fields(
+                name, fields, pk
+            )
             out = index.search_batch(
                 [list(v) for v in vectors],
                 k=topk,
                 probes=probes,
                 distance=dist,
-                select=fields,
+                select=layout_fields,
                 tie_break=pk.name if pk else None,
             )
+            if evolved:
+                out = self._serve_evolved_fields(
+                    name, out, fields, evolved, forced_pk
+                )
             # the result is bounded (n_queries x k): pin a deterministic
             # presentation order like the single-query path's top-k sort
             order = [F.col("query_id").asc(), F.col("distance").asc()]
-            if pk:
+            if pk and pk.name in out.columns:
                 order.append(F.col(pk.name).asc())
             return out.orderBy(*order)
         qdf = self.spark.createDataFrame(
@@ -3040,14 +3150,22 @@ class VechordRegistry:
                     f"no multivector IVF index for {name}; "
                     "call build_multivec_index first"
                 )
-            return index.search(
+            layout_fields, evolved, forced_pk = self._plan_evolved_fields(
+                name, fields, pk
+            )
+            out = index.search(
                 [list(v) for v in vectors],
                 k=topk,
                 probes=probes,
                 refine=maxsim_refine,
-                select=fields,
+                select=layout_fields,
                 tie_break=pk.name if pk else None,
             )
+            if evolved:
+                out = self._serve_evolved_fields(
+                    name, out, fields, evolved, forced_pk
+                )
+            return out
         if maxsim_refine is not None:
             return maxsim_topk_refined(
                 self.load(name),
@@ -3110,13 +3228,20 @@ class VechordRegistry:
                     f"no multivector IVF index for {name}; "
                     "call build_multivec_index first"
                 )
+            layout_fields, evolved, forced_pk = self._plan_evolved_fields(
+                name, fields, pk
+            )
             out = index.search_batch(
                 qs,
                 k=topk,
                 probes=probes,
-                select=fields,
+                select=layout_fields,
                 tie_break=pk.name if pk else None,
             )
+            if evolved:
+                out = self._serve_evolved_fields(
+                    name, out, fields, evolved, forced_pk
+                )
         else:
             out = maxsim_topk_batch(
                 self.load(name),
@@ -3127,7 +3252,7 @@ class VechordRegistry:
                 tie_break=pk.name if pk else None,
             )
         order = [F.col("query_id").asc(), F.col("maxsim_distance").asc()]
-        if pk:
+        if pk and pk.name in out.columns:
             order.append(F.col(pk.name).asc())
         return out.orderBy(*order)
 
