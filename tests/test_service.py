@@ -319,6 +319,77 @@ def test_live_service_ingest_search_rrf(svc):
         server.shutdown()
 
 
+def test_live_service_tri_hybrid_rrf(svc):
+    """Round-12 verdict ask #8: the tri-hybrid fusion (dense + BM25 +
+    sparse) driven end-to-end from a JSON step list over a LIVE
+    socket — the config-surface twin of the suite's hybrid_rrf_tri
+    query. The sparse step declares the SparseVector chunk column,
+    run_index keeps the persisted postings index current, and
+    run_search fuses three ranked legs."""
+    server = serve(svc, host="127.0.0.1", port=0)
+    try:
+        port = server.server_address[1]
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                method="POST",
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+
+        steps = RUN_STEPS + [
+            {"kind": "keyword", "provider": "bm25"},
+            {"kind": "sparse", "provider": "hash", "args": {"dim": 256}},
+        ]
+        texts = [
+            "spark is a distributed engine for large scale data",
+            "the zeppelin floats above the harbor in the morning",
+            "ducks are birds that swim in the park pond",
+        ]
+        for t in texts:
+            status, ack = post(
+                "/api/run",
+                {"name": "live_tri", "data": t,
+                 "steps": steps + [{"kind": "index", "provider": "local"}]},
+            )
+            assert status == 200 and ack["type"] == "ingest"
+
+        status, res = post(
+            "/api/run",
+            {"name": "live_tri", "data": "zeppelin floats harbor",
+             "steps": steps
+             + [{"kind": "search", "provider": "local", "args": {"topk": 5}}]},
+        )
+        assert status == 200 and res["type"] == "search"
+        chunks = res["chunks"]
+        assert chunks, "tri-hybrid search returned nothing"
+        scores = [c["rrf_score"] for c in chunks]
+        assert scores == sorted(scores, reverse=True)
+        assert [c["rank"] for c in chunks] == list(range(1, len(chunks) + 1))
+        reg = svc._run_registries["live_tri"]
+        # the sparse leg ran against a real persisted postings layout,
+        # extended across the three ingest batches
+        st = reg.index_stats("chunk")
+        assert "sparse" in st and st["sparse"]["ledger_fresh"]
+        top_text = (
+            reg.load("chunk")
+            .filter(f"uid = '{chunks[0]['uid']}'")
+            .collect()[0]
+            .text
+        )
+        assert "zeppelin" in top_text
+        # a three-legged unanimous winner must beat the two-leg score
+        # of any non-matching doc: rrf_score(top) >= 3/(60+topk)...
+        # keep the check structural instead: every returned uid exists
+        uids = {r.uid for r in reg.load("chunk").collect()}
+        assert all(c["uid"] in uids for c in chunks)
+    finally:
+        server.shutdown()
+
+
 def test_cli_recluster(spark, tmp_path, capsys):
     """The maintenance CLI's targeted REINDEX: --vector-col rebuilds
     the Vector metadata the parquet-inferred spec loses, the drifted

@@ -31,7 +31,7 @@ from typing import Any, Mapping, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from vechord_spark.errors import SchemaError
-from vechord_spark.functions.embed import HashEmbedder
+from vechord_spark.functions.embed import SPARSE_DIM, HashEmbedder
 from vechord_spark.operators.chunk import DEFAULT_OVERLAP, DEFAULT_SIZE
 from vechord_spark.registry import VechordRegistry
 from vechord_spark.spec import Column, Keyword, TableSpec, Vector
@@ -81,6 +81,15 @@ PROVIDER_MAP: dict[str, dict[str, Any]] = {
     "keyword": {
         "bm25": lambda **args: dict(args),
     },
+    # third retrieval leg: Splade-shaped sparse lexical vectors over a
+    # persisted inverted-postings index (registry.build_sparse_index) —
+    # the reference PRODUCES SparseEmbedding values but cannot store or
+    # search them (vechord/embedding.py:413-441, SURVEY §1.2); here the
+    # config-driven pipeline composes dense + BM25 + sparse tri-hybrid
+    # RRF the way the suite's hybrid_rrf_tri query does
+    "sparse": {
+        "hash": lambda **args: dict(dim=int(args.get("dim", SPARSE_DIM))),
+    },
     "reranker": {
         "cohere": _cohere_reranker,
         "mmr": _mmr_reranker,
@@ -100,12 +109,14 @@ class DynamicPipeline:
         embedder,
         keyword: Mapping[str, Any] | None = None,
         reranker=None,
+        sparse: Mapping[str, Any] | None = None,
     ) -> None:
         self.registry = registry
         self.chunker = chunker
         self.embedder = embedder
         self.keyword = keyword
         self.reranker = reranker
+        self.sparse = sparse
         self._declare_tables()
 
     # -- config resolution -------------------------------------------------
@@ -142,6 +153,7 @@ class DynamicPipeline:
             embedder=resolved["embedder"],
             keyword=resolved.get("keyword"),
             reranker=resolved.get("reranker"),
+            sparse=resolved.get("sparse"),
         )
 
     # -- schema ------------------------------------------------------------
@@ -158,6 +170,10 @@ class DynamicPipeline:
         ]
         if self.keyword is not None:
             cols.append(Column("kw", Keyword()))
+        if self.sparse is not None:
+            from vechord_spark.spec import SparseVector
+
+            cols.append(Column("sv", SparseVector(self.sparse["dim"])))
         self.registry.register(
             TableSpec("document", [Column("doc_id", "long", primary_key=True),
                                   Column("text", "string")])
@@ -193,6 +209,12 @@ class DynamicPipeline:
             )
             if self.keyword is not None:
                 embedded = embedded.withColumn("kw", F.col("text"))
+            if self.sparse is not None:
+                from vechord_spark.functions.embed import sparse_embedding
+
+                embedded = embedded.withColumn(
+                    "sv", sparse_embedding(F.col("text"), self.sparse["dim"])
+                )
             staged_chunks = run.stage("chunk", embedded)
             counts = {"document": staged_docs.count(),
                       "chunk": staged_chunks.count()}
@@ -200,20 +222,33 @@ class DynamicPipeline:
             run.abort()
             raise
         run.commit()
+        if self.sparse is not None:
+            # sparse retrieval has no unindexed fallback on the stored
+            # struct (dense brute-forces the table, BM25 one-shots the
+            # text; the sparse leg queries postings): keep the persisted
+            # index current at ingest — CREATE INDEX semantics, extended
+            # O(appended) on every later batch
+            try:
+                self.registry.extend_sparse_index("chunk")
+            except SchemaError:
+                self.registry.build_sparse_index("chunk")
         return counts
 
     def run_search(self, query: str, topk: int = 10) -> DataFrame:
         """Search: embed query -> vector k-NN (∪ BM25 when a keyword
-        step is configured) -> RRF fuse -> optional rerank -> top-k
-        (reference run_search, vechord/pipeline.py:394-442; the
-        reference applies the configured reranker to the fused list
-        before returning)."""
+        step is configured, ∪ sparse postings when a sparse step is) ->
+        RRF fuse -> optional rerank -> top-k (reference run_search,
+        vechord/pipeline.py:394-442; the reference composes two legs
+        and applies the configured reranker to the fused list — the
+        sparse third leg is the tri-hybrid extension the suite's
+        hybrid_rrf_tri query pins, here driveable from a JSON step
+        list)."""
         from vechord_spark.operators.topk import ranked_topk
 
         vec = self.registry.search_by_vector(
             "chunk", self.embedder.embed_query(query), topk=topk
         )
-        if self.keyword is None:
+        if self.keyword is None and self.sparse is None:
             if self.reranker is None:
                 return vec
             ranked_vec = ranked_topk(
@@ -222,14 +257,34 @@ class DynamicPipeline:
             return self._apply_reranker(query, ranked_vec)
         from vechord_spark.operators.fusion import rrf_topk
 
-        kw = self.registry.search_by_keyword("chunk", query, topk=topk)
-        ranked_vec = ranked_topk(
-            vec, [F.col("distance").asc(), F.col("uid").asc()], topk
-        ).select("uid", "rank")
-        ranked_kw = kw.select("uid", "rank") if "rank" in kw.columns else ranked_topk(
-            kw, [F.col("score").desc(), F.col("uid").asc()], topk
-        ).select("uid", "rank")
-        fused = rrf_topk([ranked_vec, ranked_kw], "uid", topk=topk)
+        legs = [
+            ranked_topk(
+                vec, [F.col("distance").asc(), F.col("uid").asc()], topk
+            ).select("uid", "rank")
+        ]
+        if self.keyword is not None:
+            kw = self.registry.search_by_keyword("chunk", query, topk=topk)
+            legs.append(
+                kw.select("uid", "rank")
+                if "rank" in kw.columns
+                else ranked_topk(
+                    kw, [F.col("score").desc(), F.col("uid").asc()], topk
+                ).select("uid", "rank")
+            )
+        if self.sparse is not None:
+            from vechord_spark.functions.embed import sparse_query_vector
+
+            sv = self.registry.search_by_sparse(
+                "chunk",
+                sparse_query_vector(query, self.sparse["dim"]),
+                topk=topk,
+            )
+            legs.append(
+                ranked_topk(
+                    sv, [F.col("score").desc(), F.col("uid").asc()], topk
+                ).select("uid", "rank")
+            )
+        fused = rrf_topk(legs, "uid", topk=topk)
         if self.reranker is None:
             return fused
         return self._apply_reranker(query, fused)
