@@ -1,0 +1,208 @@
+"""Batch search == N individual searches, pinned at N=64 for every
+modality (round-12 verdict ask #1).
+
+The batch family's design claim is "N queries from ONE scan"; these
+tests pin the CORRECTNESS half of that claim at a stream-sized N (the
+prior parity tests used toy N=2-4): the batched result must reproduce
+all 64 individual searches exactly — same rows, same scores, same
+per-query order. The wall-clock half (>=5x batch-over-loop at N=64)
+is measured at sf0.1 by benchmarks/batch_sweep.py and recorded in
+BASELINE.md.
+"""
+
+import random
+
+import pytest
+
+from vechord_spark.registry import VechordRegistry
+from vechord_spark.spec import Column, Keyword, MultiVector, SparseVector, TableSpec, Vector
+
+N_QUERIES = 64
+
+
+def _queries_from(words, rng, n=N_QUERIES):
+    return [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
+        for _ in range(n)
+    ]
+
+
+def test_vector_batch_equals_64_searches(spark, tmp_path):
+    rng = random.Random(13)
+    r = VechordRegistry("b64v", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    r.insert_rows(
+        "doc",
+        [
+            {"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]}
+            for i in range(400)
+        ],
+    )
+    r.build_vector_index("doc", lists=8)
+    qs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(N_QUERIES)]
+
+    batch = r.search_by_vector_batch("doc", qs, topk=5, probes=3)
+    got = {}
+    for row in batch.collect():
+        got.setdefault(row.query_id, []).append((row.uid, round(row.distance, 9)))
+
+    for qi, q in enumerate(qs):
+        single = [
+            (x.uid, round(x.distance, 9))
+            for x in r.search_by_vector("doc", q, topk=5, probes=3).collect()
+        ]
+        assert got.get(qi, []) == single, f"query {qi} diverged"
+
+
+def test_multivec_batch_equals_64_searches(spark, tmp_path):
+    rng = random.Random(17)
+    r = VechordRegistry("b64m", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("mv", MultiVector(4)),
+            ],
+        )
+    )
+    r.insert_rows(
+        "doc",
+        [
+            {
+                "uid": i,
+                "mv": [
+                    [rng.uniform(-1, 1) for _ in range(4)]
+                    for _ in range(rng.randint(2, 4))
+                ],
+            }
+            for i in range(120)
+        ],
+    )
+    r.build_multivec_index("doc", lists=4)
+    qs = [
+        [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(2)]
+        for _ in range(N_QUERIES)
+    ]
+
+    batch = r.search_by_multivec_batch("doc", qs, topk=5, probes=2)
+    got = {}
+    for row in batch.collect():
+        got.setdefault(row.query_id, []).append(
+            (row.uid, round(row.maxsim_distance, 9))
+        )
+
+    for qi, q in enumerate(qs):
+        single = [
+            (x.uid, round(x.maxsim_distance, 9))
+            for x in r.search_by_multivec("doc", q, topk=5, probes=2).collect()
+        ]
+        assert got.get(qi, []) == single, f"query {qi} diverged"
+
+
+def test_keyword_batch_equals_64_searches(spark, tmp_path):
+    rng = random.Random(19)
+    words = [
+        "spark", "engine", "query", "batch", "merge", "window", "scan",
+        "join", "sort", "shuffle", "vector", "index",
+    ]
+    r = VechordRegistry("b64k", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("body", Keyword())],
+        )
+    )
+    r.insert_rows(
+        "doc",
+        [
+            {
+                "uid": i,
+                "body": " ".join(rng.choice(words) for _ in range(12)),
+            }
+            for i in range(300)
+        ],
+    )
+    r.build_keyword_index("doc")
+    qs = _queries_from(words, rng)
+
+    batch = r.search_by_keyword_batch("doc", qs, topk=5)
+    got = {}
+    for row in batch.collect():
+        got.setdefault(row.query_id, []).append((row.uid, row.score))
+
+    for qi, q in enumerate(qs):
+        single = [
+            (x.uid, x.score)
+            for x in r.search_by_keyword("doc", q, topk=5).collect()
+        ]
+        assert got.get(qi, []) == single, f"query {qi!r} diverged"
+
+
+def test_sparse_batch_equals_64_searches(spark, tmp_path):
+    from vechord_spark.functions.embed import sparse_query_vector
+
+    rng = random.Random(23)
+    words = [
+        "alpha", "beta", "gamma", "delta", "omega", "theta", "sigma",
+        "kappa", "lambda", "zeta",
+    ]
+    r = VechordRegistry("b64s", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("body", "string"),
+                Column("sv", SparseVector(512)),
+            ],
+        )
+    )
+    from pyspark.sql import functions as F
+
+    from vechord_spark.functions.embed import sparse_embedding
+
+    rows = [
+        {"uid": i, "body": " ".join(rng.choice(words) for _ in range(10))}
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(x["uid"], x["body"]) for x in rows], "uid int, body string"
+    ).withColumn("sv", sparse_embedding(F.col("body"), 512))
+    r.append("doc", df)
+    r.build_sparse_index("doc")
+    qs = [sparse_query_vector(q, 512) for q in _queries_from(words, rng)]
+
+    batch = r.search_by_sparse_batch("doc", qs, topk=5)
+    got = {}
+    for row in batch.collect():
+        got.setdefault(row.query_id, []).append((row.uid, row.score))
+
+    for qi, q in enumerate(qs):
+        single = [
+            (x.uid, x.score)
+            for x in r.search_by_sparse("doc", q, topk=5).collect()
+        ]
+        assert got.get(qi, []) == single, f"query {qi} diverged"
+
+
+def test_sparse_batch_requires_index_and_queries(spark, tmp_path):
+    from vechord_spark.errors import SchemaError
+
+    r = VechordRegistry("b64e", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("sv", SparseVector(64)),
+            ],
+        )
+    )
+    with pytest.raises(SchemaError, match="no sparse index"):
+        r.search_by_sparse_batch("doc", [{1: 1.0}])

@@ -3687,6 +3687,85 @@ class VechordRegistry:
             F.col("score").desc(), F.col(pk.name).asc()
         )
 
+    def search_by_sparse_batch(
+        self,
+        name: str,
+        queries: Sequence[Mapping[int, float]],
+        topk: int = 10,
+        return_fields: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Batch sparse retrieval: top-k rows for EVERY sparse query,
+        one frame with a ``query_id`` column — the sparse member of
+        the batch family (search_by_vector_batch /
+        search_by_multivec_batch / search_by_keyword_batch). The whole
+        batch is answered from ONE scan of the persisted postings: the
+        union of every query's dimensions drives the pushed ``idx IN``
+        filter (the range-clustered layout skips non-matching files on
+        footer stats), a broadcast ``(query_id, idx, qw)`` table fans
+        each matched posting to exactly the queries that weight its
+        dimension, and a per-query window takes top-k below the
+        exchange. N single :meth:`search_by_sparse` calls would re-open
+        the postings N times; here the scan cost is paid once per
+        BATCH — the eval-stream shape. Per-query results are identical
+        to the single-query path (same rounding, same score-desc /
+        pk-asc tie order); queries with no dimensions return no rows."""
+        from pyspark.sql import Window
+
+        spec = self._spec(name)
+        if spec.sparse_column is None:
+            raise SchemaError(f"table {name} has no sparse vector column")
+        pk = spec.primary_key
+        ipath = self._sparse_index_path(name)
+        if not (ipath / "postings").exists():
+            raise SchemaError(
+                f"no sparse index for {name}; call build_sparse_index first"
+            )
+        if not len(queries):
+            raise ValueError("queries must be a non-empty list")
+        fields = list(return_fields) if return_fields else spec.non_vec_columns()
+        pairs = [
+            (qi, int(i), float(w))
+            for qi, q in enumerate(queries)
+            for i, w in q.items()
+        ]
+        if not pairs:
+            return (
+                self.load(name)
+                .select(*fields)
+                .limit(0)
+                .withColumn("query_id", F.lit(None).cast("int"))
+                .withColumn("score", F.lit(None).cast("double"))
+                .select("query_id", *fields, "score")
+            )
+        qdf = self.spark.createDataFrame(
+            pairs, "query_id int, idx int, qw double"
+        )
+        posts = self.spark.read.parquet(str(ipath / "postings"))
+        matched = posts.filter(
+            F.col("idx").isin(sorted({i for _, i, _ in pairs}))
+        )
+        scored = (
+            matched.join(F.broadcast(qdf), "idx")
+            .groupBy("query_id", pk.name)
+            .agg(F.round(F.sum(F.col("v") * F.col("qw")), 6).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(pk.name).asc()
+        )
+        top = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= topk)
+            .drop("__rn")
+        )
+        extra = [f for f in fields if f != pk.name]
+        if extra:
+            top = top.join(self.load(name).select(pk.name, *extra), pk.name)
+        return top.select("query_id", *fields, "score").orderBy(
+            F.col("query_id").asc(),
+            F.col("score").desc(),
+            F.col(pk.name).asc(),
+        )
+
     def search_by_keyword_batch(
         self,
         name: str,
