@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "bm25_index_topk",
     "bm25_batch_topk",
+    "bm25_unigram_topk",
     "phrase_search",
     "dedup_minhash_lsh",
     "graph_triangles",
@@ -164,6 +165,7 @@ BENCH_QUERIES = [
     "delete_cascade",
     "sparse_knn",
     "sparse_index_topk",
+    "sparse_batch_topk",
     "groundtruth_generate",
     "maxsim_topk_docs",
     "maxsim_batch_topk",

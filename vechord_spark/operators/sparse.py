@@ -87,6 +87,59 @@ def sparse_topk_postings(
     return ranked_topk(scored, [F.col("score").desc(), F.col("doc_id").asc()], k)
 
 
+def sparse_topk_postings_batch(
+    postings: DataFrame,
+    queries,
+    dim: int = SPARSE_DIM,
+    k: int = 10,
+) -> DataFrame:
+    """Batched sparse retrieval: top-k for EVERY query string from ONE
+    scan of the persisted postings — the sparse member of the batch
+    family (IvfIndex.search_batch / Bm25Index.topk_batch). The union
+    of all queries' dimensions drives the pushed ``idx IN`` filter
+    (the range-clustered layout skips files on footer stats), a
+    broadcast ``(query_id, idx, qw)`` table fans each matched posting
+    to exactly the queries weighting its dimension, one per-query
+    window takes top-k below the exchange. N ``sparse_topk_postings``
+    calls would re-open the postings N times; the batch pays the scan
+    once. Per-query results identical to the single path (same
+    rounding, same score-desc / doc-asc tie order); queries with no
+    dimensions contribute no rows. Returns
+    ``(query_id, doc_id, score, rank)`` ordered by (query_id, rank)."""
+    from pyspark.sql import Window
+
+    spark = postings.sparkSession
+    pairs = [
+        (qi, int(i), float(w))
+        for qi, q in enumerate(queries)
+        for i, w in sparse_query_vector(q, dim).items()
+    ]
+    if not pairs:
+        return (
+            postings.select("doc_id")
+            .limit(0)
+            .withColumn("query_id", F.lit(0))
+            .withColumn("score", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(0))
+            .select("query_id", "doc_id", "score", "rank")
+        )
+    qdf = spark.createDataFrame(pairs, "query_id int, idx int, qw double")
+    scored = (
+        postings.filter(F.col("idx").isin(sorted({i for _, i, _ in pairs})))
+        .join(F.broadcast(qdf), "idx")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("v") * F.col("qw")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(F.col("query_id").asc(), F.col("rank").asc())
+    )
+
+
 def sparse_topk(
     df: DataFrame,
     doc_id: str,

@@ -1504,6 +1504,7 @@ class VechordRegistry:
         pq_ksub: int = 256,
         spherical: bool = False,
         opq: bool = False,
+        residual: bool = False,
     ) -> int:
         """Build + persist the IVF index for the table's vector column —
         the engine's ``CREATE INDEX`` (reference vchordrq index DDL,
@@ -1532,6 +1533,30 @@ class VechordRegistry:
         ``rotation.bin`` and the search/extend paths apply it
         transparently; the TABLE keeps raw vectors, only the index's
         clustered copy is rotated.
+
+        ``residual=True`` (requires ``pq_m``) quantizes each vector's
+        OFFSET from its cell centroid instead of the raw vector — the
+        FAISS IVFPQ default (``encode_residual``; operators/pq.py
+        build_ivf_rpq is the standalone twin): residuals carry only
+        within-cell variance, so the same (m, ksub) budget
+        reconstructs markedly sharper. Residual codes pin their
+        reconstruction BASE to the owning centroid, so every
+        maintenance primitive that moves rows between cells (or moves
+        a centroid under rows) RE-ENCODES exactly the affected rows:
+        extends encode deltas against their assigned centroid,
+        recluster re-encodes the split cells' rows against the child
+        centroids (those partitions rewrite anyway), and merge folds a
+        starved cell by re-encoding ITS rows against the surviving
+        sibling's UNCHANGED centroid — unlike raw layouts, the merged
+        centroid does not move to the count-weighted mean, because
+        moving the base would stale every code already in the target
+        cell (an O(folded-rows) rewrite instead of O(both cells)).
+        Prune and compact never change cell membership or centroids,
+        so codes ride through. The no-stale-codes invariant is pinned
+        by tests/test_residual_registry.py across the full lifecycle.
+        Excludes ``opq`` (the rotation is trained for raw-vector PQ)
+        and ``spherical`` (unit-norm cells make raw offsets
+        meaningless — same contract as build_ivf_rpq).
         """
         import numpy as np
 
@@ -1553,6 +1578,21 @@ class VechordRegistry:
         n_lists = lists or declared or max(2, int(round(n**0.5)))
         if opq and pq_m is None:
             raise SchemaError("opq=True requires pq_m (OPQ optimizes PQ)")
+        if residual:
+            if pq_m is None:
+                raise SchemaError(
+                    "residual=True requires pq_m (residual quantization IS PQ)"
+                )
+            if opq:
+                raise SchemaError(
+                    "residual=True excludes opq (the rotation is trained "
+                    "for raw-vector PQ; use one or the other)"
+                )
+            if spherical:
+                raise SchemaError(
+                    "residual=True excludes spherical (unit-norm cells make "
+                    "raw-vector offsets meaningless residuals)"
+                )
         rotation = None
         if opq:
             from vechord_spark.operators.pq import train_opq
@@ -1581,16 +1621,30 @@ class VechordRegistry:
         if ipath.exists():
             shutil.rmtree(ipath)
         if pq_m is not None:
-            from vechord_spark.operators.pq import IvfPqIndex, train_pq
-
-            book = (
-                opq_book
-                if opq
-                else train_pq(
-                    df, vec_col.name, m=pq_m, ksub=pq_ksub, max_iter=max_iter
-                )
+            from vechord_spark.operators.pq import (
+                IvfPqIndex,
+                train_pq,
+                train_pq_residual,
             )
-            pq_index = IvfPqIndex(index, book)
+
+            if residual:
+                book = train_pq_residual(
+                    index.assigned,
+                    vec_col.name,
+                    index.centroids,
+                    m=pq_m,
+                    ksub=pq_ksub,
+                    max_iter=max_iter,
+                )
+            else:
+                book = (
+                    opq_book
+                    if opq
+                    else train_pq(
+                        df, vec_col.name, m=pq_m, ksub=pq_ksub, max_iter=max_iter
+                    )
+                )
+            pq_index = IvfPqIndex(index, book, residual=residual)
             pq_index.write_clustered(str(ipath / "data"))
             codes = self.spark.createDataFrame(
                 [
@@ -1615,7 +1669,13 @@ class VechordRegistry:
                 np.ascontiguousarray(rotation.rotation, dtype="<f8").tobytes()
             )
         (ipath / "meta.json").write_text(
-            json.dumps({"spherical": spherical, "opq": bool(opq)})
+            json.dumps(
+                {
+                    "spherical": spherical,
+                    "opq": bool(opq),
+                    "residual": bool(residual),
+                }
+            )
         )
         self._record_index_files(name, ipath, files=scanned_files)
         return n_lists
@@ -1640,6 +1700,28 @@ class VechordRegistry:
 
         mp = ipath / "meta.json"
         return json.loads(mp.read_text()) if mp.exists() else {}
+
+    def _load_codebooks(self, ipath: Path):
+        """The layout's persisted PQ codebooks as a PqCodebook, or
+        None for codeless layouts."""
+        import numpy as np
+
+        if not (ipath / "codebooks").exists():
+            return None
+        from vechord_spark.operators.pq import PqCodebook
+
+        crows = (
+            self.spark.read.parquet(str(ipath / "codebooks"))
+            .orderBy("subspace", "code")
+            .collect()
+        )
+        m = max(r.subspace for r in crows) + 1
+        ksub = max(r.code for r in crows) + 1
+        dsub = len(crows[0].vec)
+        books = np.zeros((m, ksub, dsub))
+        for r in crows:
+            books[r.subspace, r.code] = r.vec
+        return PqCodebook(books)
 
     def extend_vector_index(self, name: str) -> int:
         """Assignment-only index maintenance after appends — the
@@ -1720,21 +1802,20 @@ class VechordRegistry:
             centroids,
             normalize=bool(self._vector_index_meta(ipath).get("spherical")),
         )
-        if (ipath / "codebooks").exists():
-            from vechord_spark.operators.pq import PqCodebook, encode_pq
+        book = self._load_codebooks(ipath)
+        if book is not None:
+            from vechord_spark.operators.pq import encode_pq
 
-            crows = (
-                self.spark.read.parquet(str(ipath / "codebooks"))
-                .orderBy("subspace", "code")
-                .collect()
+            # residual layout: the delta's codes are offsets from the
+            # centroid each row was just assigned to
+            fresh = encode_pq(
+                fresh,
+                vec_col.name,
+                book,
+                centroids=centroids
+                if self._vector_index_meta(ipath).get("residual")
+                else None,
             )
-            m = max(r.subspace for r in crows) + 1
-            ksub = max(r.code for r in crows) + 1
-            dsub = len(crows[0].vec)
-            books = np.zeros((m, ksub, dsub))
-            for r in crows:
-                books[r.subspace, r.code] = r.vec
-            fresh = encode_pq(fresh, vec_col.name, PqCodebook(books))
         self._mark_extend_intent(ipath)
         fresh.write.mode("append").partitionBy("centroid_id").parquet(
             str(ipath / "data")
@@ -1875,6 +1956,35 @@ class VechordRegistry:
             reassigned = moved.withColumn(
                 "centroid_id", _child(F.col("centroid_id"), F.col(vname))
             )
+            if self._vector_index_meta(ipath).get("residual"):
+                # residual codes encode x - centroid[cell]: every row of
+                # a split cell gets a NEW base (child 0 replaces the
+                # parent's centroid, child 1 appends), so the moved rows
+                # re-encode against the post-split centroid table. These
+                # partitions rewrite anyway — the re-encode rides the
+                # same pass; untouched cells keep centroid AND codes,
+                # so their hardlinks stay sound.
+                from vechord_spark.operators.pq import encode_pq
+
+                book = self._load_codebooks(ipath)
+                new_mat = np.array(
+                    [
+                        split[r["centroid_id"]][0][0]
+                        if r["centroid_id"] in split
+                        else r["vec"]
+                        for r in cent_rows
+                    ]
+                    + [
+                        ch[1]
+                        for _, (ch, nid) in sorted(
+                            split.items(), key=lambda kv: kv[1][1]
+                        )
+                    ],
+                    dtype=np.float64,
+                )
+                reassigned = encode_pq(
+                    reassigned.drop("__pq"), vname, book, centroids=new_mat
+                )
 
             self._swap_recluster_layout(ipath, reassigned, split, cent_rows)
             return {
@@ -2154,9 +2264,19 @@ class VechordRegistry:
                 f"no IVF index for {name}; call build_vector_index first"
             )
         with self._maintenance_lock(ipath):
-            spherical = bool(self._vector_index_meta(ipath).get("spherical"))
+            meta = self._vector_index_meta(ipath)
+            reencode = None
+            if meta.get("residual"):
+                reencode = (
+                    self._load_codebooks(ipath),
+                    spec.vector_column.name,
+                )
             return self._merge_cells_locked(
-                ipath, min_cell_factor, min_lists, spherical
+                ipath,
+                min_cell_factor,
+                min_lists,
+                bool(meta.get("spherical")),
+                reencode=reencode,
             )
 
     def merge_multivec_index(
@@ -2179,8 +2299,19 @@ class VechordRegistry:
             return self._merge_cells_locked(ipath, min_cell_factor, min_lists, False)
 
     def _merge_cells_locked(
-        self, ipath: Path, min_cell_factor: float, min_lists: int, spherical: bool
+        self,
+        ipath: Path,
+        min_cell_factor: float,
+        min_lists: int,
+        spherical: bool,
+        reencode: tuple | None = None,
     ) -> dict[str, int]:
+        """``reencode`` (residual layouts only): ``(PqCodebook,
+        vec_col)`` — folded rows REWRITE with codes re-encoded against
+        their new owning centroid instead of pure-hardlinking, and the
+        surviving centroid stays UNCHANGED (moving it to the
+        count-weighted mean would stale every code already in the
+        target cell); renumber-only moves still hardlink."""
         import numpy as np
 
         data = self.spark.read.parquet(str(ipath / "data"))
@@ -2235,10 +2366,46 @@ class VechordRegistry:
         for s in survivors:
             id_map[s] = s if s < k else holes.pop(0)
         relink = {s: id_map[s] for s in survivors if id_map[s] != s}
-        moved_rows = 0
+        moved_rows = sum(counts[u] for u in removed)
+
+        if reencode is not None:
+            # residual layout: survivors keep their centroid VALUE (the
+            # codes in their cells stay valid), and the folded cells'
+            # rows rewrite with codes re-encoded against the target's
+            # centroid under its NEW id — O(folded rows), the
+            # damage-proportional cost
+            from vechord_spark.operators.pq import encode_pq
+
+            book, vname = reencode
+            new_cents = [(id_map[s], list(cents[s])) for s in survivors]
+            new_mat = np.zeros((k, cents.shape[1]))
+            for s in survivors:
+                new_mat[id_map[s]] = cents[s]
+            fold_map = {int(u): int(id_map[target[u]]) for u in removed}
+            mapping = F.create_map(
+                *[F.lit(x) for kv in fold_map.items() for x in kv]
+            )
+            folded = data.filter(
+                F.col("centroid_id").isin(list(fold_map))
+            ).withColumn("centroid_id", mapping[F.col("centroid_id")])
+            reassigned = encode_pq(
+                folded.drop("__pq"), vname, book, centroids=new_mat
+            )
+            self._swap_cells_layout(
+                ipath,
+                sorted(new_cents),
+                reassigned=reassigned,
+                relink=relink,
+                exclude=removed,
+            )
+            return {
+                "merged_cells": len(removed),
+                "moved_rows": int(moved_rows),
+                "lists": int(k),
+            }
+
         for u in removed:
             relink[u] = id_map[target[u]]
-            moved_rows += counts[u]
 
         # merged centroid = count-weighted mean of its sources (the
         # geometry probes will rank against)
@@ -2442,6 +2609,7 @@ class VechordRegistry:
                 "skew": round(max(cells) / mean_cell, 3) if cells else 0.0,
                 "pq": (ipath / "codebooks").exists(),
                 "opq": bool(meta.get("opq")),
+                "residual": bool(meta.get("residual")),
                 "spherical": bool(meta.get("spherical")),
             }
             fresh, behind = _ledger_state(ipath)
@@ -2851,22 +3019,17 @@ class VechordRegistry:
             spec.vector_column.name,
             spherical=bool(self._vector_index_meta(ipath).get("spherical")),
         )
-        if (ipath / "codebooks").exists():
-            from vechord_spark.operators.pq import IvfPqIndex, PqCodebook
+        book = self._load_codebooks(ipath)
+        if book is not None:
+            from vechord_spark.operators.pq import IvfPqIndex
 
-            crows = (
-                self.spark.read.parquet(str(ipath / "codebooks"))
-                .orderBy("subspace", "code")
-                .collect()
-            )
-            m = max(r.subspace for r in crows) + 1
-            ksub = max(r.code for r in crows) + 1
-            dsub = len(crows[0].vec)
-            books = np.zeros((m, ksub, dsub))
-            for r in crows:
-                books[r.subspace, r.code] = r.vec
             # the persisted layout already carries __pq — no re-encode
-            return IvfPqIndex(ivf, PqCodebook(books), encoded=assigned)
+            return IvfPqIndex(
+                ivf,
+                book,
+                encoded=assigned,
+                residual=bool(self._vector_index_meta(ipath).get("residual")),
+            )
         return ivf
 
     def search_by_vector(

@@ -3885,10 +3885,10 @@ def groundtruth_generate(spark, sf_dir):
 # ===========================================================================
 
 
-def _sparse_sql() -> str:
+def _sparse_sql(query: str = BM25_QUERY) -> str:
     from vechord_spark.functions.embed import SPARSE_DIM, sparse_query_vector
 
-    qv = sparse_query_vector(BM25_QUERY, SPARSE_DIM)
+    qv = sparse_query_vector(query, SPARSE_DIM)
     values = ", ".join(f"({i}, {w!r})" for i, w in sorted(qv.items()))
     return f"""
     WITH toks AS (
@@ -3911,6 +3911,35 @@ def _sparse_sql() -> str:
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
     FROM s ORDER BY rank LIMIT 10
     """
+
+
+@_q(
+    "sparse_batch_topk",
+    f"""
+    SELECT CAST(0 AS INT) AS query_id, doc_id, score, rank
+    FROM ({_sparse_sql(BM25_QUERY)})
+    UNION ALL
+    SELECT CAST(1 AS INT) AS query_id, doc_id, score, rank
+    FROM ({_sparse_sql("sort merge window batch")})
+    """,
+)
+def sparse_batch_topk(spark, sf_dir):
+    """D10 batched: TWO sparse queries answered from ONE scan of the
+    persisted range-clustered postings
+    (operators/sparse.sparse_topk_postings_batch — union of both
+    queries' dimensions drives the pushed idx IN filter, a broadcast
+    (query_id, idx, qw) table fans postings to exactly the queries
+    weighting each dimension, per-query window top-k). Completes the
+    batch family's fourth modality as a driver-checked query
+    (registry twin: search_by_sparse_batch, N=64 equality pinned in
+    tests/test_batch_amortization.py; 8-62x batch-over-loop measured
+    at N=16-256, BASELINE.md round-13). Oracle: the two single-query
+    sparse oracles, union-tagged."""
+    from vechord_spark.operators.sparse import sparse_topk_postings_batch
+
+    return sparse_topk_postings_batch(
+        _sparse_postings(spark, sf_dir), [BM25_QUERY, "sort merge window batch"]
+    )
 
 
 @_q("sparse_knn", _sparse_sql())
@@ -9492,6 +9521,25 @@ def quality_top_fraction(spark, sf_dir):
 # After this rotation the only registered query without a driver
 # CORRECTNESS row is semdedup_ivf_survivors — rows-only BY DESIGN
 # (its exact witness semdedup_ivf_recall stays in-window).
+#
+# Round-13 rotation (normal policy: new/changed plans in, stable
+# greens out with family coverage kept; window pre-swept at sf0.01
+# after the swap — BASELINE.md).
+# IN — semdedup_ivf_survivors (round-12 verdict ask #3: upgraded from
+# rows-only to an EXACT oracle via the survivor-set containment
+# theorem — the last ledger entry that had never held a driver
+# CORRECTNESS row); bm25_unigram_topk (NEW, ask #5: the persisted
+# keyword index under a TRAINED Unigram-LM tokenizer, analytic BM25
+# oracle); sparse_batch_topk (NEW: the batched sparse postings path —
+# the batch family's fourth modality becomes driver-checked,
+# union-tagged exact oracle).
+# OUT (all green in CORRECTNESS_r12 on unchanged plans, family still
+# in-window, parity-tested on every pytest run): dedup_components
+# (dedup keeps best_quality_survivors + media_dedup_pairs +
+# minhash_calibration_report, and semdedup_ivf_survivors exercises
+# the same components machinery under an exact gate),
+# mmr_rerank_diverse (fusion/rerank keeps hybrid_rrf_tri),
+# opq_recall (ANN keeps ivf_pq/rpq/batch/refined/maxsim recall gates).
 _WINDOW_PRIORITY = [
     # relational / OLAP core (4 carried + 2 derived-partsupp shapes)
     "filter_project",
@@ -9516,14 +9564,15 @@ _WINDOW_PRIORITY = [
     "ivf_knn_batch_recall",
     "ivf_recall_refined",
     "maxsim_ivf_recall",
-    "opq_recall",
+    "semdedup_ivf_survivors",
     "hard_negatives",
     # keyword / hybrid search + rerank
     "bm25_index_topk",
     "bm25_batch_topk",
+    "bm25_unigram_topk",
     "sparse_index_topk",
+    "sparse_batch_topk",
     "hybrid_rrf_tri",
-    "mmr_rerank_diverse",
     # graph + similarity joins
     "jaccard_join_exact",
     "graph_pagerank",
@@ -9535,7 +9584,6 @@ _WINDOW_PRIORITY = [
     # events / time-series
     "events_rollup_daily",
     # dedup suite
-    "dedup_components",
     "dedup_best_quality_survivors",
     "media_dedup_pairs",
     "minhash_calibration_report",
