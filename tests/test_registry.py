@@ -297,6 +297,19 @@ def test_persisted_bm25_index_keeps_unigram_tokenizer(spark, tmp_path):
     # doc 2 holds the only " spark" posting (mid-text repeat) plus two
     # "fast"-family hits — it must win under the unigram pieces
     assert after[0][1] == 2
+    # the batched path tokenizes queries with the SAME reloaded model
+    batch = reg2.search_by_keyword_batch(
+        "doc", ["fast spark", "spark query engine"], topk=3
+    )
+    got = {}
+    for row in batch.collect():
+        got.setdefault(row.query_id, []).append((row.rank, row.uid, row.score))
+    for qi, q in enumerate(["fast spark", "spark query engine"]):
+        single = [
+            (x.rank, x.uid, x.score)
+            for x in reg2.search_by_keyword("doc", q, topk=3).collect()
+        ]
+        assert got.get(qi, []) == single
 
 
 def test_search_by_multivec_with_refine(spark, tmp_path):

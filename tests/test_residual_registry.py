@@ -193,3 +193,44 @@ def test_maintain_composes_on_residual_layout(spark, tmp_path):
     assert "extend" in ops and "prune" in ops
     _assert_codes_fresh(r)
     assert r.maintain("t")["actions"] == []
+
+
+def test_declared_index_config_drives_build(spark, tmp_path):
+    """VectorIndex carries quantization in the DECLARED schema (the
+    reference's DDL emits residual_quantization from the index spec,
+    vechord/spec.py:437-444): build_vector_index(name) with no
+    arguments builds the declared residual PQ layout, and the l2
+    default policy resolves residual=True exactly when PQ is on."""
+    from vechord_spark.spec import VectorIndex
+
+    assert VectorIndex(distance="l2", pq_m=4).resolved_residual
+    assert not VectorIndex(distance="cos", pq_m=4).resolved_residual
+    assert not VectorIndex(distance="l2").resolved_residual
+    assert VectorIndex(distance="cos", pq_m=4, residual=True).resolved_residual
+    with pytest.raises(SchemaError, match="declare pq_m"):
+        VectorIndex(residual=True)
+    with pytest.raises(SchemaError, match="excludes opq"):
+        VectorIndex(pq_m=4, residual=True, opq=True)
+
+    rng = random.Random(5)
+    r = VechordRegistry("resdecl", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "t",
+            [
+                Column("uid", "long", primary_key=True),
+                Column(
+                    "v",
+                    Vector(DIM),
+                    index=VectorIndex(distance="l2", lists=4, pq_m=4),
+                ),
+            ],
+        )
+    )
+    centers = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(4)]
+    for b, c in enumerate(centers):
+        r.insert_rows("t", _blob_rows(rng, range(b * 30, b * 30 + 30), c))
+    r.build_vector_index("t")  # no args: the declaration decides
+    st = r.index_stats("t")["ivf"]
+    assert st["pq"] and st["residual"] and st["lists"] == 4
+    _assert_codes_fresh(r)

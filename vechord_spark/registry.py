@@ -1576,6 +1576,18 @@ class VechordRegistry:
             raise SchemaError(f"cannot index empty table {name}")
         declared = vec_col.index.lists if vec_col.index else None
         n_lists = lists or declared or max(2, int(round(n**0.5)))
+        # the DECLARED index carries quantization config (reference DDL
+        # semantics, vechord/spec.py:437-444): explicit call arguments
+        # win; with no pq_m argument the declaration's options apply —
+        # build_vector_index(name) alone builds what the schema said
+        idx_decl = vec_col.index
+        if pq_m is None and idx_decl is not None and getattr(idx_decl, "pq_m", None):
+            pq_m = idx_decl.pq_m
+            pq_ksub = idx_decl.pq_ksub
+            if not opq:
+                opq = bool(idx_decl.opq)
+            if not residual and not opq and not spherical:
+                residual = idx_decl.resolved_residual
         if opq and pq_m is None:
             raise SchemaError("opq=True requires pq_m (OPQ optimizes PQ)")
         if residual:

@@ -118,14 +118,45 @@ class VectorIndex:
     an IVF layout job (operators/ivf.py): KMeans centroids + a
     ``centroid_id`` column the table is clustered by, so probe filtering
     becomes partition pruning.
+
+    Quantization is part of the DECLARED index, as in the reference's
+    DDL (vechord/spec.py:437-444 emits ``residual_quantization = true``
+    exactly when the distance is l2): ``pq_m`` requests PQ codes in the
+    clustered layout; ``residual`` defaults (None) to the reference's
+    policy — residual encoding iff PQ is on AND the distance is l2 —
+    and can be forced either way; ``opq`` trains the rotation first.
+    ``registry.build_vector_index`` reads these as its defaults, so
+    ``build_vector_index(name)`` alone builds what the schema declared.
     """
 
     distance: str = "l2"
     lists: int | None = None
+    pq_m: int | None = None
+    pq_ksub: int = 256
+    residual: bool | None = None
+    opq: bool = False
 
     def __post_init__(self) -> None:
         if self.distance not in ("l2", "cos", "dot"):
             raise SchemaError(f"unknown distance {self.distance!r}")
+        if self.pq_m is None and (self.residual or self.opq):
+            raise SchemaError(
+                "residual/opq are PQ options: declare pq_m with them"
+            )
+        if self.residual and self.opq:
+            raise SchemaError(
+                "residual excludes opq (the rotation is trained for "
+                "raw-vector PQ)"
+            )
+
+    @property
+    def resolved_residual(self) -> bool:
+        """The reference's default policy (vechord/spec.py:440):
+        residual quantization iff PQ is requested and the coarse
+        distance is l2 — overridable by declaring ``residual``."""
+        if self.residual is not None:
+            return bool(self.residual)
+        return self.pq_m is not None and self.distance == "l2"
 
     @property
     def default_probes(self) -> int | None:
