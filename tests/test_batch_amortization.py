@@ -206,3 +206,50 @@ def test_sparse_batch_requires_index_and_queries(spark, tmp_path):
     )
     with pytest.raises(SchemaError, match="no sparse index"):
         r.search_by_sparse_batch("doc", [{1: 1.0}])
+
+
+@pytest.mark.parametrize("residual", [False, True], ids=["raw-pq", "residual-pq"])
+def test_pq_batch_equals_64_searches(spark, tmp_path, residual):
+    """The PQ layout's batched two-phase search (estimate over codes ->
+    per-query refine -> exact) must equal 64 individual searches at
+    the same refine budget — for both raw-vector and residual codes."""
+    rng = random.Random(29)
+    r = VechordRegistry(f"b64pq{int(residual)}", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    centers = [[rng.uniform(-3, 3) for _ in range(8)] for _ in range(6)]
+    r.insert_rows(
+        "doc",
+        [
+            {
+                "uid": i,
+                "vec": [c + rng.uniform(-0.5, 0.5) for c in centers[i % 6]],
+            }
+            for i in range(360)
+        ],
+    )
+    r.build_vector_index("doc", lists=6, pq_m=4, residual=residual)
+    st = r.index_stats("doc")["ivf"]
+    assert st["pq"] and st["residual"] == residual
+    qs = [
+        [c + rng.uniform(-0.3, 0.3) for c in centers[i % 6]]
+        for i in range(N_QUERIES)
+    ]
+
+    batch = r.search_by_vector_batch("doc", qs, topk=5, probes=3, refine=40)
+    got = {}
+    for row in batch.collect():
+        got.setdefault(row.query_id, []).append((row.uid, round(row.distance, 9)))
+
+    for qi, q in enumerate(qs):
+        single = [
+            (x.uid, round(x.distance, 9))
+            for x in r.search_by_vector(
+                "doc", q, topk=5, probes=3, refine=40
+            ).collect()
+        ]
+        assert got.get(qi, []) == single, f"query {qi} diverged ({'res' if residual else 'raw'})"

@@ -401,6 +401,198 @@ class IvfPqIndex:
             )
         )
 
+    def search_batch(
+        self,
+        queries: Sequence[Sequence[float]],
+        k: int = 10,
+        probes: int | None = None,
+        refine: int = 100,
+        distance: str = "cos",
+        select: Sequence[str] | None = None,
+        tie_break: str | None = None,
+    ) -> DataFrame:
+        """Batched two-phase search: N queries from ONE scan of the
+        probed CODE partitions — the PQ member of the batch family
+        (IvfIndex.search_batch is the float twin). Per Arrow batch the
+        ADC estimate scores each row against exactly the queries
+        probing its cell, a per-query window keeps ``refine``
+        candidates, the float column is read for only those survivor
+        rows, and a second per-query window takes top-k.
+
+        Residual layouts stay O(N·m·ksub) driver state instead of the
+        naive O(N·probes·m·ksub) per-(query, cell) tables: the
+        residual l2 LUT decomposes as
+        ``||(q-c) - r̂||² = ||q - r̂||²(per-query LUT) +
+        2·c·r̂(per-cell LUT) + (||c||² - 2·q·c)(scalar)``,
+        so the closure carries one LUT per query, one per probed cell,
+        and an (N × cells) scalar grid. Same estimate → refine → exact
+        contract as :meth:`search`; N=64 batch==loop equality pinned in
+        tests/test_batch_amortization.py."""
+        from pyspark.sql import Window
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        from vechord_spark.operators.ivf import default_probes
+
+        if probes is None:
+            probes = default_probes(self.ivf.lists)
+        qm = np.asarray([list(q) for q in queries], dtype=np.float64)
+        if qm.ndim != 2 or not len(qm):
+            raise ValueError("queries must be a non-empty list of vectors")
+        cell_to_q: dict[int, list[int]] = {}
+        for qi in range(len(qm)):
+            for c in self.ivf.nearest_centroids(qm[qi], probes):
+                cell_to_q.setdefault(int(c), []).append(qi)
+        pruned = self.encoded.filter(
+            F.col("centroid_id").isin(sorted(cell_to_q))
+        )
+        kind = "l2" if distance == "l2" else "dot"
+        luts = np.stack(
+            [self.book.lookup_table(qm[i], kind) for i in range(len(qm))]
+        )  # (nq, m, ksub)
+        cents = np.asarray(self.ivf.centroids, dtype=np.float64)
+        cell_ids = sorted(cell_to_q)
+        if self.residual:
+            if kind == "l2":
+                # 2·c_j·r̂_jk per probed cell; scalar ||c||² - 2 q·c
+                cell_lut = {
+                    c: 2.0
+                    * np.einsum(
+                        "md,mkd->mk",
+                        cents[c].reshape(self.book.m, self.book.dsub),
+                        self.book.codebooks,
+                    )
+                    for c in cell_ids
+                }
+                scal = {
+                    c: (cents[c] * cents[c]).sum() - 2.0 * (qm @ cents[c])
+                    for c in cell_ids
+                }  # (nq,) per cell
+            else:  # dot: -q·(c + r̂) = -q·c + sum_j -q_j·r̂_jk
+                cell_lut = {c: None for c in cell_ids}
+                scal = {c: -(qm @ cents[c]) for c in cell_ids}
+        else:
+            cell_lut = {c: None for c in cell_ids}
+            scal = {c: np.zeros(len(qm)) for c in cell_ids}
+
+        @pandas_udf(
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("qid", T.IntegerType()),
+                        T.StructField("e", T.DoubleType()),
+                    ]
+                )
+            )
+        )
+        def _est(cids: pd.Series, codes: pd.Series) -> pd.Series:
+            cd = np.array(codes.tolist(), dtype=np.int64)
+            cid = cids.to_numpy()
+            res: list = [None] * len(cd)
+            for c in np.unique(cid):
+                qs = cell_to_q.get(int(c))
+                mask = cid == c
+                rows_idx = np.flatnonzero(mask)
+                if not qs:
+                    for ri in rows_idx:
+                        res[ri] = []
+                    continue
+                sub = cd[mask]  # (rows, m)
+                clut = cell_lut[int(c)]
+                base = (
+                    np.take_along_axis(clut.T, sub, axis=0).sum(axis=1)
+                    if clut is not None
+                    else 0.0
+                )
+                sc = scal[int(c)]
+                per_q = np.empty((len(sub), len(qs)))
+                for col, qi in enumerate(qs):
+                    per_q[:, col] = (
+                        np.take_along_axis(luts[qi].T, sub, axis=0).sum(axis=1)
+                        + base
+                        + float(sc[qi])
+                    )
+                for ri, erow in zip(rows_idx, per_q):
+                    res[ri] = [
+                        {"qid": int(q), "e": float(v)}
+                        for q, v in zip(qs, erow)
+                    ]
+            return pd.Series(res)
+
+        vec_col = self.ivf.vec_col
+        keep = (
+            list(select)
+            if select is not None
+            else [
+                c
+                for c in pruned.columns
+                if c not in (vec_col, "centroid_id", "__pq")
+            ]
+        )
+        # the float column rides along only to the refine pass
+        carry = [] if vec_col in keep else [vec_col]
+        estimated = (
+            pruned.withColumn(
+                "__hits", _est(F.col("centroid_id"), F.col("__pq"))
+            )
+            .select(*keep, *carry, F.explode("__hits").alias("__h"))
+            .select(
+                F.col("__h.qid").alias("query_id"),
+                *keep,
+                *carry,
+                F.col("__h.e").alias("__est"),
+            )
+        )
+        order = [F.col("__est").asc()]
+        if tie_break:
+            order.append(F.col(tie_break).asc())
+        w_est = Window.partitionBy("query_id").orderBy(*order)
+        cands = (
+            estimated.withColumn("__rn", F.row_number().over(w_est))
+            .filter(F.col("__rn") <= refine)
+            .drop("__rn", "__est")
+        )
+
+        q_norm = np.sqrt((qm * qm).sum(axis=1))
+        dkind = distance
+
+        @pandas_udf(T.DoubleType())
+        def _exact(qids: pd.Series, vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            qi = qids.to_numpy()
+            qv = qm[qi]
+            dots = np.einsum("ij,ij->i", x, qv)
+            if dkind == "dot":
+                d = -dots
+            elif dkind == "cos":
+                xn = np.sqrt((x * x).sum(axis=1))
+                d = 1.0 - dots / (np.maximum(xn, 1e-300) * q_norm[qi])
+            else:
+                d = np.sqrt(
+                    np.maximum(
+                        (x * x).sum(axis=1)
+                        - 2.0 * dots
+                        + (qv * qv).sum(axis=1),
+                        0.0,
+                    )
+                )
+            return pd.Series(d)
+
+        scored = cands.withColumn(
+            "distance", _exact(F.col("query_id"), F.col(vec_col))
+        )
+        if carry:
+            scored = scored.drop(vec_col)
+        final = [F.col("distance").asc()]
+        if tie_break:
+            final.append(F.col(tie_break).asc())
+        w_fin = Window.partitionBy("query_id").orderBy(*final)
+        return (
+            scored.withColumn("__rn", F.row_number().over(w_fin))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def search(
         self,
         query: Sequence[float],

@@ -3193,6 +3193,7 @@ class VechordRegistry:
         return_fields: Sequence[str] | None = None,
         distance: str | None = None,
         probes: int | None = None,
+        refine: int = 100,
     ) -> DataFrame:
         """Batch k-NN: top-k rows for EVERY query vector, one frame
         with a ``query_id`` column (the position in ``vectors``) — the
@@ -3229,21 +3230,28 @@ class VechordRegistry:
                 )
             from vechord_spark.operators.pq import IvfPqIndex
 
-            if isinstance(index, IvfPqIndex):
-                raise SchemaError(
-                    "batch search is not supported on the PQ index path yet; "
-                    "use the plain IVF index or the brute-force path"
-                )
             layout_fields, evolved, forced_pk = self._plan_evolved_fields(
                 name, fields, pk
             )
+            qs = [list(v) for v in vectors]
+            extra = {}
+            if isinstance(index, IvfPqIndex):
+                # PQ layout: the batched estimate -> refine -> exact
+                # two-phase (IvfPqIndex.search_batch); OPQ stores the
+                # clustered copy rotated, so the whole query batch
+                # rotates too (distances unchanged)
+                rot = self._load_opq_rotation(self._index_path(name))
+                if rot is not None:
+                    qs = [[float(x) for x in rot.apply(q)] for q in qs]
+                extra = {"refine": refine}
             out = index.search_batch(
-                [list(v) for v in vectors],
+                qs,
                 k=topk,
                 probes=probes,
                 distance=dist,
                 select=layout_fields,
                 tie_break=pk.name if pk else None,
+                **extra,
             )
             if evolved:
                 out = self._serve_evolved_fields(
