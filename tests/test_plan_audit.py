@@ -63,6 +63,10 @@ BNLJ_ALLOWED = {
     # exact all-pairs ground truth (verification-scale by contract,
     # like ivf_recall) + three 1-row claim-scalar crossJoins
     "semdedup_ivf_recall",
+    # r13 exact gate: four 1-row aggregates (exact-survivor stats,
+    # containment miss-count, IVF kept-count, corpus total) crossJoin
+    # into the single claim row — every BNLJ side is a scalar
+    "semdedup_ivf_survivors",
     "knn_batch",
     # the knn_join batch broadcast (a bounded query batch broadcast
     # against the corpus scan — the intended batch-knn shape) feeding
