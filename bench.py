@@ -237,6 +237,7 @@ def main() -> None:
         ("ivfpq_index", _suite._ivfpq),
         ("opq_index", _suite._opq),
         ("rpq_index", _suite._rpq),
+        ("unigram_bm25", _suite._unigram_bm25),
         ("sparse_postings", _suite._sparse_postings),
         # the incremental funnel's day-1 close artifacts (seen fps,
         # bands, bloom): corpus_funnel_incremental measures the DAY-2
