@@ -253,3 +253,123 @@ def test_pq_batch_equals_64_searches(spark, tmp_path, residual):
             ).collect()
         ]
         assert got.get(qi, []) == single, f"query {qi} diverged ({'res' if residual else 'raw'})"
+
+
+def test_batch_conditions_equal_filtered_singles(spark, tmp_path):
+    """conditions on the batch wrappers = the single path's PRE-filter
+    applied once to the whole query stream: per query, the batch
+    result equals the filtered single search exactly, for the IVF,
+    brute-force, keyword, and sparse paths."""
+    from pyspark.sql import functions as F
+
+    from vechord_spark.errors import SchemaError
+    from vechord_spark.functions.embed import sparse_embedding, sparse_query_vector
+
+    rng = random.Random(31)
+    r = VechordRegistry("b64c", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("tag", "string"),
+                Column("body", Keyword()),
+                Column("vec", Vector(8)),
+                Column("sv", SparseVector(256)),
+            ],
+        )
+    )
+    words = ["spark", "engine", "query", "merge", "window", "scan"]
+    rows = [
+        (
+            i,
+            "hot" if i % 3 == 0 else "cold",
+            " ".join(rng.choice(words) for _ in range(8)),
+            [rng.uniform(-1, 1) for _ in range(8)],
+        )
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(
+        rows, "uid int, tag string, body string, vec array<float>"
+    ).withColumn("sv", sparse_embedding(F.col("body"), 256))
+    r.append("doc", df)
+    r.build_vector_index("doc", lists=4)
+    r.build_keyword_index("doc")
+    r.build_sparse_index("doc")
+    cond = {"tag": "hot"}
+    n = 16
+    vqs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(n)]
+    tqs = [" ".join(rng.choice(words) for _ in range(2)) for _ in range(n)]
+    sqs = [sparse_query_vector(q, 256) for q in tqs]
+
+    def per_query(df_out, val_col):
+        got = {}
+        for row in df_out.collect():
+            # round to 9: the single path scores via the SQL fold
+            # expression, the batch via numpy — equal up to float tails
+            got.setdefault(row.query_id, []).append(
+                (row.uid, round(row[val_col], 9))
+            )
+        return got
+
+    # IVF path
+    got = per_query(
+        r.search_by_vector_batch("doc", vqs, topk=4, probes=4, conditions=cond),
+        "distance",
+    )
+    for qi, q in enumerate(vqs):
+        single = [
+            (x.uid, round(x.distance, 9))
+            for x in r.search_by_vector(
+                "doc", q, topk=4, probes=4, conditions=cond
+            ).collect()
+        ]
+        assert got.get(qi, []) == single
+        assert all(uid % 3 == 0 for uid, _ in single)
+    # brute-force path
+    got = per_query(
+        r.search_by_vector_batch("doc", vqs, topk=4, conditions=cond),
+        "distance",
+    )
+    for qi, q in enumerate(vqs):
+        single = [
+            (x.uid, round(x.distance, 9))
+            for x in r.search_by_vector("doc", q, topk=4, conditions=cond).collect()
+        ]
+        assert sorted(got.get(qi, [])) == sorted(single)
+    # keyword path
+    got = per_query(
+        r.search_by_keyword_batch("doc", tqs, topk=4, conditions=cond), "score"
+    )
+    for qi, q in enumerate(tqs):
+        single = [
+            (x.uid, round(x.score, 9))
+            for x in r.search_by_keyword("doc", q, topk=4, conditions=cond).collect()
+        ]
+        assert got.get(qi, []) == single
+    # sparse path
+    got = per_query(
+        r.search_by_sparse_batch("doc", sqs, topk=4, conditions=cond), "score"
+    )
+    for qi, q in enumerate(sqs):
+        single = [
+            (x.uid, round(x.score, 9))
+            for x in r.search_by_sparse("doc", q, topk=4, conditions=cond).collect()
+        ]
+        assert got.get(qi, []) == single
+
+    # PQ layouts refuse conditions on the batch path like the single one
+    r2 = VechordRegistry("b64cpq", str(tmp_path), spark)
+    r2.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    r2.insert_rows(
+        "doc",
+        [{"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]} for i in range(64)],
+    )
+    r2.build_vector_index("doc", lists=2, pq_m=4)
+    with pytest.raises(SchemaError, match="conditions are not supported"):
+        r2.search_by_vector_batch("doc", vqs[:2], probes=2, conditions={"uid": 1})

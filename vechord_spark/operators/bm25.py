@@ -298,13 +298,24 @@ class Bm25Index:
             scores, [F.col("score").desc(), F.col("doc_id").asc()], k
         )
 
-    def topk_batch(self, queries: Sequence[str], k: int = 10) -> DataFrame:
+    def topk_batch(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        candidates: DataFrame | None = None,
+    ) -> DataFrame:
         """Batched top-k: N query strings from ONE postings scan (see
-        :func:`_index_topk_batch`)."""
-        return _index_topk_batch(self, queries, k)
+        :func:`_index_topk_batch`). ``candidates`` pre-filters exactly
+        like :meth:`topk`: a one-column doc-id frame restricting the
+        RESULT of every query in the batch (the eval-stream shape — a
+        shared metadata filter over the whole query stream); corpus
+        statistics stay corpus-global."""
+        return _index_topk_batch(self, queries, k, candidates=candidates)
 
 
-def _index_topk_batch(index: "Bm25Index", queries, k: int = 10) -> DataFrame:
+def _index_topk_batch(
+    index: "Bm25Index", queries, k: int = 10, candidates: DataFrame | None = None
+) -> DataFrame:
     """Batched BM25 against a prebuilt index: N query strings answered
     from ONE postings scan — the union of every query's terms drives
     the pushed term IN-filter, a broadcast (query_id, term) table fans
@@ -345,6 +356,8 @@ def _index_topk_batch(index: "Bm25Index", queries, k: int = 10) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("term_score"), 6).alias("score"))
     )
+    if candidates is not None:
+        scored = scored.join(candidates.toDF("doc_id"), "doc_id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -3194,6 +3194,7 @@ class VechordRegistry:
         distance: str | None = None,
         probes: int | None = None,
         refine: int = 100,
+        conditions: Mapping[str, Any] | None = None,
     ) -> DataFrame:
         """Batch k-NN: top-k rows for EVERY query vector, one frame
         with a ``query_id`` column (the position in ``vectors``) — the
@@ -3203,7 +3204,13 @@ class VechordRegistry:
         the exact broadcast batch brute force (operators/knn.knn_join:
         the query set broadcasts against one corpus scan, per-query
         window top-k). N single :meth:`search_by_vector` calls would
-        plan N jobs and re-open shared partitions N times."""
+        plan N jobs and re-open shared partitions N times.
+
+        ``conditions`` applies ONE pre-filter to the whole batch (the
+        eval-stream shape — a shared metadata filter): each query's
+        result is its top-k MATCHING rows, same PRE-filter semantics
+        as the single path; unsupported on PQ layouts for the same
+        reason as there (the estimate scans codes, not rows)."""
         from vechord_spark.errors import DimensionMismatch
         from vechord_spark.operators.knn import knn_join
 
@@ -3236,6 +3243,12 @@ class VechordRegistry:
             qs = [list(v) for v in vectors]
             extra = {}
             if isinstance(index, IvfPqIndex):
+                if conditions:
+                    raise SchemaError(
+                        "conditions are not supported on the PQ index path "
+                        "(the ADC estimate scans codes, not rows); use the "
+                        "plain IVF index or the brute-force path"
+                    )
                 # PQ layout: the batched estimate -> refine -> exact
                 # two-phase (IvfPqIndex.search_batch); OPQ stores the
                 # clustered copy rotated, so the whole query batch
@@ -3244,6 +3257,25 @@ class VechordRegistry:
                 if rot is not None:
                     qs = [[float(x) for x in rot.apply(q)] for q in qs]
                 extra = {"refine": refine}
+            elif conditions:
+                evolved_cond = set(conditions) & self._evolved_columns(name)
+                if evolved_cond:
+                    raise SchemaError(
+                        f"conditions on ALTER-added columns "
+                        f"{sorted(evolved_cond)} are not supported on the "
+                        "index path (the clustered copy snapshots rows at "
+                        "build time); use the brute-force path (probes=None)"
+                    )
+                from vechord_spark.operators.ivf import IvfIndex
+
+                index = IvfIndex(
+                    index.centroids,
+                    index.assigned.filter(
+                        build_predicate(index.assigned, conditions)
+                    ),
+                    index.vec_col,
+                    spherical=index.spherical,
+                )
             out = index.search_batch(
                 qs,
                 k=topk,
@@ -3267,9 +3299,12 @@ class VechordRegistry:
             [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
             "query_id int, __qvec array<double>",
         )
+        base = self.load(name)
+        if conditions:
+            base = base.filter(build_predicate(base, conditions))
         joined = knn_join(
             qdf,
-            self.load(name),
+            base,
             "__qvec",
             vec_col.name,
             "query_id",
@@ -3876,6 +3911,7 @@ class VechordRegistry:
         queries: Sequence[Mapping[int, float]],
         topk: int = 10,
         return_fields: Sequence[str] | None = None,
+        conditions: Mapping[str, Any] | None = None,
     ) -> DataFrame:
         """Batch sparse retrieval: top-k rows for EVERY sparse query,
         one frame with a ``query_id`` column — the sparse member of
@@ -3891,7 +3927,10 @@ class VechordRegistry:
         the postings N times; here the scan cost is paid once per
         BATCH — the eval-stream shape. Per-query results are identical
         to the single-query path (same rounding, same score-desc /
-        pk-asc tie order); queries with no dimensions return no rows."""
+        pk-asc tie order); queries with no dimensions return no rows.
+        ``conditions`` pre-filters the whole batch (a pk semi-join from
+        the filtered table into the matched postings, the single
+        path's contract)."""
         from pyspark.sql import Window
 
         spec = self._spec(name)
@@ -3927,6 +3966,13 @@ class VechordRegistry:
         matched = posts.filter(
             F.col("idx").isin(sorted({i for _, i, _ in pairs}))
         )
+        if conditions:
+            eligible = self.load(name).filter(
+                build_predicate(self.load(name), conditions)
+            )
+            matched = matched.join(
+                eligible.select(pk.name), pk.name, "left_semi"
+            )
         scored = (
             matched.join(F.broadcast(qdf), "idx")
             .groupBy("query_id", pk.name)
@@ -3955,13 +4001,17 @@ class VechordRegistry:
         queries: Sequence[str],
         topk: int = 10,
         return_fields: Sequence[str] | None = None,
+        conditions: Mapping[str, Any] | None = None,
     ) -> DataFrame:
         """Batch BM25: top-k rows for EVERY query string, one frame
         with a ``query_id`` column — the keyword member of the batch
         family (search_by_vector_batch / search_by_multivec_batch /
         the batched probe search). Requires the persisted postings
         index (build_keyword_index): the whole batch is answered from
-        ONE postings scan (:meth:`Bm25Index.topk_batch`)."""
+        ONE postings scan (:meth:`Bm25Index.topk_batch`).
+        ``conditions`` pre-filters the whole batch (same semantics as
+        the single path: each query returns its top-k MATCHING docs,
+        corpus statistics stay corpus-global)."""
         spec = self._spec(name)
         if spec.keyword_column is None:
             raise SchemaError(f"table {name} has no keyword column")
@@ -3976,7 +4026,11 @@ class VechordRegistry:
                 f"no keyword index for {name}; call build_keyword_index first"
             )
         fields = list(return_fields) if return_fields else spec.non_vec_columns()
-        hits = index.topk_batch(list(queries), k=topk)
+        cand = None
+        if conditions:
+            base = self.load(name)
+            cand = base.filter(build_predicate(base, conditions)).select(pk.name)
+        hits = index.topk_batch(list(queries), k=topk, candidates=cand)
         payload = self.load(name).select(*{*fields, pk.name})
         out = (
             hits.withColumnRenamed("doc_id", "__hit_id")
