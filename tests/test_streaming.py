@@ -602,3 +602,77 @@ def test_stream_corpus_funnel_matches_batch(spark, tmp_path):
         "doc_id", fingerprint("text").alias("fp")).collect()}
     assert {fp_of[d] for d in got} == {fp_of[d] for d in expected}
     assert len(got) == len(expected)
+
+
+def test_stream_to_registry_maintains_indexes(spark, tmp_path):
+    """maintain_every: persisted index layouts extend as the stream
+    runs — after the stream drains, the IVF and BM25 ledgers are
+    current (files_behind 0) and probe/postings searches serve the
+    streamed rows without any external maintenance call."""
+    import random
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, Keyword, TableSpec, Vector
+    from vechord_spark.streaming.ingest import stream_to_registry
+
+    rng = random.Random(41)
+    reg = VechordRegistry("streamix", str(tmp_path / "store"), spark)
+    reg.register(
+        TableSpec(
+            "docs",
+            [
+                Column("doc_id", "long", primary_key=True),
+                Column("body", Keyword()),
+                Column("vec", Vector(4)),
+            ],
+        )
+    )
+    reg.insert_rows(
+        "docs",
+        [
+            {
+                "doc_id": i,
+                "body": f"seed token{i % 5}",
+                "vec": [rng.uniform(-1, 1) for _ in range(4)],
+            }
+            for i in range(40)
+        ],
+    )
+    reg.build_vector_index("docs", lists=4)
+    reg.build_keyword_index("docs")
+
+    src = str(tmp_path / "src")
+    for b, lo in enumerate(range(100, 160, 20)):
+        spark.createDataFrame(
+            [
+                (i, "streamed zeppelin", [5.0, 5.0, 5.0, 5.0])
+                for i in range(lo, lo + 20)
+            ],
+            "doc_id long, body string, vec array<float>",
+        ).write.parquet(f"{src}/b{b}")
+    stream = (
+        spark.readStream.schema("doc_id long, body string, vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_to_registry(
+        stream, reg, "docs", str(tmp_path / "ckpt"), maintain_every=1
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    st = reg.index_stats("docs")
+    assert st["ivf"]["files_behind"] == 0 and st["ivf"]["ledger_fresh"]
+    assert st["bm25"]["files_behind"] == 0 and st["bm25"]["ledger_fresh"]
+    hits = {
+        x.doc_id
+        for x in reg.search_by_vector(
+            "docs", [5.0, 5.0, 5.0, 5.0], topk=10, probes=4
+        ).collect()
+    }
+    assert hits <= set(range(100, 160)) and len(hits) == 10
+    kw = {x.doc_id for x in reg.search_by_keyword("docs", "zeppelin").collect()}
+    assert kw and kw <= set(range(100, 160))
+
+    with __import__("pytest").raises(ValueError, match="positive"):
+        stream_to_registry(stream, reg, "docs", str(tmp_path / "c2"), maintain_every=0)

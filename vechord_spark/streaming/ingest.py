@@ -281,6 +281,7 @@ def stream_to_registry(
     table: str,
     checkpoint: str,
     on_conflict: str = "ignore",
+    maintain_every: int | None = None,
 ):
     """Stream into a REGISTERED table via ``foreachBatch`` — the
     streaming face of ``registry.append``, so streamed rows get the
@@ -296,12 +297,28 @@ def stream_to_registry(
     behavior (a retry after a partial failure will then surface
     UniqueViolation — choose it only for provably-once upstreams).
 
+    ``maintain_every=N`` runs :meth:`registry.maintain` after every
+    N-th appended micro-batch — the streaming face of the index
+    lifecycle: persisted IVF/BM25/sparse layouts extend O(appended
+    rows) via the file ledger as the stream runs, so probe/postings
+    searches stay current without an external scheduler. Every
+    maintain step is gated on measured signals, so a quiet stream
+    pays only the stats reads; a concurrent maintainer surfaces as
+    :class:`MaintenanceBusy`, which is SWALLOWED here (retryable —
+    the next eligible epoch catches up, and maintenance is never
+    load-bearing for correctness of the appended data).
+
     Single-writer contract per table, same as batch append.
     """
     if on_conflict not in ("ignore", "error"):
         raise ValueError(f"on_conflict must be ignore|error, got {on_conflict!r}")
+    if maintain_every is not None and maintain_every < 1:
+        raise ValueError("maintain_every must be a positive epoch count")
+    from vechord_spark.errors import MaintenanceBusy
+
     spec = registry._spec(table)
     uniques = spec.unique_columns()
+    appended = [0]  # epochs that actually appended rows
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         df = batch_df
@@ -315,6 +332,12 @@ def stream_to_registry(
         if df.isEmpty():
             return
         registry.append(table, df, check_unique=(on_conflict == "error"))
+        appended[0] += 1
+        if maintain_every is not None and appended[0] % maintain_every == 0:
+            try:
+                registry.maintain(table)
+            except MaintenanceBusy:
+                pass  # another maintainer holds the lock; catch up later
 
     return (
         stream_df.writeStream.foreachBatch(_sink)
