@@ -256,3 +256,70 @@ def test_multivec_batch_matches_per_query(spark, tmp_path):
             assert [x["uid"] for x in by_q[qi]] == [x["uid"] for x in single]
             for g, s in zip(by_q[qi], single):
                 assert abs(g["maxsim_distance"] - s["maxsim_distance"]) < 1e-9
+
+
+def test_multivec_conditions_prefilter(spark, tmp_path):
+    """conditions on MaxSim search = the PRE-filter contract of the
+    vector path, on the probed, brute, refined, and batched paths —
+    and batch-with-conditions equals the filtered singles."""
+    import random
+
+    from vechord_spark.registry import VechordRegistry
+    from vechord_spark.spec import Column, MultiVector, TableSpec
+
+    rng = random.Random(37)
+    r = VechordRegistry("mvc", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [
+                Column("uid", "int", primary_key=True),
+                Column("tag", "string"),
+                Column("mv", MultiVector(4)),
+            ],
+        )
+    )
+    r.insert_rows(
+        "doc",
+        [
+            {
+                "uid": i,
+                "tag": "hot" if i % 3 == 0 else "cold",
+                "mv": [
+                    [rng.uniform(-1, 1) for _ in range(4)] for _ in range(3)
+                ],
+            }
+            for i in range(120)
+        ],
+    )
+    r.build_multivec_index("doc", lists=4)
+    cond = {"tag": "hot"}
+    qs = [
+        [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(2)]
+        for _ in range(6)
+    ]
+
+    for kwargs in (
+        {"probes": 4},
+        {},
+        {"maxsim_refine": 50},
+    ):
+        hits = r.search_by_multivec("doc", qs[0], topk=5, conditions=cond, **kwargs).collect()
+        assert len(hits) == 5
+        assert all(x.uid % 3 == 0 for x in hits), kwargs
+
+    batch = r.search_by_multivec_batch("doc", qs, topk=5, probes=4, conditions=cond)
+    got = {}
+    for row in batch.collect():
+        got.setdefault(row.query_id, []).append(
+            (row.uid, round(row.maxsim_distance, 9))
+        )
+    for qi, q in enumerate(qs):
+        single = [
+            (x.uid, round(x.maxsim_distance, 9))
+            for x in r.search_by_multivec(
+                "doc", q, topk=5, probes=4, conditions=cond
+            ).collect()
+        ]
+        assert got.get(qi, []) == single, f"query {qi} diverged"
+        assert all(uid % 3 == 0 for uid, _ in single)

@@ -3334,6 +3334,7 @@ class VechordRegistry:
         return_fields: Sequence[str] | None = None,
         maxsim_refine: int | None = None,
         probes: int | None = None,
+        conditions: Mapping[str, Any] | None = None,
     ) -> DataFrame:
         """MaxSim top-k (reference vechord/registry.py:227-267).
 
@@ -3344,7 +3345,14 @@ class VechordRegistry:
         With ``probes`` set, searches the persisted multivector IVF
         layout (build_multivec_index) — probe filters prune whole
         partitions of the clustered copy, the MultiVectorIndex analog
-        (reference vechord/spec.py:447-464)."""
+        (reference vechord/spec.py:447-464).
+
+        ``conditions`` applies BEFORE ranking — the same PRE-filter
+        contract as search_by_vector: top-k MATCHING rows, never fewer
+        because neighbors were discarded after the fact. On the probed
+        path the predicate prunes the clustered copy (composes with
+        partition pruning); evolved columns are refused there for the
+        same staleness reason as the vector path."""
         from vechord_spark.operators.maxsim import maxsim_topk, maxsim_topk_refined
 
         from vechord_spark.errors import DimensionMismatch
@@ -3368,6 +3376,7 @@ class VechordRegistry:
                     f"no multivector IVF index for {name}; "
                     "call build_multivec_index first"
                 )
+            index = self._filtered_multivec_index(name, index, conditions)
             layout_fields, evolved, forced_pk = self._plan_evolved_fields(
                 name, fields, pk
             )
@@ -3384,9 +3393,12 @@ class VechordRegistry:
                     name, out, fields, evolved, forced_pk
                 )
             return out
+        base = self.load(name)
+        if conditions:
+            base = base.filter(build_predicate(base, conditions))
         if maxsim_refine is not None:
             return maxsim_topk_refined(
-                self.load(name),
+                base,
                 mv_col.name,
                 [list(v) for v in vectors],
                 k=topk,
@@ -3395,12 +3407,36 @@ class VechordRegistry:
                 tie_break=pk.name if pk else None,
             )
         return maxsim_topk(
-            self.load(name),
+            base,
             mv_col.name,
             [list(v) for v in vectors],
             k=topk,
             select=fields,
             tie_break=pk.name if pk else None,
+        )
+
+    def _filtered_multivec_index(self, name: str, index, conditions):
+        """Apply a PRE-filter to the persisted multivec layout — same
+        contract and evolved-column refusal as the vector path."""
+        if not conditions:
+            return index
+        evolved_cond = set(conditions) & self._evolved_columns(name)
+        if evolved_cond:
+            raise SchemaError(
+                f"conditions on ALTER-added columns {sorted(evolved_cond)} "
+                "are not supported on the index path (the clustered copy "
+                "snapshots rows at build time); use the brute-force path "
+                "(probes=None)"
+            )
+        from vechord_spark.operators.ivf import IvfIndex, MultiVecIvfIndex
+
+        filtered = index.inner.assigned.filter(
+            build_predicate(index.inner.assigned, conditions)
+        )
+        return MultiVecIvfIndex(
+            IvfIndex(index.inner.centroids, filtered, index.inner.vec_col),
+            index.mv_col,
+            token_centroids=index.token_centroids,
         )
 
     def search_by_multivec_batch(
@@ -3410,6 +3446,7 @@ class VechordRegistry:
         topk: int = 10,
         return_fields: Sequence[str] | None = None,
         probes: int | None = None,
+        conditions: Mapping[str, Any] | None = None,
     ) -> DataFrame:
         """Batch MaxSim: top-k rows for EVERY late-interaction query,
         one frame with a ``query_id`` column — the multivector twin of
@@ -3418,7 +3455,9 @@ class VechordRegistry:
         union of the probed partitions
         (:meth:`MultiVecIvfIndex.search_batch`); without, the exact
         batched scan (operators/maxsim.maxsim_topk_batch — each row's
-        token matrix stacks once and scores against every query)."""
+        token matrix stacks once and scores against every query).
+        ``conditions`` pre-filters the whole batch with the single
+        path's contract."""
         from vechord_spark.errors import DimensionMismatch
         from vechord_spark.operators.maxsim import maxsim_topk_batch
 
@@ -3446,6 +3485,7 @@ class VechordRegistry:
                     f"no multivector IVF index for {name}; "
                     "call build_multivec_index first"
                 )
+            index = self._filtered_multivec_index(name, index, conditions)
             layout_fields, evolved, forced_pk = self._plan_evolved_fields(
                 name, fields, pk
             )
@@ -3461,8 +3501,11 @@ class VechordRegistry:
                     name, out, fields, evolved, forced_pk
                 )
         else:
+            base = self.load(name)
+            if conditions:
+                base = base.filter(build_predicate(base, conditions))
             out = maxsim_topk_batch(
-                self.load(name),
+                base,
                 mv_col.name,
                 qs,
                 k=topk,
