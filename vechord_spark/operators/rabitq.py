@@ -1,0 +1,542 @@
+"""RaBitQ — the reference's ACTUAL vector quantization, done properly.
+
+The reference delegates ANN to the vchordrq extension, whose quantized
+scan IS RaBitQ (index build config vechord/spec.py:437-444,
+``residual_quantization: bool`` — VectorChord's RaBitQ-over-IVF
+recipe). The engine's earlier rounds shipped the two neighboring
+compressions — sign-bit binary quantization (ivf.py int8 / README's
+"mirrors RaBitQ") and codebook PQ/OPQ/residual-PQ (pq.py) — this
+module implements the real thing (Gao & Long, "RaBitQ: Quantizing
+High-Dimensional Vectors with a Theoretical Error Bound for
+Approximate Nearest Neighbor Search", SIGMOD 2024):
+
+- Per IVF cell, the RESIDUAL ``o_r = o - c`` is normalized to the unit
+  vector ``ō`` and rotated by a shared random orthonormal ``P`` (the
+  paper's inverse-rotation trick: quantize ``P^T ō`` against the fixed
+  codebook ``{±1/√D}^D`` instead of rotating the codebook).
+- The code is ONE BIT per dimension: ``b = (P^T ō > 0)``, i.e. the
+  codeword ``x̄ = sign(P^T ō)/√D`` — D/8 bytes per vector (dim=64 →
+  8 bytes vs 256 for float32: 32x).
+- Two f64 scalars ride with the code: ``norm = ||o_r||`` and
+  ``dot = <x̄, P^T ō> = Σ|P^T ō|_i / √D`` — the per-vector correction
+  that makes the estimator UNBIASED (the paper's central contribution;
+  plain sign-bit distance is biased low by ~√(2/π) and has no error
+  guarantee):
+
+      <ō, q̄>  ≈  <x̄, P^T q̄> / dot          (unbiased, err O(1/√D))
+      ||q-o||² =  norm² + ||q_r||² - 2·norm·||q_r||·<ō, q̄>
+               ≈  norm² + ||q_r||² - 2·norm·<x̄, P^T q_r>/dot
+
+  (the ``||q_r||`` normalization cancels — the estimate needs only the
+  UNnormalized rotated query residual).
+
+Scale shape (the reason vchordrq uses this at cluster scale): the
+estimate pass reads probes/lists of (one bit/dim + 16 bytes) per row —
+a 32x scan-bandwidth cut on the pass that touches the most rows — and
+per Arrow batch it is ONE ±1-matmul against only the queries probing
+that cell; the float column is read for ``refine`` survivors only.
+Training is a single seeded QR factorization (no codebook fit at all —
+RaBitQ's other operational win over PQ: nothing to retrain as the
+corpus grows, so extend/recluster-style maintenance never stales a
+codebook). Same estimate → exact-refine → top-k contract as
+pq.IvfPqIndex.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from vechord_spark.functions.vector import vector_distance
+
+
+class RabitqRotation:
+    """The shared random orthonormal rotation ``P`` (D x D), seeded QR
+    of a Gaussian — the only trained state RaBitQ has."""
+
+    def __init__(self, rotation: np.ndarray):
+        r = np.asarray(rotation, dtype=np.float64)
+        if r.ndim != 2 or r.shape[0] != r.shape[1]:
+            raise ValueError("rotation must be square (d, d)")
+        if not np.allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-8):
+            raise ValueError("rotation must be orthonormal")
+        self.rotation = r
+
+    @property
+    def dim(self) -> int:
+        return int(self.rotation.shape[0])
+
+    def rotate(self, vec: np.ndarray) -> np.ndarray:
+        """``P^T v`` — into the quantization frame (driver-side query
+        path; executors inline the same matmul per Arrow batch)."""
+        return np.asarray(vec, dtype=np.float64) @ self.rotation
+
+
+def train_rabitq(dim: int, seed: int = 42) -> RabitqRotation:
+    """QR-orthonormalize a seeded Gaussian (Haar-ish rotation). O(D³)
+    driver-side once; nothing else to train — no sample collect, no
+    Lloyd, no codebook (contrast train_pq's bounded-sample KMeans)."""
+    rng = np.random.default_rng(seed)
+    q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+    # fix the gauge so the factorization is unique (deterministic)
+    return RabitqRotation(q * np.sign(np.diag(r))[None, :])
+
+
+def _encode_np(
+    x: np.ndarray, cids: np.ndarray, cents: np.ndarray, rot: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(codes uint8-packed, norm, dot) for a batch of rows."""
+    res = x - cents[cids]  # (n, D) residuals
+    norm = np.linalg.norm(res, axis=1)  # (n,)
+    safe = np.maximum(norm, 1e-300)
+    u = (res / safe[:, None]) @ rot  # (n, D) = P^T ō rowwise
+    bits = u > 0
+    dot = np.abs(u).sum(axis=1) / np.sqrt(x.shape[1])  # <x̄, P^T ō>
+    # zero residual (row == centroid): no direction to quantize; dot=1
+    # keeps the estimator finite and the norm=0 factor zeroes the term
+    dot = np.where(norm > 0, dot, 1.0)
+    codes = np.packbits(bits, axis=1, bitorder="little")
+    return codes, norm, dot
+
+
+def encode_rabitq(
+    assigned: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    rot: RabitqRotation,
+) -> DataFrame:
+    """Attach the RaBitQ code columns to an IVF assignment frame:
+    ``__rq_code`` (binary, D/8 bytes), ``__rq_norm``, ``__rq_dot``.
+    One rotation matmul + packbits per Arrow batch; P and the centroid
+    matrix ride in the closure like PQ codebooks."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    rmat = rot.rotation
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("code", T.BinaryType()),
+                T.StructField("norm", T.DoubleType()),
+                T.StructField("dot", T.DoubleType()),
+            ]
+        )
+    )
+    def _enc(cids: pd.Series, vecs: pd.Series) -> pd.DataFrame:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        codes, norm, dot = _encode_np(
+            x, cids.to_numpy(dtype=np.int64), cents, rmat
+        )
+        return pd.DataFrame(
+            {"code": [c.tobytes() for c in codes], "norm": norm, "dot": dot}
+        )
+
+    tmp = assigned.withColumn("__rq", _enc(F.col("centroid_id"), F.col(vec_col)))
+    return (
+        tmp.withColumn("__rq_code", F.col("__rq.code"))
+        .withColumn("__rq_norm", F.col("__rq.norm"))
+        .withColumn("__rq_dot", F.col("__rq.dot"))
+        .drop("__rq")
+    )
+
+
+def _unpack(codes: pd.Series, dim: int) -> np.ndarray:
+    """(n, D) ±1 matrix from the packed bit column."""
+    raw = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
+        len(codes), -1
+    )
+    bits = np.unpackbits(raw, axis=1, bitorder="little")[:, :dim]
+    return bits.astype(np.float64) * 2.0 - 1.0
+
+
+class RabitqIndex:
+    """IVF probe pruning + RaBitQ bit-estimate + exact refine — the
+    vchordrq scan (reference spec.py:437-444) as a DataFrame plan:
+    probe filter (partition pruning on the clustered layout) → bit
+    column scan (estimate) → float column scan for ``refine`` rows."""
+
+    def __init__(self, ivf, rot: RabitqRotation, encoded: DataFrame | None = None):
+        self.ivf = ivf  # operators.ivf.IvfIndex (raw-L2 cells)
+        self.rot = rot
+        self.encoded = (
+            encoded
+            if encoded is not None
+            else encode_rabitq(ivf.assigned, ivf.vec_col, ivf.centroids, rot)
+        )
+
+    def _query_state(self, query: Sequence[float], distance: str):
+        """Per-query driver state: rotated query (+ per-cell scalars
+        are computed lazily against the probed cells only)."""
+        q = np.asarray(query, dtype=np.float64)
+        if distance == "cos":
+            q = q / max(float(np.linalg.norm(q)), 1e-300)
+        return q
+
+    def search(
+        self,
+        query: Sequence[float],
+        k: int = 10,
+        probes: int | None = None,
+        refine: int = 100,
+        distance: str = "cos",
+        select: Sequence[str] | None = None,
+        tie_break: str | None = None,
+    ) -> DataFrame:
+        """Two-phase search. ``l2`` estimates the squared distance via
+        the unbiased corrected estimator (module docstring); ``dot``/
+        ``cos`` estimate ``-<q, o> = -(<q,c> + norm·<x̄, P^T q>/dot)``
+        — the rotated query is CELL-INDEPENDENT there, the cell enters
+        only through the scalar ``<q,c>``. Exact refine fixes ranks
+        inside the budget (same contract as IvfPqIndex.search)."""
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        from vechord_spark.operators.ivf import default_probes
+
+        if probes is None:
+            probes = default_probes(self.ivf.lists)
+        probe_ids = self.ivf.nearest_centroids(query, probes)
+        pruned = self.encoded.filter(F.col("centroid_id").isin(probe_ids))
+        q = self._query_state(query, distance)
+        cents = np.asarray(self.ivf.centroids, dtype=np.float64)
+        rmat = self.rot.rotation
+        dim = self.rot.dim
+        if distance == "l2":
+            # per probed cell: rotated query residual + its sq norm
+            qrot = {int(c): (q - cents[int(c)]) @ rmat for c in probe_ids}
+            qsq = {int(c): float(((q - cents[c]) ** 2).sum()) for c in probe_ids}
+        else:
+            qr = q @ rmat  # one rotation, all cells
+            qrot = {int(c): qr for c in probe_ids}
+            qsq = {int(c): float(q @ cents[int(c)]) for c in probe_ids}
+        kind = distance
+
+        @pandas_udf(T.DoubleType())
+        def _est(
+            cids: pd.Series, codes: pd.Series, norms: pd.Series, dots: pd.Series
+        ) -> pd.Series:
+            xb = _unpack(codes, dim) / np.sqrt(dim)  # x̄ rows
+            cid = cids.to_numpy()
+            nm = norms.to_numpy()
+            dt = dots.to_numpy()
+            out = np.empty(len(xb), dtype=np.float64)
+            for c in np.unique(cid):
+                m = cid == c
+                ip = xb[m] @ qrot[int(c)] / dt[m]  # <x̄,P^T v>/dot
+                if kind == "l2":
+                    out[m] = nm[m] ** 2 + qsq[int(c)] - 2.0 * nm[m] * ip
+                else:
+                    out[m] = -(qsq[int(c)] + nm[m] * ip)
+            return pd.Series(out)
+
+        order = [F.col("__est").asc()]
+        if tie_break:
+            order.append(F.col(tie_break).asc())
+        cands = (
+            pruned.withColumn(
+                "__est",
+                _est(
+                    F.col("centroid_id"),
+                    F.col("__rq_code"),
+                    F.col("__rq_norm"),
+                    F.col("__rq_dot"),
+                ),
+            )
+            .orderBy(*order)
+            .limit(refine)
+        )
+        scored = cands.withColumn(
+            "distance", vector_distance(distance, self.ivf.vec_col, list(query))
+        ).drop("__rq_code", "__rq_norm", "__rq_dot", "__est")
+        final = [F.col("distance").asc()]
+        if tie_break:
+            final.append(F.col(tie_break).asc())
+        out = scored.orderBy(*final).limit(k)
+        if select is not None:
+            out = out.select(*select, "distance")
+        return out
+
+    def search_batch(
+        self,
+        queries: Sequence[Sequence[float]],
+        k: int = 10,
+        probes: int | None = None,
+        refine: int = 100,
+        distance: str = "cos",
+        select: Sequence[str] | None = None,
+        tie_break: str | None = None,
+    ) -> DataFrame:
+        """N queries from ONE scan of the probed bit partitions — the
+        RaBitQ member of the batch family (ivf/maxsim/bm25/sparse/pq
+        twins). Driver state is O(N·D) rotated queries + O(cells)
+        rotated centroids; per Arrow batch, per cell, the estimate is
+        one ±1-matmul ``B @ Q'^T`` against only the queries probing
+        that cell. Estimate → per-query refine window → exact → top-k,
+        same shape as IvfPqIndex.search_batch."""
+        from pyspark.sql import Window
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        from vechord_spark.operators.ivf import default_probes
+
+        if probes is None:
+            probes = default_probes(self.ivf.lists)
+        qm = np.asarray([list(q) for q in queries], dtype=np.float64)
+        if qm.ndim != 2 or not len(qm):
+            raise ValueError("queries must be a non-empty list of vectors")
+        if distance == "cos":
+            qn = np.linalg.norm(qm, axis=1)
+            qm_s = qm / np.maximum(qn, 1e-300)[:, None]
+        else:
+            qm_s = qm
+        cell_to_q: dict[int, list[int]] = {}
+        for qi in range(len(qm)):
+            for c in self.ivf.nearest_centroids(qm[qi], probes):
+                cell_to_q.setdefault(int(c), []).append(qi)
+        pruned = self.encoded.filter(
+            F.col("centroid_id").isin(sorted(cell_to_q))
+        )
+        cents = np.asarray(self.ivf.centroids, dtype=np.float64)
+        rmat = self.rot.rotation
+        dim = self.rot.dim
+        qrot = qm_s @ rmat  # (N, D) — shared across cells
+        crot = cents @ rmat  # (lists, D)
+        kind = distance
+        if kind == "l2":
+            # per (cell, query) scalar ||q - c||²; per-cell rotated
+            # residual = qrot[qs] - crot[c] (O(probed·D), built lazily)
+            qsq = {
+                c: ((qm_s - cents[c]) ** 2).sum(axis=1) for c in cell_to_q
+            }
+        else:
+            qsq = {c: qm_s @ cents[c] for c in cell_to_q}
+
+        @pandas_udf(
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("qid", T.IntegerType()),
+                        T.StructField("e", T.DoubleType()),
+                    ]
+                )
+            )
+        )
+        def _est(
+            cids: pd.Series, codes: pd.Series, norms: pd.Series, dots: pd.Series
+        ) -> pd.Series:
+            xb = _unpack(codes, dim) / np.sqrt(dim)
+            cid = cids.to_numpy()
+            nm = norms.to_numpy()
+            dt = dots.to_numpy()
+            res: list = [None] * len(xb)
+            for c in np.unique(cid):
+                qs = cell_to_q.get(int(c))
+                rows_idx = np.flatnonzero(cid == c)
+                if not qs:
+                    for ri in rows_idx:
+                        res[ri] = []
+                    continue
+                if kind == "l2":
+                    qr = qrot[qs] - crot[int(c)][None, :]  # (nq_c, D)
+                else:
+                    qr = qrot[qs]
+                ip = (xb[rows_idx] @ qr.T) / dt[rows_idx][:, None]
+                sc = qsq[int(c)][qs]  # (nq_c,)
+                if kind == "l2":
+                    per_q = (
+                        nm[rows_idx][:, None] ** 2
+                        + sc[None, :]
+                        - 2.0 * nm[rows_idx][:, None] * ip
+                    )
+                else:
+                    per_q = -(sc[None, :] + nm[rows_idx][:, None] * ip)
+                for ri, erow in zip(rows_idx, per_q):
+                    res[ri] = [
+                        {"qid": int(q), "e": float(v)}
+                        for q, v in zip(qs, erow)
+                    ]
+            return pd.Series(res)
+
+        vec_col = self.ivf.vec_col
+        keep = (
+            list(select)
+            if select is not None
+            else [
+                c
+                for c in pruned.columns
+                if c
+                not in (
+                    vec_col,
+                    "centroid_id",
+                    "__rq_code",
+                    "__rq_norm",
+                    "__rq_dot",
+                )
+            ]
+        )
+        carry = [] if vec_col in keep else [vec_col]
+        estimated = (
+            pruned.withColumn(
+                "__hits",
+                _est(
+                    F.col("centroid_id"),
+                    F.col("__rq_code"),
+                    F.col("__rq_norm"),
+                    F.col("__rq_dot"),
+                ),
+            )
+            .select(*keep, *carry, F.explode("__hits").alias("__h"))
+            .select(
+                F.col("__h.qid").alias("query_id"),
+                *keep,
+                *carry,
+                F.col("__h.e").alias("__est"),
+            )
+        )
+        order = [F.col("__est").asc()]
+        if tie_break:
+            order.append(F.col(tie_break).asc())
+        w_est = Window.partitionBy("query_id").orderBy(*order)
+        cands = (
+            estimated.withColumn("__rn", F.row_number().over(w_est))
+            .filter(F.col("__rn") <= refine)
+            .drop("__rn", "__est")
+        )
+        q_norm = np.sqrt((qm * qm).sum(axis=1))
+        dkind = distance
+
+        @pandas_udf(T.DoubleType())
+        def _exact(qids: pd.Series, vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            qi = qids.to_numpy()
+            qv = qm[qi]
+            dots = np.einsum("ij,ij->i", x, qv)
+            if dkind == "dot":
+                d = -dots
+            elif dkind == "cos":
+                xn = np.sqrt((x * x).sum(axis=1))
+                d = 1.0 - dots / (np.maximum(xn, 1e-300) * q_norm[qi])
+            else:
+                d = np.sqrt(
+                    np.maximum(
+                        (x * x).sum(axis=1)
+                        - 2.0 * dots
+                        + (qv * qv).sum(axis=1),
+                        0.0,
+                    )
+                )
+            return pd.Series(d)
+
+        scored = cands.withColumn(
+            "distance", _exact(F.col("query_id"), F.col(vec_col))
+        )
+        if carry:
+            scored = scored.drop(vec_col)
+        final = [F.col("distance").asc()]
+        if tie_break:
+            final.append(F.col(tie_break).asc())
+        w_fin = Window.partitionBy("query_id").orderBy(*final)
+        return (
+            scored.withColumn("__rn", F.row_number().over(w_fin))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    def write_clustered(self, path: str) -> None:
+        """Persist bits + scalars + floats partitioned by centroid_id —
+        the estimate scan then reads probes/lists partitions x (D/8 +
+        16 bytes)/row; floats stay on disk until refine."""
+        self.encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            path
+        )
+
+
+def build_rabitq(
+    df: DataFrame, vec_col: str, lists: int, seed: int = 42
+) -> RabitqIndex:
+    """IVF + RaBitQ, composed the vchordrq way (reference
+    spec.py:437-444 ``residual_quantization=True``): raw-L2 coarse
+    cells (residuals are raw-space offsets), one shared rotation, one
+    bit per dimension."""
+    from vechord_spark.operators.ivf import build_ivf
+
+    ivf = build_ivf(df, vec_col, lists=lists, seed=seed)
+    first = df.select(F.size(vec_col).alias("d")).first()
+    rot = train_rabitq(int(first["d"]), seed=seed)
+    return RabitqIndex(ivf, rot)
+
+
+def ip_estimate_errors(index: RabitqIndex, query: Sequence[float]) -> DataFrame:
+    """Corpus-wide estimator-quality witness: per row, the TRUE unit
+    inner product ``<ō, q̄>`` (recomputed from floats), RaBitQ's
+    corrected estimate ``<x̄, P^T q̄>/dot``, and the NAIVE sign-bit
+    estimate ``<x̄, P^T q̄>`` (what plain binary quantization uses —
+    biased low by E[<x̄,ō'>] ≈ √(2/π)). Downstream aggregates pin that
+    the correction term earns its keep via the regression slope
+    ``Σ(est·true)/Σ(true²)``: ≈1 for the corrected estimator (RaBitQ's
+    unbiasedness, checked empirically), ≈√(2/π) for the naive one.
+    (Mean |error| is deliberately NOT the witness: on near-orthogonal
+    pairs the naive estimator's shrinkage can win MAE while being
+    useless for ranking the near neighbors that decide recall.)"""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(index.ivf.centroids, dtype=np.float64)
+    rmat = index.rot.rotation
+    dim = index.rot.dim
+    q = np.asarray(query, dtype=np.float64)
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("true_ip", T.DoubleType()),
+                T.StructField("est_corrected", T.DoubleType()),
+                T.StructField("est_naive", T.DoubleType()),
+            ]
+        )
+    )
+    def _err(
+        cids: pd.Series, vecs: pd.Series, codes: pd.Series, dots: pd.Series
+    ) -> pd.DataFrame:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        cid = cids.to_numpy(dtype=np.int64)
+        res = x - cents[cid]
+        rn = np.maximum(np.linalg.norm(res, axis=1), 1e-300)
+        obar = res / rn[:, None]
+        out_t = np.empty(len(x))
+        out_c = np.empty(len(x))
+        out_n = np.empty(len(x))
+        xb = _unpack(codes, dim) / np.sqrt(dim)
+        dt = dots.to_numpy()
+        for c in np.unique(cid):
+            m = cid == c
+            qr = q - cents[c]
+            qbar = qr / max(float(np.linalg.norm(qr)), 1e-300)
+            out_t[m] = obar[m] @ qbar
+            naive = xb[m] @ (qbar @ rmat)
+            out_n[m] = naive
+            out_c[m] = naive / dt[m]
+        return pd.DataFrame(
+            {"true_ip": out_t, "est_corrected": out_c, "est_naive": out_n}
+        )
+
+    return index.encoded.select(
+        F.col("__rq_norm").alias("norm"),
+        _err(
+            F.col("centroid_id"),
+            F.col(index.ivf.vec_col),
+            F.col("__rq_code"),
+            F.col("__rq_dot"),
+        ).alias("__e"),
+    ).select(
+        "norm",
+        F.col("__e.true_ip").alias("true_ip"),
+        F.col("__e.est_corrected").alias("est_corrected"),
+        F.col("__e.est_naive").alias("est_naive"),
+    )
