@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "ivf_recall_refined",
     "ivf_pq_recall",
     "rpq_recall",
+    "rabitq_recall",
     "opq_recall",
     "maxsim_ivf_recall",
     "embedding_pca_gate",

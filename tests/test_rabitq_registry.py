@@ -1,0 +1,253 @@
+"""Registry-level RaBitQ layouts: the reference's vchordrq
+quantization (vechord/spec.py:437-444) as a persisted, MAINTAINABLE
+layout — `build_vector_index(rabitq=True)` or a declared
+`VectorIndex(rabitq=True)`.
+
+Like residual PQ (test_residual_registry.py), RaBitQ codes pin their
+base to the owning centroid, so the same re-encode-on-move contract
+applies across the lifecycle; UNLIKE PQ there is no codebook, so
+extend can never stale trained state. The load-bearing invariant: the
+persisted ``__rq_code``/``__rq_norm``/``__rq_dot`` columns always
+equal a fresh re-encode of each row against the CURRENT centroids.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from vechord_spark.errors import SchemaError
+from vechord_spark.registry import VechordRegistry
+from vechord_spark.spec import AnyOf, Column, TableSpec, Vector
+
+DIM = 8
+
+
+def _registry(spark, tmp_path, ns):
+    r = VechordRegistry(ns, str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "t",
+            [Column("uid", "long", primary_key=True), Column("v", Vector(DIM))],
+        )
+    )
+    return r
+
+
+def _blob_rows(rng, ids, center, spread=0.4):
+    return [
+        {"uid": i, "v": [c + rng.uniform(-spread, spread) for c in center]}
+        for i in ids
+    ]
+
+
+def _assert_codes_fresh(reg, name="t"):
+    """No-stale-codes: stored (__rq_code, __rq_norm, __rq_dot) ==
+    re-encode of the stored vector against the CURRENT centroid of
+    its CURRENT cell, under the persisted rotation."""
+    from vechord_spark.operators.rabitq import encode_rabitq
+
+    ipath = reg._index_path(name)
+    rot = reg._load_rabitq_rotation(ipath)
+    assert rot is not None
+    cents = np.array(
+        [
+            r.vec
+            for r in reg.spark.read.parquet(str(ipath / "centroids"))
+            .orderBy("centroid_id")
+            .collect()
+        ]
+    )
+    data = reg.spark.read.parquet(str(ipath / "data"))
+    expect = encode_rabitq(
+        data.drop("__rq_code", "__rq_norm", "__rq_dot"), "v", cents, rot
+    ).select("uid", "centroid_id", "__rq_code", "__rq_norm", "__rq_dot")
+    got = data.select("uid", "centroid_id", "__rq_code", "__rq_norm", "__rq_dot")
+
+    def key(rows):
+        return {
+            (r["uid"], r["centroid_id"]): (
+                bytes(r["__rq_code"]),
+                round(r["__rq_norm"], 9),
+                round(r["__rq_dot"], 9),
+            )
+            for r in rows
+        }
+
+    g, e = key(got.collect()), key(expect.collect())
+    assert g == e, "stale rabitq codes found"
+    return len(g)
+
+
+def test_rabitq_build_validations(spark, tmp_path):
+    r = _registry(spark, tmp_path, "rqv")
+    rng = random.Random(1)
+    r.insert_rows("t", _blob_rows(rng, range(16), [0.0] * DIM))
+    with pytest.raises(SchemaError, match="excludes"):
+        r.build_vector_index("t", lists=2, rabitq=True, pq_m=4)
+    with pytest.raises(SchemaError, match="excludes"):
+        r.build_vector_index("t", lists=2, rabitq=True, spherical=True)
+    with pytest.raises(SchemaError, match="excludes"):
+        r.build_vector_index("t", lists=2, rabitq=True, residual=True, pq_m=4)
+
+
+def test_rabitq_layout_searches_exactly_under_full_refine(spark, tmp_path):
+    """refine >= corpus makes the two-phase search exhaustive — must
+    equal brute force; stats carry the rabitq flag; conditions are
+    refused on the quantized path (same contract as PQ)."""
+    rng = random.Random(3)
+    r = _registry(spark, tmp_path, "rqq")
+    centers = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(4)]
+    for b, c in enumerate(centers):
+        r.insert_rows("t", _blob_rows(rng, range(b * 50, b * 50 + 50), c))
+    r.build_vector_index("t", lists=4, rabitq=True)
+    st = r.index_stats("t")["ivf"]
+    assert st["rabitq"] and not st["pq"] and not st["residual"]
+    _assert_codes_fresh(r)
+
+    q = [c + 0.05 for c in centers[1]]
+    approx = [
+        (x.uid, round(x.distance, 6))
+        for x in r.search_by_vector(
+            "t", q, topk=5, probes=4, refine=10_000
+        ).collect()
+    ]
+    exact = [
+        (x.uid, round(x.distance, 6))
+        for x in r.search_by_vector("t", q, topk=5).collect()
+    ]
+    assert approx == exact
+    with pytest.raises(SchemaError, match="quantized"):
+        r.search_by_vector(
+            "t", q, topk=5, probes=4, conditions={"uid": AnyOf([1, 2])}
+        )
+
+
+def test_rabitq_batch_matches_singles(spark, tmp_path):
+    rng = random.Random(9)
+    r = _registry(spark, tmp_path, "rqb")
+    centers = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(3)]
+    for b, c in enumerate(centers):
+        r.insert_rows("t", _blob_rows(rng, range(b * 40, b * 40 + 40), c))
+    r.build_vector_index("t", lists=3, rabitq=True)
+    queries = [[c + 0.02 for c in ctr] for ctr in centers]
+    batch = r.search_by_vector_batch(
+        "t", queries, topk=4, probes=2, refine=50
+    ).collect()
+    by_q = {}
+    for row in batch:
+        by_q.setdefault(row["query_id"], []).append(row["uid"])
+    for qi, q in enumerate(queries):
+        single = [
+            x.uid
+            for x in r.search_by_vector(
+                "t", q, topk=4, probes=2, refine=50
+            ).collect()
+        ]
+        assert by_q[qi] == single, f"query {qi}"
+
+
+def test_rabitq_codes_stay_fresh_across_lifecycle(spark, tmp_path):
+    """build -> extend (drift) -> recluster -> delete -> prune ->
+    merge -> compact_index: stored codes re-derive exactly from the
+    current centroids after every step, and the surviving merge
+    centroid never moves."""
+    rng = random.Random(7)
+    r = _registry(spark, tmp_path, "rqlc")
+    centers = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(4)]
+    for b, c in enumerate(centers):
+        r.insert_rows("t", _blob_rows(rng, range(b * 40, b * 40 + 40), c))
+    r.build_vector_index("t", lists=4, rabitq=True)
+    assert _assert_codes_fresh(r) == 160
+
+    far = [6.0] * DIM
+    r.insert_rows("t", _blob_rows(rng, range(1000, 1080), far, spread=0.2))
+    assert r.extend_vector_index("t") == 80
+    _assert_codes_fresh(r)
+
+    rep = r.recluster_vector_index("t", max_cell_factor=1.5)
+    assert rep["split_cells"] >= 1 and rep["moved_rows"] > 0
+    _assert_codes_fresh(r)
+
+    r.remove_by("t", {"uid": AnyOf([i for i in range(0, 40) if i % 40 > 2])})
+    assert r.prune_vector_index("t")["pruned_rows"] > 0
+    _assert_codes_fresh(r)
+    ipath = r._index_path("t")
+    cents_before = [
+        list(r2.vec)
+        for r2 in r.spark.read.parquet(str(ipath / "centroids")).collect()
+    ]
+    fold = r.merge_vector_index("t", min_cell_factor=2.0)
+    assert fold["merged_cells"] >= 1
+    _assert_codes_fresh(r)
+    cents_after = [
+        list(r2.vec)
+        for r2 in r.spark.read.parquet(str(ipath / "centroids")).collect()
+    ]
+    for v in cents_after:
+        assert any(np.allclose(v, b) for b in cents_before)
+
+    r.compact_index("t")
+    _assert_codes_fresh(r)
+
+    q = [c + 0.01 for c in far]
+    hits = [
+        x.uid
+        for x in r.search_by_vector(
+            "t", q, topk=5, probes=8, refine=10_000
+        ).collect()
+    ]
+    assert set(hits) <= set(range(1000, 1080))
+    exact = [x.uid for x in r.search_by_vector("t", q, topk=5).collect()]
+    assert hits == exact
+
+
+def test_maintain_composes_on_rabitq_layout(spark, tmp_path):
+    rng = random.Random(11)
+    r = _registry(spark, tmp_path, "rqmt")
+    centers = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(4)]
+    for b, c in enumerate(centers):
+        r.insert_rows("t", _blob_rows(rng, range(b * 40, b * 40 + 40), c))
+    r.build_vector_index("t", lists=4, rabitq=True)
+    r.insert_rows("t", _blob_rows(rng, range(1000, 1100), [6.0] * DIM, 0.2))
+    r.remove_by("t", {"uid": AnyOf(list(range(0, 35)))})
+    rep = r.maintain("t")
+    ops = [a["op"] for a in rep["actions"]]
+    assert "extend" in ops and "prune" in ops
+    _assert_codes_fresh(r)
+    assert r.maintain("t")["actions"] == []
+
+
+def test_declared_rabitq_index_drives_build(spark, tmp_path):
+    """VectorIndex(rabitq=True) in the declared schema: a bare
+    build_vector_index(name) builds the bit layout, and the spec
+    validation rejects mixing quantization families."""
+    from vechord_spark.spec import VectorIndex
+
+    with pytest.raises(SchemaError, match="own quantization"):
+        VectorIndex(rabitq=True, pq_m=4)
+    with pytest.raises(SchemaError, match="own quantization"):
+        VectorIndex(rabitq=True, pq_m=4, opq=True)
+
+    rng = random.Random(5)
+    r = VechordRegistry("rqdecl", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "t",
+            [
+                Column("uid", "long", primary_key=True),
+                Column(
+                    "v",
+                    Vector(DIM),
+                    index=VectorIndex(distance="l2", lists=4, rabitq=True),
+                ),
+            ],
+        )
+    )
+    centers = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(4)]
+    for b, c in enumerate(centers):
+        r.insert_rows("t", _blob_rows(rng, range(b * 30, b * 30 + 30), c))
+    r.build_vector_index("t")  # no args: the declaration decides
+    st = r.index_stats("t")["ivf"]
+    assert st["rabitq"] and not st["pq"] and st["lists"] == 4
+    _assert_codes_fresh(r)

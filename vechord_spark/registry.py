@@ -1505,6 +1505,7 @@ class VechordRegistry:
         spherical: bool = False,
         opq: bool = False,
         residual: bool = False,
+        rabitq: bool = False,
     ) -> int:
         """Build + persist the IVF index for the table's vector column —
         the engine's ``CREATE INDEX`` (reference vchordrq index DDL,
@@ -1557,6 +1558,23 @@ class VechordRegistry:
         Excludes ``opq`` (the rotation is trained for raw-vector PQ)
         and ``spherical`` (unit-norm cells make raw offsets
         meaningless — same contract as build_ivf_rpq).
+
+        ``rabitq=True`` stores ONE-BIT-per-dimension RaBitQ codes
+        (operators/rabitq.py — the algorithm the reference's vchordrq
+        index actually runs, vechord/spec.py:437-444; Gao & Long,
+        SIGMOD 2024) instead of PQ codebooks: each row carries a D/8-
+        byte sign code of its rotated unit residual plus the two
+        correction scalars that make the bit-estimate unbiased.
+        ``search_by_vector(probes=.., refine=..)`` then runs the
+        sign-matmul estimate over the bit column and exact-reranks the
+        ``refine`` survivors. Like residual PQ, codes pin their base to
+        the owning centroid, so the SAME re-encode-on-move maintenance
+        applies (recluster re-encodes split cells' rows, merge keeps
+        the survivor centroid unchanged and re-encodes only folded
+        rows); UNLIKE PQ there is no codebook — extends never stale any
+        trained state, the rotation is corpus-independent. Excludes
+        ``pq_m``/``opq``/``spherical`` (its own quantization family;
+        raw-space residuals).
         """
         import numpy as np
 
@@ -1588,6 +1606,19 @@ class VechordRegistry:
                 opq = bool(idx_decl.opq)
             if not residual and not opq and not spherical:
                 residual = idx_decl.resolved_residual
+        if (
+            not rabitq
+            and pq_m is None
+            and idx_decl is not None
+            and getattr(idx_decl, "rabitq", False)
+        ):
+            rabitq = True
+        if rabitq and (pq_m is not None or opq or residual or spherical):
+            raise SchemaError(
+                "rabitq=True is its own quantization: it excludes "
+                "pq_m/opq/residual (no codebook) and spherical "
+                "(codes quantize raw-space residuals)"
+            )
         if opq and pq_m is None:
             raise SchemaError("opq=True requires pq_m (OPQ optimizes PQ)")
         if residual:
@@ -1667,6 +1698,20 @@ class VechordRegistry:
                 "subspace int, code int, vec array<double>",
             )
             codes.write.parquet(str(ipath / "codebooks"))
+        elif rabitq:
+            from vechord_spark.operators.rabitq import (
+                RabitqIndex,
+                train_rabitq,
+            )
+
+            rq_rot = train_rabitq(vec_col.engine_type.dim, seed=42)
+            RabitqIndex(index, rq_rot).write_clustered(str(ipath / "data"))
+            ipath.mkdir(parents=True, exist_ok=True)
+            (ipath / "rq_rotation.bin").write_bytes(
+                np.ascontiguousarray(
+                    rq_rot.rotation, dtype="<f8"
+                ).tobytes()
+            )
         else:
             index.write_clustered(str(ipath / "data"))
         cents = self.spark.createDataFrame(
@@ -1686,6 +1731,7 @@ class VechordRegistry:
                     "spherical": spherical,
                     "opq": bool(opq),
                     "residual": bool(residual),
+                    "rabitq": bool(rabitq),
                 }
             )
         )
@@ -1712,6 +1758,21 @@ class VechordRegistry:
 
         mp = ipath / "meta.json"
         return json.loads(mp.read_text()) if mp.exists() else {}
+
+    def _load_rabitq_rotation(self, ipath: Path):
+        """The layout's persisted RaBitQ rotation, or None for
+        non-RaBitQ layouts (meta flag + rq_rotation.bin)."""
+        import numpy as np
+
+        if not self._vector_index_meta(ipath).get("rabitq"):
+            return None
+        from vechord_spark.operators.rabitq import RabitqRotation
+
+        raw = np.frombuffer(
+            (ipath / "rq_rotation.bin").read_bytes(), dtype="<f8"
+        ).copy()
+        d = int(round(len(raw) ** 0.5))
+        return RabitqRotation(raw.reshape(d, d))
 
     def _load_codebooks(self, ipath: Path):
         """The layout's persisted PQ codebooks as a PqCodebook, or
@@ -1828,6 +1889,14 @@ class VechordRegistry:
                 if self._vector_index_meta(ipath).get("residual")
                 else None,
             )
+        rq = self._load_rabitq_rotation(ipath)
+        if rq is not None:
+            from vechord_spark.operators.rabitq import encode_rabitq
+
+            # rabitq layout: bit-encode the delta against its assigned
+            # centroid — the rotation is corpus-independent, so extend
+            # can never stale any trained state
+            fresh = encode_rabitq(fresh, vec_col.name, centroids, rq)
         self._mark_extend_intent(ipath)
         fresh.write.mode("append").partitionBy("centroid_id").parquet(
             str(ipath / "data")
@@ -1968,17 +2037,16 @@ class VechordRegistry:
             reassigned = moved.withColumn(
                 "centroid_id", _child(F.col("centroid_id"), F.col(vname))
             )
-            if self._vector_index_meta(ipath).get("residual"):
-                # residual codes encode x - centroid[cell]: every row of
-                # a split cell gets a NEW base (child 0 replaces the
-                # parent's centroid, child 1 appends), so the moved rows
+            meta = self._vector_index_meta(ipath)
+            if meta.get("residual") or meta.get("rabitq"):
+                # residual-base codes (residual PQ and RaBitQ both
+                # encode against centroid[cell]): every row of a split
+                # cell gets a NEW base (child 0 replaces the parent's
+                # centroid, child 1 appends), so the moved rows
                 # re-encode against the post-split centroid table. These
                 # partitions rewrite anyway — the re-encode rides the
                 # same pass; untouched cells keep centroid AND codes,
                 # so their hardlinks stay sound.
-                from vechord_spark.operators.pq import encode_pq
-
-                book = self._load_codebooks(ipath)
                 new_mat = np.array(
                     [
                         split[r["centroid_id"]][0][0]
@@ -1994,9 +2062,24 @@ class VechordRegistry:
                     ],
                     dtype=np.float64,
                 )
-                reassigned = encode_pq(
-                    reassigned.drop("__pq"), vname, book, centroids=new_mat
-                )
+                if meta.get("residual"):
+                    from vechord_spark.operators.pq import encode_pq
+
+                    book = self._load_codebooks(ipath)
+                    reassigned = encode_pq(
+                        reassigned.drop("__pq"), vname, book, centroids=new_mat
+                    )
+                else:
+                    from vechord_spark.operators.rabitq import encode_rabitq
+
+                    reassigned = encode_rabitq(
+                        reassigned.drop(
+                            "__rq_code", "__rq_norm", "__rq_dot"
+                        ),
+                        vname,
+                        new_mat,
+                        self._load_rabitq_rotation(ipath),
+                    )
 
             self._swap_recluster_layout(ipath, reassigned, split, cent_rows)
             return {
@@ -2278,10 +2361,23 @@ class VechordRegistry:
         with self._maintenance_lock(ipath):
             meta = self._vector_index_meta(ipath)
             reencode = None
+            vname = spec.vector_column.name
             if meta.get("residual"):
-                reencode = (
-                    self._load_codebooks(ipath),
-                    spec.vector_column.name,
+                from vechord_spark.operators.pq import encode_pq
+
+                book = self._load_codebooks(ipath)
+                reencode = lambda df, cm: encode_pq(  # noqa: E731
+                    df.drop("__pq"), vname, book, centroids=cm
+                )
+            elif meta.get("rabitq"):
+                from vechord_spark.operators.rabitq import encode_rabitq
+
+                rq = self._load_rabitq_rotation(ipath)
+                reencode = lambda df, cm: encode_rabitq(  # noqa: E731
+                    df.drop("__rq_code", "__rq_norm", "__rq_dot"),
+                    vname,
+                    cm,
+                    rq,
                 )
             return self._merge_cells_locked(
                 ipath,
@@ -2316,14 +2412,15 @@ class VechordRegistry:
         min_cell_factor: float,
         min_lists: int,
         spherical: bool,
-        reencode: tuple | None = None,
+        reencode=None,
     ) -> dict[str, int]:
-        """``reencode`` (residual layouts only): ``(PqCodebook,
-        vec_col)`` — folded rows REWRITE with codes re-encoded against
-        their new owning centroid instead of pure-hardlinking, and the
-        surviving centroid stays UNCHANGED (moving it to the
-        count-weighted mean would stale every code already in the
-        target cell); renumber-only moves still hardlink."""
+        """``reencode`` (residual-base layouts: residual PQ and
+        RaBitQ): a ``(folded_df, new_centroid_matrix) -> df`` closure —
+        folded rows REWRITE with codes re-encoded against their new
+        owning centroid instead of pure-hardlinking, and the surviving
+        centroid stays UNCHANGED (moving it to the count-weighted mean
+        would stale every code already in the target cell);
+        renumber-only moves still hardlink."""
         import numpy as np
 
         data = self.spark.read.parquet(str(ipath / "data"))
@@ -2381,14 +2478,11 @@ class VechordRegistry:
         moved_rows = sum(counts[u] for u in removed)
 
         if reencode is not None:
-            # residual layout: survivors keep their centroid VALUE (the
-            # codes in their cells stay valid), and the folded cells'
-            # rows rewrite with codes re-encoded against the target's
-            # centroid under its NEW id — O(folded rows), the
+            # residual-base layout: survivors keep their centroid VALUE
+            # (the codes in their cells stay valid), and the folded
+            # cells' rows rewrite with codes re-encoded against the
+            # target's centroid under its NEW id — O(folded rows), the
             # damage-proportional cost
-            from vechord_spark.operators.pq import encode_pq
-
-            book, vname = reencode
             new_cents = [(id_map[s], list(cents[s])) for s in survivors]
             new_mat = np.zeros((k, cents.shape[1]))
             for s in survivors:
@@ -2400,9 +2494,7 @@ class VechordRegistry:
             folded = data.filter(
                 F.col("centroid_id").isin(list(fold_map))
             ).withColumn("centroid_id", mapping[F.col("centroid_id")])
-            reassigned = encode_pq(
-                folded.drop("__pq"), vname, book, centroids=new_mat
-            )
+            reassigned = reencode(folded, new_mat)
             self._swap_cells_layout(
                 ipath,
                 sorted(new_cents),
@@ -2622,6 +2714,7 @@ class VechordRegistry:
                 "pq": (ipath / "codebooks").exists(),
                 "opq": bool(meta.get("opq")),
                 "residual": bool(meta.get("residual")),
+                "rabitq": bool(meta.get("rabitq")),
                 "spherical": bool(meta.get("spherical")),
             }
             fresh, behind = _ledger_state(ipath)
@@ -3042,6 +3135,12 @@ class VechordRegistry:
                 encoded=assigned,
                 residual=bool(self._vector_index_meta(ipath).get("residual")),
             )
+        rq = self._load_rabitq_rotation(ipath)
+        if rq is not None:
+            from vechord_spark.operators.rabitq import RabitqIndex
+
+            # the layout carries __rq_code/__rq_norm/__rq_dot already
+            return RabitqIndex(ivf, rq, encoded=assigned)
         return ivf
 
     def search_by_vector(
@@ -3106,13 +3205,14 @@ class VechordRegistry:
                     f"no IVF index for {name}; call build_vector_index first"
                 )
             from vechord_spark.operators.pq import IvfPqIndex
+            from vechord_spark.operators.rabitq import RabitqIndex
 
-            if isinstance(index, IvfPqIndex):
+            if isinstance(index, (IvfPqIndex, RabitqIndex)):
                 if conditions:
                     raise SchemaError(
-                        "conditions are not supported on the PQ index path "
-                        "(the ADC estimate scans codes, not rows); use the "
-                        "plain IVF index or the brute-force path"
+                        "conditions are not supported on the quantized "
+                        "index path (the estimate scans codes, not rows); "
+                        "use the plain IVF index or the brute-force path"
                     )
                 qv = list(vector)
                 rot = self._load_opq_rotation(self._index_path(name))
@@ -3236,18 +3336,19 @@ class VechordRegistry:
                     f"no IVF index for {name}; call build_vector_index first"
                 )
             from vechord_spark.operators.pq import IvfPqIndex
+            from vechord_spark.operators.rabitq import RabitqIndex
 
             layout_fields, evolved, forced_pk = self._plan_evolved_fields(
                 name, fields, pk
             )
             qs = [list(v) for v in vectors]
             extra = {}
-            if isinstance(index, IvfPqIndex):
+            if isinstance(index, (IvfPqIndex, RabitqIndex)):
                 if conditions:
                     raise SchemaError(
-                        "conditions are not supported on the PQ index path "
-                        "(the ADC estimate scans codes, not rows); use the "
-                        "plain IVF index or the brute-force path"
+                        "conditions are not supported on the quantized "
+                        "index path (the estimate scans codes, not rows); "
+                        "use the plain IVF index or the brute-force path"
                     )
                 # PQ layout: the batched estimate -> refine -> exact
                 # two-phase (IvfPqIndex.search_batch); OPQ stores the

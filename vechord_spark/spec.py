@@ -135,6 +135,13 @@ class VectorIndex:
     pq_ksub: int = 256
     residual: bool | None = None
     opq: bool = False
+    # one-bit-per-dimension RaBitQ codes in the clustered layout — the
+    # quantization the reference's vchordrq index actually runs
+    # (vechord/spec.py:437-444; operators/rabitq.py). Its OWN
+    # quantization family: excludes pq_m/opq (nothing codebook-based to
+    # train) and spherical build options (codes quantize raw-space
+    # residuals, same constraint as residual PQ).
+    rabitq: bool = False
 
     def __post_init__(self) -> None:
         if self.distance not in ("l2", "cos", "dot"):
@@ -147,6 +154,12 @@ class VectorIndex:
             raise SchemaError(
                 "residual excludes opq (the rotation is trained for "
                 "raw-vector PQ)"
+            )
+        if self.rabitq and (self.pq_m is not None or self.opq or self.residual):
+            raise SchemaError(
+                "rabitq is its own quantization: it excludes pq_m/opq/"
+                "residual (one bit per dimension over IVF residuals, "
+                "no codebook)"
             )
 
     @property

@@ -4877,6 +4877,166 @@ def rpq_recall(spark, sf_dir):
     )
 
 
+def _rabitq(spark, sf_dir):
+    """RaBitQ index (operators/rabitq.py — the reference's ACTUAL
+    vchordrq quantization, vechord/spec.py:437-444) memoized +
+    persisted like _rpq: raw-L2 lists=16 coarse cells (residuals are
+    raw-space offsets), one shared seeded rotation, one bit per
+    dimension + two correction scalars per row."""
+    key = (sf_dir, "rabitq")
+    ent = _PQ_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    import json as _json
+    import re as _re
+
+    import numpy as _np
+
+    from vechord_spark.operators.ivf import IvfIndex
+    from vechord_spark.operators.rabitq import (
+        RabitqIndex,
+        RabitqRotation,
+        build_rabitq,
+    )
+    from vechord_spark.plans.artifacts import ArtifactStore
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+
+    def _build(tmp):
+        built = build_rabitq(
+            _t(spark, sf_dir, "embeddings"), "embedding", lists=16, seed=42
+        )
+        built.encoded.write.parquet(str(tmp / "encoded"))
+        (tmp / "centroids.bin").write_bytes(
+            _np.ascontiguousarray(built.ivf.centroids, dtype="<f8").tobytes()
+        )
+        (tmp / "rotation.bin").write_bytes(
+            _np.ascontiguousarray(built.rot.rotation, dtype="<f8").tobytes()
+        )
+        (tmp / "rabitq.json").write_text(
+            _json.dumps({"ivf_shape": list(built.ivf.centroids.shape)})
+        )
+
+    path = ArtifactStore(spark).load_or_build(
+        f"rabitq_{tag}", [src], {"lists": 16, "seed": 42, "v": 1}, _build
+    )
+    meta = _json.loads((path / "rabitq.json").read_text())
+    cents = (
+        _np.frombuffer((path / "centroids.bin").read_bytes(), dtype="<f8")
+        .reshape(meta["ivf_shape"])
+        .copy()
+    )
+    dim = meta["ivf_shape"][1]
+    rot = RabitqRotation(
+        _np.frombuffer((path / "rotation.bin").read_bytes(), dtype="<f8")
+        .reshape(dim, dim)
+        .copy()
+    )
+    encoded = spark.read.parquet(str(path / "encoded")).persist()
+    index = RabitqIndex(
+        IvfIndex(cents, encoded, "embedding"), rot, encoded=encoded
+    )
+    _PQ_CACHE[key] = (spark, index)
+    return index
+
+
+@_q(
+    "rabitq_recall",
+    """
+    SELECT CAST(10 AS INT) AS k, CAST(4 AS INT) AS probes,
+           CAST(16 AS INT) AS lists, CAST(100 AS INT) AS refine,
+           CAST(8 AS INT) AS code_bytes,
+           CAST(0.5 AS DOUBLE) AS recall_floor, CAST(1 AS INT) AS recall_ok,
+           CAST(1 AS INT) AS corrected_unbiased,
+           CAST(1 AS INT) AS naive_biased_low
+    """,
+)
+def rabitq_recall(spark, sf_dir):
+    """Deterministic scalar gate for RaBitQ (operators/rabitq.py —
+    Gao & Long SIGMOD 2024, the algorithm inside the reference's
+    vchordrq index, vechord/spec.py:437-444
+    ``residual_quantization``): recall@10 of probe-prune -> one-bit
+    sign-matmul estimate -> exact-refine(100) vs exact k-NN, PLUS the
+    estimator-quality witnesses that distinguish RaBitQ from plain
+    binary quantization, computed corpus-wide Spark-side:
+
+    - ``code_bytes``: the stored code really is D/8 bytes (64 dims ->
+      8 bytes vs 256 float32 — the 32x estimate-scan bandwidth cut).
+    - ``corrected_unbiased``: regression slope of the corrected
+      estimate ``<x̄,P^T q̄>/<x̄,ō'>`` against the true ``<ō,q̄>`` is
+      1 ± 0.1 (the paper's unbiasedness, empirically).
+    - ``naive_biased_low``: the UNcorrected sign-bit estimate's slope
+      sits measurably below it (≈ √(2/π) — the multiplicative bias the
+      per-vector correction removes; the naive estimator is what our
+      earlier binary quantization and classic SimHash-style scoring
+      use).
+
+    Claim-style oracle like ivf_pq/rpq/opq_recall (rotation fits are
+    not SQL-expressible)."""
+    from vechord_spark.operators.knn import knn
+    from vechord_spark.operators.rabitq import ip_estimate_errors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = knn(
+        emb, "embedding", QVEC, k=10, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    ).select("vec_id")
+    index = _rabitq(spark, sf_dir)
+    approx = index.search(
+        QVEC, k=10, probes=4, refine=100, distance="cos",
+        select=["vec_id"], tie_break="vec_id",
+    )
+    errs = ip_estimate_errors(index, QVEC).filter(F.col("norm") > 0)
+    tagged = (
+        approx.select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(F.lit("hits").alias("tag"), "v")
+        .unionByName(
+            errs.agg(
+                F.sum(F.col("est_corrected") * F.col("true_ip")).alias("bc"),
+                F.sum(F.col("est_naive") * F.col("true_ip")).alias("bn"),
+                F.sum(F.col("true_ip") * F.col("true_ip")).alias("den"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.lit("bc").alias("tag"), F.col("bc").alias("v")),
+                        F.struct(F.lit("bn").alias("tag"), F.col("bn").alias("v")),
+                        F.struct(F.lit("den").alias("tag"), F.col("den").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.tag", "e.v")
+        )
+        .unionByName(
+            index.encoded.agg(
+                F.max(F.length("__rq_code")).cast("double").alias("v")
+            ).select(F.lit("bytes").alias("tag"), "v")
+        )
+    )
+    pick = lambda t: F.max(F.when(F.col("tag") == t, F.col("v")))  # noqa: E731
+    return tagged.agg(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("probes"),
+        F.lit(16).alias("lists"),
+        F.lit(100).alias("refine"),
+        pick("bytes").cast("int").alias("code_bytes"),
+        F.lit(0.5).alias("recall_floor"),
+        (pick("hits") / F.lit(10.0) >= F.lit(0.5)).cast("int").alias(
+            "recall_ok"
+        ),
+        (
+            F.abs(pick("bc") / pick("den") - F.lit(1.0)) <= F.lit(0.1)
+        ).cast("int").alias("corrected_unbiased"),
+        (
+            pick("bn") / pick("den")
+            <= pick("bc") / pick("den") - F.lit(0.05)
+        ).cast("int").alias("naive_biased_low"),
+    )
+
+
 @_q(
     "eval_precision_knn",
     _EVAL_BASE
@@ -9540,6 +9700,15 @@ def quality_top_fraction(spark, sf_dir):
 # the same components machinery under an exact gate),
 # mmr_rerank_diverse (fusion/rerank keeps hybrid_rrf_tri),
 # opq_recall (ANN keeps ivf_pq/rpq/batch/refined/maxsim recall gates).
+# Round-13 SECOND tranche (built late in the round; window re-swept
+# at sf0.01 after the swap — BASELINE.md).
+# IN: rabitq_recall (NEW: true RaBitQ — the reference's actual
+# vchordrq quantization — recall gate + unbiased-estimator slope
+# witnesses).
+# OUT (green in CORRECTNESS_r12 on an unchanged plan): ivf_recall_
+# refined (ANN keeps knn_cosine + ivf_pq/rpq/batch/maxsim/semdedup
+# recall gates in-window; the refined-int8 path stays parity-tested
+# on every pytest run).
 _WINDOW_PRIORITY = [
     # relational / OLAP core (4 carried + 2 derived-partsupp shapes)
     "filter_project",
@@ -9562,7 +9731,7 @@ _WINDOW_PRIORITY = [
     "ivf_pq_recall",
     "rpq_recall",
     "ivf_knn_batch_recall",
-    "ivf_recall_refined",
+    "rabitq_recall",
     "maxsim_ivf_recall",
     "semdedup_ivf_survivors",
     "hard_negatives",
