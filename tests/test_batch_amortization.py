@@ -15,7 +15,15 @@ import random
 import pytest
 
 from vechord_spark.registry import VechordRegistry
-from vechord_spark.spec import Column, Keyword, MultiVector, SparseVector, TableSpec, Vector
+from vechord_spark.spec import (
+    AnyOf,
+    Column,
+    Keyword,
+    MultiVector,
+    SparseVector,
+    TableSpec,
+    Vector,
+)
 
 N_QUERIES = 64
 
@@ -358,7 +366,8 @@ def test_batch_conditions_equal_filtered_singles(spark, tmp_path):
         ]
         assert got.get(qi, []) == single
 
-    # PQ layouts refuse conditions on the batch path like the single one
+    # PQ layouts pre-filter on the batch path like the single one:
+    # batch+conditions == filtered singles (full refine keeps it exact)
     r2 = VechordRegistry("b64cpq", str(tmp_path), spark)
     r2.register(
         TableSpec(
@@ -371,5 +380,20 @@ def test_batch_conditions_equal_filtered_singles(spark, tmp_path):
         [{"uid": i, "vec": [rng.uniform(-1, 1) for _ in range(8)]} for i in range(64)],
     )
     r2.build_vector_index("doc", lists=2, pq_m=4)
-    with pytest.raises(SchemaError, match="conditions are not supported"):
-        r2.search_by_vector_batch("doc", vqs[:2], probes=2, conditions={"uid": 1})
+    pq_cond = {"uid": AnyOf([i for i in range(64) if i % 2 == 0])}
+    got_pq = per_query(
+        r2.search_by_vector_batch(
+            "doc", vqs[:2], topk=4, probes=2, refine=10_000, conditions=pq_cond
+        ),
+        "distance",
+    )
+    for qi in range(2):
+        single = [
+            (x.uid, round(x.distance, 9))
+            for x in r2.search_by_vector(
+                "doc", vqs[qi], topk=4, probes=2, refine=10_000,
+                conditions=pq_cond,
+            ).collect()
+        ]
+        assert got_pq.get(qi, []) == single
+        assert all(uid % 2 == 0 for uid, _ in single)

@@ -93,8 +93,8 @@ def test_rabitq_build_validations(spark, tmp_path):
 
 def test_rabitq_layout_searches_exactly_under_full_refine(spark, tmp_path):
     """refine >= corpus makes the two-phase search exhaustive — must
-    equal brute force; stats carry the rabitq flag; conditions are
-    refused on the quantized path (same contract as PQ)."""
+    equal brute force; stats carry the rabitq flag; conditions
+    pre-filter the quantized path (same contract as PQ)."""
     rng = random.Random(3)
     r = _registry(spark, tmp_path, "rqq")
     centers = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(4)]
@@ -117,10 +117,22 @@ def test_rabitq_layout_searches_exactly_under_full_refine(spark, tmp_path):
         for x in r.search_by_vector("t", q, topk=5).collect()
     ]
     assert approx == exact
-    with pytest.raises(SchemaError, match="quantized"):
-        r.search_by_vector(
-            "t", q, topk=5, probes=4, conditions={"uid": AnyOf([1, 2])}
-        )
+    # pre-filter semantics on the bit path: exactly k true matches,
+    # equal to filtered brute force under full probes + refine
+    even = AnyOf([i for i in range(200) if i % 2 == 0])
+    got = [
+        x.uid
+        for x in r.search_by_vector(
+            "t", q, topk=5, probes=4, refine=10_000,
+            conditions={"uid": even},
+        ).collect()
+    ]
+    want = [
+        x.uid
+        for x in r.search_by_vector("t", q, topk=200).collect()
+        if x.uid % 2 == 0
+    ][:5]
+    assert got == want
 
 
 def test_rabitq_batch_matches_singles(spark, tmp_path):

@@ -605,12 +605,15 @@ def test_search_by_vector_with_conditions(spark, tmp_path):
     ).collect()
     assert [r.uid for r in via_ivf] == want
 
-    # PQ path refuses conditions with a clear error
-    from vechord_spark.errors import SchemaError as SE
-
+    # PQ path: codes are per-row columns, so the same pre-filter works
+    # there too — full probes + full refine + filter == filtered brute
+    # force (the estimate only orders candidates, exact refine decides)
     reg.build_vector_index("emb", lists=4, pq_m=4)
-    with pytest.raises(SE, match="conditions"):
-        reg.search_by_vector("emb", q, topk=5, probes=4, conditions={"grp": "even"})
+    via_pq = reg.search_by_vector(
+        "emb", q, topk=5, probes=4, refine=10_000, conditions={"grp": "even"}
+    ).collect()
+    assert [r.uid for r in via_pq] == want
+    assert all(r.grp == "even" for r in via_pq)
 
 
 def test_search_by_keyword_with_conditions(reg):

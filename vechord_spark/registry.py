@@ -3143,6 +3143,34 @@ class VechordRegistry:
             return RabitqIndex(ivf, rq, encoded=assigned)
         return ivf
 
+    def _filter_quantized_index(self, name: str, index, conditions):
+        """PRE-filter a quantized layout (PQ/OPQ/residual/RaBitQ): the
+        clustered copy stores codes as per-row columns, so one filter
+        on the encoded frame restricts BOTH phases — the estimate scans
+        only matching rows' codes and the exact refine reranks only
+        matchers. ALTER-added columns are refused like on the plain
+        path (the layout copy may predate the ALTER or a backfill)."""
+        evolved_cond = set(conditions) & self._evolved_columns(name)
+        if evolved_cond:
+            raise SchemaError(
+                f"conditions on ALTER-added columns "
+                f"{sorted(evolved_cond)} are not supported on the "
+                "index path (the clustered copy snapshots rows at "
+                "build time); use the brute-force path (probes=None)"
+            )
+        from vechord_spark.operators.pq import IvfPqIndex
+        from vechord_spark.operators.rabitq import RabitqIndex
+
+        filtered = index.encoded.filter(
+            build_predicate(index.encoded, conditions)
+        )
+        if isinstance(index, IvfPqIndex):
+            return IvfPqIndex(
+                index.ivf, index.book, encoded=filtered,
+                residual=index.residual,
+            )
+        return RabitqIndex(index.ivf, index.rot, encoded=filtered)
+
     def search_by_vector(
         self,
         name: str,
@@ -3209,10 +3237,16 @@ class VechordRegistry:
 
             if isinstance(index, (IvfPqIndex, RabitqIndex)):
                 if conditions:
-                    raise SchemaError(
-                        "conditions are not supported on the quantized "
-                        "index path (the estimate scans codes, not rows); "
-                        "use the plain IVF index or the brute-force path"
+                    # PRE-filter on the quantized path: codes and
+                    # correction scalars are per-ROW columns of the
+                    # clustered copy, so filtering the encoded frame
+                    # before the estimate keeps both phases correct —
+                    # the estimate ranks only matching rows and the
+                    # exact refine fixes their order. Same exactly-k-
+                    # true-matches semantics as the plain index path
+                    # (and the same probes-vs-selectivity recall trade)
+                    index = self._filter_quantized_index(
+                        name, index, conditions
                     )
                 qv = list(vector)
                 rot = self._load_opq_rotation(self._index_path(name))
@@ -3309,8 +3343,9 @@ class VechordRegistry:
         ``conditions`` applies ONE pre-filter to the whole batch (the
         eval-stream shape — a shared metadata filter): each query's
         result is its top-k MATCHING rows, same PRE-filter semantics
-        as the single path; unsupported on PQ layouts for the same
-        reason as there (the estimate scans codes, not rows)."""
+        as the single path — on quantized layouts too (codes are
+        per-row columns of the clustered copy, so the filter restricts
+        the estimate scan and the exact refine alike)."""
         from vechord_spark.errors import DimensionMismatch
         from vechord_spark.operators.knn import knn_join
 
@@ -3345,10 +3380,10 @@ class VechordRegistry:
             extra = {}
             if isinstance(index, (IvfPqIndex, RabitqIndex)):
                 if conditions:
-                    raise SchemaError(
-                        "conditions are not supported on the quantized "
-                        "index path (the estimate scans codes, not rows); "
-                        "use the plain IVF index or the brute-force path"
+                    # one shared PRE-filter for the whole batch, same
+                    # contract as the single quantized path
+                    index = self._filter_quantized_index(
+                        name, index, conditions
                     )
                 # PQ layout: the batched estimate -> refine -> exact
                 # two-phase (IvfPqIndex.search_batch); OPQ stores the
