@@ -50,6 +50,7 @@ def _assert_codes_fresh(reg, name="t"):
     ipath = reg._index_path(name)
     rot = reg._load_rabitq_rotation(ipath)
     assert rot is not None
+    sph = bool(reg._vector_index_meta(ipath).get("spherical"))
     cents = np.array(
         [
             r.vec
@@ -60,7 +61,8 @@ def _assert_codes_fresh(reg, name="t"):
     )
     data = reg.spark.read.parquet(str(ipath / "data"))
     expect = encode_rabitq(
-        data.drop("__rq_code", "__rq_norm", "__rq_dot"), "v", cents, rot
+        data.drop("__rq_code", "__rq_norm", "__rq_dot"), "v", cents, rot,
+        normalize=sph,
     ).select("uid", "centroid_id", "__rq_code", "__rq_norm", "__rq_dot")
     got = data.select("uid", "centroid_id", "__rq_code", "__rq_norm", "__rq_dot")
 
@@ -86,9 +88,71 @@ def test_rabitq_build_validations(spark, tmp_path):
     with pytest.raises(SchemaError, match="excludes"):
         r.build_vector_index("t", lists=2, rabitq=True, pq_m=4)
     with pytest.raises(SchemaError, match="excludes"):
-        r.build_vector_index("t", lists=2, rabitq=True, spherical=True)
-    with pytest.raises(SchemaError, match="excludes"):
         r.build_vector_index("t", lists=2, rabitq=True, residual=True, pq_m=4)
+    with pytest.raises(SchemaError, match="excludes"):
+        r.build_vector_index("t", lists=2, rabitq=True, pq_m=4, opq=True)
+
+
+def test_spherical_rabitq_layout(spark, tmp_path):
+    """rabitq composes with spherical (the reference's
+    spherical_centroids + residual_quantization pair): rows normalize
+    before encoding, cos search under full refine equals brute force,
+    and extend keeps codes fresh in the normalized geometry."""
+    rng = random.Random(13)
+    r = _registry(spark, tmp_path, "rqsph")
+    # direction clusters with WILD magnitude spread — the shape raw-L2
+    # cells split by magnitude and cosine search cannot see
+    dirs = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(3)]
+    rows = []
+    for b, d in enumerate(dirs):
+        nrm = np.linalg.norm(d)
+        for i in range(b * 50, b * 50 + 50):
+            scale = rng.uniform(0.1, 50.0) / nrm
+            rows.append(
+                {
+                    "uid": i,
+                    "v": [
+                        x * scale + rng.uniform(-0.02, 0.02) for x in d
+                    ],
+                }
+            )
+    r.insert_rows("t", rows)
+    r.build_vector_index("t", lists=3, rabitq=True, spherical=True)
+    st = r.index_stats("t")["ivf"]
+    assert st["rabitq"] and st["spherical"]
+    _assert_codes_fresh(r)
+
+    q = [x * 2.0 for x in dirs[1]]
+    got = [
+        (x.uid, round(x.distance, 6))
+        for x in r.search_by_vector(
+            "t", q, topk=5, probes=3, refine=10_000, distance="cos"
+        ).collect()
+    ]
+    exact = [
+        (x.uid, round(x.distance, 6))
+        for x in r.search_by_vector("t", q, topk=5, distance="cos").collect()
+    ]
+    assert got == exact
+    # and at a bounded budget the spherical cells keep recall: the
+    # top-5 all come from the queried direction cluster
+    tight = [
+        x.uid
+        for x in r.search_by_vector(
+            "t", q, topk=5, probes=1, refine=20, distance="cos"
+        ).collect()
+    ]
+    assert set(tight) <= set(range(50, 100))
+
+    r.insert_rows(
+        "t",
+        [
+            {"uid": 500 + i, "v": [x * rng.uniform(5, 9) for x in dirs[0]]}
+            for i in range(20)
+        ],
+    )
+    assert r.extend_vector_index("t") == 20
+    _assert_codes_fresh(r)
 
 
 def test_rabitq_layout_searches_exactly_under_full_refine(spark, tmp_path):

@@ -87,9 +87,23 @@ def train_rabitq(dim: int, seed: int = 42) -> RabitqRotation:
 
 
 def _encode_np(
-    x: np.ndarray, cids: np.ndarray, cents: np.ndarray, rot: np.ndarray
+    x: np.ndarray,
+    cids: np.ndarray,
+    cents: np.ndarray,
+    rot: np.ndarray,
+    normalize: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(codes uint8-packed, norm, dot) for a batch of rows."""
+    """(codes uint8-packed, norm, dot) for a batch of rows.
+
+    ``normalize`` = spherical layout (the reference's
+    ``spherical_centroids`` + ``residual_quantization`` combination):
+    rows are unit-normalized BEFORE the residual, so all geometry —
+    cells, residuals, codes — lives on the unit sphere where L2 is
+    monotone in cosine."""
+    if normalize:
+        x = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-300
+        )
     res = x - cents[cids]  # (n, D) residuals
     norm = np.linalg.norm(res, axis=1)  # (n,)
     safe = np.maximum(norm, 1e-300)
@@ -108,11 +122,13 @@ def encode_rabitq(
     vec_col: str,
     centroids: np.ndarray,
     rot: RabitqRotation,
+    normalize: bool = False,
 ) -> DataFrame:
     """Attach the RaBitQ code columns to an IVF assignment frame:
     ``__rq_code`` (binary, D/8 bytes), ``__rq_norm``, ``__rq_dot``.
     One rotation matmul + packbits per Arrow batch; P and the centroid
-    matrix ride in the closure like PQ codebooks."""
+    matrix ride in the closure like PQ codebooks. ``normalize`` for
+    spherical layouts (rows unit-normalized before the residual)."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
@@ -131,7 +147,8 @@ def encode_rabitq(
     def _enc(cids: pd.Series, vecs: pd.Series) -> pd.DataFrame:
         x = np.array(vecs.tolist(), dtype=np.float64)
         codes, norm, dot = _encode_np(
-            x, cids.to_numpy(dtype=np.int64), cents, rmat
+            x, cids.to_numpy(dtype=np.int64), cents, rmat,
+            normalize=normalize,
         )
         return pd.DataFrame(
             {"code": [c.tobytes() for c in codes], "norm": norm, "dot": dot}
@@ -162,19 +179,33 @@ class RabitqIndex:
     column scan (estimate) → float column scan for ``refine`` rows."""
 
     def __init__(self, ivf, rot: RabitqRotation, encoded: DataFrame | None = None):
-        self.ivf = ivf  # operators.ivf.IvfIndex (raw-L2 cells)
+        # raw-L2 cells, or spherical cells (ivf.spherical) with the
+        # rows unit-normalized before encoding — the reference's
+        # spherical_centroids + residual_quantization combination;
+        # estimate geometry then lives on the unit sphere (L2 there is
+        # monotone in cosine) and the exact refine scores the caller's
+        # requested distance on the raw floats
+        self.ivf = ivf  # operators.ivf.IvfIndex
         self.rot = rot
         self.encoded = (
             encoded
             if encoded is not None
-            else encode_rabitq(ivf.assigned, ivf.vec_col, ivf.centroids, rot)
+            else encode_rabitq(
+                ivf.assigned,
+                ivf.vec_col,
+                ivf.centroids,
+                rot,
+                normalize=bool(getattr(ivf, "spherical", False)),
+            )
         )
 
     def _query_state(self, query: Sequence[float], distance: str):
         """Per-query driver state: rotated query (+ per-cell scalars
-        are computed lazily against the probed cells only)."""
+        are computed lazily against the probed cells only). Spherical
+        layouts normalize the query for ANY distance — the encoded
+        geometry is the unit sphere."""
         q = np.asarray(query, dtype=np.float64)
-        if distance == "cos":
+        if distance == "cos" or bool(getattr(self.ivf, "spherical", False)):
             q = q / max(float(np.linalg.norm(q)), 1e-300)
         return q
 
@@ -290,7 +321,7 @@ class RabitqIndex:
         qm = np.asarray([list(q) for q in queries], dtype=np.float64)
         if qm.ndim != 2 or not len(qm):
             raise ValueError("queries must be a non-empty list of vectors")
-        if distance == "cos":
+        if distance == "cos" or bool(getattr(self.ivf, "spherical", False)):
             qn = np.linalg.norm(qm, axis=1)
             qm_s = qm / np.maximum(qn, 1e-300)[:, None]
         else:
@@ -458,15 +489,21 @@ class RabitqIndex:
 
 
 def build_rabitq(
-    df: DataFrame, vec_col: str, lists: int, seed: int = 42
+    df: DataFrame,
+    vec_col: str,
+    lists: int,
+    seed: int = 42,
+    spherical: bool = False,
 ) -> RabitqIndex:
     """IVF + RaBitQ, composed the vchordrq way (reference
     spec.py:437-444 ``residual_quantization=True``): raw-L2 coarse
-    cells (residuals are raw-space offsets), one shared rotation, one
-    bit per dimension."""
+    cells with raw-space residuals, or — ``spherical=True``, the
+    reference's ``spherical_centroids`` combination for cosine/dot
+    corpora — unit-norm cells with residuals of the NORMALIZED rows.
+    One shared rotation, one bit per dimension either way."""
     from vechord_spark.operators.ivf import build_ivf
 
-    ivf = build_ivf(df, vec_col, lists=lists, seed=seed)
+    ivf = build_ivf(df, vec_col, lists=lists, seed=seed, spherical=spherical)
     first = df.select(F.size(vec_col).alias("d")).first()
     rot = train_rabitq(int(first["d"]), seed=seed)
     return RabitqIndex(ivf, rot)
@@ -490,7 +527,10 @@ def ip_estimate_errors(index: RabitqIndex, query: Sequence[float]) -> DataFrame:
     cents = np.asarray(index.ivf.centroids, dtype=np.float64)
     rmat = index.rot.rotation
     dim = index.rot.dim
+    sph = bool(getattr(index.ivf, "spherical", False))
     q = np.asarray(query, dtype=np.float64)
+    if sph:
+        q = q / max(float(np.linalg.norm(q)), 1e-300)
 
     @pandas_udf(
         T.StructType(
@@ -505,6 +545,10 @@ def ip_estimate_errors(index: RabitqIndex, query: Sequence[float]) -> DataFrame:
         cids: pd.Series, vecs: pd.Series, codes: pd.Series, dots: pd.Series
     ) -> pd.DataFrame:
         x = np.array(vecs.tolist(), dtype=np.float64)
+        if sph:
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-300
+            )
         cid = cids.to_numpy(dtype=np.int64)
         res = x - cents[cid]
         rn = np.maximum(np.linalg.norm(res, axis=1), 1e-300)

@@ -1573,8 +1573,11 @@ class VechordRegistry:
         the survivor centroid unchanged and re-encodes only folded
         rows); UNLIKE PQ there is no codebook — extends never stale any
         trained state, the rotation is corpus-independent. Excludes
-        ``pq_m``/``opq``/``spherical`` (its own quantization family;
-        raw-space residuals).
+        ``pq_m``/``opq`` (its own quantization family); COMPOSES with
+        ``spherical`` — the reference's ``spherical_centroids`` +
+        ``residual_quantization`` pair for cosine/dot corpora: rows
+        unit-normalize before encoding, so the bit geometry lives on
+        the unit sphere where the L2 estimate is monotone in cosine.
         """
         import numpy as np
 
@@ -1613,11 +1616,12 @@ class VechordRegistry:
             and getattr(idx_decl, "rabitq", False)
         ):
             rabitq = True
-        if rabitq and (pq_m is not None or opq or residual or spherical):
+        if rabitq and (pq_m is not None or opq or residual):
             raise SchemaError(
                 "rabitq=True is its own quantization: it excludes "
-                "pq_m/opq/residual (no codebook) and spherical "
-                "(codes quantize raw-space residuals)"
+                "pq_m/opq/residual (no codebook). spherical composes "
+                "(rows normalize before encoding — the reference's "
+                "spherical_centroids + residual_quantization pair)"
             )
         if opq and pq_m is None:
             raise SchemaError("opq=True requires pq_m (OPQ optimizes PQ)")
@@ -1896,7 +1900,15 @@ class VechordRegistry:
             # rabitq layout: bit-encode the delta against its assigned
             # centroid — the rotation is corpus-independent, so extend
             # can never stale any trained state
-            fresh = encode_rabitq(fresh, vec_col.name, centroids, rq)
+            fresh = encode_rabitq(
+                fresh,
+                vec_col.name,
+                centroids,
+                rq,
+                normalize=bool(
+                    self._vector_index_meta(ipath).get("spherical")
+                ),
+            )
         self._mark_extend_intent(ipath)
         fresh.write.mode("append").partitionBy("centroid_id").parquet(
             str(ipath / "data")
@@ -2079,6 +2091,7 @@ class VechordRegistry:
                         vname,
                         new_mat,
                         self._load_rabitq_rotation(ipath),
+                        normalize=bool(meta.get("spherical")),
                     )
 
             self._swap_recluster_layout(ipath, reassigned, split, cent_rows)
@@ -2373,11 +2386,13 @@ class VechordRegistry:
                 from vechord_spark.operators.rabitq import encode_rabitq
 
                 rq = self._load_rabitq_rotation(ipath)
+                rq_sph = bool(meta.get("spherical"))
                 reencode = lambda df, cm: encode_rabitq(  # noqa: E731
                     df.drop("__rq_code", "__rq_norm", "__rq_dot"),
                     vname,
                     cm,
                     rq,
+                    normalize=rq_sph,
                 )
             return self._merge_cells_locked(
                 ipath,
