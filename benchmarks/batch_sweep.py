@@ -71,6 +71,28 @@ def main() -> None:
     )
     reg.build_vector_index("vec", lists=16)
 
+    # quantized twins of the vector layout (round 13): PQ-ADC and
+    # RaBitQ bit-estimate batched searches over their own clustered
+    # copies of the same corpus
+    for tname, opts in (
+        ("vecpq", {"pq_m": 8, "pq_ksub": 256}),
+        ("vecrq", {"rabitq": True}),
+    ):
+        reg.register(
+            TableSpec(
+                tname,
+                [
+                    Column("uid", "long", primary_key=True),
+                    Column("v", Vector(dim)),
+                ],
+            )
+        )
+        reg.append(
+            tname,
+            emb.select(F.col("vec_id").alias("uid"), F.col("embedding").alias("v")),
+        )
+        reg.build_vector_index(tname, lists=16, **opts)
+
     reg.register(
         TableSpec(
             "mv",
@@ -152,6 +174,24 @@ def main() -> None:
                 "mv", qs, topk=TOPK, probes=2
             ),
             single=lambda q: reg.search_by_multivec("mv", q, topk=TOPK, probes=2),
+        ),
+        "vector_pq": dict(
+            gen=vec_queries,
+            batch=lambda qs: reg.search_by_vector_batch(
+                "vecpq", qs, topk=TOPK, probes=2, refine=100
+            ),
+            single=lambda q: reg.search_by_vector(
+                "vecpq", q, topk=TOPK, probes=2, refine=100
+            ),
+        ),
+        "vector_rabitq": dict(
+            gen=vec_queries,
+            batch=lambda qs: reg.search_by_vector_batch(
+                "vecrq", qs, topk=TOPK, probes=2, refine=100
+            ),
+            single=lambda q: reg.search_by_vector(
+                "vecrq", q, topk=TOPK, probes=2, refine=100
+            ),
         ),
         "bm25": dict(
             gen=text_queries,

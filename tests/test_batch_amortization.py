@@ -263,6 +263,51 @@ def test_pq_batch_equals_64_searches(spark, tmp_path, residual):
         assert got.get(qi, []) == single, f"query {qi} diverged ({'res' if residual else 'raw'})"
 
 
+def test_rabitq_batch_equals_64_searches(spark, tmp_path):
+    """The RaBitQ layout's batched search (bit estimate -> per-query
+    refine -> exact) must equal 64 individual searches at the same
+    refine budget — the quantized batch family's bit member."""
+    rng = random.Random(31)
+    r = VechordRegistry("b64rq", str(tmp_path), spark)
+    r.register(
+        TableSpec(
+            "doc",
+            [Column("uid", "int", primary_key=True), Column("vec", Vector(8))],
+        )
+    )
+    centers = [[rng.uniform(-3, 3) for _ in range(8)] for _ in range(6)]
+    r.insert_rows(
+        "doc",
+        [
+            {
+                "uid": i,
+                "vec": [c + rng.uniform(-0.5, 0.5) for c in centers[i % 6]],
+            }
+            for i in range(360)
+        ],
+    )
+    r.build_vector_index("doc", lists=6, rabitq=True)
+    assert r.index_stats("doc")["ivf"]["rabitq"]
+    qs = [
+        [c + rng.uniform(-0.3, 0.3) for c in centers[i % 6]]
+        for i in range(N_QUERIES)
+    ]
+
+    batch = r.search_by_vector_batch("doc", qs, topk=5, probes=3, refine=40)
+    got = {}
+    for row in batch.collect():
+        got.setdefault(row.query_id, []).append((row.uid, round(row.distance, 9)))
+
+    for qi, q in enumerate(qs):
+        single = [
+            (x.uid, round(x.distance, 9))
+            for x in r.search_by_vector(
+                "doc", q, topk=5, probes=3, refine=40
+            ).collect()
+        ]
+        assert got.get(qi, []) == single, f"query {qi} diverged"
+
+
 def test_batch_conditions_equal_filtered_singles(spark, tmp_path):
     """conditions on the batch wrappers = the single path's PRE-filter
     applied once to the whole query stream: per query, the batch
