@@ -197,6 +197,14 @@ def test_rabitq_layout_searches_exactly_under_full_refine(spark, tmp_path):
         if x.uid % 2 == 0
     ][:5]
     assert got == want
+    # ...but an ALTER-added column still refuses on the quantized path
+    # (the layout copy may predate the ALTER or a backfill) — same
+    # contract as the plain index path
+    r.alter_table_add_column("t", "lang", "string", insert_default="en")
+    with pytest.raises(SchemaError, match="ALTER-added"):
+        r.search_by_vector(
+            "t", q, topk=5, probes=4, conditions={"lang": "en"}
+        )
 
 
 def test_rabitq_batch_matches_singles(spark, tmp_path):
