@@ -302,6 +302,61 @@ def test_maintain_composes_on_rabitq_layout(spark, tmp_path):
     assert r.maintain("t")["actions"] == []
 
 
+def test_stream_ingest_keeps_rabitq_codes_fresh(spark, tmp_path):
+    """stream_to_registry(maintain_every=1) into a RaBitQ-indexed
+    table: each micro-batch's extend bit-encodes the delta, so after
+    the stream drains the ledger is current, codes re-derive exactly,
+    and probe search serves the streamed rows."""
+    import random
+
+    from vechord_spark.streaming.ingest import stream_to_registry
+
+    rng = random.Random(17)
+    r = VechordRegistry("rqstream", str(tmp_path / "store"), spark)
+    r.register(
+        TableSpec(
+            "t",
+            [Column("uid", "long", primary_key=True), Column("v", Vector(DIM))],
+        )
+    )
+    r.insert_rows(
+        "t",
+        [
+            {"uid": i, "v": [rng.uniform(-1, 1) for _ in range(DIM)]}
+            for i in range(40)
+        ],
+    )
+    r.build_vector_index("t", lists=4, rabitq=True)
+
+    src = str(tmp_path / "src")
+    for b, lo in enumerate(range(100, 140, 20)):
+        spark.createDataFrame(
+            [(i, [5.0] * DIM) for i in range(lo, lo + 20)],
+            "uid long, v array<float>",
+        ).write.parquet(f"{src}/b{b}")
+    stream = (
+        spark.readStream.schema("uid long, v array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_to_registry(
+        stream, r, "t", str(tmp_path / "ckpt"), maintain_every=1
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    st = r.index_stats("t")["ivf"]
+    assert st["files_behind"] == 0 and st["ledger_fresh"] and st["rabitq"]
+    _assert_codes_fresh(r)
+    hits = {
+        x.uid
+        for x in r.search_by_vector(
+            "t", [5.0] * DIM, topk=10, probes=4, refine=100
+        ).collect()
+    }
+    assert hits <= set(range(100, 140)) and len(hits) == 10
+
+
 def test_declared_rabitq_index_drives_build(spark, tmp_path):
     """VectorIndex(rabitq=True) in the declared schema: a bare
     build_vector_index(name) builds the bit layout, and the spec
