@@ -302,6 +302,36 @@ def test_maintain_composes_on_rabitq_layout(spark, tmp_path):
     assert r.maintain("t")["actions"] == []
 
 
+def test_probe_filter_is_partition_pruning_on_quantized_layouts(spark, tmp_path):
+    """The 100 TB claim behind the clustered layout: the probe filter
+    compiles to PARTITION pruning on the persisted copy (the scan
+    never opens non-probed cells' files), for the RaBitQ layout and
+    the PQ layout alike."""
+    rng = random.Random(23)
+    for kind, opts in (("rq", {"rabitq": True}), ("pq", {"pq_m": 4})):
+        r = VechordRegistry(f"prune{kind}", str(tmp_path), spark)
+        r.register(
+            TableSpec(
+                "t",
+                [
+                    Column("uid", "long", primary_key=True),
+                    Column("v", Vector(DIM)),
+                ],
+            )
+        )
+        centers = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(4)]
+        for b, c in enumerate(centers):
+            r.insert_rows("t", _blob_rows(rng, range(b * 30, b * 30 + 30), c))
+        r.build_vector_index("t", lists=4, **opts)
+        out = r.search_by_vector(
+            "t", centers[0], topk=3, probes=1, refine=20
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+            "PartitionFilters"
+        )[1][:200], f"{kind}: probe filter did not reach PartitionFilters"
+
+
 def test_stream_ingest_keeps_rabitq_codes_fresh(spark, tmp_path):
     """stream_to_registry(maintain_every=1) into a RaBitQ-indexed
     table: each micro-batch's extend bit-encodes the delta, so after
