@@ -303,10 +303,15 @@ def test_maintain_composes_on_rabitq_layout(spark, tmp_path):
 
 
 def test_probe_filter_is_partition_pruning_on_quantized_layouts(spark, tmp_path):
-    """The 100 TB claim behind the clustered layout: the probe filter
-    compiles to PARTITION pruning on the persisted copy (the scan
-    never opens non-probed cells' files), for the RaBitQ layout and
-    the PQ layout alike."""
+    """The 100 TB claims behind the clustered quantized layout, read
+    from the actual plans (RaBitQ and PQ alike):
+
+    - phase 1 (estimate_topk) scans ONLY key+codes of the PROBED
+      partitions — PartitionFilters on centroid_id, and the float
+      column absent from ReadSchema (the D/8-vs-4·D bandwidth cut);
+    - phase 2 (the frame search_by_vector returns) re-reads floats
+      under BOTH the partition filter and a pushed pk IN filter, so
+      only the refine survivors' row groups are touched."""
     rng = random.Random(23)
     for kind, opts in (("rq", {"rabitq": True}), ("pq", {"pq_m": 4})):
         r = VechordRegistry(f"prune{kind}", str(tmp_path), spark)
@@ -323,13 +328,28 @@ def test_probe_filter_is_partition_pruning_on_quantized_layouts(spark, tmp_path)
         for b, c in enumerate(centers):
             r.insert_rows("t", _blob_rows(rng, range(b * 30, b * 30 + 30), c))
         r.build_vector_index("t", lists=4, **opts)
-        out = r.search_by_vector(
-            "t", centers[0], topk=3, probes=1, refine=20
+
+        est = r._load_vector_index("t").estimate_topk(
+            centers[0], "uid", probes=1, refine=20
         )
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        p1 = est._jdf.queryExecution().executedPlan().toString()
+        scan1 = p1[p1.index("FileScan") :]
+        assert "PartitionFilters" in scan1 and "centroid_id" in scan1.split(
             "PartitionFilters"
-        )[1][:200], f"{kind}: probe filter did not reach PartitionFilters"
+        )[1][:200], f"{kind}: phase-1 probe missed PartitionFilters"
+        assert "v:array" not in scan1.split("ReadSchema")[1][:300], (
+            f"{kind}: phase-1 estimate scan reads the float column"
+        )
+
+        out = r.search_by_vector("t", centers[0], topk=3, probes=1, refine=20)
+        p2 = out._jdf.queryExecution().executedPlan().toString()
+        tail2 = p2.split("PartitionFilters")[1][:200]
+        assert "centroid_id" in tail2, (
+            f"{kind}: phase-2 lost the partition filter"
+        )
+        assert "In(uid" in p2.split("PushedFilters")[1][:400], (
+            f"{kind}: phase-2 pk filter not pushed to the scan"
+        )
 
 
 def test_stream_ingest_keeps_rabitq_codes_fresh(spark, tmp_path):

@@ -17,8 +17,12 @@ Why it matters at 100 TB: the estimate pass reads codes (e.g. 8-16
 bytes/vector for dim=64-768) instead of the float column — a 16-64x
 scan-bandwidth cut on exactly the pass that touches the most rows. The
 exact-refine pass then reads full vectors for only the ``refine``
-survivors (column pruning keeps the float column out of the estimate
-scan entirely).
+survivors. Plan honesty: the single-scan :meth:`IvfPqIndex.search`
+carries the float column through the estimate scan (one job, right
+for page-cached local work); the bandwidth cut is REALIZED by the
+two-scan shape — :meth:`IvfPqIndex.estimate_topk` (codes-only
+ReadSchema) followed by a pushed pk-IN float read, which is what
+registry.search_by_vector runs on quantized layouts.
 
 Scale shape: training = ``m`` bounded-sample KMeans fits; encoding =
 one Arrow-batched pass (codebooks broadcast in the UDF closure, one
@@ -591,6 +595,46 @@ class IvfPqIndex:
             scored.withColumn("__rn", F.row_number().over(w_fin))
             .filter(F.col("__rn") <= k)
             .drop("__rn")
+        )
+
+    def estimate_topk(
+        self,
+        query: Sequence[float],
+        key_col: str,
+        probes: int | None = None,
+        refine: int = 100,
+        distance: str = "cos",
+    ) -> DataFrame:
+        """Phase 1 of a TWO-SCAN search: the ``refine`` best ADC-
+        estimate keys, from a scan that reads ONLY (key, centroid_id,
+        __pq) of the probed partitions — the float column stays on
+        disk, which is where PQ's m-bytes-vs-4·dim estimate-bandwidth
+        cut is actually realized (the single-scan :meth:`search`
+        carries the float column through for the refine projection —
+        cheaper at page-cached local scale, wrong at 100 TB). The
+        caller re-reads floats for these keys only (registry
+        search_by_vector does this with a pushed IN filter)."""
+        from vechord_spark.operators.ivf import default_probes
+
+        if probes is None:
+            probes = default_probes(self.ivf.lists)
+        probe_ids = self.ivf.nearest_centroids(query, probes)
+        kind = "l2" if distance == "l2" else "dot"
+        est = (
+            adc_estimate_residual(
+                self.book, query, self.ivf.centroids, probe_ids, kind
+            )
+            if self.residual
+            else adc_estimate(self.book, query, kind)
+        )
+        pruned = self.encoded.filter(
+            F.col("centroid_id").isin(probe_ids)
+        ).select(key_col, "centroid_id", "__pq")
+        return (
+            pruned.withColumn("__est", est)
+            .select(key_col, "__est")
+            .orderBy(F.col("__est").asc(), F.col(key_col).asc())
+            .limit(refine)
         )
 
     def search(

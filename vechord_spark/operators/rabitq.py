@@ -209,6 +209,83 @@ class RabitqIndex:
             q = q / max(float(np.linalg.norm(q)), 1e-300)
         return q
 
+    def _estimate_col(self, query: Sequence[float], probes: int, distance: str):
+        """(probe_ids, estimate Column) for one query — the shared
+        driver state of :meth:`search` and :meth:`estimate_topk`."""
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        probe_ids = self.ivf.nearest_centroids(query, probes)
+        q = self._query_state(query, distance)
+        cents = np.asarray(self.ivf.centroids, dtype=np.float64)
+        rmat = self.rot.rotation
+        dim = self.rot.dim
+        if distance == "l2":
+            qrot = {int(c): (q - cents[int(c)]) @ rmat for c in probe_ids}
+            qsq = {int(c): float(((q - cents[c]) ** 2).sum()) for c in probe_ids}
+        else:
+            qr = q @ rmat
+            qrot = {int(c): qr for c in probe_ids}
+            qsq = {int(c): float(q @ cents[int(c)]) for c in probe_ids}
+        kind = distance
+
+        @pandas_udf(T.DoubleType())
+        def _est(
+            cids: pd.Series, codes: pd.Series, norms: pd.Series, dots: pd.Series
+        ) -> pd.Series:
+            xb = _unpack(codes, dim) / np.sqrt(dim)
+            cid = cids.to_numpy()
+            nm = norms.to_numpy()
+            dt = dots.to_numpy()
+            out = np.empty(len(xb), dtype=np.float64)
+            for c in np.unique(cid):
+                m = cid == c
+                ip = xb[m] @ qrot[int(c)] / dt[m]
+                if kind == "l2":
+                    out[m] = nm[m] ** 2 + qsq[int(c)] - 2.0 * nm[m] * ip
+                else:
+                    out[m] = -(qsq[int(c)] + nm[m] * ip)
+            return pd.Series(out)
+
+        return probe_ids, _est(
+            F.col("centroid_id"),
+            F.col("__rq_code"),
+            F.col("__rq_norm"),
+            F.col("__rq_dot"),
+        )
+
+    def estimate_topk(
+        self,
+        query: Sequence[float],
+        key_col: str,
+        probes: int | None = None,
+        refine: int = 100,
+        distance: str = "cos",
+    ) -> DataFrame:
+        """Phase 1 of a TWO-SCAN search: the ``refine`` best estimate
+        keys, from a scan that reads ONLY (key, centroid_id, code,
+        scalars) of the probed partitions — the float column stays on
+        disk, which is where the D/8-vs-4·D estimate-bandwidth cut is
+        actually realized (the single-scan :meth:`search` carries the
+        float column through for the refine projection instead —
+        cheaper at page-cached local scale, wrong at 100 TB). The
+        caller re-reads floats for these keys only (registry
+        search_by_vector does this with a pushed IN filter)."""
+        from vechord_spark.operators.ivf import default_probes
+
+        if probes is None:
+            probes = default_probes(self.ivf.lists)
+        probe_ids, est = self._estimate_col(query, probes, distance)
+        pruned = self.encoded.filter(
+            F.col("centroid_id").isin(probe_ids)
+        ).select(key_col, "centroid_id", "__rq_code", "__rq_norm", "__rq_dot")
+        return (
+            pruned.withColumn("__est", est)
+            .select(key_col, "__est")
+            .orderBy(F.col("__est").asc(), F.col(key_col).asc())
+            .limit(refine)
+        )
+
     def search(
         self,
         query: Sequence[float],
@@ -225,63 +302,16 @@ class RabitqIndex:
         — the rotated query is CELL-INDEPENDENT there, the cell enters
         only through the scalar ``<q,c>``. Exact refine fixes ranks
         inside the budget (same contract as IvfPqIndex.search)."""
-        from pyspark.sql import types as T
-        from pyspark.sql.functions import pandas_udf
-
         from vechord_spark.operators.ivf import default_probes
 
         if probes is None:
             probes = default_probes(self.ivf.lists)
-        probe_ids = self.ivf.nearest_centroids(query, probes)
+        probe_ids, est = self._estimate_col(query, probes, distance)
         pruned = self.encoded.filter(F.col("centroid_id").isin(probe_ids))
-        q = self._query_state(query, distance)
-        cents = np.asarray(self.ivf.centroids, dtype=np.float64)
-        rmat = self.rot.rotation
-        dim = self.rot.dim
-        if distance == "l2":
-            # per probed cell: rotated query residual + its sq norm
-            qrot = {int(c): (q - cents[int(c)]) @ rmat for c in probe_ids}
-            qsq = {int(c): float(((q - cents[c]) ** 2).sum()) for c in probe_ids}
-        else:
-            qr = q @ rmat  # one rotation, all cells
-            qrot = {int(c): qr for c in probe_ids}
-            qsq = {int(c): float(q @ cents[int(c)]) for c in probe_ids}
-        kind = distance
-
-        @pandas_udf(T.DoubleType())
-        def _est(
-            cids: pd.Series, codes: pd.Series, norms: pd.Series, dots: pd.Series
-        ) -> pd.Series:
-            xb = _unpack(codes, dim) / np.sqrt(dim)  # x̄ rows
-            cid = cids.to_numpy()
-            nm = norms.to_numpy()
-            dt = dots.to_numpy()
-            out = np.empty(len(xb), dtype=np.float64)
-            for c in np.unique(cid):
-                m = cid == c
-                ip = xb[m] @ qrot[int(c)] / dt[m]  # <x̄,P^T v>/dot
-                if kind == "l2":
-                    out[m] = nm[m] ** 2 + qsq[int(c)] - 2.0 * nm[m] * ip
-                else:
-                    out[m] = -(qsq[int(c)] + nm[m] * ip)
-            return pd.Series(out)
-
         order = [F.col("__est").asc()]
         if tie_break:
             order.append(F.col(tie_break).asc())
-        cands = (
-            pruned.withColumn(
-                "__est",
-                _est(
-                    F.col("centroid_id"),
-                    F.col("__rq_code"),
-                    F.col("__rq_norm"),
-                    F.col("__rq_dot"),
-                ),
-            )
-            .orderBy(*order)
-            .limit(refine)
-        )
+        cands = pruned.withColumn("__est", est).orderBy(*order).limit(refine)
         scored = cands.withColumn(
             "distance", vector_distance(distance, self.ivf.vec_col, list(query))
         ).drop("__rq_code", "__rq_norm", "__rq_dot", "__est")

@@ -3186,6 +3186,51 @@ class VechordRegistry:
             )
         return RabitqIndex(index.ivf, index.rot, encoded=filtered)
 
+    def _quantized_two_scan(
+        self, index, qv, topk, probes, refine, dist, layout_fields, pk_name
+    ):
+        """The two-scan quantized probe search (see search_by_vector's
+        quantized branch): codes-only estimate scan -> bounded key
+        collect -> pushed-IN float scan -> exact top-k."""
+        from vechord_spark.functions.vector import vector_distance
+
+        from vechord_spark.operators.ivf import default_probes
+
+        keys = [
+            r[0]
+            for r in index.estimate_topk(
+                qv, pk_name, probes=probes, refine=refine, distance=dist
+            ).collect()
+        ]
+        vcol = index.ivf.vec_col
+        drop = [
+            c
+            for c in ("__pq", "__rq_code", "__rq_norm", "__rq_dot")
+            if c in index.encoded.columns
+        ]
+        # phase 2 keeps the probe's PARTITION pruning too — the pk IN
+        # filter prunes row groups, the centroid filter prunes whole
+        # cell directories before any footer is opened
+        probe_ids = index.ivf.nearest_centroids(
+            qv, probes if probes is not None else default_probes(index.ivf.lists)
+        )
+        matched = (
+            index.encoded.filter(
+                F.col("centroid_id").isin(probe_ids)
+                & F.col(pk_name).isin(keys)
+            )
+            if keys
+            else index.encoded.filter(F.lit(False))
+        )
+        scored = matched.withColumn(
+            "distance", vector_distance(dist, vcol, list(qv))
+        ).drop(*drop)
+        return (
+            scored.orderBy(F.col("distance").asc(), F.col(pk_name).asc())
+            .limit(topk)
+            .select(*layout_fields, "distance")
+        )
+
     def search_by_vector(
         self,
         name: str,
@@ -3270,15 +3315,32 @@ class VechordRegistry:
                     # query rotates too — distances are unchanged
                     # (orthogonality), codes are sharper
                     qv = [float(x) for x in rot.apply(qv)]
-                out = index.search(
-                    qv,
-                    k=topk,
-                    probes=probes,
-                    refine=refine,
-                    distance=dist,
-                    select=layout_fields,
-                    tie_break=pk.name if pk else None,
-                )
+                if pk is not None:
+                    # TWO-SCAN refine — the plan the quantization
+                    # exists for: phase 1 scans ONLY (pk, codes,
+                    # scalars) of the probed partitions (the float
+                    # column never leaves disk during the estimate —
+                    # the D/8-vs-4·D bandwidth cut, realized), collects
+                    # the bounded `refine` keys driver-side, and
+                    # phase 2 re-reads floats under a PUSHED pk IN
+                    # filter for exactly those survivors. The operator-
+                    # level single-scan index.search (float column
+                    # rides the estimate scan) stays available for
+                    # pk-less frames and page-cached local work.
+                    out = self._quantized_two_scan(
+                        index, qv, topk, probes, refine, dist,
+                        layout_fields, pk.name,
+                    )
+                else:
+                    out = index.search(
+                        qv,
+                        k=topk,
+                        probes=probes,
+                        refine=refine,
+                        distance=dist,
+                        select=layout_fields,
+                        tie_break=None,
+                    )
                 if evolved:
                     out = self._serve_evolved_fields(
                         name, out, fields, evolved, forced_pk
