@@ -431,7 +431,11 @@ class IvfPqIndex:
         so the closure carries one LUT per query, one per probed cell,
         and an (N × cells) scalar grid. Same estimate → refine → exact
         contract as :meth:`search`; N=64 batch==loop equality pinned in
-        tests/test_batch_amortization.py."""
+        tests/test_batch_amortization.py. The batch plan is
+        SINGLE-SCAN (floats ride the estimate scan — no second read);
+        for a disk-bound corpus that needs the codes-only estimate
+        scan, chunk the query stream through the registry single
+        path's two-scan refine (:meth:`estimate_topk`)."""
         from pyspark.sql import Window
         from pyspark.sql import types as T
         from pyspark.sql.functions import pandas_udf

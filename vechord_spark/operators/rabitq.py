@@ -339,7 +339,13 @@ class RabitqIndex:
         rotated centroids; per Arrow batch, per cell, the estimate is
         one ±1-matmul ``B @ Q'^T`` against only the queries probing
         that cell. Estimate → per-query refine window → exact → top-k,
-        same shape as IvfPqIndex.search_batch."""
+        same shape as IvfPqIndex.search_batch. Like that twin, the
+        batch plan is SINGLE-SCAN (the float column rides the estimate
+        scan so the refine needs no second read); a disk-bound corpus
+        wanting the codes-only estimate scan should chunk the query
+        stream and use the registry single path's two-scan refine
+        (estimate_topk), which trades a second bounded read for the
+        D/8-vs-4·D estimate bandwidth."""
         from pyspark.sql import Window
         from pyspark.sql import types as T
         from pyspark.sql.functions import pandas_udf
