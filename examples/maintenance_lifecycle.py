@@ -3,7 +3,9 @@ search fast across months of appends WITHOUT ever paying the O(table)
 rebuild.
 
     build_vector_index      CREATE INDEX (here: OPQ,IVF,PQ — learned
-                            rotation + clustered codes)
+                            rotation + clustered codes; rabitq=True
+                            swaps in one-bit RaBitQ codes with nothing
+                            to retrain on extend)
     extend_vector_index     assignment-only append maintenance
     index_stats             the decision inputs: cell skew, ledger
                             freshness, files behind, small-file count
