@@ -432,3 +432,35 @@ def test_opq_artifact_layout_roundtrip(spark, tmp_path, monkeypatch):
     b = [r["vec_id"] for r in idx2.search(q, k=5, probes=4, refine=50,
          distance="cos", select=["vec_id"], tie_break="vec_id").collect()]
     assert a == b
+
+
+def test_estimate_topk_matches_single_scan_refine_set(spark, emb):
+    """Phase 1 of the two-scan search (estimate_topk — codes-only
+    scan) must pick exactly the refine set the single-scan search's
+    estimate phase picks: same estimates, same (est, key) tie-break,
+    same keys."""
+    from vechord_spark.operators.pq import build_ivf_pq
+
+    index = build_ivf_pq(emb, "embedding", lists=8, m=8, ksub=16, seed=42)
+    q = [0.3] * 32 + [-0.3] * 32
+    keys = [
+        r["vec_id"]
+        for r in index.estimate_topk(
+            q, "vec_id", probes=4, refine=30, distance="cos"
+        ).collect()
+    ]
+    assert len(keys) == 30 and len(set(keys)) == 30
+    # reproduce the single-scan estimate ordering directly
+    from vechord_spark.operators.pq import adc_estimate
+    from pyspark.sql import functions as F
+
+    probe_ids = index.ivf.nearest_centroids(q, 4)
+    want = [
+        r["vec_id"]
+        for r in index.encoded.filter(F.col("centroid_id").isin(probe_ids))
+        .withColumn("__est", adc_estimate(index.book, q, "dot"))
+        .orderBy(F.col("__est").asc(), F.col("vec_id").asc())
+        .limit(30)
+        .collect()
+    ]
+    assert keys == want

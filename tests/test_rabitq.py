@@ -203,3 +203,35 @@ def test_encode_is_reloadable(rq_index, spark, tmp_path):
         q, k=5, probes=4, refine=50, select=["vec_id"], tie_break="vec_id"
     ).collect()
     assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+
+
+def test_estimate_topk_matches_single_scan_refine_set(rq_index, spark):
+    """Phase 1 of the two-scan search (codes-only estimate scan) picks
+    exactly the single-scan estimate phase's refine set — and its plan
+    never reads the float column (pinned registry-side in
+    test_rabitq_registry; here the key-set equality)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    keys = [
+        r["vec_id"]
+        for r in rq_index.estimate_topk(
+            q, "vec_id", probes=3, refine=25, distance="cos"
+        ).collect()
+    ]
+    assert len(keys) == 25 and len(set(keys)) == 25
+    probe_ids, est = rq_index._estimate_col(
+        q, 3, "cos"
+    )
+    want = [
+        r["vec_id"]
+        for r in rq_index.encoded.filter(
+            F.col("centroid_id").isin(probe_ids)
+        )
+        .withColumn("__est", est)
+        .orderBy(F.col("__est").asc(), F.col("vec_id").asc())
+        .limit(25)
+        .collect()
+    ]
+    assert keys == want
