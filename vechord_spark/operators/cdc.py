@@ -46,7 +46,7 @@ import hashlib
 import numpy as np
 import pandas as pd  # module-top: pandas-UDF string type hints resolve here
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _GEAR_SEED = 0x5EED_CDC0
@@ -167,28 +167,46 @@ def shared_chunk_pairs(
     and are excluded from pair generation; the chunking itself stays
     floor-free so resynchronization remains exact.
 
-    Bucket-local join within each chunk-hash group; groups larger than
-    ``max_bucket`` documents are boilerplate (a chunk present in
-    thousands of docs) and are dropped rather than exploded — the same
-    cap contract as the MinHash band join. Duplicate occurrences of a
-    chunk inside ONE document count once."""
+    Bucket-local pair generation within each chunk-hash group; groups
+    larger than ``max_bucket`` documents are boilerplate (a chunk
+    present in thousands of docs) and are dropped rather than exploded
+    — the same cap contract as the MinHash band join. Duplicate
+    occurrences of a chunk inside ONE document count once.
+
+    Plan shape: ONE exchange on ``chunk_hash`` serves the whole bucket
+    stage — the per-(doc, chunk) distinct (hash aggregation is
+    satisfied by subset partitioning), the bucket-size window, and the
+    capped in-group pair expansion (a codegen array expression over
+    the <= max_bucket sorted doc ids, no self-join) — followed by one
+    exchange for the (id_a, id_b) count. The previous
+    sizes-join-self-join shape consumed the chunk frame four times
+    (re-running the Arrow chunking pass per branch) across ~10
+    exchanges; a mega bucket concentrates on one partition in either
+    shape, and is filtered by the window count before any expansion."""
     per_doc = (
         chunks.filter(F.col("length") >= min_len)
-        .select("doc_id", "chunk_hash")
-        .distinct()
+        .select("chunk_hash", "doc_id")
+        .repartition("chunk_hash")
+        .dropDuplicates(["chunk_hash", "doc_id"])
     )
-    sizes = per_doc.groupBy("chunk_hash").agg(
-        F.count(F.lit(1)).alias("bucket_n")
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("chunk_hash"))
+    buckets = (
+        per_doc.withColumn("bucket_n", bucket_n)
+        .filter(F.col("bucket_n") <= max_bucket)
+        .groupBy("chunk_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
-    kept = per_doc.join(
-        sizes.filter(F.col("bucket_n") <= max_bucket).select("chunk_hash"),
-        "chunk_hash",
-    )
-    a = kept.select(F.col("chunk_hash"), F.col("doc_id").alias("id_a"))
-    b = kept.select(F.col("chunk_hash"), F.col("doc_id").alias("id_b"))
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) ->"
+            " transform(slice(ds, i + 2, size(ds)),"
+            " y -> struct(x AS id_a, y AS id_b))))"
+        )
+    ).alias("p")
     return (
-        a.join(b, "chunk_hash")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(pair)
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_chunks"))
         .filter(F.col("shared_chunks") >= min_shared)

@@ -204,33 +204,38 @@ def unigram_logprob(
     LM-based quality score. Returns ``(id, n_tokens, avg_logprob)``
     with avg_logprob rounded to 6 decimals (determinism contract).
 
-    Scale shape: two corpus scans — one builds the vocab (shuffle on
-    token, map-side combined), one probes it (hot tokens are a
-    skewed-join case AQE splits) — plus the per-doc aggregation. The
-    vocab (distinct tokens, orders of magnitude smaller than the token
-    stream) is locally checkpointed so the scalar total and the probe
-    join both read the materialized counts instead of re-tokenizing the
-    corpus a third time.
+    Scale shape: ONE corpus tokenize pass into per-(doc, token)
+    counts (map-side combined — the exchange carries counts, never the
+    raw token stream), the corpus-wide token count as a COUNT WINDOW
+    over the token-keyed exchange (each counts row is a distinct
+    (doc, tok), so summing tf over the token's partition IS its corpus
+    count — no vocab join, no second scan, no checkpoint action), a
+    broadcast scalar for the total, and the per-doc aggregation with
+    tf-weighted averaging (identical mean, 6-decimal-rounded). Hot
+    tokens concentrate (doc, tok, tf) rows, not occurrences.
     """
+    from pyspark.sql import Window
+
     from vechord_spark.parallel import spread
 
     toks = spread(df).select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
     )
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = counts.agg(F.sum("tf").cast("double").alias("t"))
+    c = F.sum("tf").over(Window.partitionBy("tok"))
     scored = (
-        toks.join(vocab, "tok")
+        counts.withColumn("c", c)
         .crossJoin(F.broadcast(total))
-        .select(F.col(id_col), (F.log(F.col("c") / F.col("t"))).alias("lp"))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            (F.col("tf") * F.log(F.col("c") / F.col("t"))).alias("lpw"),
+        )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.sum("lpw") / F.sum("tf"), 6).alias("avg_logprob"),
     )
 
 
@@ -291,29 +296,41 @@ def bigram_logprob(
         )
         .select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
     )
-    bigrams = (
-        pairs.groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=True)
+    # per-(doc, bigram) counts: the probe side shuffles counts, never
+    # the raw bigram stream, and the corpus bigram count c2 is a SUM
+    # WINDOW over the (prev, cur)-keyed exchange — no bigram-table
+    # join, no checkpoint action. The two unigram probes join on the
+    # counts frame (hot-token skew concentrates (doc, bigram, tf)
+    # rows, not occurrences); the per-doc mean is tf-weighted
+    # (identical value, 6-decimal-rounded).
+    pcounts = pairs.groupBy(id_col, "prev", "cur").agg(
+        F.count(F.lit(1)).alias("tf")
     )
+    from pyspark.sql import Window
+
+    c2 = F.sum("tf").over(Window.partitionBy("prev", "cur"))
     vp = vocab.select(F.col("tok").alias("prev"), F.col("c1").alias("c1_prev"))
     vc = vocab.select(F.col("tok").alias("cur"), F.col("c1").alias("c1_cur"))
     scored = (
-        pairs.join(bigrams, ["prev", "cur"])
+        pcounts.withColumn("c2", c2)
         .join(vp, "prev")
         .join(vc, "cur")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),
-            F.log(
-                F.lit(lam) * F.col("c2") / F.col("c1_prev")
-                + F.lit(1.0 - lam) * F.col("c1_cur") / F.col("t")
-            ).alias("lp"),
+            F.col("tf"),
+            (
+                F.col("tf")
+                * F.log(
+                    F.lit(lam) * F.col("c2") / F.col("c1_prev")
+                    + F.lit(1.0 - lam) * F.col("c1_cur") / F.col("t")
+                )
+            ).alias("lpw"),
         )
     )
     counted = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.sum("tf").alias("n_bigrams"),
+        F.round(F.sum("lpw") / F.sum("tf"), 6).alias("avg_logprob"),
     )
     # docs with < 2 tokens: keep them visible with a NULL score so the
     # caller's corpus accounting doesn't silently lose rows
@@ -955,10 +972,15 @@ def top_tfidf_terms(
     unsupervised doc-labeling / topic-signal pass over a corpus.
 
     Scale shape: one tokenize pass -> (doc, term) counts (map-side
-    combinable) -> term-keyed document-frequency aggregation joined
-    back on the term key -> per-doc window top-k. Three key-parallel
-    exchanges, no broadcast of the vocabulary (corpus-sized vocab
-    cannot be broadcast at 100 TB), no O(vocab x docs) anywhere.
+    combinable) -> document frequency as a COUNT WINDOW over the
+    term-keyed exchange (each counts row is one distinct (doc, term),
+    so the partition row count IS the term's df — no second
+    aggregation, no join, and the counts subtree is consumed once) ->
+    per-doc window top-k. Three key-parallel exchanges, no broadcast
+    of the vocabulary (corpus-sized vocab cannot be broadcast at
+    100 TB), no O(vocab x docs) anywhere. A corpus-hot term
+    concentrates its (doc, term) rows on one partition in either
+    formulation (the join shuffled the same rows by term).
 
     ``n_docs``: pass the corpus size if already known to keep the count
     out of the plan; defaults to ``df.count()``.
@@ -975,9 +997,9 @@ def top_tfidf_terms(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
-    scored = counts.join(dfreq, "term").select(
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (dfc + 1)) + F.lit(1.0)
+    scored = counts.select(
         "doc_id", "term", (F.col("tf") * idf).alias("score")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
