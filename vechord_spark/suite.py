@@ -1303,9 +1303,9 @@ def semdedup_ivf_survivors(spark, sf_dir):
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     kept_ivf = DD.drop_near_duplicates(emb, "vec_id", pairs).select("vec_id")
-    exact_pairs = DD.embedding_exact_pairs(
-        emb, "vec_id", "embedding", threshold=0.35
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    exact_pairs = _exact_pairs35(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
     kept_exact = DD.drop_near_duplicates(emb, "vec_id", exact_pairs).select(
         "vec_id"
     )
@@ -1363,12 +1363,12 @@ def semdedup_ivf_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     index = _ivf16(spark, sf_dir)
 
-    # exact denominator via the blocked-matmul counter (same rounding
-    # and pair semantics as the JVM path, ~15x cheaper than the fold-
-    # expression all-pairs self-join at 2k vectors)
-    exact = DD.embedding_pair_count(
-        emb, "vec_id", "embedding", threshold=0.35
-    ).select(F.col("n_pairs").cast("double").alias("n_exact"))
+    # exact denominator from the SHARED checkpointed exact-pair frame
+    # (_exact_pairs35) — the blocked matmul runs once per session and
+    # also serves semdedup_ivf_survivors' ground-truth gate
+    exact = _exact_pairs35(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("double").alias("n_exact")
+    )
     pairs = _semdedup_pairs2(spark, sf_dir)
     ivf = pairs.agg(F.count(F.lit(1)).cast("double").alias("n_ivf"))
     # single-assignment pairs are EXACTLY the multi pairs whose two
@@ -2619,6 +2619,26 @@ def _ivf16(spark, sf_dir):
     )
     _IVF_CACHE[key] = (spark, index)
     return index
+
+
+def _exact_pairs35(spark, sf_dir):
+    """The EXACT cosine >= 0.35 all-pairs frame (blocked matmul,
+    operators/dedup.embedding_exact_pairs), eager-checkpointed and
+    SHARED by semdedup_ivf_recall (which needs only its count — the
+    recall denominator) and semdedup_ivf_survivors (which needs the
+    pair set for the exact-survivor gate) — the matmul ground-truth
+    pass runs once per (session, corpus), not once per query.
+    Verification-scale by contract, like the operator itself."""
+    key = (sf_dir, 0.35, "exact_pairs")
+    ent = _IVF_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_exact_pairs(
+        emb, "vec_id", "embedding", threshold=0.35
+    ).localCheckpoint(eager=True)
+    _IVF_CACHE[key] = (spark, pairs)
+    return pairs
 
 
 def _semdedup_pairs2(spark, sf_dir):
@@ -8735,21 +8755,42 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     batch = docs.filter(F.col("doc_id") % modulus == 0)
     seen_fps, seen_bands, seen_bloom = _inc_seen(spark, sf_dir, modulus)
 
+    from pyspark.sql import Window as _W
+
+    # the whole admission front — bloom anti-join survivors, gate
+    # verdict, AND the exact-dedup rank — materializes in ONE eager
+    # checkpoint: the rank among gated rows is a cumulative gated-count
+    # window over the fingerprint partition (for a gated row,
+    # "cumulative gated rows so far" IS its row_number among gated-only
+    # rows, so ``__gate AND __rk = 1`` selects exactly
+    # _funnel_exact_dedup's min-doc_id representative). newb / gated /
+    # exact are then pure filters over the same checkpointed frame —
+    # one driver action where the round-12 shape paid two.
+    _cum_gated = F.sum(
+        F.when(F.col("__gate"), F.lit(1)).otherwise(F.lit(0))
+    ).over(
+        _W.partitionBy("__fp")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+
     owned: list[DataFrame] = []  # per-call persists to release at the end
     gd = _funnel_peek(spark, sf_dir, "gated_docs")
     if gd is not None:
         # day-1 artifacts present: batch rows arrive with __fp + __gate
-        newb = bloom_anti_join(
-            gd.filter(F.col("doc_id") % modulus == 0),
-            seen_fps,
-            "__fp",
-            bloom=seen_bloom,
-        ).localCheckpoint(eager=True)
-        gated = newb.filter(F.col("__gate")).drop("__gate")
-        exact = (
-            _funnel_exact_dedup(gated)
-            .drop("__fp", "__gate")
+        newb = (
+            bloom_anti_join(
+                gd.filter(F.col("doc_id") % modulus == 0),
+                seen_fps,
+                "__fp",
+                bloom=seen_bloom,
+            )
+            .withColumn("__rk", _cum_gated)
             .localCheckpoint(eager=True)
+        )
+        gated = newb.filter(F.col("__gate")).drop("__gate")
+        exact = newb.filter(F.col("__gate") & (F.col("__rk") == 1)).drop(
+            "__rk", "__fp", "__gate"
         )
         bands_all = _funnel_peek(spark, sf_dir, "bands")
         if bands_all is not None:
@@ -8781,26 +8822,28 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
                 "__fp",
                 bloom=seen_bloom,
             )
-            .drop("__fp")
             .withColumn("__gbody", body)
             .withColumn("__gate", _funnel_gate_expr(ge))
             .drop("__gbody")
+            .withColumn("__rk", _cum_gated)
             .localCheckpoint(eager=True)
         )
         gated = newb.filter(F.col("__gate")).drop("__gate")
 
-        # exact / cands / jac are eager checkpoints (lineage
-        # truncation), not persists: all three frames are small, but
-        # their logical plans carry the fingerprint-window,
-        # 16-permutation minhash, and shingle expression trees, and
+        # cands / jac stay eager checkpoints (lineage truncation), not
+        # persists: the frames are small, but their logical plans carry
+        # the 16-permutation minhash and shingle expression trees, and
         # PySpark re-analyzes the full accumulated tree on every
         # downstream compose (crossdrop, wpairs, surv, stage
         # aggregates). Truncating at each boundary cut the warm day-2
         # wall ~6.4 -> ~4.6 s at sf0.1 — driver-side Catalyst analysis
-        # only, the executor work is unchanged (round-9 A/B).
-        exact = DD.drop_exact_duplicates(
-            gated, "doc_id", "text"
-        ).localCheckpoint(eager=True)
+        # only, the executor work is unchanged (round-9 A/B). The
+        # exact-dedup window itself is FUSED into the newb checkpoint
+        # (``__rk`` above — drop_exact_duplicates keys the same
+        # fingerprint, kept as __fp here), saving one action.
+        exact = newb.filter(F.col("__gate") & (F.col("__rk") == 1)).drop(
+            "__rk", "__fp", "__gate"
+        )
         # batch bands persisted HERE (not inside the operator) so the
         # cleanup loop below can release them — the within- and
         # cross-join sides of the candidate generator both read the
