@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size
+        # conditions fit (no sort on either side); sort-merge remains
+        # the fallback for big×big joins — the guide's §3.1 baseline.
+        # Neutral-to-positive locally, the win grows with join width.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # zstd beats snappy on size at similar read speed for every
+        # layout this engine writes (indexes, artifacts, compactions)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # catalog-backed (bucketed) tables default under tmp, not cwd —

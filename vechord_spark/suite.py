@@ -5144,9 +5144,9 @@ def cube_ship_stats(spark, sf_dir):
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"), 2
-            ).alias("total_qty"),
+            # integral doubles sum exactly in IEEE (see large_orders) —
+            # no decimal accumulator needed for quantities
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -5411,7 +5411,11 @@ def large_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     big = (
         line.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
+        # plain double sum: l_quantity is integral (1-50) in every SF,
+        # and sums of whole-number doubles are exact in IEEE regardless
+        # of order — the decimal(38,6) accumulator the money columns
+        # need costs ~2x on this 150k-group aggregate for nothing
+        .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 150)
         .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
     )
