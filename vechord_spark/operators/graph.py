@@ -294,6 +294,12 @@ def triangle_count(
     result is hash-exact against a SQL oracle running the same
     orientation.
     """
+    # und is consumed four times (degree table, orientation join, edge
+    # count, closing-edge probe) and deg three times (both orientation
+    # sides, node count); without materialization each consumer re-runs
+    # the distinct / union-aggregate subtree — persist both, release
+    # before returning (same storage-size class as the oriented cache
+    # below).
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -301,12 +307,14 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
@@ -324,9 +332,11 @@ def triangle_count(
         .where(F.col("e1.v") < F.col("e2.v"))
         .select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
     )
-    closing = oriented.select(
-        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
-    ).distinct()
+    # the closing-edge set IS und: orientation only permutes (a, b)
+    # within each row (und has a < b, so least/greatest recovers the
+    # original pair) and und is already distinct — reusing it drops a
+    # full distinct exchange + aggregate pass over the edge set
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tri = wedges.join(closing, ["x", "y"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
@@ -337,4 +347,6 @@ def triangle_count(
     # before returning — no leaked storage blocks across calls
     out = nn.crossJoin(ne).crossJoin(tri).localCheckpoint(eager=True)
     oriented.unpersist()
+    und.unpersist()
+    deg.unpersist()
     return out

@@ -139,7 +139,11 @@ def nb_classifier_score(
     probe) through one localCheckpoint of the vocab-sized count table;
     class totals and the doc-prior are broadcast scalars; the probe
     join is vocab-vs-stream (hot tokens = AQE skew case); the final
-    aggregation is one map-side-combinable exchange on doc_id.
+    aggregation is one map-side-combinable exchange on doc_id. (A
+    counts-first variant — pre-aggregating per-(doc, token) before the
+    probe — was measured in the r13 optimization round and REJECTED:
+    it adds a (doc, tok)-keyed exchange that costs more than the
+    distinct-row compression saves, locally and in bytes.)
     """
     from vechord_spark.parallel import spread
 
@@ -689,10 +693,11 @@ def dsir_importance(
     uses a fixed hash for the same reason: the feature space must be
     stable across runs and machines).
 
-    Scale shape: identical to :func:`nb_classifier_score` — two passes
-    over the token stream through one checkpointed bucket-count table
-    (fixed size ``n_buckets``, broadcastable by construction), probe
-    join, one map-side-combinable doc aggregation. Returns
+    Scale shape: two passes over the token stream through one
+    checkpointed bucket-count table (fixed size ``n_buckets``,
+    broadcast by construction — unlike :func:`nb_classifier_score`'s
+    open vocabulary, the probe join never shuffles the stream), then
+    one map-side-combinable doc aggregation. Returns
     ``(id, n_tokens, importance)``, 6-decimal-rounded.
     """
     if n_buckets <= 0:
@@ -721,8 +726,14 @@ def dsir_importance(
         F.sum("c_tgt").cast("double").alias("n_tgt"),
         F.sum("c_all").cast("double").alias("n_all"),
     )
+    # the count table is <= n_buckets rows BY CONSTRUCTION, so the
+    # probe is a broadcast join at any corpus size — without the hint
+    # the checkpointed frame's default size estimate forces a full
+    # shuffle (and sort) of the token stream on ``b``; with it the
+    # stream's only exchange is the final map-side-combined doc
+    # aggregation
     scored = (
-        toks.join(counts, "b")
+        toks.join(F.broadcast(counts), "b")
         .crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),

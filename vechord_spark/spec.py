@@ -280,6 +280,31 @@ class Column:
 
     def __post_init__(self) -> None:
         self.spark_type, self.engine_type = _resolve_type(self.dtype)
+        if self.foreign_key is not None:
+            # normalize "table.column" shorthand and REJECT anything
+            # else that isn't a (table, column) pair: a bare string
+            # used to be silently unpacked character-wise, so the
+            # cascade anti-join matched no parent table and deletes
+            # quietly stopped cascading (found by the r13 verify drive)
+            fk = self.foreign_key
+            if isinstance(fk, str):
+                parts = fk.split(".")
+                if len(parts) != 2 or not all(parts):
+                    raise SchemaError(
+                        f"foreign_key string for column {self.name!r} must "
+                        f"be 'table.column', got {fk!r}"
+                    )
+                self.foreign_key = (parts[0], parts[1])
+            else:
+                fk = tuple(fk)
+                if len(fk) != 2 or not all(
+                    isinstance(p, str) and p for p in fk
+                ):
+                    raise SchemaError(
+                        f"foreign_key for column {self.name!r} must be "
+                        f"(table, column), got {self.foreign_key!r}"
+                    )
+                self.foreign_key = fk
         if self.primary_key:
             # PRIMARY KEY implies NOT NULL + UNIQUE, as in the
             # reference's Postgres DDL (vechord/spec.py:519-648) —

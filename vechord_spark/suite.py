@@ -1302,27 +1302,55 @@ def semdedup_ivf_survivors(spark, sf_dir):
     pairs = _semdedup_pairs2(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    kept_ivf = DD.drop_near_duplicates(emb, "vec_id", pairs).select("vec_id")
     exact_pairs = _exact_pairs35(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    kept_exact = DD.drop_near_duplicates(emb, "vec_id", exact_pairs).select(
-        "vec_id"
+    # survivor stats via the LOSER sets (cluster members that are not
+    # their component's min id — small: bounded by the dup-pair
+    # endpoints), so the corpus crosses ONE aggregate scan instead of
+    # the round-12 shape's four (two kept-side anti-join scans + the
+    # missed-set anti-join + the total count). kept = emb \ losers by
+    # construction (every pair endpoint is an emb vec_id), hence
+    #   n_kept      = n_total - n_losers
+    #   id_sum_kept = id_sum_total - id_sum_losers
+    #   kept_exact \ kept_ivf = losers_ivf \ losers_exact  (the
+    #   containment witness needs only the two loser frames)
+    losers = {}
+    for tag, pr in (("ivf", pairs), ("exact", exact_pairs)):
+        cl = DD.connected_components(pr)
+        losers[tag] = cl.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("vec_id")
+        )
+    totals = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("vec_id").cast("bigint").alias("id_sum_total"),
     )
-    exact_stats = kept_exact.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_kept_exact"),
-        F.sum("vec_id").cast("bigint").alias("id_sum_exact"),
+    lose_exact = losers["exact"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lose_exact"),
+        F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint").alias(
+            "id_sum_lose_exact"
+        ),
+    )
+    lose_ivf = losers["ivf"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lose_ivf")
     )
     n_missed = (
-        kept_exact.join(kept_ivf, "vec_id", "left_anti")
+        losers["ivf"].join(losers["exact"], "vec_id", "left_anti")
         .agg(F.count(F.lit(1)).alias("n_missed"))
     )
-    n_ivf = kept_ivf.agg(F.count(F.lit(1)).alias("n_kept_ivf"))
-    n_total = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     return (
-        exact_stats.crossJoin(n_missed)
-        .crossJoin(n_ivf)
-        .crossJoin(n_total)
+        totals.crossJoin(lose_exact)
+        .crossJoin(lose_ivf)
+        .crossJoin(n_missed)
+        .select(
+            (F.col("n_total") - F.col("n_lose_exact")).alias("n_kept_exact"),
+            (F.col("id_sum_total") - F.col("id_sum_lose_exact")).alias(
+                "id_sum_exact"
+            ),
+            (F.col("n_total") - F.col("n_lose_ivf")).alias("n_kept_ivf"),
+            "n_total",
+            "n_missed",
+        )
         .select(
             F.lit(0.35).alias("threshold"),
             F.lit(16).alias("lists"),
@@ -2358,7 +2386,17 @@ def dedup_bloom_incremental(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(" ", F.slice(TX.tokenize("text"), 1, 5)))
-    with_fp = docs.select("doc_id", fp.alias("fp"))
+    # materialize the (doc_id, fp) table ONCE — bloom_anti_join
+    # evaluates its seen side three times (sizing count, bitset build,
+    # confirm join) and its new side twice (definite/candidate
+    # branches), and each evaluation would re-run the tokenize+md5
+    # projection over the documents scan. The checkpointed frame is
+    # 32 B fingerprints — exactly the persisted fingerprint TABLE a
+    # production day-2 run probes (operators/dedup.incremental docs),
+    # so the corpus pays one fingerprint pass, not ~2.3.
+    with_fp = (
+        docs.select("doc_id", fp.alias("fp")).localCheckpoint(eager=True)
+    )
     seen = with_fp.filter(F.col("doc_id") % 3 == 0).select("fp")
     new = with_fp.filter(F.col("doc_id") % 3 != 0)
     return bloom_anti_join(new, seen, "fp", fpp=0.01)
@@ -2639,6 +2677,33 @@ def _exact_pairs35(spark, sf_dir):
     ).localCheckpoint(eager=True)
     _IVF_CACHE[key] = (spark, pairs)
     return pairs
+
+
+def _exact_knn10(spark, sf_dir):
+    """The exact cosine k-NN(10) ground-truth ids for QVEC, eager-
+    checkpointed and SHARED by every quantized-index recall gate
+    (ivf_recall / ivf_recall_refined / ivf_pq_recall / opq_recall /
+    rpq_recall / rabitq_recall compare their approximate candidates
+    against this identical 10-row frame) — the exact corpus scan runs
+    once per (session, corpus), not once per gate. Same memo contract
+    as _exact_pairs35."""
+    key = (sf_dir, 10, "exact_knn")
+    ent = _IVF_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    from vechord_spark.operators.knn import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = (
+        knn(
+            emb, "embedding", QVEC, k=10, distance="cos",
+            select=["vec_id"], tie_break="vec_id",
+        )
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    _IVF_CACHE[key] = (spark, exact)
+    return exact
 
 
 def _semdedup_pairs2(spark, sf_dir):
@@ -4268,13 +4333,8 @@ def _ivf_recall_frame(spark, sf_dir, refined: bool):
     slack against re-seeding; the seeded driver-side fit is
     deterministic for fixed data, so the gate value is reproducible
     run-to-run."""
-    from vechord_spark.operators.knn import knn
-
     emb = _t(spark, sf_dir, "embeddings")
-    exact = knn(
-        emb, "embedding", QVEC, k=10, distance="cos",
-        select=["vec_id"], tie_break="vec_id",
-    ).select("vec_id")
+    exact = _exact_knn10(spark, sf_dir)
     index = _ivf16(spark, sf_dir)
     if refined:
         approx = index.search_refined(
@@ -4512,13 +4572,8 @@ def ivf_pq_recall(spark, sf_dir):
     m=8 int codes/vector instead of 64 floats — the 16-32x
     scan-bandwidth cut that makes the candidate pass affordable at
     100 TB; the float column is touched for refine=100 rows only."""
-    from vechord_spark.operators.knn import knn
-
     emb = _t(spark, sf_dir, "embeddings")
-    exact = knn(
-        emb, "embedding", QVEC, k=10, distance="cos",
-        select=["vec_id"], tie_break="vec_id",
-    ).select("vec_id")
+    exact = _exact_knn10(spark, sf_dir)
     approx = _ivfpq(spark, sf_dir).search(
         QVEC, k=10, probes=4, refine=100, distance="cos",
         select=["vec_id"], tie_break="vec_id",
@@ -4654,14 +4709,10 @@ def opq_recall(spark, sf_dir):
     the objective OPQ provably descends, so the pair (recall floor,
     MSE improvement) is the honest claim. Same claim-style oracle as
     ivf_pq_recall (KMeans/SVD fits are not SQL-expressible)."""
-    from vechord_spark.operators.knn import knn
     from vechord_spark.operators.pq import reconstruction_mse
 
     emb = _t(spark, sf_dir, "embeddings")
-    exact = knn(
-        emb, "embedding", QVEC, k=10, distance="cos",
-        select=["vec_id"], tie_break="vec_id",
-    ).select("vec_id")
+    exact = _exact_knn10(spark, sf_dir)
     rot, index = _opq(spark, sf_dir)
     approx = index.search(
         list(rot.apply(QVEC)), k=10, probes=4, refine=100, distance="cos",
@@ -4852,14 +4903,10 @@ def rpq_recall(spark, sf_dir):
     by pure rename/hardlink, which is only sound when codes are
     cell-independent — residual codes would need a re-encode pass on
     every cell move."""
-    from vechord_spark.operators.knn import knn
     from vechord_spark.operators.pq import reconstruction_mse
 
     emb = _t(spark, sf_dir, "embeddings")
-    exact = knn(
-        emb, "embedding", QVEC, k=10, distance="cos",
-        select=["vec_id"], tie_break="vec_id",
-    ).select("vec_id")
+    exact = _exact_knn10(spark, sf_dir)
     index = _rpq(spark, sf_dir)
     approx = index.search(
         QVEC, k=10, probes=4, refine=100, distance="cos",
@@ -4994,14 +5041,10 @@ def rabitq_recall(spark, sf_dir):
 
     Claim-style oracle like ivf_pq/rpq/opq_recall (rotation fits are
     not SQL-expressible)."""
-    from vechord_spark.operators.knn import knn
     from vechord_spark.operators.rabitq import ip_estimate_errors
 
     emb = _t(spark, sf_dir, "embeddings")
-    exact = knn(
-        emb, "embedding", QVEC, k=10, distance="cos",
-        select=["vec_id"], tie_break="vec_id",
-    ).select("vec_id")
+    exact = _exact_knn10(spark, sf_dir)
     index = _rabitq(spark, sf_dir)
     approx = index.search(
         QVEC, k=10, probes=4, refine=100, distance="cos",
@@ -5883,12 +5926,15 @@ def sole_late_supplier(spark, sf_dir):
     multi-supplier orders — the correlated EXISTS + NOT EXISTS pair
     over the same relation ("another supplier participated" / "no
     other supplier was late"). Late = shipped >60 days after the order
-    date (the testdata has no receipt/commit dates). Both correlations
-    compile to semi/anti joins on l_orderkey against PROJECTIONS of
-    the lines relation (orderkey, suppkey, late-bit — never the full
-    fact width); the lines frame derives once from a single
-    lineitem-orders join. The distinct-count shuffles (s_name,
-    orderkey) pairs only from the doubly-filtered survivor set."""
+    date (the testdata has no receipt/commit dates). The correlated
+    pair collapses to ONE per-orderkey aggregation: an ``a`` row
+    survives iff its order has >=2 distinct suppliers (the EXISTS) and
+    exactly ONE distinct late supplier — necessarily ``a``'s own (the
+    NOT EXISTS), so the surviving (order, supplier) pairs are exactly
+    the (orderkey, unique-late-supplier) rows of qualifying orders.
+    The fact table crosses one exchange (keyed l_orderkey, map-side
+    partial aggregation), replacing the round-9 shape's semi+anti
+    joins that consumed the lineitem-orders frame three times."""
     line = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supplier = _t(spark, sf_dir, "supplier")
@@ -5901,36 +5947,31 @@ def sole_late_supplier(spark, sf_dir):
             "is_late"
         ),
     )
-    a = lines.filter("is_late").alias("a")
-    others = lines.select(
-        F.col("l_orderkey").alias("b_orderkey"),
-        F.col("l_suppkey").alias("b_suppkey"),
-        "is_late",
+    # one explicit orderkey exchange; both aggregation levels then run
+    # in-partition (hash partitioning on l_orderkey satisfies the
+    # clustering of (l_orderkey, l_suppkey) too), and no Expand — the
+    # distinct-count pair as direct count_distincts tripled the
+    # exchange rows (measured slower than the round-9 semi/anti shape)
+    per_os = (
+        lines.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"))
     )
-    has_other = others.select("b_orderkey", "b_suppkey").alias("b")
-    other_late = others.filter("is_late").select(
-        "b_orderkey", "b_suppkey"
-    ).alias("c")
-    survivors = (
-        a.join(
-            has_other,
-            (F.col("a.l_orderkey") == F.col("b.b_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.b_suppkey")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("a.l_orderkey") == F.col("c.b_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("c.b_suppkey")),
-            "left_anti",
-        )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_suppkey"),
     )
+    survivors = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    )
+    # one row per surviving order -> count(*) IS count(distinct orderkey)
     return (
         survivors.join(
-            supplier, F.col("l_suppkey") == supplier["s_suppkey"]
+            supplier, F.col("late_suppkey") == supplier["s_suppkey"]
         )
         .groupBy("s_name")
-        .agg(F.count_distinct("l_orderkey").cast("bigint").alias("numwait"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
 
