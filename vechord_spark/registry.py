@@ -2003,10 +2003,19 @@ class VechordRegistry:
             split: dict[int, tuple] = {}  # old id -> (children(2,d), new_id)
             next_id = lists
             for c in oversized:
+                # hash-ordered limit, same contract as build_ivf's fit
+                # sample: limit() alone returns whichever partitions
+                # answer first, so the 2-means split (and the healed
+                # layout's quality) would depend on file layout —
+                # observed as a real heal-quality regression when the
+                # parquet write codec changed the file sizes. Ordering
+                # by xxhash64 compiles to TakeOrderedAndProject and is
+                # deterministic on any layout.
                 vecs = [
                     r["__v"]
                     for r in data.filter(F.col("centroid_id") == c)
                     .select(F.col(vname).alias("__v"))
+                    .orderBy(F.xxhash64(F.col("__v")).asc())
                     .limit(max_train_points)
                     .collect()
                 ]
@@ -2278,9 +2287,12 @@ class VechordRegistry:
             split: dict[int, tuple] = {}
             next_id = lists
             for c in oversized:
+                # hash-ordered limit (see the vector recluster above):
+                # deterministic split sample on any file layout
                 rows_ = (
                     data.filter(F.col("centroid_id") == c)
                     .select(F.col(mvname).alias("__mv"))
+                    .orderBy(F.xxhash64(F.col("__mv")).asc())
                     .limit(max_train_points)
                     .collect()
                 )
