@@ -181,19 +181,30 @@ def pagerank(
     Returns (node, units BIGINT) — divide by ``scale`` for the float
     rank.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    # the caller's edge subtree (often a tokenize+distinct scan) feeds
+    # four consumers — both node-set branches, the out-degree
+    # aggregate, and the per-round join table — so persist ONE narrow
+    # (node, dst_node) projection and derive everything from it; the
+    # node set itself is consumed by the count action, the base rows
+    # and the initial rank state (plus the seed join when personalized),
+    # so it is persisted too. Both are released before returning.
+    ep = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
+        .persist()
     )
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        ep.select("node")
+        .union(ep.select(F.col("dst_node").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = ep.groupBy("node").agg(F.count(F.lit(1)).alias("outdeg"))
     # repartition by the join key BEFORE persisting: the cached edge
     # blocks then already satisfy the per-round join's distribution
     # requirement, so only the (much smaller) rank state shuffles each
     # iteration
     edges_deg = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
-        .join(outdeg.withColumnRenamed(src, "node"), "node")
+        ep.join(outdeg, "node")
         .repartition(F.col("node"))
         .persist()
     )
@@ -270,6 +281,8 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     edges_deg.unpersist()
     base_rows.unpersist()
+    nodes.unpersist()
+    ep.unpersist()
     if seeds is not None:
         seed_nodes.unpersist()
     return ranks

@@ -2706,6 +2706,46 @@ def _exact_knn10(spark, sf_dir):
     return exact
 
 
+def _exact_batch8(spark, sf_dir):
+    """The 8 lowest-vec_id self-queries and their exact cosine
+    k-NN(10) ground truth, SHARED by the two batch-style recall gates
+    (ivf_knn_batch_recall and ivf_recall_expanded both use exactly
+    this query set — vec_id 0..7, since vec_ids are dense from 0 —
+    and the identical knn_join exact side). One collect of the 8
+    query vectors and one exact broadcast-batch corpus scan per
+    (session, corpus) instead of one of each per gate. Same memo
+    contract as _exact_knn10.
+
+    Returns ``(queries, exact)``: the 8 query vectors as a list of
+    ``(vec_id, [float, ...])`` in vec_id order, and the checkpointed
+    exact ``(query_id, vec_id)`` frame with ``query_id == vec_id``."""
+    key = (sf_dir, 8, "exact_batch")
+    ent = _IVF_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1], ent[2]
+    from vechord_spark.operators.knn import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.orderBy("vec_id").limit(8).select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in queries],
+        "query_id bigint, qvec array<double>",
+    )
+    exact = (
+        knn_join(
+            qdf, emb, "qvec", "embedding", "query_id", "vec_id",
+            k=10, distance="cos",
+        )
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    _IVF_CACHE[key] = (spark, queries, exact)
+    return queries, exact
+
+
 def _semdedup_pairs2(spark, sf_dir):
     """The SemDeDup candidate pair frame (cosine >= 0.35 under the
     top-2 bucketer), persisted and SHARED by semdedup_ivf_survivors
@@ -4427,27 +4467,20 @@ def ivf_recall_expanded(spark, sf_dir):
     pre-reduction); expanded side joins the assignment on the
     (query, probed-cell) pair table — equi-key on centroid_id, so at
     scale it prunes partitions exactly like a plain probe."""
-    emb = _t(spark, sf_dir, "embeddings")
     index = _ivf16(spark, sf_dir)
     from pyspark.sql import Window
 
     from vechord_spark.functions.vector import vector_distance
 
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    exact = knn_join(
-        queries, emb, "qv", "embedding", "query_id", "vec_id",
-        k=10, distance="cos",
-    ).select("query_id", "vec_id")
+    # query set and exact side are the SHARED _exact_batch8 memo —
+    # "vec_id < 8" IS the 8 lowest ids (dense from 0), so the collect
+    # and the exact knn_join scan are paid once per (session, corpus)
+    # across this gate and ivf_knn_batch_recall
+    qpairs, exact = _exact_batch8(spark, sf_dir)
     probe_rows = [
-        (
-            int(r["query_id"]),
-            int(cid),
-            [float(x) for x in r["qv"]],
-        )
-        for r in queries.collect()
-        for cid in index.nearest_centroids(r["qv"], 4, expand_margin=0.03)
+        (qid, int(cid), vec)
+        for qid, vec in qpairs
+        for cid in index.nearest_centroids(vec, 4, expand_margin=0.03)
     ]
     probe_df = spark.createDataFrame(
         probe_rows, "query_id bigint, centroid_id int, __qvec array<double>"
@@ -4777,25 +4810,18 @@ def ivf_knn_batch_recall(spark, sf_dir):
     N times — at a 100 TB index with a 10k-query eval stream, the
     amortized single scan is the difference between an eval run and a
     week."""
-    from vechord_spark.operators.knn import knn_join
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.orderBy("vec_id").limit(8).select("vec_id", "embedding").collect()
-    )
-    queries = [list(r["embedding"]) for r in qrows]
+    # the 8 self-queries and the exact broadcast-batch ground truth are
+    # the SHARED _exact_batch8 memo (ivf_recall_expanded uses the same
+    # query set): the query collect and the exact corpus scan run once
+    # per (session, corpus), not once per gate. The memo's rows are in
+    # vec_id order and vec_ids are dense from 0, so the positional
+    # query_id search_batch assigns equals the memo's (== vec_id).
+    qpairs, exact = _exact_batch8(spark, sf_dir)
+    queries = [vec for _qid, vec in qpairs]
     index = _ivf16(spark, sf_dir)
     approx = index.search_batch(
         queries, k=10, probes=4, distance="cos",
         select=["vec_id"], tie_break="vec_id",
-    ).select("query_id", "vec_id")
-    qdf = spark.createDataFrame(
-        [(i, queries[i]) for i in range(len(queries))],
-        "query_id int, qvec array<double>",
-    )
-    exact = knn_join(
-        qdf, emb, "qvec", "embedding", "query_id", "vec_id",
-        k=10, distance="cos",
     ).select("query_id", "vec_id")
     hits = approx.join(exact, ["query_id", "vec_id"]).agg(
         F.count(F.lit(1)).cast("double").alias("h")
