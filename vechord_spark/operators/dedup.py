@@ -276,6 +276,7 @@ def ngram_jaccard(
     ngram: int = 3,
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
+    candidates_prededuped: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-shingle sets (same shingling
     as MinHash, so it verifies MinHash candidates apples-to-apples).
@@ -293,7 +294,14 @@ def ngram_jaccard(
     any positive threshold makes them identical.
     """
     if candidates is not None:
-        cand = candidates.select("doc_a", "doc_b").distinct()
+        # ``candidates_prededuped``: skip the defensive distinct when
+        # the caller's frame is already one row per (doc_a, doc_b) —
+        # e.g. minhash_candidate_pairs_cross ends in distinct() — so a
+        # checkpointed candidate table is not re-exchanged just to
+        # dedup what is already unique
+        cand = candidates.select("doc_a", "doc_b")
+        if not candidates_prededuped:
+            cand = cand.distinct()
         # shingle arrays are the expensive projection — compute them
         # ONLY for docs that appear in a candidate pair (a semi-join
         # before the projection), not the whole corpus

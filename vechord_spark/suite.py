@@ -8602,13 +8602,10 @@ def corpus_funnel_report(spark, sf_dir):
     from vechord_spark.functions.text import tokenize
     from vechord_spark.operators.sample import split_assign
 
-    docs = _t(spark, sf_dir, "documents")
-    pass1 = _funnel_stage(spark, sf_dir, "gated_docs").filter(F.col("__gate"))
+    gated_docs = _funnel_stage(spark, sf_dir, "gated_docs")
     exact = _funnel_stage(spark, sf_dir, "exact")
     surv = _funnel_stage(spark, sf_dir, "surv")
-    train = split_assign(surv, "doc_id", _SPLITS, salt="sp1").filter(
-        F.col("split") == "train"
-    )
+    assigned = split_assign(surv, "doc_id", _SPLITS, salt="sp1")
 
     def stage(no: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -8625,18 +8622,58 @@ def corpus_funnel_report(spark, sf_dir):
             "id_sum",
         )
 
-    out = stage(0, "raw", docs)
-    for i, (nm, df) in enumerate(
+    # stages that are filters of one materialized frame fuse into ONE
+    # conditional-aggregation scan each (r13: tokenize ran once per
+    # stage branch before): raw + quality_gate share the gated-docs
+    # checkpoint (same rows as documents, gate verdict attached), and
+    # near_dedup + train_split share the survivor frame (train is a
+    # codegen CASE over it). 5 corpus scans -> 3.
+    def _fused(frame, branches):
+        aggs = []
+        for _no, _nm, tag, cond in branches:
+            w = (lambda c: (lambda e: F.when(c, e)))(cond) if cond is not None else (
+                lambda e: e
+            )
+            aggs += [
+                F.coalesce(F.sum(w(F.lit(1))), F.lit(0))
+                .cast("bigint")
+                .alias(f"n_{tag}"),
+                F.coalesce(F.sum(w(F.size(tokenize("text")))), F.lit(0))
+                .cast("bigint")
+                .alias(f"t_{tag}"),
+                F.coalesce(F.sum(w(F.col("doc_id"))), F.lit(0))
+                .cast("bigint")
+                .alias(f"s_{tag}"),
+            ]
+        return frame.agg(*aggs).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(no).alias("stage_no"),
+                            F.lit(nm).alias("stage"),
+                            F.col(f"n_{tag}").alias("n_docs"),
+                            F.col(f"t_{tag}").alias("n_tokens"),
+                            F.col(f"s_{tag}").alias("id_sum"),
+                        )
+                        for no, nm, tag, _c in branches
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+
+    head = _fused(
+        gated_docs,
+        [(0, "raw", "raw", None), (1, "quality_gate", "gate", F.col("__gate"))],
+    )
+    tail = _fused(
+        assigned,
         [
-            ("quality_gate", pass1),
-            ("exact_dedup", exact),
-            ("near_dedup", surv),
-            ("train_split", train),
+            (3, "near_dedup", "surv", None),
+            (4, "train_split", "train", F.col("split") == "train"),
         ],
-        start=1,
-    ):
-        out = out.unionByName(stage(i, nm, df))
-    return out
+    )
+    return head.unionByName(stage(2, "exact_dedup", exact)).unionByName(tail)
 
 
 # The incremental funnel's SEEN-side artifacts — fingerprint table +
@@ -8859,7 +8896,6 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
             .withColumn("__rk", _cum_gated)
             .localCheckpoint(eager=True)
         )
-        gated = newb.filter(F.col("__gate")).drop("__gate")
         exact = newb.filter(F.col("__gate") & (F.col("__rk") == 1)).drop(
             "__rk", "__fp", "__gate"
         )
@@ -8899,8 +8935,6 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
             .withColumn("__rk", _cum_gated)
             .localCheckpoint(eager=True)
         )
-        gated = newb.filter(F.col("__gate")).drop("__gate")
-
         # cands / jac stay eager checkpoints (lineage truncation), not
         # persists: the frames are small, but their logical plans carry
         # the 16-permutation minhash and shingle expression trees, and
@@ -8925,8 +8959,13 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     cands = DD.minhash_candidate_pairs_cross(
         exact, "doc_id", "text", seen_bands=seen_bands, new_bands=batch_bands
     ).localCheckpoint(eager=True)
+    # candidates_prededuped: cands ends in distinct() above, so the
+    # verifier skips one defensive re-exchange of the checkpointed
+    # candidate table (r13 measurement: the jac action was the
+    # job-heaviest step of the day-2 chain)
     jac = DD.ngram_jaccard(
-        docs, "doc_id", "text", threshold=0.35, candidates=cands
+        docs, "doc_id", "text", threshold=0.35, candidates=cands,
+        candidates_prededuped=True,
     ).localCheckpoint(eager=True)
     is_batch_a = F.col("doc_a") % modulus == 0
     is_batch_b = F.col("doc_b") % modulus == 0
@@ -8942,17 +8981,17 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     rest = exact.join(crossdrop, "doc_id", "left_anti").persist()
     rest_ids_a = rest.select(F.col("doc_id").alias("doc_a"))
     rest_ids_b = rest.select(F.col("doc_id").alias("doc_b"))
-    # checkpointed: connected_components evaluates its pair input
-    # several times (edge count gate + label rounds), and each re-eval
-    # of this two-semi-join plan pays seconds of planning/codegen even
-    # on cached inputs (profiled at the 10x corpus; re-confirmed in
-    # round 9 — dropping this checkpoint cost +2 s warm)
+    # NOT checkpointed (changed this round): connected_components'
+    # small-edge-set fast path collects the pair frame exactly ONCE
+    # (the limit-gate collect), so the round-9 rationale for an eager
+    # checkpoint here — cc re-evaluating its input across label rounds
+    # — no longer applies; jac and rest are already materialized, so
+    # the plan under the collect is shallow.
     wpairs = (
         jac.filter(is_batch_a & is_batch_b)
         .join(rest_ids_a, "doc_a", "left_semi")
         .join(rest_ids_b, "doc_b", "left_semi")
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
     )
     surv = DD.drop_near_duplicates(rest, "doc_id", wpairs)
 
@@ -8971,17 +9010,55 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
             "id_sum",
         )
 
-    out = stage(0, "raw_batch", batch)
-    for i, (nm, df) in enumerate(
-        [
-            ("new_vs_seen", newb),
-            ("quality_gate", gated),
-            ("exact_dedup", exact),
-            ("near_dedup", surv),
-        ],
-        start=1,
-    ):
-        out = out.unionByName(stage(i, nm, df))
+    # the new_vs_seen / quality_gate / exact_dedup rows are all
+    # aggregates over FILTERS of the one checkpointed admission frame,
+    # so compute them in ONE conditional-aggregation scan (tokenize
+    # runs once per row instead of once per stage branch) and unpack
+    # the 1x9 result into the three accounting rows
+    _tok_sz = F.size(tokenize("text"))
+    _gate = F.col("__gate")
+    _ex = _gate & (F.col("__rk") == 1)
+
+    def _branch(tag: str, cond):
+        w = (lambda e: F.when(cond, e)) if cond is not None else (lambda e: e)
+        return [
+            F.coalesce(F.sum(w(F.lit(1))), F.lit(0))
+            .cast("bigint")
+            .alias(f"n_{tag}"),
+            F.coalesce(F.sum(w(_tok_sz)), F.lit(0))
+            .cast("bigint")
+            .alias(f"t_{tag}"),
+            F.coalesce(F.sum(w(F.col("doc_id"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"s_{tag}"),
+        ]
+
+    fused = newb.agg(
+        *_branch("newb", None), *_branch("gated", _gate), *_branch("ex", _ex)
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(no).alias("stage_no"),
+                        F.lit(nm).alias("stage"),
+                        F.col(f"n_{tag}").alias("n_docs"),
+                        F.col(f"t_{tag}").alias("n_tokens"),
+                        F.col(f"s_{tag}").alias("id_sum"),
+                    )
+                    for no, nm, tag in (
+                        (1, "new_vs_seen", "newb"),
+                        (2, "quality_gate", "gated"),
+                        (3, "exact_dedup", "ex"),
+                    )
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+    out = stage(0, "raw_batch", batch).unionByName(fused).unionByName(
+        stage(4, "near_dedup", surv)
+    )
     rows = out.collect()
     for cached in (*owned, rest):
         cached.unpersist()
@@ -9108,28 +9185,57 @@ def corpus_funnel_lm(spark, sf_dir, drop_frac: float = 0.2):
         F.min("s").alias("thr")
     ).first()
     thr = row["thr"] if row is not None else None
-    kept = surv.join(scores, "doc_id")
-    if thr is not None:
-        kept = kept.filter(F.col("s") > F.lit(thr))
 
     from vechord_spark.functions.text import tokenize
 
-    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum(F.size(tokenize("text"))), F.lit(0))
-            .cast("bigint")
-            .alias("n_tokens"),
-            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_sum"),
-        ).select(
-            F.lit(no).alias("stage_no"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
-            "id_sum",
-        )
+    # both accounting rows fuse into ONE conditional-aggregation scan
+    # of the survivors left-joined to the (checkpointed, doc-unique)
+    # score table: near_dedup counts every survivor, lm_gate the
+    # scored ones above the threshold — the inner join + second
+    # tokenize pass of the two-stage shape collapse away (r13)
+    joined = surv.join(scores, "doc_id", "left")
+    kept_cond = F.col("s").isNotNull()
+    if thr is not None:
+        kept_cond = kept_cond & (F.col("s") > F.lit(thr))
+    _tok_sz = F.size(tokenize("text"))
 
-    return stage(3, "near_dedup", surv).unionByName(stage(5, "lm_gate", kept))
+    def _branch(tag, cond):
+        w = (lambda e: F.when(cond, e)) if cond is not None else (lambda e: e)
+        return [
+            F.coalesce(F.sum(w(F.lit(1))), F.lit(0))
+            .cast("bigint")
+            .alias(f"n_{tag}"),
+            F.coalesce(F.sum(w(_tok_sz)), F.lit(0))
+            .cast("bigint")
+            .alias(f"t_{tag}"),
+            F.coalesce(F.sum(w(F.col("doc_id"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"s_{tag}"),
+        ]
+
+    return (
+        joined.agg(*_branch("surv", None), *_branch("kept", kept_cond))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(no).alias("stage_no"),
+                            F.lit(nm).alias("stage"),
+                            F.col(f"n_{tag}").alias("n_docs"),
+                            F.col(f"t_{tag}").alias("n_tokens"),
+                            F.col(f"s_{tag}").alias("id_sum"),
+                        )
+                        for no, nm, tag in (
+                            (3, "near_dedup", "surv"),
+                            (5, "lm_gate", "kept"),
+                        )
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
 
 
 _LINE_DEDUP_NOTICE = "copyright notice all rights reserved"
