@@ -1325,23 +1325,36 @@ def semdedup_ivf_survivors(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
         F.sum("vec_id").cast("bigint").alias("id_sum_total"),
     )
-    lose_exact = losers["exact"].agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lose_exact"),
-        F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint").alias(
-            "id_sum_lose_exact"
-        ),
+    # all four loser-side scalars from ONE tagged union + per-id agg
+    # (r13): the round-12 shape ran three separate aggregate jobs plus
+    # an anti-join over the same two tiny frames. vec_ids are unique
+    # within each loser frame, so max() per tag reconstructs set
+    # membership and "ivf-and-not-exact" IS the missed set.
+    tagged = losers["ivf"].select(
+        "vec_id", F.lit(1).alias("__i"), F.lit(0).alias("__e")
+    ).unionByName(
+        losers["exact"].select(
+            "vec_id", F.lit(0).alias("__i"), F.lit(1).alias("__e")
+        )
     )
-    lose_ivf = losers["ivf"].agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lose_ivf")
+    per_id = tagged.groupBy("vec_id").agg(
+        F.max("__i").alias("__i"), F.max("__e").alias("__e")
     )
-    n_missed = (
-        losers["ivf"].join(losers["exact"], "vec_id", "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_missed"))
+    lose_stats = per_id.agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).cast("bigint").alias("n_lose_exact"),
+        F.coalesce(F.sum(F.when(F.col("__e") == 1, F.col("vec_id"))), F.lit(0))
+        .cast("bigint")
+        .alias("id_sum_lose_exact"),
+        F.coalesce(F.sum("__i"), F.lit(0)).cast("bigint").alias("n_lose_ivf"),
+        F.coalesce(
+            F.sum(F.when((F.col("__i") == 1) & (F.col("__e") == 0), 1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_missed"),
     )
     return (
-        totals.crossJoin(lose_exact)
-        .crossJoin(lose_ivf)
-        .crossJoin(n_missed)
+        totals.crossJoin(lose_stats)
         .select(
             (F.col("n_total") - F.col("n_lose_exact")).alias("n_kept_exact"),
             (F.col("id_sum_total") - F.col("id_sum_lose_exact")).alias(
