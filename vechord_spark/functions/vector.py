@@ -32,7 +32,11 @@ def _as_col(c: ColumnOrName) -> Column:
 def _as_vec(v: Union[ColumnOrName, Sequence[float]]) -> Column:
     if isinstance(v, (Column, str)):
         return _as_col(v)
-    return F.array(*[F.lit(float(x)) for x in v])
+    # one array<double> Literal, not CreateArray(lit x dim): a 64-dim
+    # query built element-wise costs 64 py4j round-trips and a 64-child
+    # expression tree per use site, which dominates driver-side plan
+    # build for the vector query family
+    return F.lit([float(x) for x in v])
 
 
 def _sum_products(a: Column, b: Column) -> Column:

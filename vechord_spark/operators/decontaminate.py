@@ -33,20 +33,25 @@ from vechord_spark.functions.text import word_ngrams
 def benchmark_grams(
     bench_df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:
-    """Distinct ``(gram, bench_id)`` pairs over the benchmark set.
+    """``(gram, bench_id)`` pairs over the benchmark set.
 
     One row per (distinct-gram, benchmark-doc); the caller broadcasts
-    this (it is benchmark-sized, not corpus-sized).
+    this (it is benchmark-sized, not corpus-sized). Grams are deduped
+    per document IN-ARRAY (``array_distinct`` before the explode), so
+    with unique benchmark ids — the benchmark-set contract — the pairs
+    are globally distinct without a cross-doc ``distinct()`` exchange.
+    A duplicated bench id would only repeat its pairs, which the
+    distinct-counting aggregation in :func:`contaminated_docs` absorbs.
     """
     from vechord_spark.parallel import spread
 
     # spread: a filter over a single-split scan leaves the CPU-bound
-    # shingle projection (and the distinct) on one core (no-op when the
-    # input is already wide)
+    # shingle projection on one core (no-op when the input is already
+    # wide)
     return spread(bench_df).select(
         F.col(id_col).alias("bench_id"),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
-    ).distinct()
+    )
 
 
 def contaminated_docs(

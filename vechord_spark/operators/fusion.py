@@ -149,7 +149,7 @@ def lexical_rerank(
         F.size(
             F.array_intersect(
                 F.array_distinct(tokenize(text_col)),
-                F.array(*[F.lit(t) for t in terms]),
+                F.lit([str(t) for t in terms]),
             )
         )
         / F.lit(float(len(terms)))

@@ -332,7 +332,7 @@ class IvfIndex:
             F.aggregate(
                 F.zip_with(
                     F.col("__q"),
-                    F.array(*[F.lit(float(x)) for x in q]),
+                    F.lit([float(x) for x in q]),
                     lambda a, b: a.cast("double") * b,
                 ),
                 F.lit(0.0),

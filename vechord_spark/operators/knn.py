@@ -152,7 +152,7 @@ def binary_knn(
 
     qsig = signature_of(list(query))
     sig = binary_signature(vec_col, dim)
-    qsig_col = F.array(*[F.lit(w).cast("long") for w in qsig])
+    qsig_col = F.lit([int(w) for w in qsig])  # array<bigint> literal
     ham = F.aggregate(
         F.zip_with(sig, qsig_col, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0),

@@ -44,7 +44,7 @@ def maxsim_score(
     doc = F.col(doc_col) if isinstance(doc_col, str) else doc_col
     per_query: list[Column] = []
     for q in query_vectors:
-        qlit = F.array(*[F.lit(float(x)) for x in q])
+        qlit = F.lit([float(x) for x in q])
         dots = F.transform(
             doc,
             lambda d: F.aggregate(
@@ -226,7 +226,7 @@ def centroid_interaction_estimate(
     est: Column | None = None
     for q in query_vectors:
         dots = c @ np.asarray(list(q), dtype=np.float64)
-        table = F.array(*[F.lit(float(d)) for d in dots])
+        table = F.lit([float(d) for d in dots])
         term = F.array_max(F.transform(ids, lambda i: F.element_at(table, i + 1)))
         est = term if est is None else est + term
     return est

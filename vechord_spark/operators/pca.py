@@ -144,7 +144,7 @@ def project_pca(
                 F.aggregate(
                     F.zip_with(
                         F.col(vec_col).cast("array<double>"),
-                        F.array(*[F.lit(v) for v in w]),
+                        F.lit(list(w)),
                         lambda a, b: a * b,
                     ),
                     F.lit(0.0),

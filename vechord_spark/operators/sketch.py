@@ -161,9 +161,9 @@ def quantile_rank_gate(
     vals = df.select(v.cast("double").alias("__v")).filter(F.col("__v").isNotNull())
     qs = [float(q) for q in quantiles]
     agg = vals.agg(
-        F.percentile(F.col("__v"), F.array(*[F.lit(q) for q in qs])).alias("__ex"),
+        F.percentile(F.col("__v"), F.lit(qs)).alias("__ex"),
         F.percentile_approx(
-            F.col("__v"), F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+            F.col("__v"), F.lit(qs), F.lit(accuracy)
         ).alias("__ap"),
         F.count(F.lit(1)).alias("__n"),
     )
@@ -171,7 +171,7 @@ def quantile_rank_gate(
         F.posexplode(F.arrays_zip("__ex", "__ap")).alias("__i", "__z"),
         "__n",
     ).select(
-        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("__i") + 1).alias(
+        F.element_at(F.lit(qs), F.col("__i") + 1).alias(
             "quantile"
         ),
         F.round(F.col("__z.__ex"), 6).alias("p_exact"),

@@ -6998,8 +6998,16 @@ def ccnet_buckets(spark, sf_dir):
     from vechord_spark.operators.quality import perplexity_buckets, unigram_logprob
 
     docs = _t(spark, sf_dir, "documents")
-    scored = unigram_logprob(docs, "doc_id", "text").join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # perplexity_buckets consumes the scored frame twice (threshold
+    # aggregate + join-back); without a plan boundary the whole
+    # tokenize->counts->window scoring subtree runs twice. The frame is
+    # one narrow row per doc, so materializing it once is far cheaper
+    # than the duplicate pass (at 100 TB this is the standard
+    # write-scores-then-tier shape).
+    scored = (
+        unigram_logprob(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     buckets = perplexity_buckets(scored, "lang", "avg_logprob")
     return buckets.groupBy("lang", "ppl_bucket").agg(
