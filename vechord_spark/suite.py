@@ -6233,10 +6233,13 @@ def partsupp_value_share(spark, sf_dir):
     grouped = ps_n.groupBy("ps_partkey").agg(
         F.sum("val_cents").cast("bigint").alias("value_cents")
     )
-    thresh = ps_n.agg(
-        (
-            F.lit(2.0) * F.sum("val_cents") / F.count_distinct("ps_partkey")
-        ).alias("__thresh")
+    # threshold from the per-part aggregates, not from ps_n again:
+    # sum(value_cents) == sum(val_cents) exactly (integer cents) and
+    # count(*) over grouped == count_distinct(ps_partkey), so the
+    # 4-table join subtree is consumed once and the ps_partkey
+    # exchange is reused between the two branches
+    thresh = grouped.agg(
+        (F.lit(2.0) * F.sum("value_cents") / F.count(F.lit(1))).alias("__thresh")
     )
     return (
         grouped.crossJoin(F.broadcast(thresh))
@@ -7282,8 +7285,15 @@ def token_budget_mix(spark, sf_dir):
     from vechord_spark.functions.text import tokenize
     from vechord_spark.operators.sample import token_budget_sample
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "__ntok", F.size(tokenize("text"))
+    # materialize the narrow (doc_id, source, n_tok) frame once: the
+    # rate aggregate AND the kept-rows accounting both consume __ntok,
+    # and nothing downstream needs text — without the boundary the
+    # tokenize pass runs twice over the full corpus (at 100 TB this is
+    # the standard tokenize-once-count-table shape)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.size(tokenize("text")).alias("__ntok"))
+        .localCheckpoint(eager=True)
     )
     kept = token_budget_sample(
         docs,
