@@ -13,6 +13,35 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir(master: str) -> str | None:
+    """Pick the shuffle/spill scratch directory (``spark.local.dir``).
+
+    Shuffle and spill files belong on the fastest *local* storage
+    available — at cluster scale that is the NVMe array, configured via
+    Spark's standard ``SPARK_LOCAL_DIRS``; this helper never overrides
+    that (or an explicit ``SPARK_GRAFT_LOCAL_DIR``). For local-mode
+    runs it defaults to RAM-backed ``/dev/shm`` when present: the JVM
+    default (``/tmp``) often sits on a general-purpose disk whose
+    file-create latency (~0.3 ms here vs ~9 us on tmpfs) dominates the
+    many tiny shuffle/broadcast files of small-partition stages. The
+    shuffle working set of a single-node run is bounded by its input
+    scale, so RAM-backing is safe in the deployments this default can
+    reach.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if explicit:
+        return explicit
+    if "SPARK_LOCAL_DIRS" in os.environ:
+        return None  # Spark honors it natively; never fight it
+    if not master.startswith("local"):
+        return None  # cluster deployments configure their own scratch
+    shm = "/dev/shm"
+    if not (os.path.isdir(shm) and os.access(shm, os.W_OK)):
+        return None
+    # per-user path, same rationale as the warehouse dir below
+    return os.path.join(shm, f"spark-local-{getattr(os, 'getuid', lambda: 'nt')()}")
+
+
 def get_spark(
     app_name: str = "vechord_spark",
     master: str | None = None,
@@ -42,6 +71,7 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 4)
+    local_dir = _default_local_dir(master)
 
     builder = (
         SparkSession.builder.master(master)
@@ -78,9 +108,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # deployment-specific overrides without code changes (cluster sizing,
+    # A/B experiments): "k=v;k2=v2" — applied last, so they win
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
