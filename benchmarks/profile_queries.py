@@ -101,6 +101,16 @@ def main() -> None:
     if plans_dir:
         plans_dir.mkdir(parents=True, exist_ok=True)
 
+    # pre-checkpoint plan capture: checkpoint-final operators (triangles,
+    # pagerank, the funnel day-2 stages) explain() as a one-node
+    # ExistingRDD scan; with CAPTURE on they note() the frame FEEDING
+    # each checkpoint so the dump shows the tree that actually ran
+    # (round-13 verdict item 6)
+    from vechord_spark.plans import plandump
+
+    if plans_dir:
+        plandump.CAPTURE = True
+
     for name in names:
         fn = QUERIES.get(name)
         if fn is None:
@@ -114,6 +124,9 @@ def main() -> None:
             df.count()
             t2 = time.perf_counter()
 
+            # keep only the WARM run's pre-checkpoint frames (the cold
+            # run and memo builds note() too)
+            plandump.drain()
             # warm run inside a job group so we can count jobs
             group = f"profile-{name}"
             sc.setJobGroup(group, f"profile:{name}:warm")
@@ -129,6 +142,9 @@ def main() -> None:
                 buf = io.StringIO()
                 with contextlib.redirect_stdout(buf):
                     df2.explain("formatted")
+                    for tag, pre in plandump.drain():
+                        print(f"\n=== pre-checkpoint plan: {tag} ===\n")
+                        pre.explain("formatted")
                 (plans_dir / f"{name}{args.suffix}.txt").write_text(buf.getvalue())
         except Exception as exc:  # noqa: BLE001
             print(f"# {name}: ERROR {exc}", file=sys.stderr)

@@ -278,6 +278,9 @@ def pagerank(
     # a long-lived session calling pagerank repeatedly must not leak
     # executor storage blocks (the checkpoint blocks are tied to the
     # returned frame's lineage and go away with it)
+    from vechord_spark.plans import plandump
+
+    plandump.note("pagerank_final", ranks)
     ranks = ranks.localCheckpoint(eager=True)
     edges_deg.unpersist()
     base_rows.unpersist()
@@ -358,7 +361,11 @@ def triangle_count(
     # three 1-row aggregates -> one result row; materialize it eagerly
     # (it is a single row) so the oriented-edge cache can be released
     # before returning — no leaked storage blocks across calls
-    out = nn.crossJoin(ne).crossJoin(tri).localCheckpoint(eager=True)
+    from vechord_spark.plans import plandump
+
+    out = plandump.note(
+        "triangles_final", nn.crossJoin(ne).crossJoin(tri)
+    ).localCheckpoint(eager=True)
     oriented.unpersist()
     und.unpersist()
     deg.unpersist()

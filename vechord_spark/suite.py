@@ -2609,6 +2609,24 @@ def chunk_regex(spark, sf_dir):
 # latency, never results.
 _IVF_CACHE: dict = {}
 
+# Set by bench.py around each timed query so shared-memo builds are
+# attributable in the bench stderr tail: a session memo's one-time build
+# lands inside whichever query consumes it first, which otherwise reads
+# as that query "regressing" while the riders "improve" (round-13 PERF
+# misread semdedup_ivf_survivors this way; round-13 verdict item 5).
+CURRENT_QUERY: str | None = None
+
+
+def _memo_note(name: str, t0: float) -> None:
+    import sys as _sys
+    import time as _time
+
+    ctx = f" during {CURRENT_QUERY}" if CURRENT_QUERY else ""
+    print(
+        f"# memo {name} built{ctx}: {_time.perf_counter() - t0:.3f}s",
+        file=_sys.stderr,
+    )
+
 
 def _ivf16(spark, sf_dir):
     key = (sf_dir, 16, 42)
@@ -2684,10 +2702,14 @@ def _exact_pairs35(spark, sf_dir):
     ent = _IVF_CACHE.get(key)
     if ent is not None and ent[0] is spark:
         return ent[1]
+    import time as _time
+
+    t0 = _time.perf_counter()
     emb = _t(spark, sf_dir, "embeddings")
     pairs = DD.embedding_exact_pairs(
         emb, "vec_id", "embedding", threshold=0.35
     ).localCheckpoint(eager=True)
+    _memo_note("exact_pairs35", t0)
     _IVF_CACHE[key] = (spark, pairs)
     return pairs
 
@@ -2704,8 +2726,11 @@ def _exact_knn10(spark, sf_dir):
     ent = _IVF_CACHE.get(key)
     if ent is not None and ent[0] is spark:
         return ent[1]
+    import time as _time
+
     from vechord_spark.operators.knn import knn
 
+    t0 = _time.perf_counter()
     emb = _t(spark, sf_dir, "embeddings")
     exact = (
         knn(
@@ -2715,6 +2740,7 @@ def _exact_knn10(spark, sf_dir):
         .select("vec_id")
         .localCheckpoint(eager=True)
     )
+    _memo_note("exact_knn10", t0)
     _IVF_CACHE[key] = (spark, exact)
     return exact
 
@@ -2736,8 +2762,11 @@ def _exact_batch8(spark, sf_dir):
     ent = _IVF_CACHE.get(key)
     if ent is not None and ent[0] is spark:
         return ent[1], ent[2]
+    import time as _time
+
     from vechord_spark.operators.knn import knn_join
 
+    t0 = _time.perf_counter()
     emb = _t(spark, sf_dir, "embeddings")
     qrows = (
         emb.orderBy("vec_id").limit(8).select("vec_id", "embedding").collect()
@@ -2755,6 +2784,7 @@ def _exact_batch8(spark, sf_dir):
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
+    _memo_note("exact_batch8", t0)
     _IVF_CACHE[key] = (spark, queries, exact)
     return queries, exact
 
@@ -2770,6 +2800,9 @@ def _semdedup_pairs2(spark, sf_dir):
     ent = _IVF_CACHE.get(key)
     if ent is not None and ent[0] is spark:
         return ent[1]
+    import time as _time
+
+    t0 = _time.perf_counter()
     emb = _t(spark, sf_dir, "embeddings")
     # blocked-matmul scorer — pair-for-pair identical to the JVM fold
     # path (pinned by test_dedup.py::test_bucketed_pairs_matmul_matches
@@ -2783,6 +2816,7 @@ def _semdedup_pairs2(spark, sf_dir):
         threshold=0.35,
         bucketer=_ivf16_buckets2(spark, sf_dir),
     ).localCheckpoint(eager=True)
+    _memo_note("semdedup_pairs2", t0)
     _IVF_CACHE[key] = (spark, pairs)
     return pairs
 
@@ -8889,6 +8923,7 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     standalone day-2 runs keep the O(batch) contract above."""
     from vechord_spark.functions.text import tokenize
     from vechord_spark.operators.bloom import bloom_anti_join
+    from vechord_spark.plans import plandump
 
     docs = _t(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % modulus == 0)
@@ -8953,7 +8988,8 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
         # The checkpoint is also the plan boundary that keeps the gate
         # expressions from being pushed into the bloom-probe stage.
         ge = QL._gopher_exprs("__gbody", **_FUNNEL_GOPHER_KW)
-        newb = (
+        newb = plandump.note(
+            "inc_newb",
             bloom_anti_join(
                 batch.withColumn("__fp", fp),
                 seen_fps,
@@ -8963,9 +8999,8 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
             .withColumn("__gbody", body)
             .withColumn("__gate", _funnel_gate_expr(ge))
             .drop("__gbody")
-            .withColumn("__rk", _cum_gated)
-            .localCheckpoint(eager=True)
-        )
+            .withColumn("__rk", _cum_gated),
+        ).localCheckpoint(eager=True)
         # cands / jac stay eager checkpoints (lineage truncation), not
         # persists: the frames are small, but their logical plans carry
         # the 16-permutation minhash and shingle expression trees, and
@@ -8987,16 +9022,22 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
         # without the cache
         batch_bands = DD.minhash_bands(exact, "doc_id", "text").persist()
         owned.append(batch_bands)
-    cands = DD.minhash_candidate_pairs_cross(
-        exact, "doc_id", "text", seen_bands=seen_bands, new_bands=batch_bands
+    cands = plandump.note(
+        "inc_cands",
+        DD.minhash_candidate_pairs_cross(
+            exact, "doc_id", "text", seen_bands=seen_bands, new_bands=batch_bands
+        ),
     ).localCheckpoint(eager=True)
     # candidates_prededuped: cands ends in distinct() above, so the
     # verifier skips one defensive re-exchange of the checkpointed
     # candidate table (r13 measurement: the jac action was the
     # job-heaviest step of the day-2 chain)
-    jac = DD.ngram_jaccard(
-        docs, "doc_id", "text", threshold=0.35, candidates=cands,
-        candidates_prededuped=True,
+    jac = plandump.note(
+        "inc_jac",
+        DD.ngram_jaccard(
+            docs, "doc_id", "text", threshold=0.35, candidates=cands,
+            candidates_prededuped=True,
+        ),
     ).localCheckpoint(eager=True)
     is_batch_a = F.col("doc_a") % modulus == 0
     is_batch_b = F.col("doc_b") % modulus == 0
