@@ -51,6 +51,38 @@ def test_space_saving_keeps_frequent_evicts_rare():
     assert len(out) <= 3
 
 
+def test_space_saving_compaction_path_retains_heavy_keys():
+    # key space >> 4*capacity across several batches, so the vectorized
+    # Misra-Gries compaction actually fires (the sf0.1 bench never
+    # exercises it: 1.5k keys < capacity); heavy keys must survive with
+    # the summary bounded at <= capacity keys
+    import pandas as pd
+
+    gen = _space_saving_partition(capacity=32, col="v")
+    batches = []
+    for b in range(4):
+        tail = [f"t{b}_{i}" for i in range(200)]  # 800 distinct singletons
+        heavy = [f"H{j}" for j in range(5)] * 40  # 5 keys x 160 total
+        batches.append(pd.DataFrame({"v": heavy + tail}))
+    (out,) = list(gen(iter(batches)))
+    kept = set(out["v"])
+    assert {f"H{j}" for j in range(5)} <= kept
+    assert len(out) <= 32
+
+
+def test_heavy_hitters_exact_when_keys_exceed_capacity(spark):
+    # distinct keys (600) > capacity (64): the compaction path runs and
+    # the two-pass result still equals the exact top-k (the 10th count,
+    # 128, clears N/capacity) — the sf1 regime that exposed the old
+    # O(capacity)-per-row eviction loop
+    rows = [(f"h{i}",) for i in range(10) for _ in range(128 + 10 - i)]
+    rows += [(f"c{i}",) for i in range(590) for _ in range(2)]
+    df = spark.createDataFrame(rows, "val string").repartition(4)
+    got = heavy_hitters(df, "val", k=10, capacity=64).collect()
+    expected = [(f"h{i}", 128 + 10 - i) for i in range(10)]
+    assert [(r.val, r.n_occurrences) for r in got] == expected
+
+
 def test_quantile_rank_gate_flags_true_and_matches_exact(spark):
     df = spark.createDataFrame([(float(i),) for i in range(10001)], "x double")
     out = quantile_rank_gate(df, "x", quantiles=(0.25, 0.5, 0.9)).collect()

@@ -1342,6 +1342,17 @@ def jaccard_prefix_join(
             F.col("b.n") - F.col("b.p") - F.lit(1),
         )
     )
+    # candidate pairs are NOT pre-deduped (round 14, guide §2.4): a pair
+    # reaches the verify once per shared prefix token, and the verify
+    # joins are hash joins with no exchange of the candidate stream, so
+    # pre-deduping cost a full exchange of the candidate pair set just
+    # to save the duplicate verifies — measured at sf1 (57.3M candidate
+    # pairs, 1.06 prefix matches/pair): the pre-verify distinct was a
+    # 10 s exchange to avoid ~7% duplicate intersects. Survivors are
+    # deduped AFTER the threshold filter instead, where the distinct
+    # touches only true near-dup pairs (the output, inherently small
+    # relative to candidates at every scale; each duplicate row carries
+    # identical deterministic values, so the final distinct is exact).
     cands = (
         pref.alias("a")
         .join(pref.alias("b"), "tok")
@@ -1358,10 +1369,7 @@ def jaccard_prefix_join(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
-        .distinct()
     )
     arrs = ordered.select("id", "ts")
     verified = (
@@ -1374,16 +1382,21 @@ def jaccard_prefix_join(
             "id_b",
         )
         .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
-        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("union_n", F.size("ta") + F.size("tb") - F.col("inter"))
     )
-    return verified.filter(
-        F.col("inter").cast("double") >= threshold * F.col("union_n")
-    ).select(
-        "id_a",
-        "id_b",
-        F.col("inter").cast("int").alias("inter"),
-        F.col("union_n").cast("int").alias("union_n"),
-        F.round(
-            F.col("inter").cast("double") / F.col("union_n"), 6
-        ).alias("jaccard"),
+    return (
+        verified.filter(
+            F.col("inter").cast("double") >= threshold * F.col("union_n")
+        )
+        .select("id_a", "id_b", "inter", "union_n")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("int").alias("inter"),
+            F.col("union_n").cast("int").alias("union_n"),
+            F.round(
+                F.col("inter").cast("double") / F.col("union_n"), 6
+            ).alias("jaccard"),
+        )
     )

@@ -67,32 +67,53 @@ def approx_distinct_gate(
 
 
 def _space_saving_partition(capacity: int, col: str):
-    """mapInPandas stage: per-partition space-saving counter.
+    """mapInPandas stage: per-partition heavy-hitter summary.
 
-    Classic Metwally et al. stream summary: at most ``capacity``
-    tracked items; an untracked arrival evicts the current minimum and
-    inherits its count (overestimate bias, never underestimate by more
-    than the evicted min). Guarantees every item with partition-local
-    frequency > n_p/capacity is still tracked at the end.
+    Misra-Gries-style MERGEABLE summary (Agarwal et al., "Mergeable
+    Summaries"), vectorized per Arrow batch (guide §4.2): each batch
+    contributes its exact ``value_counts`` (C speed), merged into the
+    running summary by index-aligned add; whenever the summary exceeds
+    4x ``capacity`` distinct keys it is compacted by subtracting the
+    (capacity+1)-th largest count from every entry and dropping
+    non-positive residuals — the classic MG decrement, vectorized.
+    Every item with partition-local frequency > n_p/(capacity+1) ends
+    with a positive residual (total decrement applied to any single
+    item is at most n_p/(capacity+1)), so the retention guarantee is
+    STRICTLY stronger than the space-saving variant this replaces
+    (> n_p/capacity) and the two-pass result is identical wherever the
+    exactness condition holds. The replaced row-at-a-time loop ran an
+    O(capacity) min-scan eviction per arrival — 115 s at sf1 where the
+    key space (15 k users) exceeds capacity and every arrival evicts;
+    the eviction path never fired at sf0.1 (1.5 k keys < capacity).
     """
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        counts: dict = {}
+        def _compact(s: "pd.Series") -> "pd.Series":
+            # subtract the (capacity+1)-th largest count; <=capacity
+            # survive with positive residuals
+            thresh = s.nlargest(capacity + 1).iloc[-1]
+            s = s - thresh
+            return s[s > 0]
+
+        summary = None
+        dtype = None
         for pdf in batches:
-            for v in pdf[col]:
-                if v is None:
-                    continue
-                if v in counts:
-                    counts[v] += 1
-                elif len(counts) < capacity:
-                    counts[v] = 1
-                else:
-                    mk = min(counts, key=counts.get)
-                    mv = counts.pop(mk)
-                    counts[v] = mv + 1
-        yield pd.DataFrame({col: list(counts.keys())})
+            vals = pdf[col].dropna()
+            dtype = vals.dtype
+            if vals.empty:
+                continue
+            vc = vals.value_counts()
+            summary = vc if summary is None else summary.add(vc, fill_value=0)
+            if len(summary) > 4 * capacity:
+                summary = _compact(summary)
+        if summary is None:
+            yield pd.DataFrame({col: pd.Series([], dtype=dtype or "object")})
+            return
+        if len(summary) > capacity:
+            summary = _compact(summary)
+        yield pd.DataFrame({col: summary.index.to_series(name=col).reset_index(drop=True)})
 
     return gen
 

@@ -6905,8 +6905,11 @@ def _bucketed_pair(spark, sf_dir):
     ent = _BUCKETED_CACHE.get(sf_dir)
     if ent is not None and ent[0] is spark:
         return ent[1]
+    import time as _time
+
     from vechord_spark.plans.bucketing import write_bucketed
 
+    t0 = _time.perf_counter()
     tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     orders = _t(spark, sf_dir, "orders").select(
@@ -6923,6 +6926,7 @@ def _bucketed_pair(spark, sf_dir):
         cust, f"bq_customer_{tag}", f"{wh}/bq_customer_{tag}", "o_custkey",
         num_buckets=8, sort_cols="o_custkey",
     )
+    _memo_note("bucketed_pair", t0)
     _BUCKETED_CACHE[sf_dir] = (spark, (ot, ct))
     return ot, ct
 
