@@ -245,23 +245,34 @@ def minhash_candidate_pairs_cross(
         if new_bands is not None
         else minhash_bands(new, id_col, text_col, num_hashes, band_size, ngram)
     )
-    na = nb.select("band", "sig", F.col("doc_id").alias("doc_a"))
-    nb_side = nb.select("band", "sig", F.col("doc_id").alias("doc_b"))
-    within = na.join(nb_side, ["band", "sig"]).filter(
-        F.col("doc_a") < F.col("doc_b")
-    )
-    sb = seen_bands.select("band", "sig", F.col("doc_id").alias("doc_s"))
-    cross = (
-        na.withColumnRenamed("doc_a", "doc_n")
-        .join(sb, ["band", "sig"])
-        .select(
-            F.least("doc_n", "doc_s").alias("doc_a"),
-            F.greatest("doc_n", "doc_s").alias("doc_b"),
+    # ONE bucket join instead of two (round 14, guide §2.4): the new
+    # batch probes the UNION of (new ∪ seen) band tables — within-batch
+    # and cross pairs fall out of the same join, distinguished by the
+    # __seen tag (a within pair would otherwise emit twice, once per
+    # orientation, so batch partners keep only doc_n < partner; seen
+    # partners orient by least/greatest as before). Same pair set, one
+    # fewer join of the probe side.
+    na = nb.select("band", "sig", F.col("doc_id").alias("doc_n"))
+    rb = (
+        nb.select(
+            "band", "sig", F.col("doc_id").alias("doc_p"), F.lit(False).alias("__seen")
+        )
+        .unionByName(
+            seen_bands.select(
+                "band", "sig", F.col("doc_id").alias("doc_p"),
+                F.lit(True).alias("__seen"),
+            )
         )
     )
-    return (
-        within.select("doc_a", "doc_b").union(cross).distinct()
+    pairs = (
+        na.join(rb, ["band", "sig"])
+        .filter(F.col("__seen") | (F.col("doc_n") < F.col("doc_p")))
+        .select(
+            F.least("doc_n", "doc_p").alias("doc_a"),
+            F.greatest("doc_n", "doc_p").alias("doc_b"),
+        )
     )
+    return pairs.distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -304,11 +315,13 @@ def ngram_jaccard(
             cand = cand.distinct()
         # shingle arrays are the expensive projection — compute them
         # ONLY for docs that appear in a candidate pair (a semi-join
-        # before the projection), not the whole corpus
-        needed = (
-            cand.select(F.col("doc_a").alias(id_col))
-            .union(cand.select(F.col("doc_b").alias(id_col)))
-            .distinct()
+        # before the projection), not the whole corpus. ``needed`` is
+        # NOT deduped (round 14, guide §2.4): a left-semi join builds a
+        # hash set from its right side, so duplicate ids change nothing
+        # — the old distinct was one exchange + two hash aggregates of
+        # pure cost per evaluation of this subtree.
+        needed = cand.select(F.col("doc_a").alias(id_col)).union(
+            cand.select(F.col("doc_b").alias(id_col))
         )
         sets = (
             _spread(df.join(needed, id_col, "left_semi"))
@@ -316,6 +329,7 @@ def ngram_jaccard(
                 F.col(id_col).alias("doc_id"),
                 F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
             )
+            .localCheckpoint(eager=False)
         )
         sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("__sha"))
         sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("__shb"))

@@ -2789,6 +2789,69 @@ def _exact_batch8(spark, sf_dir):
     return queries, exact
 
 
+def _mv_table(spark, sf_dir):
+    """The synthesized multivector corpus (five 64-d vectors per
+    ``mv_id``, grouped from the embeddings table in vec_id order),
+    eager-checkpointed and SHARED by maxsim_topk_docs,
+    maxsim_batch_topk and maxsim_ivf_recall — the groupBy+collect_list
+    exchange over embeddings runs once per (session, corpus), not once
+    per query (round-14 verdict item 4). Same memo contract as
+    _exact_pairs35: no cross-run caching — a fresh session rebuilds,
+    and the build cost lands inside the first consuming query's timed
+    region (attributed on stderr via _memo_note). Construction is
+    deterministic (array_sort by vec_id), so a checkpointed frame is
+    row-identical to a rebuilt one."""
+    key = (sf_dir, 5, "mv_table")
+    ent = _IVF_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    import time as _time
+
+    t0 = _time.perf_counter()
+    emb = _t(spark, sf_dir, "embeddings")
+    mv = (
+        emb.groupBy(F.floor(F.col("vec_id") / 5).cast("long").alias("mv_id"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda s: s["embedding"],
+            ).alias("vecs")
+        )
+        .localCheckpoint(eager=True)
+    )
+    _memo_note("mv_table", t0)
+    _IVF_CACHE[key] = (spark, mv)
+    return mv
+
+
+def _exact_maxsim10(spark, sf_dir):
+    """Exact MaxSim top-10 ground truth for the [QVEC, QVEC2] query
+    over the synthesized multivector corpus, eager-checkpointed per
+    (session, corpus) — maxsim_ivf_recall's denominator no longer
+    re-runs the exact MaxSim corpus scan on every call (round-14
+    verdict item 4; the _exact_knn10 treatment)."""
+    key = (sf_dir, 10, "exact_maxsim")
+    ent = _IVF_CACHE.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    import time as _time
+
+    from vechord_spark.operators.maxsim import maxsim_topk
+
+    t0 = _time.perf_counter()
+    exact = (
+        maxsim_topk(
+            _mv_table(spark, sf_dir), "vecs", [QVEC, QVEC2], k=10,
+            select=["mv_id"], tie_break="mv_id",
+        )
+        .select("mv_id")
+        .localCheckpoint(eager=True)
+    )
+    _memo_note("exact_maxsim10", t0)
+    _IVF_CACHE[key] = (spark, exact)
+    return exact
+
+
 def _semdedup_pairs2(spark, sf_dir):
     """The SemDeDup candidate pair frame (cosine >= 0.35 under the
     top-2 bucketer), persisted and SHARED by semdedup_ivf_survivors
@@ -4269,15 +4332,10 @@ def maxsim_topk_docs(spark, sf_dir):
     2-vector query; negated-sum-of-maxes distance, ascending."""
     from vechord_spark.operators.maxsim import maxsim_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    mv = emb.groupBy(
-        F.floor(F.col("vec_id") / 5).cast("long").alias("mv_id")
-    ).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
-            lambda s: s["embedding"],
-        ).alias("vecs")
-    )
+    # the synthesized multivector corpus is the SHARED _mv_table memo
+    # (round 14): the groupBy+collect_list exchange over embeddings is
+    # paid once per (session, corpus) across the three maxsim queries
+    mv = _mv_table(spark, sf_dir)
     hits = maxsim_topk(mv, "vecs", [QVEC, QVEC2], k=10, select=["mv_id"], tie_break="mv_id")
     return hits.select("mv_id", F.round("maxsim_distance", 6).alias("distance"))
 
@@ -4323,15 +4381,7 @@ def maxsim_batch_topk(spark, sf_dir):
     maxsim_topk_docs)."""
     from vechord_spark.operators.maxsim import maxsim_topk_batch
 
-    emb = _t(spark, sf_dir, "embeddings")
-    mv = emb.groupBy(
-        F.floor(F.col("vec_id") / 5).cast("long").alias("mv_id")
-    ).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
-            lambda s: s["embedding"],
-        ).alias("vecs")
-    )
+    mv = _mv_table(spark, sf_dir)
     hits = maxsim_topk_batch(
         mv, "vecs", [[QVEC], [QVEC, QVEC2]], k=10,
         select=["mv_id"], tie_break="mv_id",
@@ -4456,20 +4506,11 @@ def maxsim_ivf_recall(spark, sf_dir):
     synthesized multivector table, one plan. Measured recall at
     lists=8/probes=4: 1.0 at both sf0.001 and sf0.01 (floor 0.5 for
     slack against KMeans re-seeding)."""
-    from vechord_spark.operators.maxsim import maxsim_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    mv = emb.groupBy(
-        F.floor(F.col("vec_id") / 5).cast("long").alias("mv_id")
-    ).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
-            lambda s: s["embedding"],
-        ).alias("vecs")
-    )
-    exact = maxsim_topk(
-        mv, "vecs", [QVEC, QVEC2], k=10, select=["mv_id"], tie_break="mv_id"
-    ).select("mv_id")
+    # mv corpus + exact MaxSim ground truth are SHARED session memos
+    # (round 14, verdict item 4): neither the groupBy over embeddings
+    # nor the exact MaxSim corpus scan re-runs per call
+    mv = _mv_table(spark, sf_dir)
+    exact = _exact_maxsim10(spark, sf_dir)
     index = _mv_ivf8(spark, sf_dir, mv)
     approx = index.search(
         [QVEC, QVEC2], k=10, probes=4, select=["mv_id"], tie_break="mv_id"
@@ -8522,12 +8563,18 @@ def _funnel_stage(spark, sf_dir, stage: str):
         docs = _t(spark, sf_dir, "documents")
         body = _gopher_multiline_body(F.col("doc_id"), tokenize("text"))
         ge = QL._gopher_exprs("__gbody", **_FUNNEL_GOPHER_KW)
+        # __ntok stored at the checkpoint (round 14): every funnel
+        # accounting aggregate downstream (report stages, day-2 fused
+        # rows, lm rows) sums token counts over frames descended from
+        # this one — storing the size once removes the per-row
+        # re-tokenize from every one of those scans
         out = (
             _spread(docs)
             .withColumn("__fp", TX.fingerprint("text"))
             .withColumn("__gbody", body)
             .withColumn("__gate", _funnel_gate_expr(ge))
             .drop("__gbody")
+            .withColumn("__ntok", F.size(tokenize("text")).cast("bigint"))
             .localCheckpoint(eager=True)
         )
     elif stage == "exact":
@@ -8677,9 +8724,11 @@ def corpus_funnel_report(spark, sf_dir):
     assigned = split_assign(surv, "doc_id", _SPLITS, salt="sp1")
 
     def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        # __ntok is stored on the gated-docs checkpoint (and inherited
+        # by exact/surv) — no per-row re-tokenize in the accounting
         return df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum(F.size(tokenize("text"))), F.lit(0))
+            F.coalesce(F.sum("__ntok"), F.lit(0))
             .cast("bigint")
             .alias("n_tokens"),
             F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_sum"),
@@ -8693,10 +8742,11 @@ def corpus_funnel_report(spark, sf_dir):
 
     # stages that are filters of one materialized frame fuse into ONE
     # conditional-aggregation scan each (r13: tokenize ran once per
-    # stage branch before): raw + quality_gate share the gated-docs
-    # checkpoint (same rows as documents, gate verdict attached), and
-    # near_dedup + train_split share the survivor frame (train is a
-    # codegen CASE over it). 5 corpus scans -> 3.
+    # stage branch before; r14: zero tokenize — __ntok is stored):
+    # raw + quality_gate share the gated-docs checkpoint (same rows as
+    # documents, gate verdict attached), and near_dedup + train_split
+    # share the survivor frame (train is a codegen CASE over it).
+    # 5 corpus scans -> 3.
     def _fused(frame, branches):
         aggs = []
         for _no, _nm, tag, cond in branches:
@@ -8707,7 +8757,7 @@ def corpus_funnel_report(spark, sf_dir):
                 F.coalesce(F.sum(w(F.lit(1))), F.lit(0))
                 .cast("bigint")
                 .alias(f"n_{tag}"),
-                F.coalesce(F.sum(w(F.size(tokenize("text")))), F.lit(0))
+                F.coalesce(F.sum(w(F.col("__ntok"))), F.lit(0))
                 .cast("bigint")
                 .alias(f"t_{tag}"),
                 F.coalesce(F.sum(w(F.col("doc_id"))), F.lit(0))
@@ -9003,6 +9053,7 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
             .withColumn("__gbody", body)
             .withColumn("__gate", _funnel_gate_expr(ge))
             .drop("__gbody")
+            .withColumn("__ntok", F.size(tokenize("text")).cast("bigint"))
             .withColumn("__rk", _cum_gated),
         ).localCheckpoint(eager=True)
         # cands / jac stay eager checkpoints (lineage truncation), not
@@ -9045,36 +9096,47 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
     ).localCheckpoint(eager=True)
     is_batch_a = F.col("doc_a") % modulus == 0
     is_batch_b = F.col("doc_b") % modulus == 0
-    crossdrop = (
-        jac.filter(is_batch_a != is_batch_b)
-        .select(
-            F.when(is_batch_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
-                "doc_id"
-            )
+    # NOT deduped (round 14, guide §2.4): crossdrop only ever feeds
+    # anti-joins (rest, wpairs below), whose build side tolerates
+    # duplicate keys — the old distinct was one exchange of pure cost
+    crossdrop = jac.filter(is_batch_a != is_batch_b).select(
+        F.when(is_batch_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "doc_id"
         )
-        .distinct()
     )
-    rest = exact.join(crossdrop, "doc_id", "left_anti").persist()
-    rest_ids_a = rest.select(F.col("doc_id").alias("doc_a"))
-    rest_ids_b = rest.select(F.col("doc_id").alias("doc_b"))
-    # NOT checkpointed (changed this round): connected_components'
+    # rest is consumed ONCE now (the wpairs membership test moved to
+    # the crossdrop anti-joins below), so the round-9 persist is gone
+    rest = exact.join(crossdrop, "doc_id", "left_anti")
+    # NOT checkpointed (changed round 13): connected_components'
     # small-edge-set fast path collects the pair frame exactly ONCE
     # (the limit-gate collect), so the round-9 rationale for an eager
     # checkpoint here — cc re-evaluating its input across label rounds
     # — no longer applies; jac and rest are already materialized, so
     # the plan under the collect is shallow.
+    #
+    # "both endpoints in rest" is tested with anti-joins against the
+    # TINY crossdrop id set instead of semi-joins against the
+    # batch-sized rest (round 14, guide §3.1): within-batch jac pairs
+    # have both endpoints in exact by construction (the candidate
+    # generator bands only exact-dedup survivors), so "in rest" is
+    # exactly "not cross-dropped" — same pair set, and the join's
+    # build side shrinks from |batch survivors| to |cross near-dups|.
     wpairs = (
         jac.filter(is_batch_a & is_batch_b)
-        .join(rest_ids_a, "doc_a", "left_semi")
-        .join(rest_ids_b, "doc_b", "left_semi")
+        .join(crossdrop.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
+        .join(crossdrop.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
         .select("doc_a", "doc_b")
     )
     surv = DD.drop_near_duplicates(rest, "doc_id", wpairs)
 
-    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+    def stage(no: int, name: str, df: DataFrame, tok_expr=None) -> DataFrame:
+        # frames descended from the admission checkpoint carry __ntok
+        # (stored token count); only the standalone raw-batch row still
+        # tokenizes, see below
+        tok = F.col("__ntok") if tok_expr is None else tok_expr
         return df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum(F.size(tokenize("text"))), F.lit(0))
+            F.coalesce(F.sum(tok), F.lit(0))
             .cast("bigint")
             .alias("n_tokens"),
             F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_sum"),
@@ -9088,10 +9150,10 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
 
     # the new_vs_seen / quality_gate / exact_dedup rows are all
     # aggregates over FILTERS of the one checkpointed admission frame,
-    # so compute them in ONE conditional-aggregation scan (tokenize
-    # runs once per row instead of once per stage branch) and unpack
+    # so compute them in ONE conditional-aggregation scan (round 14:
+    # summing the STORED __ntok — no re-tokenize at all) and unpack
     # the 1x9 result into the three accounting rows
-    _tok_sz = F.size(tokenize("text"))
+    _tok_sz = F.col("__ntok")
     _gate = F.col("__gate")
     _ex = _gate & (F.col("__rk") == 1)
 
@@ -9132,11 +9194,19 @@ def corpus_funnel_incremental(spark, sf_dir, modulus: int = 3):
         ).alias("s")
     ).select("s.*")
 
-    out = stage(0, "raw_batch", batch).unionByName(fused).unionByName(
-        stage(4, "near_dedup", surv)
-    )
+    # raw-batch accounting: when the day-1 gated-docs checkpoint is in
+    # session (bench order), the batch rows live there WITH their stored
+    # __ntok — the row costs one aggregate over the checkpoint instead
+    # of a fresh parquet scan + per-row tokenize of the batch
+    if gd is not None:
+        raw_row = stage(0, "raw_batch", gd.filter(F.col("doc_id") % modulus == 0))
+    else:
+        raw_row = stage(
+            0, "raw_batch", batch, tok_expr=F.size(tokenize("text"))
+        )
+    out = raw_row.unionByName(fused).unionByName(stage(4, "near_dedup", surv))
     rows = out.collect()
-    for cached in (*owned, rest):
+    for cached in owned:
         cached.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
@@ -9273,7 +9343,9 @@ def corpus_funnel_lm(spark, sf_dir, drop_frac: float = 0.2):
     kept_cond = F.col("s").isNotNull()
     if thr is not None:
         kept_cond = kept_cond & (F.col("s") > F.lit(thr))
-    _tok_sz = F.size(tokenize("text"))
+    # survivors carry the stored __ntok from the gated-docs checkpoint
+    # (round 14) — no re-tokenize in the accounting scan
+    _tok_sz = F.col("__ntok")
 
     def _branch(tag, cond):
         w = (lambda e: F.when(cond, e)) if cond is not None else (lambda e: e)
